@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness-provided parquet tables (TESTDATA.md).
+  *
+  * The scale-factor directory is passed per call (the driver invokes each
+  * query as `(spark, sfDir) => DataFrame`), so nothing here caches paths.
+  * Reads are plain parquet scans: Catalyst pushes filters/projections down
+  * to the scan, so callers should NOT pre-materialize or cache — compose
+  * lazily and let the optimizer prune.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType. Read it as a long (legacy conf) and floor-divide to
+    * microseconds — the same truncation DuckDB applies when it reads the
+    * ns column into its µs timestamps, so oracle comparisons agree.
+    * Pure per-row expression: codegen'd, no perf impact at scale.
+    */
+  private def eventsNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = eventsNorm(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,12 @@
+package graft.queries
+
+/** Aggregates every query batch into the driver-facing maps. */
+object Catalog {
+  def specs: Seq[QuerySpec] = Relational.specs ++ Star.specs
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    specs.map(s => s.name -> s.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.flatMap(s => s.oracle.map(o => s.name -> o)).toMap
+}
