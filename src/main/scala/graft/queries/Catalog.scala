@@ -2,7 +2,8 @@ package graft.queries
 
 /** Aggregates every query batch into the driver-facing maps. */
 object Catalog {
-  def specs: Seq[QuerySpec] = Relational.specs ++ Star.specs
+  def specs: Seq[QuerySpec] =
+    Relational.specs ++ Star.specs ++ TextAnalysis.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     specs.map(s => s.name -> s.fn).toMap

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextFunctions._
+
+/** Text-analysis queries over the `documents` table — the language-ID /
+  * quality / token-counting / fingerprinting stages of a pretraining-data
+  * pipeline. Pure per-row expressions (see [[graft.text.TextFunctions]]):
+  * at 100 TB these pipeline inside the parquet scan with zero shuffles.
+  *
+  * Oracle notes: every hash/score is defined by explicit arithmetic the
+  * DuckDB side reproduces verbatim (same fold order, same IEEE-754 ops),
+  * so value hashes match exactly.
+  */
+object TextAnalysis {
+
+  import QuerySpec._
+
+  /** Shared DuckDB token CTE — mirrors TextFunctions.tokens. */
+  private val TokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  // ---- Token counting (whitespace + BPE-ish sub-token regex) ----
+  val t1TokenStats = withOracle(
+    "t1_token_stats",
+    s"""$TokCte
+       |SELECT doc_id,
+       |       CAST(length(toks) AS BIGINT) AS n_tokens,
+       |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
+       |       CAST(length(text) AS BIGINT) AS n_chars,
+       |       CAST(length(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+       |            (a, b) -> a + b) AS BIGINT) AS n_token_chars
+       |FROM tok""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      subTokenCount(col("text")).cast("long").as("n_subtokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      uniqueTokenCount(col("text")).cast("long").as("n_uniq"),
+      tokenCharCount(col("text")).as("n_token_chars"))
+  }
+
+  // ---- Quality scoring (length / diversity / stopword-rate composite) ----
+  val t2Quality = withOracle(
+    "t2_quality",
+    s"""$TokCte
+       |SELECT doc_id,
+       |       CAST(least(CAST(length(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |          + CAST(length(list_distinct(toks)) AS DOUBLE)
+       |              / greatest(CAST(length(toks) AS DOUBLE), 1.0) * 0.3
+       |          + least(CAST(length(list_filter(toks, t -> t IN
+       |                ('the','a','an','of','and','or','is','in','to','for'))) AS DOUBLE)
+       |              / greatest(CAST(length(toks) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.2
+       |          + (CASE WHEN
+       |                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                       list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+       |                     (a, b) -> a + b) AS DOUBLE)
+       |                  / greatest(CAST(length(toks) AS DOUBLE), 1.0)
+       |                BETWEEN 2.0 AND 12.0
+       |             THEN 1.0 ELSE 0.0 END) * 0.1
+       |         AS DOUBLE) AS quality_score
+       |FROM tok""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      qualityScore(col("text")).as("quality_score"))
+  }
+
+  // ---- Language ID (marker-token heuristic, fixed tie-break) ----
+  val t3LangId = withOracle(
+    "t3_lang_id",
+    s"""$TokCte,
+       |sc AS (
+       |  SELECT doc_id,
+       |    length(list_filter(toks, t -> t IN ('the','a','of','and','is')))  AS s_en,
+       |    length(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    length(list_filter(toks, t -> t IN ('el','la','los','que','es')))  AS s_es,
+       |    length(list_filter(toks, t -> t IN ('le','la','les','et','est')))  AS s_fr
+       |  FROM tok)
+       |SELECT doc_id,
+       |       CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+       |       CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+       |       CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |            WHEN s_es >= s_fr THEN 'es'
+       |            ELSE 'fr' END AS lang_pred
+       |FROM sc""".stripMargin) { (s, d) =>
+    val scores = langScores(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      scores("en").cast("long").as("s_en"),
+      scores("de").cast("long").as("s_de"),
+      scores("es").cast("long").as("s_es"),
+      scores("fr").cast("long").as("s_fr"),
+      langId(col("text")).as("lang_pred"))
+  }
+
+  // ---- Document fingerprinting (rolling hash + bottom-1 shingle sketch) ----
+  val t4Fingerprint = withOracle(
+    "t4_fingerprint",
+    s"""$TokCte,
+       |sh AS (
+       |  SELECT doc_id, text,
+       |         list_distinct(CASE WHEN length(toks) >= 3 THEN
+       |           list_transform(range(1, length(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |           ELSE [] END) AS shingles
+       |  FROM tok)
+       |SELECT doc_id,
+       |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+       |                             c -> CAST(ascii(c) AS BIGINT))),
+       |            (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS doc_fp,
+       |       CAST(list_min(list_transform(shingles,
+       |              s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                     list_transform(list_filter(string_split(s, ''), c -> length(c) > 0),
+       |                                    c -> CAST(ascii(c) AS BIGINT))),
+       |                   (a, b) -> (a * 31 + b) % 2147483647))) AS BIGINT) AS shingle_fp
+       |FROM sh""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      rollingHash(col("text")).as("doc_fp"),
+      shingleFingerprint(col("text"), 3).as("shingle_fp"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint)
+}
