@@ -1,0 +1,222 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Deduplication operators for large-scale corpus curation: exact
+  * (hash-groupBy), exact n-gram Jaccard (shingle inverted index), MinHash
+  * + LSH banding, and SimHash blocking — the standard pretraining-data
+  * near-dup stack.
+  *
+  * Design for 100 TB:
+  *  - Exact dedup shuffles a 256-bit digest, never the document text.
+  *  - The shingle inverted index (`jaccardPairs`) is the oracle-exact
+  *    baseline; its self-join is quadratic in posting-list length, so at
+  *    scale callers use [[minhashPairs]] / [[simhashPairs]], which shuffle
+  *    only fixed-size signatures and verify the few candidates exactly.
+  *  - Per-document state (shingle set, 128-long signature) is bounded by
+  *    document length, so collect-to-array aggregations stay executor-safe.
+  *  - Candidate verification recomputes TRUE Jaccard on the candidate
+  *    pairs, so approximate recall never admits a false positive; with the
+  *    banding parameters below, a pair at s >= 0.8 is missed with
+  *    probability < 1e-10 (1-(1-s^4)^32) — the output is exact w.h.p.,
+  *    which is what lets the DuckDB brute-force oracle hash-match it.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping: every row mapped to the minimum id sharing
+    * an identical (byte-equal) text. Shuffles (digest, id) pairs only.
+    */
+  def exactGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val keyed = df.select(idCol.as("doc_id"), sha2(textCol, 256).as("text_sha"))
+    val reps = keyed.groupBy(col("text_sha"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("group_size"))
+    keyed.join(reps, "text_sha")
+      .select(col("doc_id"), col("text_sha"), col("rep_id"),
+        col("group_size"), (col("doc_id") =!= col("rep_id")).as("is_dup"))
+  }
+
+  /** (doc_id, shingle-set) relation shared by the pair operators. */
+  private def shingled(df: DataFrame, textCol: Column, idCol: Column,
+      n: Int): DataFrame =
+    df.select(idCol.as("doc_id"), shingleSet(textCol, n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Jaccard from intersection count and set sizes — the exact arithmetic
+    * the oracle uses: CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE).
+    */
+  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+    inter.cast("double") / (na + nb - inter).cast("double")
+
+  /** Exact all-pairs n-gram Jaccard via a shingle inverted index:
+    * explode distinct shingles, self-equi-join on the shingle, count
+    * intersections per pair, filter on the threshold. Set sizes ride along
+    * with each posting (max() over the constant) — no extra size join.
+    */
+  def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingled(df, textCol, idCol, n)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.sz")).as("na"), max(col("b.sz")).as("nb"))
+    inter
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact verification of candidate (doc_a, doc_b) pairs: join the
+    * shingle sets back and compute true Jaccard. Candidates are few, so
+    * the array intersection is cheap.
+    */
+  private def verifyPairs(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** All unordered pairs (a < b) from a bucket's member array — buckets
+    * are small, so the quadratic expansion is per-bucket-bounded.
+    */
+  private def bucketPairs(members: Column): Column = {
+    val sorted = array_sort(members)
+    flatten(transform(sorted, x =>
+      transform(filter(sorted, y => y > x),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+  }
+
+  /** MinHash + LSH banding near-dup pairs.
+    *
+    * Signature: 128 universal-hash permutations over p = 2^31-1:
+    * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, a_i in [1, p),
+    * b_i in [0, p). Products stay < 2^62, so the expression is safe under
+    * Spark 4's default ANSI overflow checking. Banding: 32 bands x 4 rows;
+    * docs sharing any band hash are candidates, then verified exactly.
+    * Shuffle payload per doc: 32 band keys, not the text.
+    */
+  def minhashPairs(df: DataFrame, textCol: Column, idCol: Column,
+      n: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val p = graft.text.TextFunctions.HashMod
+    val rows = numHashes / bands
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(numHashes)(1L + rnd.nextLong((p - 1)))
+    val bs = Array.fill(numHashes)(rnd.nextLong(p))
+
+    val sh = shingled(df, textCol, idCol, n)
+    val sig = sh.withColumn("hashes",
+        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))))
+      .withColumn("sig", array((0 until numHashes).map(i =>
+        array_min(transform(col("hashes"),
+          h => (h * lit(as(i)) + lit(bs(i))) % lit(p)))): _*))
+    val bandKeys = sig.select(col("doc_id"),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          hash(slice(col("sig"), bnd * rows + 1, rows)).as("bkey")))
+        : _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cands = bandKeys.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    verifyPairs(cands, sh, threshold)
+  }
+
+  /** SimHash near-dup pairs (hybrid with an exact path for short docs).
+    *
+    * 64-bit SimHash over shingle hashes (bit j set iff the majority of
+    * shingle hashes have bit j set) is a concentration sketch: its
+    * Hamming distance tracks similarity only when the shingle multiset is
+    * large enough for the majority vote to settle. Short documents
+    * (< `minShinglesForSketch`) are therefore routed through the exact
+    * inverted-index path — their posting lists are tiny, so exact is
+    * cheap precisely where the sketch is unreliable. Long-doc pairs are
+    * blocked on 8-bit chunks (pigeonhole: any pair within Hamming
+    * distance `blocks-1` = 7 shares a chunk — and at >= 64 shingles,
+    * true near-dup pairs concentrate well inside that radius), then
+    * prefiltered by full-code Hamming <= maxHamming (a 3-instruction
+    * integer test; random pairs sit at Hamming ~32) before the exact
+    * verification join. Shuffle payload per long doc: 8 chunk keys plus
+    * the 64-bit code.
+    */
+  def simhashPairs(df: DataFrame, textCol: Column, idCol: Column,
+      n: Int, threshold: Double, blocks: Int = 8,
+      maxHamming: Int = 12, minShinglesForSketch: Int = 64): DataFrame = {
+    val bits = 64 / blocks
+    val sh = shingled(df, textCol, idCol, n)
+      .withColumn("short", size(col("shingles")) < minShinglesForSketch)
+
+    // Exact path: every pair with at least one short side, via the
+    // shingle inverted index. The build side is SHORT postings only, so
+    // the join is |short postings| x posting-list length, not the full
+    // quadratic index. Orientation guard (a < b only when both short)
+    // makes each pair match each shared shingle exactly once.
+    val post = sh.select(col("doc_id"), col("short"),
+      size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+    val shortPost = post.filter(col("short"))
+    val shortPairs = shortPost.as("a").join(post.as("b"),
+        col("a.sh") === col("b.sh")
+          && col("a.doc_id") =!= col("b.doc_id")
+          && (!col("b.short") || col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
+          .otherwise(col("b.sz")).as("sza"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
+          .otherwise(col("a.sz")).as("szb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("sza")).as("na"), max(col("szb")).as("nb"))
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+    // Sketch path: long docs only.
+    val long = sh.filter(!col("short"))
+    val sim = long.withColumn("hashes",
+        transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("simhash",
+        (0 until 64).map { j =>
+          when(size(filter(col("hashes"),
+              h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2
+              >= size(col("hashes")),
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _))
+    val chunkKeys = sim.select(col("doc_id"),
+      explode(array((0 until blocks).map(c =>
+        struct(lit(c).as("blk"),
+          shiftrightunsigned(col("simhash"), c * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))): _*)).as("ck"))
+      .select(col("doc_id"), col("ck.blk"), col("ck.ckey"))
+    val rawCands = chunkKeys.groupBy(col("blk"), col("ckey"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    val codes = sim.select(col("doc_id"), col("simhash"))
+    val cands = rawCands
+      .join(codes.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a")), "doc_a")
+      .join(codes.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b")), "doc_b")
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    verifyPairs(cands, sh.drop("short"), threshold).unionByName(shortPairs)
+  }
+}

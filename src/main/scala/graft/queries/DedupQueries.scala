@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.similarity.VectorFunctions._
+
+/** Near-duplicate detection over `documents` / `embeddings` — the corpus
+  * curation stack: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * The three shingle-based pair queries (d2/d3/d4) share one oracle shape:
+  * the DuckDB brute-force all-pairs Jaccard at the same threshold. d2 is
+  * exact by construction; d3/d4 are approximate candidate generators whose
+  * candidates are verified exactly, so they match the brute-force oracle
+  * as long as recall holds (miss probability < 1e-10 at the data's planted
+  * similarity levels — see [[graft.dedup.Dedup]] scaladoc).
+  */
+object DedupQueries {
+
+  import QuerySpec._
+
+  /** DuckDB shingle relation mirroring TextFunctions.shingleSet(n=3). */
+  private val ShingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN length(toks) >= 3 THEN
+      |           list_transform(range(1, length(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [] END) AS shingles
+      |  FROM tok)""".stripMargin
+
+  /** Brute-force all-pairs 3-gram Jaccard at threshold 0.8 — oracle for
+    * d2 (exact), d3 (MinHash) and d4 (SimHash).
+    */
+  private val JaccardOracle =
+    s"""$ShingleCte,
+       |e AS (SELECT doc_id, length(shingles) AS sz, unnest(shingles) AS sh
+       |      FROM sh WHERE length(shingles) > 0),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+       |              max(a.sz) AS na, max(b.sz) AS nb
+       |       FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+       |FROM pr
+       |WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8""".stripMargin
+
+  // ---- Exact dedup: hash-groupBy canonical representative ----
+  val d1Exact = withOracle(
+    "d1_dedup_exact",
+    """WITH k AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
+      |g AS (SELECT text_sha, min(doc_id) AS rep_id, count(*) AS group_size
+      |      FROM k GROUP BY 1)
+      |SELECT k.doc_id, k.text_sha, g.rep_id,
+      |       CAST(g.group_size AS BIGINT) AS group_size,
+      |       k.doc_id <> g.rep_id AS is_dup
+      |FROM k JOIN g USING (text_sha)""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+  }
+
+  // ---- Exact n-gram Jaccard pairs (shingle inverted index) ----
+  val d2Jaccard = withOracle("d2_ngram_jaccard", JaccardOracle) { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+      n = 3, threshold = 0.8)
+  }
+
+  // ---- MinHash + LSH banding (candidates verified exactly) ----
+  val d3Minhash = withOracle("d3_minhash_lsh", JaccardOracle) { (s, d) =>
+    Dedup.minhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+      n = 3, threshold = 0.8)
+  }
+
+  // ---- SimHash blocking (candidates verified exactly) ----
+  val d4Simhash = withOracle("d4_simhash", JaccardOracle) { (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+      n = 3, threshold = 0.8)
+  }
+
+  // ---- Embedding-cosine near-dup pairs ----
+  // Exact all-pairs at a bounded slice (vec_id < 2048) — the oracle-exact
+  // baseline. The quadratic blow-up makes all-pairs the wrong tool beyond
+  // ~10^5 vectors; the scale path is the LSH-bucketed candidate join of
+  // s2_ann_lsh (bit_count prefilter before any cosine) — same verified
+  // cosine arithmetic, linear shuffle.
+  val d5EmbedNearDup = withOracle(
+    "d5_embed_neardup",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2048),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, length(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y)
+      |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |       list_transform(range(1, length(a.embedding) + 1),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+      |       (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |       list_transform(range(1, length(b.embedding) + 1),
+      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |       (x, y) -> x + y))) AS cosine
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin) {
+    (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 2048)
+      val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup)
+}

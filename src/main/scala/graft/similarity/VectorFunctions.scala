@@ -1,0 +1,58 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns.
+  *
+  * All arithmetic is an ORDERED left fold in index order (`zip_with` +
+  * `aggregate`), not an unordered SQL SUM — IEEE-754 float addition is not
+  * associative, and the DuckDB oracle reproduces the identical fold, so
+  * cosine values match bit-for-bit across engines. Pure codegen'd
+  * expressions: no UDFs, no shuffles; at scale the dot product runs inside
+  * the join stage's generated code.
+  */
+object VectorFunctions {
+
+  /** Ordered dot product: fold_i (acc + a[i]*b[i]), floats widened to
+    * double BEFORE multiplying (matches the oracle's CAST placement).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---- Random-hyperplane LSH (sign-random-projection) ----
+
+  /** Deterministic pseudo-random hyperplane component, reproducible by any
+    * engine with exact integer + double arithmetic:
+    *   lcg(k)  = (1103515245*k + 12345) mod 2^31
+    *   h[j][i] = lcg(j*dim + i) / 2^31 - 0.5
+    * (glibc LCG constants — public domain folklore.) The rationals are
+    * exactly representable in double, so sign bits agree across engines.
+    */
+  def hyperplaneComponent(k: Long): Double =
+    ((1103515245L * k + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  /** dim-length literal array for hyperplane j. */
+  def hyperplane(j: Int, dim: Int): Column =
+    array((0 until dim).map(i =>
+      lit(hyperplaneComponent(j.toLong * dim + i))): _*)
+
+  /** nBits-bit sign-random-projection bucket code of an embedding:
+    * bit j = (dot(h_j, v) >= 0). Deterministic: both engines compute the
+    * identical dot (ordered fold over identical hyperplane doubles), so
+    * the code — even for near-zero dots — is identical.
+    */
+  def lshCode(v: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      when(dot(hyperplane(j, dim), v) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Hamming distance between two bucket codes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
