@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, and batch feature extraction over them.
+  *
+  * Model: image/audio/video payloads are `binary` columns + a metadata
+  * struct (format, width, height, n_bytes); decode / feature-extract runs
+  * as an imperative per-partition pass over the typed Dataset — the Scala
+  * analogue of `mapInPandas` (iterator-of-batches in, iterator out, no
+  * per-row JVM<->Python hop; here it is a plain `mapPartitions` on a
+  * case-class Encoder, which keeps Tungsten row encoding end-to-end).
+  *
+  * The DECODE step is a deterministic STUB (`FakeCodec`): real image
+  * codecs are not available in this environment, so the "pixels" are the
+  * payload bytes themselves. Everything around it — schema, binary
+  * encoding, partition-batched execution, fixed-width feature vectors —
+  * is the real pipeline shape: swap `FakeCodec.decode` for a JNI/codec
+  * call and nothing else changes. Scale: per-partition imperative work
+  * with bounded per-row state; no shuffle, no driver collection.
+  */
+object Multimodal {
+
+  /** A media row: payload plus the metadata a real pipeline carries. */
+  final case class MediaRecord(
+      doc_id: Long, fmt: String, n_bytes: Long, media: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, n_blocks: Long,
+      mean_byte: Double, first_block_mean: Double)
+
+  /** Deterministic stand-in for an image/audio decoder. */
+  object FakeCodec {
+    val BlockSize = 64
+
+    /** "Decode" a payload into block-mean features: mean byte value per
+      * BlockSize chunk (unsigned). Stands in for decode+resize+pool.
+      */
+    def decode(media: Array[Byte]): (Long, Double, Double) = {
+      if (media.isEmpty) return (0L, 0.0, 0.0)
+      var sum = 0L
+      var i = 0
+      while (i < media.length) { sum += media(i) & 0xff; i += 1 }
+      val firstLen = math.min(BlockSize, media.length)
+      var firstSum = 0L
+      i = 0
+      while (i < firstLen) { firstSum += media(i) & 0xff; i += 1 }
+      val nBlocks = (media.length + BlockSize - 1) / BlockSize
+      (nBlocks.toLong,
+        sum.toDouble / media.length.toDouble,
+        firstSum.toDouble / firstLen.toDouble)
+    }
+  }
+
+  /** Attach a synthetic binary payload (UTF-8 bytes of the text) plus
+    * metadata — the ingest step that in production reads object-store
+    * blobs alongside the row.
+    */
+  def attachMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("fake/raw").as("fmt"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  /** Partition-batched feature extraction over the media Dataset. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val (nBlocks, meanByte, firstBlockMean) = FakeCodec.decode(rec.media)
+        MediaFeatures(rec.doc_id, rec.n_bytes, nBlocks, meanByte, firstBlockMean)
+      }
+    }
+  }
+}

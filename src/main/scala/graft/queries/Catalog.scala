@@ -4,7 +4,7 @@ package graft.queries
 object Catalog {
   def specs: Seq[QuerySpec] =
     Relational.specs ++ Star.specs ++ TextAnalysis.specs ++
-      DedupQueries.specs ++ SimilarityQueries.specs
+      DedupQueries.specs ++ SimilarityQueries.specs ++ PipelineQueries.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     specs.map(s => s.name -> s.fn).toMap

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** Multimodal feature-extraction and Structured-Streaming queries.
+  *
+  * The multimodal oracle exploits that the test corpus is ASCII: the
+  * UTF-8 payload bytes equal the code points, so DuckDB can recompute
+  * the stubbed codec's block means exactly (same integer sums, same
+  * double division) without any binary support.
+  *
+  * The streaming oracles are the batch equivalents: every streaming
+  * output here is closed under end-of-stream (complete-mode windows,
+  * final per-key states, key sets), so batch SQL over the same input is
+  * the exact expected value regardless of micro-batch boundaries.
+  */
+object PipelineQueries {
+
+  import QuerySpec._
+
+  // ---- m1: binary media column -> partition-batched feature extraction ----
+  val m1MediaFeatures = withOracle(
+    "m1_media_features",
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(list_filter(string_split(text, ''),
+      |                                    c -> length(c) > 0),
+      |                        c -> CAST(ascii(c) AS BIGINT)) AS cps
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(n AS BIGINT) AS n_bytes,
+      |       CAST((n + 63) // 64 AS BIGINT) AS n_blocks,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+      |                        (a, b) -> a + b) AS DOUBLE)
+      |         / CAST(n AS DOUBLE) AS mean_byte,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                                     cps[1:least(n, 64)]),
+      |                        (a, b) -> a + b) AS DOUBLE)
+      |         / CAST(least(n, 64) AS DOUBLE) AS first_block_mean
+      |FROM b""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(s,
+      Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+  }
+
+  // ---- st1: tumbling event-time window aggregate (complete mode) ----
+  val st1HourlyAgg = withOracle(
+    "st1_stream_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Streams.hourlyAgg(s, d)
+  }
+
+  // ---- st2: stateful streaming dedup ----
+  val st2StreamDedup = withOracle(
+    "st2_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+    Streams.streamDedup(s, d)
+  }
+
+  // ---- st3: custom state via mapGroupsWithState ----
+  val st3Stateful = withOracle(
+    "st3_stream_stateful",
+    """SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(value) AS DOUBLE) AS max_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Streams.statefulCounts(s, d)
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(m1MediaFeatures, st1HourlyAgg, st2StreamDedup, st3Stateful)
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming equivalents of the reference's incremental tables
+  * (reference `scripts/bronze/bronze_ingestion.py:20-32` streaming ingest,
+  * `scripts/silver/silver_products.py:119` streaming dedup) over the
+  * `events` table, executed with Trigger.AvailableNow so a batch driver
+  * can call them like any other query and compare against a batch oracle.
+  *
+  * Each helper starts a file-source stream over the parquet input, runs
+  * it to completion into an in-memory sink, and returns the sink's
+  * content as a DataFrame. Determinism: outputs are closed under
+  * end-of-stream (complete-mode aggregates / final states / key sets), so
+  * arrival order across micro-batches cannot change them.
+  *
+  * Scale notes: the file source shards listing+reads across executors;
+  * windowed aggregation shuffles by (window) with partial aggregation
+  * map-side; `dropDuplicates` and `mapGroupsWithState` keep per-key state
+  * in the state store (RocksDB-backed on a real cluster). The reference
+  * carries NO watermarks (SURVEY.md §2.8) — its state is unbounded; our
+  * batch-parity queries mirror that, and production streams would add
+  * `withWatermark` to bound state (the windowed variant shows the hook).
+  */
+object Streams {
+
+  /** events.parquet carries TIMESTAMP(NANOS); stream it with the same
+    * legacy-long bridge the batch reader uses (Tables.eventsNorm).
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // The file source requires a DIRECTORY; the testdata table is a single
+    // file. Expose it through a scratch dir of symlinks (one-time, local
+    // metadata only — no data copy).
+    val dir = java.nio.file.Paths.get("/tmp/graft_streams",
+      java.lang.Integer.toHexString(sfDir.hashCode), "events")
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a finite (AvailableNow) stream into a memory sink, return it. */
+  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling-window aggregate (complete mode): per-hour event counts and
+    * exact value sums. The `window` expression is the event-time path;
+    * complete mode emits every window at end-of-stream.
+    */
+  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete())
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming deduplication: stateful dropDuplicates over the key
+    * columns; the emitted first-seen rows projected to the key set are
+    * order-independent. (Unbounded state, as in the reference; a
+    * watermarked variant would use dropDuplicatesWithinWatermark.)
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, dedup, "graft_stream_dedup", OutputMode.Append())
+      .select(col("user_id"), col("event_type"))
+  }
+
+  // Public: Catalyst's generated (de)serializers need access.
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(n: Long, maxValue: Double)
+
+  /** Custom stateful processing via mapGroupsWithState: per-user running
+    * (count, max) updated each micro-batch; update-mode emissions are
+    * post-aggregated to the final state per key (max of a monotone
+    * sequence), which is batch-deterministic.
+    */
+  def statefulCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val updates = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Double.MinValue))
+          var n = prev.n
+          var mx = prev.maxValue
+          events.foreach { e =>
+            n += 1
+            if (e.value > mx) mx = e.value
+          }
+          state.update(UserState(n, mx))
+          (userId, n, mx)
+      }
+      .toDF("user_id", "n_events", "max_value")
+    runToMemory(spark, updates, "graft_stream_state", OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("max_value")).as("max_value"))
+  }
+}
