@@ -3,8 +3,9 @@ package graft.queries
 /** Aggregates every query batch into the driver-facing maps. */
 object Catalog {
   def specs: Seq[QuerySpec] =
-    Relational.specs ++ Star.specs ++ TextAnalysis.specs ++
-      DedupQueries.specs ++ SimilarityQueries.specs ++ PipelineQueries.specs
+    Relational.specs ++ Relational2.specs ++ Star.specs ++
+      TextAnalysis.specs ++ DedupQueries.specs ++ SimilarityQueries.specs ++
+      PipelineQueries.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     specs.map(s => s.name -> s.fn).toMap

@@ -204,7 +204,7 @@ object Relational {
       min(col("o_orderdate").cast("date")).cast("string").as("min_date"),
       max(coalesce(col("o_orderdate"),
         lit("1990-01-01 00:00:00").cast("timestamp")).cast("date"))
-        .as("max_date"),
+        .cast("string").as("max_date"),
       count(lit(1)).as("n_orders"))
   }
 

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.text.TextFunctions
+
+/** Extended relational coverage beyond the reference's own surface:
+  * analytic windows (lag/lead, running frames, ranking), multi-level
+  * aggregation (rollup/cube/pivot), set operations, a binned range join,
+  * an as-of join via IGNORE NULLS window frames, and lateral explode.
+  *
+  * Scale notes: all windows are partitioned (no global ORDER BY window);
+  * the range join is an equi-join on (user, time-bin) — O(matching pairs)
+  * not O(n^2) — with the probe side exploding exactly 2 bins; rollup/cube
+  * use Spark's Expand, which multiplies rows BEFORE the shuffle but keeps
+  * partial aggregation.
+  */
+object Relational2 {
+
+  import QuerySpec._
+
+  // ---- W: lag/lead over partitioned order ----
+  val w3LeadLag = withOracle(
+    "w3_lead_lag",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |       CAST(CAST(lag(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |           OVER w AS DOUBLE) AS DOUBLE) AS prev_price,
+      |       CAST(CAST(lead(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |           OVER w AS DOUBLE) AS DOUBLE) AS next_price
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |             ORDER BY l_linenumber, l_partkey, l_suppkey)""".stripMargin) {
+    (s, d) =>
+      // (linenumber, partkey, suppkey) is the minimal total order in this
+      // data — linenumber alone is not unique per order.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        price.cast("double").as("price"),
+        lag(price, 1).over(w).cast("double").as("prev_price"),
+        lead(price, 1).over(w).cast("double").as("next_price"))
+  }
+
+  // ---- W: running aggregates (ROWS UNBOUNDED PRECEDING frame) ----
+  val w4Running = withOracle(
+    "w4_running_agg",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |           PARTITION BY l_orderkey
+      |           ORDER BY l_linenumber, l_partkey, l_suppkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_qty,
+      |       CAST(count(*) OVER (
+      |           PARTITION BY l_orderkey
+      |           ORDER BY l_linenumber, l_partkey, l_suppkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS running_cnt,
+      |       CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS order_lines
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val ordered = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      sum(col("l_quantity").cast("decimal(18,2)")).over(ordered)
+        .cast("double").as("running_qty"),
+      count(lit(1)).over(ordered).as("running_cnt"),
+      count(lit(1)).over(whole).as("order_lines"))
+  }
+
+  // ---- W: ranking family ----
+  val w5Rank = withOracle(
+    "w5_rank",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  // ---- A: ROLLUP with grouping indicators ----
+  val a8Rollup = withOracle(
+    "a8_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+  }
+
+  // ---- A: CUBE over a broadcast-joined dimension ----
+  val a9Cube = withOracle(
+    "a9_cube",
+    """SELECT n.n_name, c.c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+      |       CAST(GROUPING(c.c_mktsegment) AS BIGINT) AS g_segment
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY CUBE(n.n_name, c.c_mktsegment)""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("long").as("g_segment"))
+  }
+
+  // ---- A: pivot (wide aggregation) ----
+  val a10Pivot = withOracle(
+    "a10_pivot",
+    """SELECT o_orderpriority,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+  }
+
+  // ---- U: set operations (UNION/INTERSECT/EXCEPT semantics) ----
+  val u1SetOps = withOracle(
+    "u1_setops",
+    """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM o INTERSECT SELECT * FROM f)
+      |UNION ALL
+      |SELECT 'only_open', o_custkey FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+      |UNION ALL
+      |SELECT 'only_filled', o_custkey FROM (SELECT * FROM f EXCEPT SELECT * FROM o)""".stripMargin) {
+    (s, d) =>
+      val orders = Tables.orders(s, d)
+      val o = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).distinct()
+      val f = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+      o.intersect(f).select(lit("both").as("tag"), col("o_custkey"))
+        .unionByName(o.except(f)
+          .select(lit("only_open").as("tag"), col("o_custkey")))
+        .unionByName(f.except(o)
+          .select(lit("only_filled").as("tag"), col("o_custkey")))
+  }
+
+  // ---- J: range join via time-bin equi-join ----
+  // Pairs of same-user events within 1 hour. The probe side explodes to
+  // its bin and the next (any in-window partner lands in one of the two),
+  // so the join is an equi-join on (user_id, bin): shuffle O(n), match
+  // O(pairs) — the binning pattern that replaces an O(n^2) theta join.
+  private val HourUs = 3600L * 1000000L
+  val j13RangeJoin = withOracle(
+    "j13_range_join",
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+       |           FROM events)
+       |SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+       |       CAST(b.tus - a.tus AS BIGINT) AS dt_us
+       |FROM e a JOIN e b
+       |  ON a.user_id = b.user_id
+       | AND b.tus - a.tus BETWEEN 0 AND $HourUs
+       | AND (b.tus > a.tus OR a.event_id < b.event_id)""".stripMargin) {
+    (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"))
+      val probe = e.withColumn("pbin",
+        explode(array(floor(col("tus") / HourUs).cast("long"), floor(col("tus") / HourUs).cast("long") + 1)))
+      val build = e.select(col("event_id").as("event_b"),
+        col("user_id").as("user_b"), col("tus").as("tus_b"))
+        .withColumn("bin", floor(col("tus_b") / HourUs).cast("long"))
+      probe.join(build,
+          col("user_id") === col("user_b") && col("pbin") === col("bin")
+            && (col("tus_b") - col("tus")).between(0, HourUs)
+            && (col("tus_b") > col("tus")
+              || col("event_id") < col("event_b")))
+        .select(col("event_id").as("event_a"), col("event_b"),
+          col("user_id"), (col("tus_b") - col("tus")).as("dt_us"))
+  }
+
+  // ---- J: as-of join via IGNORE NULLS window frame ----
+  // For each event, the timestamp of the user's most recent STRICTLY
+  // PRIOR 'signup' event — the classic as-of/point-in-time lookup,
+  // expressed as last(..., ignoreNulls) over ROWS ... 1 PRECEDING: one
+  // partitioned sort, no join at all.
+  val j14AsOf = withOracle(
+    "j14_asof",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  epoch_ns(ts) // 1000 AS tus
+      |           FROM events)
+      |SELECT event_id, user_id, CAST(tus AS BIGINT) AS tus,
+      |       CAST(last_value(CASE WHEN event_type = 'signup' THEN tus END
+      |                       IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         AS BIGINT) AS last_signup_us
+      |FROM e""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .select(col("event_id"), col("user_id"), col("tus"),
+        last(when(col("event_type") === "signup", col("tus")),
+          ignoreNulls = true).over(w).as("last_signup_us"))
+  }
+
+  // ---- E: lateral explode (token frequencies with positions) ----
+  val e1Explode = withOracle(
+    "e1_explode_tokens",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |x AS (SELECT doc_id, unnest(toks) AS tok,
+      |             unnest(range(1, length(toks) + 1)) AS pos
+      |      FROM tok)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(sum(pos) AS BIGINT) AS pos_sum
+      |FROM x GROUP BY tok""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("pos") + 1).as("pos_sum"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    w3LeadLag, w4Running, w5Rank, a8Rollup, a9Cube, a10Pivot,
+    u1SetOps, j13RangeJoin, j14AsOf, e1Explode)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"),    // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat today"),    // near dup of 0
+    (3L, "completely different text with no overlap at all here"),
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups maps byte-identical texts to one representative") {
+    val out = Dedup.exactGroups(docs, col("text"), col("doc_id"))
+      .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().map { case (k, v, d) => k -> ((v, d)) }.toMap
+    assert(out(0L) === ((0L, false)))
+    assert(out(1L) === ((0L, true)))
+    assert(out(2L) === ((2L, false)))
+  }
+
+  test("jaccardPairs finds exact and near duplicates above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // identical: j = 1.0
+    assert(pairs.contains((0L, 2L)))   // one word differs: j ~ 0.56
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.size === 3)           // nothing else is similar
+  }
+
+  test("minhash and simhash agree with the exact pairs on real documents") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val exact = Dedup.jaccardPairs(d, col("text"), col("doc_id"), 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(d, col("text"), col("doc_id"), 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashPairs(d, col("text"), col("doc_id"), 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh === exact)
+    assert(sh === exact)
+    assert(exact.nonEmpty)  // the corpus has planted near-dups
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f)),
+    (Array(1.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("a", "b")
+
+  test("cosine: orthogonal = 0, identical = 1, opposite = -1") {
+    val out = df.select(cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) === 0.0)
+    assert(math.abs(out(1) - 1.0) < 1e-15)
+    assert(out(2) === -1.0)
+  }
+
+  test("dot is the exact ordered fold") {
+    val d = Seq((Array(1.5f, 2.5f), Array(2.0f, 4.0f))).toDF("a", "b")
+      .select(dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(d === 13.0)
+  }
+
+  test("hyperplaneComponent is a deterministic rational in [-0.5, 0.5)") {
+    val h0 = hyperplaneComponent(0)
+    assert(h0 === (12345.0 / 2147483648.0 - 0.5))
+    assert((0 until 1000).forall { k =>
+      val v = hyperplaneComponent(k)
+      v >= -0.5 && v < 0.5 && v == hyperplaneComponent(k)
+    })
+  }
+
+  test("lshCode packs one sign bit per hyperplane and is stable") {
+    val v = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), lshCode(col("embedding"), 16, 64).as("code"))
+    val codes = v.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes.values.forall(c => c >= 0 && c < (1L << 16)))
+    // re-evaluation gives identical codes (pure deterministic expression)
+    val again = v.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes === again)
+  }
+
+  test("hamming counts differing bits") {
+    val h = Seq((5L, 6L)).toDF("x", "y")
+      .select(hamming(col("x"), col("y"))).collect()(0).getInt(0)
+    assert(h === 2) // 101 vs 110
+  }
+}
