@@ -38,10 +38,15 @@ object Dedup {
         col("group_size"), (col("doc_id") =!= col("rep_id")).as("is_dup"))
   }
 
-  /** (doc_id, shingle-set) relation shared by the pair operators. */
+  /** (doc_id, shingle-set) relation shared by the pair operators.
+    * Uses the native single-pass ShingleSet expression: the composed HOF
+    * form is interpreted per element and — once CollapseProject/filter
+    * pushdown inline the token expression into the lambda — re-tokenizes
+    * the document per shingle (measured 30s+ on 5k docs vs ~0.5s native).
+    */
   private def shingled(df: DataFrame, textCol: Column, idCol: Column,
       n: Int): DataFrame =
-    df.select(idCol.as("doc_id"), shingleSet(textCol, n).as("shingles"))
+    df.select(idCol.as("doc_id"), shingleSetN(textCol, n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** Jaccard from intersection count and set sizes — the exact arithmetic
@@ -118,15 +123,20 @@ object Dedup {
     val bs = Array.fill(numHashes)(rnd.nextLong(p))
 
     val sh = shingled(df, textCol, idCol, n)
-    val sig = sh.withColumn("hashes",
-        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))))
-      .withColumn("sig", array((0 until numHashes).map(i =>
-        array_min(transform(col("hashes"),
-          h => (h * lit(as(i)) + lit(bs(i))) % lit(p)))): _*))
+    // Signature via explode + flat min-aggregates: 128 codegen'd agg
+    // buffers over the shingle postings. (The HOF formulation — 128 x
+    // array_min(transform(...)) per doc — runs interpreted per element
+    // and is an order of magnitude slower.)
+    val post = sh.select(col("doc_id"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), pmod(xxhash64(col("s0")), lit(p)).as("h"))
+    val minCols = (0 until numHashes).map(i =>
+      min((col("h") * as(i) + bs(i)) % p).as(s"mh_$i"))
+    val sig = post.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandKeys = sig.select(col("doc_id"),
       explode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
-          hash(slice(col("sig"), bnd * rows + 1, rows)).as("bkey")))
+          hash((bnd * rows until (bnd + 1) * rows)
+            .map(i => col(s"mh_$i")): _*).as("bkey")))
         : _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
     val cands = bandKeys.groupBy(col("band"), col("bkey"))
@@ -187,17 +197,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-    // Sketch path: long docs only.
+    // Sketch path: long docs only. Bit-majorities via explode + 64 flat
+    // sum-aggregates (codegen'd), not per-element interpreted filters.
     val long = sh.filter(!col("short"))
-    val sim = long.withColumn("hashes",
-        transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("simhash",
-        (0 until 64).map { j =>
-          when(size(filter(col("hashes"),
-              h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2
-              >= size(col("hashes")),
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _))
+    val postL = long.select(col("doc_id"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("h"))
+    val aggCols = count(lit(1)).as("nh") +: (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val sim = postL.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") * 2 >= col("nh"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
     val chunkKeys = sim.select(col("doc_id"),
       explode(array((0 until blocks).map(c =>
         struct(lit(c).as("blk"),

@@ -108,12 +108,18 @@ object DedupQueries {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin) {
     (s, d) =>
+      // Norms are projected ONCE per vector; each pair then costs a
+      // single flat 64-term dot (whole-stage codegen) — not three
+      // interpreted folds.
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 2048)
-      val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        normN(col("embedding")).as("nrm_a"))
+      val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        normN(col("embedding")).as("nrm_b"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+        .withColumn("cosine",
+          dotN(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
         .filter(col("cosine") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
   }

@@ -70,14 +70,18 @@ object SimilarityQueries {
        |      FROM sc)
        |SELECT q_id, cand_id, CAST(rank AS BIGINT) AS rank, cosine
        |FROM r WHERE rank <= $TopK""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm"))
     val q = v.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("q_emb"), col("embedding")).as("cosine"))
+        (dotN(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("cand_id"),
@@ -107,17 +111,19 @@ object SimilarityQueries {
        |FROM r WHERE rank <= $TopK""".stripMargin) { (s, d) =>
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm"),
         lshCode(col("embedding"), Bits, Dim).as("code"))
     val q = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("code").as("q_code"))
+        col("nrm").as("q_nrm"), col("code").as("q_code"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     v.join(broadcast(q),
         col("vec_id") =!= col("q_id")
           && hamming(col("q_code"), col("code")) <= MaxHamming)
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("q_emb"), col("embedding")).as("cosine"))
+        (dotN(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("cand_id"),

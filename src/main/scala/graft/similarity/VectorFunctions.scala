@@ -16,6 +16,8 @@ object VectorFunctions {
 
   /** Ordered dot product: fold_i (acc + a[i]*b[i]), floats widened to
     * double BEFORE multiplying (matches the oracle's CAST placement).
+    * Generic over vector length, but the fold runs as an INTERPRETED
+    * higher-order function — use [[dotF]] in hot paths.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -25,6 +27,24 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native-kernel dot product ([[graft.functions.DotProduct]]): the same
+    * left-to-right widen-then-multiply arithmetic as [[dot]] — bit-
+    * identical results — but as a JIT-compiled loop (doGenCode), ~3
+    * orders of magnitude faster per pair. Use for pairwise similarity
+    * joins. (A flat unrolled sum was tried first: it codegens but blows
+    * HotSpot's huge-method limit and runs un-JIT-ed.)
+    */
+  def dotN(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  def normN(a: Column): Column = sqrt(dotN(a, a))
+
+  def cosineN(a: Column, b: Column): Column =
+    dotN(a, b) / (normN(a) * normN(b))
 
   // ---- Random-hyperplane LSH (sign-random-projection) ----
 
@@ -45,12 +65,14 @@ object VectorFunctions {
 
   /** nBits-bit sign-random-projection bucket code of an embedding:
     * bit j = (dot(h_j, v) >= 0). Deterministic: both engines compute the
-    * identical dot (ordered fold over identical hyperplane doubles), so
-    * the code — even for near-zero dots — is identical.
+    * identical dot (ordered left-assoc loop over identical hyperplane
+    * doubles), so the code — even for near-zero dots — is identical.
+    * Each per-bit dot is the native kernel against a constant-folded
+    * literal hyperplane array.
     */
   def lshCode(v: Column, nBits: Int, dim: Int): Column =
     (0 until nBits).map { j =>
-      when(dot(hyperplane(j, dim), v) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      when(dotN(hyperplane(j, dim), v) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
   /** Hamming distance between two bucket codes. */

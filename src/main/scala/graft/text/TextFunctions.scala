@@ -53,21 +53,45 @@ object TextFunctions {
   def rollingHash(c: Column): Column =
     aggregate(codePoints(c), lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
 
-  /** Word n-gram shingles (space-joined), the unit for near-dup Jaccard.
+  /** Word n-gram shingles (space-joined) from an ALREADY-MATERIALIZED
+    * token array column, the unit for near-dup Jaccard.
+    *
+    * PERFORMANCE: `toks` must be a plain column reference (projected in a
+    * previous select), not an inline `tokens(text)` expression. Spark's
+    * higher-order functions are interpreted, with no common-subexpression
+    * elimination inside the lambda — an inline expression would re-split
+    * the document for every element_at of every shingle, turning an O(L)
+    * row into O(L * shingles). Measured 30x on the shingle pipeline.
+    *
     * Docs shorter than n words yield an empty array (guarded — Spark's
     * `sequence` would otherwise produce a DESCENDING range).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ",
           (1 to n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Inline convenience form — fine for small inputs / single-pass use;
+    * prefer projecting `tokens` first + [[shinglesOfTokens]] in hot paths
+    * (see the performance note there).
+    */
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
   /** Distinct shingle set — the operand of Jaccard similarity. */
   def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+
+  /** Native single-pass shingle set ([[graft.functions.ShingleSet]]):
+    * identical semantics to [[shingleSet]], O(len) per row instead of the
+    * interpreted HOF pipeline (which degrades to O(len * shingles) once
+    * the optimizer inlines the token expression into the lambda). Use in
+    * every dedup hot path.
+    */
+  def shingleSetN(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ShingleSet(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
 
   /** Bottom-1 sketch: min rolling-hash over the doc's distinct shingles
     * (a 1-permutation MinHash; cheap same-bucket prefilter).
