@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dq.{Expectation, Expectations}
+
+/** Declarative dataset registry + runner — the engine's DLT analogue.
+  *
+  * The reference wires its medallion layers through named datasets with
+  * implicit dependencies (`dlt.read_stream("live.silver_orders")`,
+  * `LIVE.silver_order_payments`; SURVEY.md §2.8 "Orchestration") and
+  * per-table quality expectations. Here a [[Dataset]] declares its name,
+  * upstream names, expectations, and a build function from resolved
+  * upstreams; [[Pipeline.run]] topologically orders the graph, enforces
+  * expectations (warn logs / fail throws / drop filters — the
+  * `@dlt.expect*` triad), and materializes according to [[Materialize]]:
+  *
+  *  - View: kept lazy (DLT `@dlt.view` staging views, S2/S4);
+  *  - Table: written once as parquet `saveAsTable` append-or-create
+  *    (streaming-table stand-in; no Delta jars offline, S3);
+  *  - MaterializedView: full refresh via overwrite `saveAsTable`
+  *    (`CREATE OR REFRESH MATERIALIZED VIEW`, S7).
+  *
+  * Scale: the runner only sequences Spark actions — all data movement is
+  * Spark jobs; a 1000-executor run behaves identically. Writes go
+  * through the session catalog so downstream `spark.table` (S5/S6)
+  * resolves 2/3-part names.
+  */
+final case class Dataset(
+    name: String,
+    deps: Seq[String],
+    build: (SparkSession, Map[String, DataFrame]) => DataFrame,
+    expectations: Seq[Expectation] = Nil,
+    materialize: Materialize = Materialize.View)
+
+sealed trait Materialize
+object Materialize {
+  case object View extends Materialize
+  case object Table extends Materialize
+  case object MaterializedView extends Materialize
+}
+
+final class PipelineCycleException(msg: String) extends RuntimeException(msg)
+
+class Pipeline {
+  private val datasets = mutable.LinkedHashMap.empty[String, Dataset]
+
+  def register(d: Dataset): this.type = {
+    require(!datasets.contains(d.name), s"duplicate dataset ${d.name}")
+    datasets += d.name -> d
+    this
+  }
+
+  /** Dataset-factory loop over a name list — the reference's bronze
+    * table factory (`scripts/bronze/bronze_ingestion.py:35-53`, S2).
+    */
+  def registerAll(names: Seq[String])(f: String => Dataset): this.type = {
+    names.foreach(n => register(f(n)))
+    this
+  }
+
+  /** Topological order with deterministic tie-break (registration
+    * order); throws on cycles or unknown deps.
+    */
+  def topoOrder: Seq[String] = {
+    val indeg = mutable.LinkedHashMap.from(datasets.map { case (n, d) =>
+      d.deps.foreach(dep => require(datasets.contains(dep),
+        s"dataset $n depends on unregistered $dep"))
+      n -> d.deps.size
+    })
+    val order = mutable.ArrayBuffer.empty[String]
+    val ready = mutable.Queue.from(indeg.collect { case (n, 0) => n })
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      order += n
+      datasets.values.filter(_.deps.contains(n)).foreach { d =>
+        indeg(d.name) -= 1
+        if (indeg(d.name) == 0) ready += d.name
+      }
+    }
+    if (order.size != datasets.size)
+      throw new PipelineCycleException(
+        s"cycle among: ${datasets.keySet.diff(order.toSet).mkString(", ")}")
+    order.toSeq
+  }
+
+  /** Build every dataset in dependency order; returns name -> DataFrame
+    * (materialized datasets are re-read from the catalog so downstream
+    * consumers see the committed table).
+    */
+  def run(spark: SparkSession): Map[String, DataFrame] = {
+    val built = mutable.LinkedHashMap.empty[String, DataFrame]
+    topoOrder.foreach { name =>
+      val d = datasets(name)
+      val upstream = d.deps.map(dep => dep -> built(dep)).toMap
+      val df0 = d.build(spark, upstream)
+      val df = if (d.expectations.nonEmpty)
+        Expectations.enforce(df0, d.expectations) else df0
+      val out = d.materialize match {
+        case Materialize.View => df
+        case Materialize.Table =>
+          df.write.mode("append").format("parquet").saveAsTable(name)
+          spark.table(name)
+        case Materialize.MaterializedView =>
+          df.write.mode("overwrite").format("parquet").saveAsTable(name)
+          spark.table(name)
+      }
+      built += name -> out
+    }
+    built.toMap
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dq.{Expectations => DQ, ExpectationViolation}
+import graft.ingest.CsvSource
+import graft.pipeline.{Dataset, Materialize, Pipeline, PipelineCycleException}
+
+/** End-to-end medallion flow over CSV fixtures: bronze CSV ingest with
+  * rescue, silver casts + expectations + dedup, gold materialized
+  * aggregate — the reference's bronze/silver/gold shape in miniature.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val csvDir: String = {
+    val dir = Files.createTempDirectory("graft_pipe_csv").toFile
+    val f = new java.io.File(dir, "orders.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("order_id,amount,status")
+    w.println("o1, 10.50 ,NEW")        // whitespace-trim exercised
+    w.println("o2,20.00,SHIPPED")
+    w.println("o2,20.00,SHIPPED")      // duplicate -> silver dedup
+    w.println("o3,not_a_number,NEW")   // malformed amount -> rescued
+    w.println("o4,-5.00,NEW")          // violates nonneg warn rule
+    w.close()
+    dir.getAbsolutePath
+  }
+
+  private val bronzeSchema = StructType(Seq(
+    StructField("order_id", StringType),
+    StructField("amount", DoubleType),
+    StructField("status", StringType)))
+
+  private def build(warehouseSuffix: String): Pipeline = {
+    new Pipeline()
+      .register(Dataset("bronze_orders", Nil,
+        (s, _) => CsvSource.read(s, csvDir, bronzeSchema)))
+      .register(Dataset("silver_orders", Seq("bronze_orders"),
+        (_, up) => up("bronze_orders")
+          .filter(col(CsvSource.RescueColumn).isNull)
+          .drop(CsvSource.RescueColumn)
+          .dropDuplicates("order_id"),
+        expectations = Seq(
+          DQ.warn("nonneg_amount", col("amount") >= 0),
+          DQ.fail("order_id_set", col("order_id").isNotNull))))
+      .register(Dataset(s"gold_order_stats_$warehouseSuffix",
+        Seq("silver_orders"),
+        (_, up) => up("silver_orders").groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount").cast("decimal(18,2)")).cast("double").as("total")),
+        materialize = Materialize.MaterializedView))
+  }
+
+  test("topo order respects dependencies") {
+    val order = build("t1").topoOrder
+    assert(order.indexOf("bronze_orders") < order.indexOf("silver_orders"))
+    assert(order.indexOf("silver_orders") < order.indexOf("gold_order_stats_t1"))
+  }
+
+  test("cycles are rejected") {
+    val p = new Pipeline()
+      .register(Dataset("a", Seq("b"), (_, up) => up("b")))
+      .register(Dataset("b", Seq("a"), (_, up) => up("a")))
+    intercept[PipelineCycleException](p.topoOrder)
+  }
+
+  test("end-to-end: rescue drops malformed, dedup, gold materializes") {
+    val out = build("t2").run(spark)
+    // o3's bad amount was rescued at bronze and filtered at silver;
+    // o2's duplicate collapsed -> o1, o2, o4 remain.
+    assert(out("silver_orders").count() === 3)
+    val gold = spark.table("gold_order_stats_t2")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gold("NEW") === ((2L, 5.5)))       // 10.50 + (-5.00)
+    assert(gold("SHIPPED") === ((1L, 20.0)))
+    // bronze preserved the malformed row in the rescue column
+    val rescued = out("bronze_orders")
+      .filter(col(CsvSource.RescueColumn).isNotNull).count()
+    assert(rescued === 1)
+  }
+
+  test("materialized view full-refresh overwrites") {
+    build("t3").run(spark)
+    build("t3").run(spark)  // second refresh must not duplicate
+    assert(spark.table("gold_order_stats_t3").count() === 2)
+  }
+
+  test("fail expectation aborts the run") {
+    val p = new Pipeline()
+      .register(Dataset("bad", Nil,
+        (s, _) => CsvSource.read(s, csvDir, bronzeSchema),
+        expectations = Seq(DQ.fail("no_negatives", col("amount") >= 0 || col("amount").isNull))))
+    intercept[ExpectationViolation](p.run(spark))
+  }
+}
