@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, ShingleSet}
+
+/** SQL surface for the native kernels, so `spark.sql` users get them too:
+  *
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_shingle_set(text, 3) FROM documents
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.ext.GraftExtensions` at session build
+  *    (the standard extension hook — works cluster-wide via conf);
+  *  - [[GraftExtensions.register]] on a live session (for notebooks /
+  *    tests where the session already exists).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def shingleBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "graft_shingle_set(text, n)")
+    val n = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_set: n must be an integer literal, got $other")
+    }
+    ShingleSet(exprs.head, n)
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "graft_dot(a, b)")
+        DotProduct(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
+      shingleBuilder _))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

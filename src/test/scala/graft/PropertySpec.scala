@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.dedup.Dedup
+import graft.similarity.VectorFunctions._
+import graft.text.TextFunctions._
+
+/** Property-style invariants over generated inputs (SURVEY §5 test plan,
+  * row 4). Inputs are drawn with ScalaCheck generators into ONE DataFrame
+  * per property — per-sample Spark plans would be prohibitively slow.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Seq.iterate(Seq.empty[A] -> Seed(42L), n + 1) { case (acc, seed) =>
+      val r = g.doPureApply(Gen.Parameters.default, seed)
+      (acc :+ r.retrieve.get) -> r.seed
+    }.last._1
+
+  private val word = Gen.oneOf("spark", "row", "agg", "scan", "key", "a",
+    "the", "la", "und", "table", "12", "x!")
+  private val textGen = for {
+    k <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(k, word)
+    pad <- Gen.oneOf("", " ", "  ")
+  } yield pad + ws.mkString(" ") + pad
+
+  test("shingleSetN == array_distinct-of-HOF for generated texts") {
+    val df = samples(textGen, 200).toDF("t")
+    val bad = df.select(
+        array_sort(shingleSet(col("t"), 3)).as("ref"),
+        array_sort(shingleSetN(col("t"), 3)).as("nat"))
+      .filter(col("ref") =!= col("nat")).count()
+    assert(bad === 0)
+  }
+
+  test("qualityScore in [0,1] and langId in the closed label set") {
+    val df = samples(textGen, 200).toDF("t")
+    val bad = df.select(qualityScore(col("t")).as("q"), langId(col("t")).as("l"))
+      .filter(col("q") < 0.0 || col("q") > 1.0
+        || !col("l").isin("en", "de", "es", "fr", "und")).count()
+    assert(bad === 0)
+  }
+
+  test("rollingHash stays within [0, 2^31-1) and equals a reference fold") {
+    val texts = samples(textGen, 100)
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % HashMod)
+    val got = texts.toDF("t").select(col("t"), rollingHash(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (t, h) =>
+      assert(h === ref(t) && h >= 0 && h < HashMod)
+    }
+  }
+
+  test("dotN is commutative and matches a local double fold") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 7.0f))
+    val vecs = samples(vecGen, 100).map(_.toArray)
+    val df = vecs.zip(vecs.reverse).toSeq.toDF("a", "b")
+    val rows = df.select(col("a"), col("b"),
+        dotN(col("a"), col("b")).as("ab"), dotN(col("b"), col("a")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0)
+      val b = r.getSeq[Float](1)
+      val local = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      assert(r.getDouble(2) === local)
+      assert(r.getDouble(3) === local) // multiplication commutes exactly
+    }
+  }
+
+  test("exact dedup is idempotent and reps are group minima") {
+    val dupGen = for {
+      t <- textGen; k <- Gen.choose(1, 3)
+    } yield (t, k)
+    val rows = samples(dupGen, 60).zipWithIndex.flatMap {
+      case ((t, k), i) => (0 until k).map(j => (i.toLong * 10 + j, t))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, col("text"), col("doc_id"))
+    // every rep maps to itself (idempotence of representative choice)
+    val reps = groups.select(col("rep_id")).distinct().as[Long].collect().toSet
+    val selfMapped = groups.filter(col("doc_id").isin(reps.toSeq: _*))
+      .filter(col("doc_id") =!= col("rep_id")).count()
+    assert(selfMapped === 0)
+    // rep is the minimum of its group
+    val badMin = groups.groupBy(col("rep_id")).agg(min(col("doc_id")).as("mn"))
+      .filter(col("rep_id") =!= col("mn")).count()
+    assert(badMin === 0)
+  }
+
+  test("surrogate keys are injective over distinct natural keys") {
+    val df = spark.range(0, 5000).toDF("id")
+      .select(graft.functions.keys.surrogateKey(col("id"), lit("x")).as("sk"))
+    assert(df.distinct().count() === 5000)
+  }
+}
