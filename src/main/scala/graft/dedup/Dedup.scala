@@ -172,15 +172,21 @@ object Dedup {
       .withColumn("short", size(col("shingles")) < minShinglesForSketch)
 
     // Exact path: every pair with at least one short side, via the
-    // shingle inverted index. The build side is SHORT postings only, so
-    // the join is |short postings| x posting-list length, not the full
-    // quadratic index. Orientation guard (a < b only when both short)
-    // makes each pair match each shared shingle exactly once.
+    // shingle inverted index over 64-BIT HASHED keys (narrow shuffle, no
+    // string comparisons). Hash collisions can only INFLATE the
+    // intersection count, so approx-Jaccard >= true-Jaccard and
+    // filtering candidates at the true threshold loses nothing; the
+    // final exact verification (string shingle sets) removes any
+    // collision-born false positives. The build side is SHORT postings
+    // only; the orientation guard (a < b only when both short) makes
+    // each pair match each shared shingle exactly once.
     val post = sh.select(col("doc_id"), col("short"),
-      size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+      size(col("shingles")).as("sz"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), col("short"), col("sz"),
+        xxhash64(col("s0")).as("h"))
     val shortPost = post.filter(col("short"))
-    val shortPairs = shortPost.as("a").join(post.as("b"),
-        col("a.sh") === col("b.sh")
+    val shortCands = shortPost.as("a").join(post.as("b"),
+        col("a.h") === col("b.h")
           && col("a.doc_id") =!= col("b.doc_id")
           && (!col("b.short") || col("a.doc_id") < col("b.doc_id")))
       .select(
@@ -193,15 +199,12 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("sza")).as("na"), max(col("szb")).as("nb"))
-      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(jaccard(col("inter"), col("na"), col("nb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
 
     // Sketch path: long docs only. Bit-majorities via explode + 64 flat
     // sum-aggregates (codegen'd), not per-element interpreted filters.
-    val long = sh.filter(!col("short"))
-    val postL = long.select(col("doc_id"), explode(col("shingles")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("h"))
+    val postL = post.filter(!col("short")).select(col("doc_id"), col("h"))
     val aggCols = count(lit(1)).as("nh") +: (0 until 64).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     val sim = postL.groupBy(col("doc_id"))
@@ -222,13 +225,16 @@ object Dedup {
       .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
     val codes = sim.select(col("doc_id"), col("simhash"))
-    val cands = rawCands
+    val sketchCands = rawCands
       .join(codes.select(col("doc_id").as("doc_a"),
         col("simhash").as("sim_a")), "doc_a")
       .join(codes.select(col("doc_id").as("doc_b"),
         col("simhash").as("sim_b")), "doc_b")
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"))
-    verifyPairs(cands, sh.drop("short"), threshold).unionByName(shortPairs)
+    // Short-side and long-long candidate sets are disjoint by
+    // construction; one exact verification pass covers both.
+    verifyPairs(shortCands.unionByName(sketchCands),
+      sh.drop("short"), threshold)
   }
 }

@@ -54,6 +54,23 @@ object PipelineQueries {
     Streams.hourlyAgg(s, d)
   }
 
+  // ---- st4: watermarked windowed aggregate (append mode) ----
+  // Only watermark-closed windows are emitted. The oracle recomputes the
+  // final watermark (max event time in MILLISECONDS, as Spark tracks it,
+  // minus the 2h delay) and keeps windows whose end <= watermark.
+  val st4Watermarked = withOracle(
+    "st4_stream_watermark",
+    """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus FROM events),
+      |wm AS (SELECT (max(tus) // 1000) * 1000 - 7200000000 AS wm_us FROM e),
+      |w AS (SELECT (tus // 3600000000) * 3600000000 AS h_us,
+      |             count(*) AS n_events
+      |      FROM e GROUP BY 1)
+      |SELECT strftime(make_timestamp(h_us), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       CAST(n_events AS BIGINT) AS n_events
+      |FROM w, wm WHERE h_us + 3600000000 <= wm_us""".stripMargin) { (s, d) =>
+    Streams.watermarkedHourly(s, d)
+  }
+
   // ---- st2: stateful streaming dedup ----
   val st2StreamDedup = withOracle(
     "st2_stream_dedup",
@@ -72,5 +89,6 @@ object PipelineQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(m1MediaFeatures, st1HourlyAgg, st2StreamDedup, st3Stateful)
+    Seq(m1MediaFeatures, st1HourlyAgg, st2StreamDedup, st3Stateful,
+      st4Watermarked)
 }

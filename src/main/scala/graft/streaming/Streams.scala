@@ -74,6 +74,25 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Watermarked tumbling-window aggregate in APPEND mode: only windows
+    * the 2-hour watermark has closed are emitted — the state-bounding
+    * discipline the reference lacks (SURVEY §2.8: no watermarks anywhere,
+    * hence unbounded state). With AvailableNow the final no-data batch
+    * advances the watermark to max(event_time) - delay and flushes every
+    * closed window; the open tail windows are retained (not emitted),
+    * exactly as they would be on a live stream.
+    */
+  def watermarkedHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, "graft_stream_wm", OutputMode.Append())
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_events"))
+  }
+
   /** Streaming deduplication: stateful dropDuplicates over the key
     * columns; the emitted first-seen rows projected to the key set are
     * order-independent. (Unbounded state, as in the reference; a
