@@ -32,7 +32,9 @@ object SourceQueries {
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
     val dir = s"/tmp/graft_csv/$sfName/documents"
-    if (!new java.io.File(dir).exists())
+    // _SUCCESS marker, not bare existence: a previously interrupted write
+    // leaves a partial dir that must be overwritten, not trusted.
+    if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .write.option("header", "true").mode("overwrite").csv(dir)
