@@ -71,6 +71,22 @@ object PipelineQueries {
     Streams.watermarkedHourly(s, d)
   }
 
+  // ---- st5: watermarked stream-stream join (reference J2) ----
+  val st5StreamJoin = withOracle(
+    "st5_stream_join",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id,
+      |                  epoch_ns(ts) // 1000 AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id,
+      |             epoch_ns(ts) // 1000 AS s_us
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.purchase_id, s.signup_id, p.user_id,
+      |       CAST(p.p_us - s.s_us AS BIGINT) AS lag_us
+      |FROM p JOIN s ON p.user_id = s.user_id
+      | AND p.p_us >= s.s_us AND p.p_us - s.s_us <= 86400000000""".stripMargin) {
+    (s, d) => Streams.streamStreamJoin(s, d)
+  }
+
   // ---- st2: stateful streaming dedup ----
   val st2StreamDedup = withOracle(
     "st2_stream_dedup",
@@ -90,5 +106,5 @@ object PipelineQueries {
 
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, st1HourlyAgg, st2StreamDedup, st3Stateful,
-      st4Watermarked)
+      st4Watermarked, st5StreamJoin)
 }

@@ -93,6 +93,35 @@ object Streams {
         col("n_events"))
   }
 
+  /** Stream-stream inner join with watermarks on both sides and an
+    * event-time range condition — the reference's reviews-joins-orders
+    * stream-stream join (J2, `scripts/silver/order_reviews.py:50-52`),
+    * which runs watermark-less only on Databricks' engine; OSS Spark
+    * requires the watermarks + time bound that bound join state
+    * (SURVEY §2.8). Pairs each purchase with the same user's signups in
+    * the preceding 24h. With AvailableNow + no late data the emitted
+    * matches are exactly the batch join result, so the oracle is the
+    * plain SQL join.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = eventsStream(spark, sfDir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user_id")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append())
+      .select(col("purchase_id"), col("signup_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
+  }
+
   /** Streaming deduplication: stateful dropDuplicates over the key
     * columns; the emitted first-seen rows projected to the key set are
     * order-independent. (Unbounded state, as in the reference; a
