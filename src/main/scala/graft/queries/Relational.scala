@@ -29,7 +29,7 @@ object Relational {
     """SELECT l_orderkey,
       |       CAST(l_linenumber AS BIGINT) AS line_no,
       |       CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
-      |       CAST(l_extendedprice AS DECIMAL(10,2)) AS price_dec,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS DOUBLE) AS price_dec,
       |       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net_price,
       |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
       |FROM lineitem""".stripMargin) { (s, d) =>
@@ -37,7 +37,7 @@ object Relational {
       col("l_orderkey"),
       col("l_linenumber").cast("long").as("line_no"),
       col("l_quantity").cast("long").as("qty_int"),
-      col("l_extendedprice").cast("decimal(10,2)").as("price_dec"),
+      col("l_extendedprice").cast("decimal(10,2)").cast("double").as("price_dec"),
       (col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(18,6)").cast("double").as("net_price"),
       col("l_shipdate").cast("date").cast("string").as("ship_date"))
@@ -49,7 +49,7 @@ object Relational {
   val p2FilterPredicates = withOracle(
     "p2_filter_predicates",
     """SELECT o_orderkey, o_orderstatus, o_orderpriority,
-      |       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
       |FROM orders
       |WHERE o_orderkey IS NOT NULL
       |  AND o_totalprice BETWEEN 1000 AND 300000
@@ -61,7 +61,7 @@ object Relational {
         && col("o_orderstatus").isin("O", "F")
         && length(col("o_orderpriority")) >= 5)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
   }
 
   // ---- Conditional functions: when/otherwise, coalesce, na.fill ----
@@ -325,7 +325,7 @@ object Relational {
   // Reference: dim_date.sql:25 (LIMIT); made deterministic via total order.
   val l1TopK = withOracle(
     "l1_topk",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin) { (s, d) =>
@@ -333,7 +333,7 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
       .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price"))
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
   }
 
   // ---- P7/P8: data-quality expectations report ----

@@ -20,10 +20,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def _sort_repr(v) -> str:
+    # Null spellings differ per source (None from parquet object cols,
+    # pd.NA from DuckDB nullable dtypes, NaN from floats); canonicalize so
+    # both sides sort identically — otherwise a nullable leading column
+    # (e.g. a boolean) misaligns every row behind it.
+    try:
+        if v is None or pd.isna(v):
+            return "\x00null"
+    except (TypeError, ValueError):
+        pass
+    return repr(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True,
-                        key=lambda s: s.map(repr))
+                        key=lambda s: s.map(_sort_repr))
     return df
 
 
@@ -46,8 +59,30 @@ def cell_eq(a, b) -> bool:
     return str(a) == str(b)
 
 
+def decimal_cols(df: pd.DataFrame) -> list:
+    """Columns carrying decimal.Decimal values. The driver hashes physical
+    parquet encodings, and Spark decimal64/decimal128 never hash-matches
+    DuckDB's — the repo convention is to cast final decimals to DOUBLE or
+    VARCHAR, so any decimal output is flagged as a failure here even when
+    the values compare equal (this is exactly how r1's p1/p2/l1 slipped
+    past the old lax gate)."""
+    import decimal
+    out = []
+    for col in df.columns:
+        s = df[col].dropna()
+        if len(s) and isinstance(s.iloc[0], decimal.Decimal):
+            out.append(col)
+    return out
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
     errs = []
+    for side, df in (("spark", got), ("oracle", want)):
+        for col in decimal_cols(df):
+            errs.append(f"{side} col {col} is DECIMAL-typed: driver hash "
+                        "will mismatch; cast to DOUBLE/VARCHAR per convention")
+    if errs:
+        return errs
     if sorted(got.columns) != sorted(want.columns):
         errs.append(f"columns differ: spark={sorted(got.columns)} "
                     f"oracle={sorted(want.columns)}")
