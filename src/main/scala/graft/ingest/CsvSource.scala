@@ -39,17 +39,15 @@ object CsvSource {
     .option("ignoreLeadingWhiteSpace", "true")
     .option("ignoreTrailingWhiteSpace", "true")
 
-  /** Schema-given batch read with rescue column. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val rawSchema = StructType(
-      schema.fields.map(f => StructField(f.name, StringType, nullable = true))
-        :+ StructField(StructuralColumn, StringType, nullable = true))
-    val raw = base(spark.read)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", StructuralColumn)
-      .schema(rawSchema)
-      .csv(path)
+  private def rawSchema(schema: StructType): StructType = StructType(
+    schema.fields.map(f => StructField(f.name, StringType, nullable = true))
+      :+ StructField(StructuralColumn, StringType, nullable = true))
 
+  /** The rescue plan (shared by batch and streaming reads): type every
+    * column with try_cast and fold conversion failures plus structural
+    * failures into the JSON `_rescued_data` column.
+    */
+  private def rescueProject(raw: DataFrame, schema: StructType): DataFrame = {
     def typed(f: StructField): Column =
       if (f.dataType == StringType) col(f.name)
       else expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
@@ -72,17 +70,36 @@ object CsvSource {
       schema.fields.map(f => typed(f).as(f.name)) :+ rescue.as(RescueColumn): _*)
   }
 
+  /** Schema-given batch read with rescue column. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    rescueProject(
+      base(spark.read)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", StructuralColumn)
+        .schema(rawSchema(schema))
+        .csv(path),
+      schema)
+
   /** Inference-mode batch read (bronze-style first contact). */
   def readInferred(spark: SparkSession, path: String): DataFrame =
     base(spark.read).option("inferSchema", "true").csv(path)
 
-  /** Streaming read of a CSV directory (incremental bronze). */
+  /** Streaming read of a CSV directory (incremental bronze) with the SAME
+    * rescue plan as the batch read — the Auto Loader analogue proper: new
+    * files are discovered incrementally by the file source (checkpointed
+    * when the sink provides a checkpointLocation), each parsed all-string
+    * and typed via try_cast in the plan.
+    */
   def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream
-      .option("header", "true")
-      .option("delimiter", ",")
-      .option("ignoreLeadingWhiteSpace", "true")
-      .option("ignoreTrailingWhiteSpace", "true")
-      .schema(schema)
-      .csv(path)
+    rescueProject(
+      spark.readStream
+        .option("header", "true")
+        .option("delimiter", ",")
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", StructuralColumn)
+        .schema(rawSchema(schema))
+        .csv(path),
+      schema)
 }

@@ -264,6 +264,16 @@ gold_fact_order_items AS (
   /** Full oracle query for a gold CTE name. */
   def sql(goldTable: String): String = ctes + s"SELECT * FROM $goldTable"
 
+  /** Expected content of the streamed CSV bronze orders table (st6): the
+    * bronze derivation itself, plus the all-null rescue column the CSV
+    * round-trip adds. */
+  val bronzeOrdersSql: String = ctes +
+    """SELECT order_id, customer_id, order_status, order_purchase_timestamp,
+      |       order_approved_at, order_delivered_carrier_date,
+      |       order_delivered_customer_date, order_estimated_delivery_date,
+      |       CAST(NULL AS VARCHAR) AS _rescued_data
+      |FROM olist_orders""".stripMargin
+
   /** dim_date needs its DATE column stringified for the driver hash. */
   val dimDateSql: String = ctes +
     """SELECT date_key, CAST(date_actual AS VARCHAR) AS date_actual, year, quarter,

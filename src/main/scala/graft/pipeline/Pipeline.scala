@@ -3,8 +3,10 @@ package graft.pipeline
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit}
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.dq.{Expectation, Expectations}
+import graft.dq.{Action, Expectation, Expectations}
 
 /** Declarative dataset registry + runner — the engine's DLT analogue.
   *
@@ -18,10 +20,17 @@ import graft.dq.{Expectation, Expectations}
   * `@dlt.expect*` triad), and materializes according to [[Materialize]]:
   *
   *  - View: kept lazy (DLT `@dlt.view` staging views, S2/S4);
-  *  - Table: written once as parquet `saveAsTable` append-or-create
-  *    (streaming-table stand-in; no Delta jars offline, S3);
+  *  - Table: the streaming-table analogue (S3). A STREAMING build runs
+  *    through `writeStream.toTable` with Trigger.AvailableNow and a
+  *    per-table checkpoint, so re-runs process only files the source
+  *    checkpoint has not seen — exactly-once incremental append, the
+  *    DLT streaming-table contract. A BATCH build cannot carry source
+  *    progress, so it degrades to full refresh (overwrite) rather than
+  *    blind append — re-running the pipeline never duplicates rows
+  *    either way;
   *  - MaterializedView: full refresh via overwrite `saveAsTable`
-  *    (`CREATE OR REFRESH MATERIALIZED VIEW`, S7).
+  *    (`CREATE OR REFRESH MATERIALIZED VIEW`, S7); rejects streaming
+  *    builds (a refresh is a batch recomputation by definition).
   *
   * Scale: the runner only sequences Spark actions — all data movement is
   * Spark jobs; a 1000-executor run behaves identically. Writes go
@@ -86,6 +95,24 @@ class Pipeline {
     order.toSeq
   }
 
+  /** Per-table stream checkpoint under the session warehouse — survives
+    * across runs, which is exactly what makes Table re-runs idempotent.
+    */
+  private def checkpointDir(spark: SparkSession, name: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + s"/_graft_checkpoints/$name"
+
+  /** Batch frames enforce all expectations up front; streaming frames can
+    * only apply Drop (a plan-level filter) in flight — warn/fail need an
+    * aggregate, so Table materialization re-checks them on the committed
+    * batch after the AvailableNow run (equivalent for a finite trigger).
+    */
+  private def applyExpectations(df: DataFrame, exps: Seq[Expectation]): DataFrame =
+    if (exps.isEmpty) df
+    else if (!df.isStreaming) Expectations.enforce(df, exps)
+    else exps.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
+      acc.filter(coalesce(r.predicate, lit(false)))
+    }
+
   /** Build every dataset in dependency order; returns name -> DataFrame
     * (materialized datasets are re-read from the catalog so downstream
     * consumers see the committed table).
@@ -95,15 +122,26 @@ class Pipeline {
     topoOrder.foreach { name =>
       val d = datasets(name)
       val upstream = d.deps.map(dep => dep -> built(dep)).toMap
-      val df0 = d.build(spark, upstream)
-      val df = if (d.expectations.nonEmpty)
-        Expectations.enforce(df0, d.expectations) else df0
+      val df = applyExpectations(d.build(spark, upstream), d.expectations)
       val out = d.materialize match {
         case Materialize.View => df
+        case Materialize.Table if df.isStreaming =>
+          val q = df.writeStream
+            .format("parquet")
+            .option("checkpointLocation", checkpointDir(spark, name))
+            .trigger(Trigger.AvailableNow())
+            .toTable(name)
+          q.awaitTermination()
+          val committed = spark.table(name)
+          Expectations.enforce(committed,
+            d.expectations.filter(_.action != Action.Drop))
+          committed
         case Materialize.Table =>
-          df.write.mode("append").format("parquet").saveAsTable(name)
+          df.write.mode("overwrite").format("parquet").saveAsTable(name)
           spark.table(name)
         case Materialize.MaterializedView =>
+          require(!df.isStreaming,
+            s"materialized view $name cannot refresh from a streaming build")
           df.write.mode("overwrite").format("parquet").saveAsTable(name)
           spark.table(name)
       }

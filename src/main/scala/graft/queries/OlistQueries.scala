@@ -1,8 +1,14 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
 
-import graft.olist.{OlistGraph, OlistOracle}
+import graft.dq.{Expectations => DQ}
+import graft.ingest.CsvSource
+import graft.olist.{OlistData, OlistGold, OlistGraph, OlistOracle, OlistSilver}
+import graft.pipeline.{Dataset, Materialize, Pipeline}
+import graft.streaming.Streams
 
 /** Driver-checked gold queries for the Olist medallion (the reference's
   * actual end product): each builds the full bronze→silver→gold chain
@@ -49,7 +55,67 @@ object OlistQueries {
     new OlistGraph(s, d).factOrderItems
   }
 
+  /** g7 — the medallion THROUGH the Pipeline runner and the session
+    * catalog: bronze staging views → silver_geolocations committed as a
+    * table → gold_dim_sellers refreshed as a materialized view whose
+    * build resolves its geo input by 3-part catalog-qualified name
+    * (SURVEY §2 S6; reference dim_sellers.sql:34 reads
+    * `olist_cat.silver.silver_geolocations`). The returned frame is
+    * itself a 3-part `spark.table` read of the committed gold table.
+    * Re-runs overwrite (full refresh) — idempotent.
+    */
+  val g7MedallionPipeline = withOracle(
+    "g7_medallion_pipeline", OlistOracle.sql("gold_dim_sellers")) { (s, d) =>
+    new Pipeline()
+      .register(Dataset("olist_bronze_geolocations", Nil,
+        (sp, _) => OlistData.geolocations(sp)))
+      .register(Dataset("silver_geolocations", Seq("olist_bronze_geolocations"),
+        (_, up) => OlistSilver.geolocations(up("olist_bronze_geolocations")),
+        materialize = Materialize.Table))
+      .register(Dataset("olist_bronze_sellers", Nil,
+        (sp, _) => OlistData.sellers(sp, d)))
+      .register(Dataset("olist_silver_sellers", Seq("olist_bronze_sellers"),
+        (_, up) => OlistSilver.sellers(up("olist_bronze_sellers")),
+        expectations = Seq(
+          DQ.fail("valid_seller_id", col("seller_id").isNotNull),
+          DQ.warn("valid_state_code", length(col("seller_state")) === 2))))
+      .register(Dataset("gold_dim_sellers",
+        Seq("olist_silver_sellers", "silver_geolocations"),
+        (sp, up) => OlistGold.dimSellers(
+          up("olist_silver_sellers"),
+          sp.table("spark_catalog.default.silver_geolocations")),
+        materialize = Materialize.MaterializedView))
+      .run(s)
+    s.table("spark_catalog.default.gold_dim_sellers")
+  }
+
+  private val bronzeOrdersSchema = StructType(Seq(
+    StructField("order_id", StringType),
+    StructField("customer_id", StringType),
+    StructField("order_status", StringType),
+    StructField("order_purchase_timestamp", TimestampType),
+    StructField("order_approved_at", TimestampType),
+    StructField("order_delivered_carrier_date", TimestampType),
+    StructField("order_delivered_customer_date", TimestampType),
+    StructField("order_estimated_delivery_date", TimestampType)))
+
+  /** st6 — streaming CSV bronze ingest (SURVEY §2 S4/S1 streaming path;
+    * reference bronze_ingestion.py:20-32): the derived bronze orders are
+    * dumped as a multi-file CSV directory, streamed back through
+    * CsvSource.readStream (all-string parse + try_cast rescue plan, same
+    * as batch) with Trigger.AvailableNow, and the ingested table must
+    * round-trip exactly (rescue column all null on clean data).
+    */
+  val st6CsvBronze = withOracle(
+    "st6_csv_bronze", OlistOracle.bronzeOrdersSql) { (s, d) =>
+    val dir = s"/tmp/graft_st6_csv/${java.lang.Integer.toHexString(d.hashCode)}"
+    OlistData.orders(s, d).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val stream = CsvSource.readStream(s, dir, bronzeOrdersSchema)
+    Streams.runToMemory(s, stream, "graft_st6_bronze", OutputMode.Append())
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
-    g6FactOrderItems)
+    g6FactOrderItems, g7MedallionPipeline, st6CsvBronze)
 }

@@ -47,7 +47,7 @@ object Streams {
   }
 
   /** Run a finite (AvailableNow) stream into a memory sink, return it. */
-  private def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     val q = df.writeStream
       .format("memory")

@@ -88,6 +88,35 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("gold_order_stats_t3").count() === 2)
   }
 
+  test("streaming table is exactly-once across re-runs") {
+    def mk = new Pipeline()
+      .register(Dataset("bronze_stream_orders", Nil,
+        (s, _) => CsvSource.readStream(s, csvDir, bronzeSchema)))
+      .register(Dataset("silver_stream_orders", Seq("bronze_stream_orders"),
+        (_, up) => up("bronze_stream_orders")
+          .filter(col(CsvSource.RescueColumn).isNull)
+          .drop(CsvSource.RescueColumn),
+        materialize = Materialize.Table))
+    mk.run(spark)
+    val n1 = spark.table("silver_stream_orders").count()
+    // Fresh pipeline, same checkpoint: the file-source checkpoint already
+    // covers every input file, so the second run appends NOTHING.
+    mk.run(spark)
+    val n2 = spark.table("silver_stream_orders").count()
+    assert(n1 === 4)  // 5 rows - 1 rescued (malformed amount)
+    assert(n2 === n1)
+  }
+
+  test("batch table re-run does not duplicate (full refresh)") {
+    def mk = new Pipeline()
+      .register(Dataset("batch_tbl_orders", Nil,
+        (s, _) => CsvSource.read(s, csvDir, bronzeSchema),
+        materialize = Materialize.Table))
+    mk.run(spark)
+    mk.run(spark)
+    assert(spark.table("batch_tbl_orders").count() === 5)
+  }
+
   test("fail expectation aborts the run") {
     val p = new Pipeline()
       .register(Dataset("bad", Nil,
