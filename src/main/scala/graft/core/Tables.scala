@@ -25,7 +25,11 @@ object Tables {
     * Pure per-row expression: codegen'd, no perf impact at scale.
     */
   private def eventsNorm(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set-if-needed, not set-always: repeated writes to session conf from
+    // a library are racy against concurrent readers of the same session.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

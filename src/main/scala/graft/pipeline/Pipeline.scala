@@ -101,6 +101,27 @@ class Pipeline {
   private def checkpointDir(spark: SparkSession, name: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + s"/_graft_checkpoints/$name"
 
+  /** With an in-memory catalog, a table's warehouse directory can outlive
+    * its catalog entry (new JVM, same warehouse) and managed-table
+    * creation then fails with LOCATION_ALREADY_EXISTS. If the catalog has
+    * no record of the table, any leftover location (and, for streaming
+    * tables, its checkpoint) is an orphan from a lost catalog — remove it
+    * and rebuild. With a persistent metastore the catalog entry survives
+    * too, so this path never triggers.
+    */
+  private def dropOrphanLocation(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      Seq(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase),
+        new org.apache.hadoop.fs.Path(checkpointDir(spark, name))
+      ).foreach { p =>
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+
   /** Batch frames enforce all expectations up front; streaming frames can
     * only apply Drop (a plan-level filter) in flight — warn/fail need an
     * aggregate, so Table materialization re-checks them on the committed
@@ -126,6 +147,7 @@ class Pipeline {
       val out = d.materialize match {
         case Materialize.View => df
         case Materialize.Table if df.isStreaming =>
+          dropOrphanLocation(spark, name)
           val q = df.writeStream
             .format("parquet")
             .option("checkpointLocation", checkpointDir(spark, name))
@@ -137,11 +159,13 @@ class Pipeline {
             d.expectations.filter(_.action != Action.Drop))
           committed
         case Materialize.Table =>
+          dropOrphanLocation(spark, name)
           df.write.mode("overwrite").format("parquet").saveAsTable(name)
           spark.table(name)
         case Materialize.MaterializedView =>
           require(!df.isStreaming,
             s"materialized view $name cannot refresh from a streaming build")
+          dropOrphanLocation(spark, name)
           df.write.mode("overwrite").format("parquet").saveAsTable(name)
           spark.table(name)
       }

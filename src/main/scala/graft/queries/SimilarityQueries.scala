@@ -10,11 +10,12 @@ import graft.similarity.VectorFunctions._
   *
   * s1 is the exact brute-force baseline (broadcast the query set, score
   * every candidate, per-query top-k). s2 is the scale path: 16-bit
-  * sign-random-projection LSH codes computed once per vector; candidate
-  * filter `hamming(code_q, code_c) <= 4` runs as a 2-instruction integer
-  * prefilter BEFORE any cosine arithmetic, so at 100 TB the expensive
-  * fold touches only ~4% of pairs (and the code, computed at ingest, can
-  * be partition/bucket key for a shuffle-free probe).
+  * sign-random-projection LSH codes computed once per vector, probed by
+  * an EQUI-join — each query expands to the 2517 codes of its Hamming-4
+  * ball (multi-probe) and candidates are hash-bucket hits only, so no
+  * plan ever compares every vector against every query. The code is a
+  * pure function of the vector, so at ingest it can be the bucket/
+  * partition key and the probe becomes shuffle-free.
   *
   * Both are hash-verified: the LSH hyperplanes are deterministic rationals
   * (see [[graft.similarity.VectorFunctions.hyperplaneComponent]]) that the
@@ -88,7 +89,14 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
-  // ---- s2: LSH-bucketed ANN (integer prefilter, exact re-rank) ----
+  /** Every 16-bit mask with at most MaxHamming bits set (2517 of them):
+    * XORing the query code with each mask enumerates EXACTLY the codes
+    * within Hamming distance MaxHamming — the multi-probe key set.
+    */
+  private val ProbeMasks: Seq[Int] =
+    (0 until (1 << Bits)).filter(m => Integer.bitCount(m) <= MaxHamming)
+
+  // ---- s2: LSH code-bucketed ANN (multi-probe equi-join, exact re-rank) ----
   val s2AnnLsh = withOracle(
     "s2_ann_lsh",
     s"""WITH v AS (SELECT vec_id, embedding,
@@ -113,14 +121,30 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"),
         normN(col("embedding")).as("nrm"),
         lshCode(col("embedding"), Bits, Dim).as("code"))
-    val q = v.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("code").as("q_code"))
+    // Multi-probe: each query expands to its 2517 Hamming-ball codes and
+    // the candidate join is a pure EQUI-join on the code — a broadcast
+    // hash join here, a shuffle/bucket join when the query set is large
+    // (`code` is computed at ingest, so vectors can be stored bucketed by
+    // it and probed shuffle-free). No vector is compared against every
+    // query: only hash-bucket hits reach the cosine. The probed set is
+    // EXACTLY {hamming(q_code, code) <= MaxHamming} — semantics (and the
+    // oracle) identical to the prefilter formulation, and each candidate
+    // is hit by exactly one mask, so no dedup pass is needed.
+    val probes = Tables.embeddings(s, d)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        normN(col("embedding")).as("q_nrm"),
+        lshCode(col("embedding"), Bits, Dim).as("q_code"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(typedLit(ProbeMasks)).as("mask"),
+        col("q_code"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("q_code").bitwiseXOR(col("mask")).as("probe_code"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    v.join(broadcast(q),
-        col("vec_id") =!= col("q_id")
-          && hamming(col("q_code"), col("code")) <= MaxHamming)
+    v.join(broadcast(probes),
+        col("code") === col("probe_code") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dotN(col("q_emb"), col("embedding"))
           / (col("q_nrm") * col("nrm"))).as("cosine"))

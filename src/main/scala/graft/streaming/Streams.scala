@@ -30,7 +30,9 @@ object Streams {
     * legacy-long bridge the batch reader uses (Tables.eventsNorm).
     */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The file source requires a DIRECTORY; the testdata table is a single
     // file. Expose it through a scratch dir of symlinks (one-time, local
