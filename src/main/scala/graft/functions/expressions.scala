@@ -130,3 +130,113 @@ case class ShingleSet(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
+
+/** Rolling polynomial hash over a string's code points at JIT-loop speed:
+  * acc' = (acc * 31 + cp) mod (2^31 - 1), acc0 = 0 — bit-identical to the
+  * HOF fold `aggregate(codePoints(c), 0L, (acc, x) => (acc*31+x) % p)`
+  * (and to the oracle's list_reduce), which evaluates INTERPRETED per
+  * character: ~25ms for a single 8 KB document, versus microseconds here.
+  * Intermediate acc < 2^31, so acc*31 + cp stays far below 2^62 — safe
+  * under ANSI overflow checking and exactly representable.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+         |String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Minimum rolling hash over a document's word n-gram shingles in ONE
+  * pass (the bottom-1 MinHash sketch): tokenization identical to
+  * [[ShingleSet]], per-shingle hash identical to [[RollingHash]], null
+  * when the document has fewer than n tokens. Duplicate shingles cannot
+  * change a minimum, so no distinct pass is needed — semantics equal
+  * `array_min(transform(shingleSet(c, n), rollingHash))`, whose
+  * interpreted HOF form re-tokenizes the document per shingle
+  * (O(len * shingles); it made the fingerprint query the single most
+  * expensive scan in the catalog at 12s/500 docs).
+  *
+  * CodegenFallback like ShingleSet: one eval per row, tight JIT'd loop.
+  */
+case class MinShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_shingle_hash"
+
+  private def hashRange(toks: Array[String], from: Int): Long = {
+    // Hash of toks(from .. from+n-1) joined by single spaces, without
+    // materializing the joined string.
+    var acc = 0L
+    var k = 0
+    while (k < n) {
+      if (k > 0) acc = (acc * 31 + ' '.toInt) % 2147483647L
+      val t = toks(from + k)
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        acc = (acc * 31 + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      k += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = s.substring(start, end).split(" +").filter(_.nonEmpty)
+    if (toks.length < n) return null
+    var best = Long.MaxValue
+    var i = 0
+    while (i <= toks.length - n) {
+      val h = hashRange(toks, i)
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
+    copy(child = newChild)
+}

@@ -49,8 +49,17 @@ object TextFunctions {
     * fold left with acc' = (acc*31 + cp) mod (2^31-1), acc0 = 0.
     * Order-sensitive (a true rolling hash), collision-bounded by the
     * modulus; used for document fingerprints and shingle hashing.
+    * Native expression ([[graft.functions.RollingHash]]): the HOF fold
+    * ([[rollingHashHof]]) is interpreted per character.
     */
   def rollingHash(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  /** The composed-HOF form of [[rollingHash]] — kept as the semantic
+    * reference the native expression is parity-tested against. */
+  def rollingHashHof(c: Column): Column =
     aggregate(codePoints(c), lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
 
   /** Word n-gram shingles (space-joined) from an ALREADY-MATERIALIZED
@@ -94,9 +103,18 @@ object TextFunctions {
         org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
 
   /** Bottom-1 sketch: min rolling-hash over the doc's distinct shingles
-    * (a 1-permutation MinHash; cheap same-bucket prefilter).
+    * (a 1-permutation MinHash; cheap same-bucket prefilter). Native
+    * single-pass expression ([[graft.functions.MinShingleHash]]); the
+    * composed HOF form ([[shingleFingerprintHof]]) re-tokenizes the doc
+    * per shingle once the optimizer inlines the lambda.
     */
   def shingleFingerprint(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MinShingleHash(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
+
+  /** Semantic reference for [[shingleFingerprint]] (parity-tested). */
+  def shingleFingerprintHof(c: Column, n: Int): Column =
     array_min(transform(shingleSet(c, n), s =>
       aggregate(transform(filter(split(s, ""), ch => length(ch) > 0),
         ch => ascii(ch).cast("long")),

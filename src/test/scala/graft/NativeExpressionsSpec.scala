@@ -25,6 +25,32 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(d === 2.0)
   }
 
+  test("rollingHash native equals the HOF fold on real documents") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val diff = docs.select(
+        rollingHashHof(col("text")).as("ref"),
+        rollingHash(col("text")).as("nat"))
+      .filter(col("ref") =!= col("nat")).count()
+    assert(diff === 0)
+  }
+
+  test("minShingleHash native equals the HOF fingerprint on real documents") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val diff = docs.select(
+        shingleFingerprintHof(col("text"), 3).as("ref"),
+        shingleFingerprint(col("text"), 3).as("nat"))
+      .filter(col("ref") =!= col("nat")
+        || col("ref").isNull =!= col("nat").isNull).count()
+    assert(diff === 0)
+  }
+
+  test("minShingleHash is null for docs shorter than n tokens") {
+    import spark.implicits._
+    val out = Seq("a b", "  ", "x y z").toDF("t")
+      .select(shingleFingerprint(col("t"), 3).as("h")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && !out(2).isNullAt(0))
+  }
+
   test("shingleSetN equals the HOF shingleSet on real documents") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val diff = docs.select(
