@@ -37,12 +37,20 @@ import graft.dq.{Action, Expectation, Expectations}
   * through the session catalog so downstream `spark.table` (S5/S6)
   * resolves 2/3-part names.
   */
+/** @param clusterBy the open-source stand-in for the reference's liquid
+  *   clustering (`fact_order_items.sql:9 CLUSTER BY`): materialized
+  *   output is range-repartitioned and sorted within partitions on these
+  *   columns, so rows with nearby keys co-locate in the same files and
+  *   min/max file statistics prune reads — the parquet analogue of Delta
+  *   data skipping. Layout-only: values are unchanged.
+  */
 final case class Dataset(
     name: String,
     deps: Seq[String],
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
     expectations: Seq[Expectation] = Nil,
-    materialize: Materialize = Materialize.View)
+    materialize: Materialize = Materialize.View,
+    clusterBy: Seq[String] = Nil)
 
 sealed trait Materialize
 object Materialize {
@@ -101,26 +109,15 @@ class Pipeline {
   private def checkpointDir(spark: SparkSession, name: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + s"/_graft_checkpoints/$name"
 
-  /** With an in-memory catalog, a table's warehouse directory can outlive
-    * its catalog entry (new JVM, same warehouse) and managed-table
-    * creation then fails with LOCATION_ALREADY_EXISTS. If the catalog has
-    * no record of the table, any leftover location (and, for streaming
-    * tables, its checkpoint) is an orphan from a lost catalog — remove it
-    * and rebuild. With a persistent metastore the catalog entry survives
-    * too, so this path never triggers.
-    */
   private def dropOrphanLocation(spark: SparkSession, name: String): Unit =
-    if (!spark.catalog.tableExists(name)) {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      Seq(
-        new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase),
-        new org.apache.hadoop.fs.Path(checkpointDir(spark, name))
-      ).foreach { p =>
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-    }
+    graft.core.CatalogUtil.dropOrphanLocation(spark, name,
+      Seq(checkpointDir(spark, name)))
+
+  /** Apply the CLUSTER BY layout (see [[Dataset.clusterBy]]). */
+  private def clustered(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df
+    else df.repartitionByRange(cols.map(df.col): _*)
+      .sortWithinPartitions(cols.map(df.col): _*)
 
   /** Batch frames enforce all expectations up front; streaming frames can
     * only apply Drop (a plan-level filter) in flight — warn/fail need an
@@ -160,13 +157,15 @@ class Pipeline {
           committed
         case Materialize.Table =>
           dropOrphanLocation(spark, name)
-          df.write.mode("overwrite").format("parquet").saveAsTable(name)
+          clustered(df, d.clusterBy)
+            .write.mode("overwrite").format("parquet").saveAsTable(name)
           spark.table(name)
         case Materialize.MaterializedView =>
           require(!df.isStreaming,
             s"materialized view $name cannot refresh from a streaming build")
           dropOrphanLocation(spark, name)
-          df.write.mode("overwrite").format("parquet").saveAsTable(name)
+          clustered(df, d.clusterBy)
+            .write.mode("overwrite").format("parquet").saveAsTable(name)
           spark.table(name)
       }
       built += name -> out

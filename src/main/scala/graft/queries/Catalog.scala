@@ -5,7 +5,8 @@ object Catalog {
   def specs: Seq[QuerySpec] =
     Relational.specs ++ Relational2.specs ++ Star.specs ++
       TextAnalysis.specs ++ DedupQueries.specs ++ SimilarityQueries.specs ++
-      PipelineQueries.specs ++ SourceQueries.specs ++ OlistQueries.specs
+      PipelineQueries.specs ++ SourceQueries.specs ++ OlistQueries.specs ++
+      StorageQueries.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     specs.map(s => s.name -> s.fn).toMap

@@ -84,7 +84,10 @@ object OlistQueries {
         (sp, up) => OlistGold.dimSellers(
           up("olist_silver_sellers"),
           sp.table("spark_catalog.default.silver_geolocations")),
-        materialize = Materialize.MaterializedView))
+        materialize = Materialize.MaterializedView,
+        // CLUSTER BY stand-in (reference fact_order_items.sql:9):
+        // range-partition + in-file sort on the dominant filter keys.
+        clusterBy = Seq("seller_state", "seller_natural_key")))
       .run(s)
     s.table("spark_catalog.default.gold_dim_sellers")
   }
