@@ -84,11 +84,16 @@ object DedupQueries {
   }
 
   // ---- Embedding-cosine near-dup pairs ----
-  // Exact all-pairs at a bounded slice (vec_id < 2048) — the oracle-exact
-  // baseline. The quadratic blow-up makes all-pairs the wrong tool beyond
-  // ~10^5 vectors; the scale path is the LSH-bucketed candidate join of
-  // s2_ann_lsh (bit_count prefilter before any cosine) — same verified
-  // cosine arithmetic, linear shuffle.
+  // EXACT all-pairs via the triangle-blocked distributed join
+  // (VectorFunctions.allPairsCosine): for dense near-random embeddings at
+  // a low threshold every LSH family trades recall, so exactness demands
+  // the O(n^2) pair set — the blocking spreads it evenly across tasks
+  // with bounded memory (2 blocks per task) instead of broadcasting the
+  // whole table behind a nested loop. Output identical to brute force,
+  // so the oracle is unchanged. Sliced at vec_id < 2048 to bound the
+  // ORACLE's cost; the operator itself takes any frame. When recall < 1
+  // is acceptable (true ANN), s2_ann_lsh's multi-probe bucket join is
+  // the sub-quadratic path.
   val d5EmbedNearDup = withOracle(
     "d5_embed_neardup",
     """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2048),
@@ -108,20 +113,9 @@ object DedupQueries {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin) {
     (s, d) =>
-      // Norms are projected ONCE per vector; each pair then costs a
-      // single flat 64-term dot (whole-stage codegen) — not three
-      // interpreted folds.
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 2048)
-      val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        normN(col("embedding")).as("nrm_a"))
-      val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        normN(col("embedding")).as("nrm_b"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine",
-          dotN(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), col("cosine"))
+      allPairsCosine(
+        Tables.embeddings(s, d).filter(col("vec_id") < 2048),
+        "vec_id", "embedding", threshold = 0.4, blocks = 8)
   }
 
   val specs: Seq[QuerySpec] =

@@ -77,4 +77,54 @@ object VectorFunctions {
 
   /** Hamming distance between two bucket codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** EXACT all-pairs cosine-threshold join, triangle-blocked for scale.
+    *
+    * For dense near-random embeddings at a low threshold there is no
+    * candidate structure to exploit (every LSH family trades recall, and
+    * exactness is the contract here), so the O(n^2) pair set must be
+    * computed — the scale question is HOW. A broadcast nested loop puts
+    * n^2 work behind one broadcast of the whole table; this instead grids
+    * vectors into B deterministic blocks and shuffles each vector to the
+    * B block-PAIRS it participates in: task (i, j) holds only blocks i
+    * and j (2n/B vectors — bounded memory), computes its |i|x|j| pairs
+    * locally with the native dot kernel, and the B(B+1)/2 tasks spread
+    * the quadratic work evenly across the cluster. Each unordered pair is
+    * counted exactly once (a pair's group is (min(blk_a, blk_b),
+    * max(blk_a, blk_b)), enforced in the join condition), so the result
+    * is IDENTICAL to brute force — the DuckDB oracle needs no notion of
+    * the blocking. Choose B ~ sqrt(2 * parallelism); B = 1 degenerates to
+    * a single in-memory cross join.
+    *
+    * Input frame must carry (idCol: bigint, embCol: array<float|double>).
+    * Output: (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
+    */
+  def allPairsCosine(v: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, threshold: Double,
+      blocks: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val base = v.select(col(idCol).as("vid"), col(embCol).as("emb"))
+      .withColumn("nrm", normN(col("emb")))
+      .withColumn("blk", pmod(hash(col("vid")), lit(blocks)))
+    // Route each vector to every block-pair group it can meet a partner
+    // in: (min(blk, j), max(blk, j)) for all j — `blocks` rows per vector.
+    val routed = base.select(col("vid"), col("emb"), col("nrm"), col("blk"),
+      explode(array((0 until blocks).map(j =>
+        struct(least(col("blk"), lit(j)).as("gi"),
+          greatest(col("blk"), lit(j)).as("gj"))): _*)).as("g"))
+      .select(col("vid"), col("emb"), col("nrm"), col("blk"),
+        col("g.gi"), col("g.gj"))
+    val a = routed.alias("a")
+    val b = routed.alias("b")
+    a.join(b,
+        col("a.gi") === col("b.gi") && col("a.gj") === col("b.gj")
+          && col("a.vid") < col("b.vid")
+          // a pair belongs to exactly ONE group: its own blocks'
+          && col("a.gi") === least(col("a.blk"), col("b.blk"))
+          && col("a.gj") === greatest(col("a.blk"), col("b.blk")))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
+        (dotN(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }
