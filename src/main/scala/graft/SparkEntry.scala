@@ -5,9 +5,11 @@ import graft.queries.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The medallion fact build — the reference's end product: full
+    * bronze→silver→gold chain, 10 joins, payment/review aggregates. */
   def entry(spark: SparkSession): DataFrame =
-    Catalog.queries("j3_fact_star")(spark, "/root/testdata/sf0.001")
+    Catalog.queries("g6_fact_order_items")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
@@ -66,14 +67,18 @@ object OlistQueries {
     */
   val g7MedallionPipeline = withOracle(
     "g7_medallion_pipeline", OlistOracle.sql("gold_dim_sellers")) { (s, d) =>
+    // Bronze staging via the dataset-FACTORY loop (S2; the reference's
+    // bronze table factory, bronze_ingestion.py:35-53).
+    val bronzeBuilds = Map[String, SparkSession => org.apache.spark.sql.DataFrame](
+      "olist_bronze_geolocations" -> (sp => OlistData.geolocations(sp)),
+      "olist_bronze_sellers" -> (sp => OlistData.sellers(sp, d)))
     new Pipeline()
-      .register(Dataset("olist_bronze_geolocations", Nil,
-        (sp, _) => OlistData.geolocations(sp)))
+      .registerAll(bronzeBuilds.keys.toSeq.sorted) { name =>
+        Dataset(name, Nil, (sp, _) => bronzeBuilds(name)(sp))
+      }
       .register(Dataset("silver_geolocations", Seq("olist_bronze_geolocations"),
         (_, up) => OlistSilver.geolocations(up("olist_bronze_geolocations")),
         materialize = Materialize.Table))
-      .register(Dataset("olist_bronze_sellers", Nil,
-        (sp, _) => OlistData.sellers(sp, d)))
       .register(Dataset("olist_silver_sellers", Seq("olist_bronze_sellers"),
         (_, up) => OlistSilver.sellers(up("olist_bronze_sellers")),
         expectations = Seq(
