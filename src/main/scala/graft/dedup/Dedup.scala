@@ -75,16 +75,29 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int, threshold: Double, maxDf: Int = 64): DataFrame = {
     val sh = shingled(df, textCol, idCol, n)
-    val post = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val rare = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    val capped = post.join(rare, "sh")
-    val cands = capped.as("a").join(capped.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyPairs(cands, sh, threshold)
+    val post = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    // One shuffle generates the pairs: group postings per shingle
+    // (bucket = posting list), apply the DF cap as a bucket-size filter,
+    // expand each bucket's pairs locally with the sizes riding along,
+    // and COUNT shared shingles per pair — Jaccard falls out of the
+    // count with no per-pair set intersection (the naive
+    // candidates-then-verify form spent 6s re-intersecting ~1M candidate
+    // arrays; counting is pure hash-agg). Buckets key on the raw shingle
+    // string, so counts are collision-free and the output exact.
+    val inter = post.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("members"))
+      .filter(size(col("members")).between(2, maxDf))
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"),
+        col("p.doc_a.sz").as("sza"), col("p.doc_b.sz").as("szb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("sza")).as("na"), max(col("szb")).as("nb"))
+    inter
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Exact verification of candidate (doc_a, doc_b) pairs: join the
@@ -181,33 +194,35 @@ object Dedup {
     val sh = shingled(df, textCol, idCol, n)
       .withColumn("short", size(col("shingles")) < minShinglesForSketch)
 
-    // Exact path: every pair with at least one short side, via the
-    // shingle inverted index over 64-BIT HASHED keys (narrow shuffle, no
-    // string comparisons). The index is DF-capped exactly as in
-    // [[jaccardPairs]]: a short posting joins only postings of shingles
-    // with df <= maxDf, which bounds the candidate fan-out per short doc
-    // at |shingles| * maxDf instead of |shingles| * D for a stop-shingle
-    // of frequency D (the 100 TB melt case). Candidates are verified
-    // exactly afterwards, so capping affects recall only, with the same
-    // vanishing loss bound as jaccardPairs (inert on the harness corpus:
-    // max df = 25 < 64). The orientation guard (a < b only when both
-    // short) makes each pair surface once.
+    // Exact path: every pair with at least one short side, via shingle
+    // buckets over 64-BIT HASHED keys (narrow shuffle, no string
+    // comparisons). Same one-shuffle bucket-count shape as
+    // [[jaccardPairs]], with the DF cap as the bucket-size filter: a
+    // corpus-frequent shingle of frequency D would otherwise contribute
+    // O(D^2) pairs (the 100 TB melt case; cap inert on the harness
+    // corpus, max df = 25 < 64). Hash collisions can only INFLATE the
+    // per-pair count, so the approx-Jaccard prefilter at the true
+    // threshold loses nothing, and the survivors (few) are verified
+    // exactly on string shingle sets. Long-long pairs are left to the
+    // sketch path.
     val post = sh.select(col("doc_id"), col("short"),
-      explode(col("shingles")).as("s0"))
-      .select(col("doc_id"), col("short"), xxhash64(col("s0")).as("h"))
-    val rareH = post.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
-      .filter(col("hdf") <= maxDf)
-      .select(col("h"))
-    val capped = post.join(rareH, "h")
-    val shortPost = capped.filter(col("short"))
-    val shortCands = shortPost.as("a").join(capped.as("b"),
-        col("a.h") === col("b.h")
-          && col("a.doc_id") =!= col("b.doc_id")
-          && (!col("b.short") || col("a.doc_id") < col("b.doc_id")))
-      .select(
-        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+      size(col("shingles")).as("sz"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), col("short"), col("sz"),
+        xxhash64(col("s0")).as("h"))
+    val shortCands = post.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("short"), col("sz")))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxDf))
+      .select(explode(bucketPairs(col("members"))).as("p"))
+      .filter(col("p.doc_a.short") || col("p.doc_b.short"))
+      .select(col("p.doc_a.doc_id").as("doc_a"),
+        col("p.doc_b.doc_id").as("doc_b"),
+        col("p.doc_a.sz").as("sza"), col("p.doc_b.sz").as("szb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("sza")).as("na"), max(col("szb")).as("nb"))
+      .filter(jaccard(col("inter"), col("na"), col("nb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
 
     // Sketch path: long docs only. Bit-majorities via explode + 64 flat
     // sum-aggregates (codegen'd), not per-element interpreted filters.

@@ -26,6 +26,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d === 13.0)
   }
 
+  test("allPairsCosine is block-count invariant and equals brute force") {
+    val v = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 256)
+    def run(b: Int) =
+      allPairsCosine(v, "vec_id", "embedding", threshold = 0.3, blocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val brute = run(1) // B = 1 degenerates to the plain cross join
+    assert(brute.nonEmpty)
+    assert(run(4) === brute)
+    assert(run(7) === brute) // non-divisor block count
+  }
+
   test("hyperplaneComponent is a deterministic rational in [-0.5, 0.5)") {
     val h0 = hyperplaneComponent(0)
     assert(h0 === (12345.0 / 2147483648.0 - 0.5))
