@@ -10,10 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: one scan+noop initializes parquet reader, codegen
+    // compiler and shuffle infra so the (otherwise arbitrary) first
+    // measured query doesn't absorb one-time session costs.
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     // format("noop") fully evaluates every output column (unlike count(),
     // under which Catalyst prunes unevaluated projections) without the
-    // parquet-encode cost distorting per-query times.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // parquet-encode cost distorting per-query times. Queries run in
+    // name order so per-query numbers are comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
@@ -21,7 +28,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
