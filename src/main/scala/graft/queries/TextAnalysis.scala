@@ -131,5 +131,38 @@ object TextAnalysis {
       shingleFingerprint(col("text"), 3).as("shingle_fp"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint)
+  // ---- Token-length distribution percentiles per language ----
+  // The curation dashboard staple (length cutoffs are chosen from these).
+  // Spark's percentile() is the EXACT interpolated aggregate (sort +
+  // linear interpolation at p*(n-1)), the same definition as DuckDB's
+  // quantile_cont, so values hash-match without approximation. Scale:
+  // partial aggregation collects per-group counts map-side; groups are
+  // languages (bounded), so the final per-group sort is small. For
+  // unbounded group counts the approx sketch (percentile_approx) is the
+  // scale path — not oracle-exact, hence not used here.
+  val t5TokenPercentiles = withOracle(
+    "t5_token_percentiles",
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         CAST(length(list_filter(string_split_regex(trim(text), ' +'),
+       |                                 x -> length(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50,
+       |       CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE) AS p90,
+       |       CAST(quantile_cont(n_tokens, 0.99) AS DOUBLE) AS p99,
+       |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+       |FROM t GROUP BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(percentile(n_tokens, 0.5D) AS DOUBLE)").as("p50"),
+        expr("CAST(percentile(n_tokens, 0.9D) AS DOUBLE)").as("p90"),
+        expr("CAST(percentile(n_tokens, 0.99D) AS DOUBLE)").as("p99"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint, t5TokenPercentiles)
 }
