@@ -259,4 +259,56 @@ object Dedup {
     verifyPairs(shortCands.unionByName(sketchCands),
       sh.drop("short"), threshold)
   }
+
+  /** Connected components over near-dup pairs: the clustering step that
+    * turns pairwise matches into keep/drop decisions (every member maps
+    * to the minimum doc id of its component — the canonical survivor).
+    *
+    * Algorithm: iterative min-label propagation (each vertex repeatedly
+    * takes the minimum label among itself and its neighbors) — the
+    * standard MapReduce/Spark connected-components shape: every
+    * iteration is one join + partial/final min-aggregation, state is
+    * (vertex, label) pairs only, and the iteration count is the graph
+    * diameter (near-dup components are chains of a few documents, so
+    * single digits; `maxIterations` guards pathological inputs).
+    * Lineage is cut each round with an eager localCheckpoint, otherwise
+    * the loop's plan grows exponentially. The fixpoint is unique, so
+    * the result is deterministic and matches the oracle's recursive-CTE
+    * transitive closure exactly. The only driver-side data is the
+    * one-row convergence counter per iteration.
+    *
+    * Input: (doc_a, doc_b) pair frame. Output: one row per clustered
+    * doc — (doc_id, cluster_rep, cluster_size); singletons (docs in no
+    * pair) are not emitted, mirroring the pair relation's domain.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("v"), least(col("src"), col("m")).as("lbl"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
+        .groupBy(sym("src")).agg(min(col("lbl")).as("nm"))
+      val next = labels.alias("L")
+        .join(nbrMin.alias("N"), col("L.v") === col("N.src"), "left")
+        .select(col("L.v").as("v"),
+          least(col("L.lbl"), coalesce(col("N.nm"), col("L.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"))
+  }
 }

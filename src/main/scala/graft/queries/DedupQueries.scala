@@ -118,6 +118,41 @@ object DedupQueries {
         "vec_id", "embedding", threshold = 0.4, blocks = 8)
   }
 
+  // ---- Duplicate clusters: connected components over near-dup pairs ----
+  // The decision step of dedup: members map to the minimum doc id of
+  // their component (the canonical survivor), with the component size.
+  // Spark side: iterative min-label propagation (join + min-agg per
+  // round, diameter-bounded). Oracle: recursive-CTE transitive closure
+  // over the same exact-Jaccard edge set.
+  val d6DupClusters = withOracle(
+    "d6_dup_clusters",
+    s"""$ShingleCte,
+       |e AS (SELECT doc_id, length(shingles) AS sz, unnest(shingles) AS sh
+       |      FROM sh WHERE length(shingles) > 0),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+       |              max(a.sz) AS na, max(b.sz) AS nb
+       |       FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |edges AS (SELECT doc_a, doc_b FROM pr
+       |          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.8),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |        UNION SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM sym
+       |    UNION
+       |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+       |    WHERE s.dst <> r.src)
+       |  SELECT * FROM r)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep,
+       |       CAST(count(DISTINCT dst) + 1 AS BIGINT) AS cluster_size
+       |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
+    Dedup.duplicateClusters(
+      Dedup.jaccardPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+        n = 3, threshold = 0.8).select(col("doc_a"), col("doc_b")))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup)
+    Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
+      d6DupClusters)
 }

@@ -32,6 +32,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size === 3)           // nothing else is similar
   }
 
+  test("duplicateClusters resolves chains, triangles and isolated pairs") {
+    import spark.implicits._
+    // Components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, r, s) => d -> ((r, s)) }.toMap
+    assert(out.size === 9)
+    Seq(1L, 2L, 3L, 4L).foreach(d => assert(out(d) === ((1L, 4L))))
+    Seq(10L, 11L, 12L).foreach(d => assert(out(d) === ((10L, 3L))))
+    Seq(20L, 21L).foreach(d => assert(out(d) === ((20L, 2L))))
+  }
+
   test("minhash and simhash agree with the exact pairs on real documents") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val exact = Dedup.jaccardPairs(d, col("text"), col("doc_id"), 3, 0.8)
