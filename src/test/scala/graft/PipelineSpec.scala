@@ -88,6 +88,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("gold_order_stats_t3").count() === 2)
   }
 
+  test("inference-mode first contact types numeric columns") {
+    // Auto Loader's cloudFiles.inferColumnTypes analogue
+    // (bronze_ingestion.py:25,30): first contact without a pinned schema.
+    val df = CsvSource.readInferred(spark, csvDir)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("order_id") === "string")
+    // the malformed 'not_a_number' forces amount to stay string — the
+    // exact first-contact behavior that motivates the rescue column
+    assert(types("amount") === "string")
+    assert(types("status") === "string")
+    assert(df.count() === 5) // inference must not drop rows
+  }
+
   test("streaming table is exactly-once across re-runs") {
     def mk = new Pipeline()
       .register(Dataset("bronze_stream_orders", Nil,
