@@ -163,6 +163,34 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  // ---- Reproducible content-hash train/held-out split ----
+  // Splitting on a CONTENT hash (not the id, not RNG) gives two
+  // properties a training pipeline needs: the split is reproducible
+  // across runs/engines with no seed plumbing, and byte-identical
+  // duplicates land in the same side — no train/eval leakage through
+  // unnoticed dupes. Pure per-row expression (native RollingHash):
+  // zero shuffle, survives any scale.
+  val c1HashSplit = withOracle(
+    "c1_hash_split",
+    """SELECT doc_id,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                             c -> CAST(ascii(c) AS BIGINT))),
+      |            (a, b) -> (a * 31 + b) % 2147483647) % 100 AS BIGINT) AS bucket,
+      |       CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                             c -> CAST(ascii(c) AS BIGINT))),
+      |            (a, b) -> (a * 31 + b) % 2147483647) % 100 < 90
+      |            THEN 'train' ELSE 'heldout' END AS split
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      pmod(rollingHash(col("text")), lit(100L)).as("bucket"),
+      when(pmod(rollingHash(col("text")), lit(100L)) < 90, "train")
+        .otherwise("heldout").as("split"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint, t5TokenPercentiles)
+    Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint, t5TokenPercentiles,
+      c1HashSplit)
 }
