@@ -123,7 +123,37 @@ object OlistQueries {
     Streams.runToMemory(s, stream, "graft_st6_bronze", OutputMode.Append())
   }
 
+  /** g8 — the SQL entry path: the reference's gold dim_products build
+    * (scripts/gold/dim_products.sql) executed through `spark.sql` over a
+    * session-registered silver view, edited only for the repo's
+    * determinism convention (metric columns cast to BIGINT) and the
+    * `LIVE.` dataset prefix. Demonstrates that a reference user's gold
+    * SQL runs on this engine as SQL, not just as the DataFrame
+    * re-expression (g3 — same oracle, same hash).
+    */
+  val g8DimProductsSql = withOracle(
+    "g8_dim_products_sql", OlistOracle.sql("gold_dim_products")) { (s, d) =>
+    new OlistGraph(s, d).silverProducts
+      .createOrReplaceTempView("silver_products")
+    s.sql("""
+      SELECT
+          sha2(CAST(product_id AS STRING), 256) AS product_key,
+          product_id AS product_natural_key,
+          product_category_name_english AS product_category_name,
+          CAST(product_name_length AS BIGINT) AS product_name_length,
+          CAST(product_description_length AS BIGINT) AS product_description_length,
+          CAST(product_photos_qty AS BIGINT) AS product_photos_qty,
+          CAST(product_weight_g AS BIGINT) AS product_weight_g,
+          CAST(product_length_cm AS BIGINT) AS product_length_cm,
+          CAST(product_height_cm AS BIGINT) AS product_height_cm,
+          CAST(product_width_cm AS BIGINT) AS product_width_cm,
+          CAST(product_volume_cm3 AS BIGINT) AS product_volume_cm3,
+          has_photos,
+          has_description
+      FROM silver_products""")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
-    g6FactOrderItems, g7MedallionPipeline, st6CsvBronze)
+    g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, st6CsvBronze)
 }
