@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, ShingleSet}
+import graft.functions.{DotProduct, MinShingleHash, RollingHash, ShingleSet}
 
 /** SQL surface for the native kernels, so `spark.sql` users get them too:
   *
@@ -27,14 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def literalN(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: n must be an integer literal, got $other")
+  }
+
   private def shingleBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "graft_shingle_set(text, n)")
-    val n = exprs(1) match {
-      case Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"graft_shingle_set: n must be an integer literal, got $other")
-    }
-    ShingleSet(exprs.head, n)
+    ShingleSet(exprs.head, literalN("graft_shingle_set", exprs(1)))
+  }
+
+  private def minShingleHashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "graft_min_shingle_hash(text, n)")
+    MinShingleHash(exprs.head, literalN("graft_min_shingle_hash", exprs(1)))
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -47,7 +53,16 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
-      shingleBuilder _))
+      shingleBuilder _),
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "graft_rolling_hash(text)")
+        RollingHash(exprs.head)
+      }),
+    (FunctionIdentifier("graft_min_shingle_hash"),
+      new ExpressionInfo(classOf[MinShingleHash].getName, "graft_min_shingle_hash"),
+      minShingleHashBuilder _))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -17,6 +17,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh === Seq("a b c", "b c d"))
   }
 
+  test("graft_rolling_hash and graft_min_shingle_hash usable from spark.sql") {
+    GraftExtensions.register(spark)
+    // reference value pinned in TextFunctionsSpec: rollingHash("hello")
+    val h = spark.sql("SELECT graft_rolling_hash('hello') AS h")
+      .collect()(0).getLong(0)
+    assert(h === 99162322L)
+    val m = spark.sql(
+      "SELECT graft_min_shingle_hash('a b c d', 3) AS m," +
+        " graft_rolling_hash('a b c') AS ha, graft_rolling_hash('b c d') AS hb")
+      .collect()(0)
+    assert(m.getLong(0) === math.min(m.getLong(1), m.getLong(2)))
+    assert(spark.sql("SELECT graft_min_shingle_hash('a b', 3) AS m")
+      .collect()(0).isNullAt(0))
+  }
+
   test("registration is idempotent") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
