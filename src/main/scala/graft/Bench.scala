@@ -20,16 +20,24 @@ object Bench {
     // under which Catalyst prunes unevaluated projections) without the
     // parquet-encode cost distorting per-query times. Queries run in
     // name order so per-query numbers are comparable across rounds.
+    // A failed query is reported as a NEGATIVE elapsed time and listed in
+    // "errors" — a regression that breaks a query must never read as a
+    // speedup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,19 +58,29 @@ object Dedup {
   /** All-pairs n-gram Jaccard via a DF-capped shingle inverted index.
     *
     * Candidate generation self-joins the index ONLY on shingles whose
-    * document frequency is <= maxDf; candidates are then verified with
-    * true set intersection, so reported values are always exact. The cap
-    * is what makes the plan survive 100 TB: a corpus-frequent "stop
-    * shingle" with df = D contributes O(D^2) join rows while carrying
-    * almost no similarity evidence — capping bounds the self-join output
-    * at maxDf * |postings| (linear).
+    * document frequency is <= maxDf; the cap is what makes the plan
+    * survive 100 TB: a corpus-frequent "stop shingle" with df = D would
+    * contribute O(D^2) join rows while carrying almost no similarity
+    * evidence — capping bounds the self-join output at
+    * maxDf * |postings| (linear).
+    *
+    * Exactness when the cap binds: shared shingles living in capped
+    * buckets are invisible to the intersection COUNT, so the count is a
+    * LOWER bound on the true intersection. Each document's number of
+    * capped shingles is therefore counted too, and the prefilter keeps
+    * every pair whose OPTIMISTIC Jaccard — count plus
+    * min(capped_a, capped_b) shared-at-best — could reach the threshold;
+    * survivors are re-verified on the true shingle sets
+    * ([[verifyPairs]]), so reported values are always exact and the
+    * prefilter never drops a qualifying pair that generated a candidate.
     *
     * Loss bound: a true pair is missed only if EVERY shingle the two
-    * documents share is corpus-frequent (df > maxDf). Near-dup pairs
-    * share many, predominantly rare shingles, so this is vanishing; on
-    * the harness corpus the cap is inert outright (max corpus df = 25 at
-    * sf0.1, and every planted pair at j >= 0.8 shares a shingle with
-    * df <= 10), which is why the brute-force oracle still hash-matches.
+    * documents share is corpus-frequent (df > maxDf) — then no uncapped
+    * bucket pairs them at all. Near-dup pairs share many, predominantly
+    * rare shingles, so this is vanishing; on the harness corpus the cap
+    * is inert outright (max corpus df = 25 at sf0.1, and every planted
+    * pair at j >= 0.8 shares a shingle with df <= 10), which is why the
+    * brute-force oracle still hash-matches.
     */
   def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int, threshold: Double, maxDf: Int = 64): DataFrame = {
@@ -78,27 +88,58 @@ object Dedup {
     val post = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
     // One shuffle generates the pairs: group postings per shingle
-    // (bucket = posting list), apply the DF cap as a bucket-size filter,
-    // expand each bucket's pairs locally with the sizes riding along,
-    // and COUNT shared shingles per pair — Jaccard falls out of the
-    // count with no per-pair set intersection (the naive
-    // candidates-then-verify form spent 6s re-intersecting ~1M candidate
-    // arrays; counting is pure hash-agg). Buckets key on the raw shingle
-    // string, so counts are collision-free and the output exact.
-    val inter = post.groupBy(col("sh"))
+    // (bucket = posting list), expand each uncapped bucket's pairs
+    // locally with the sizes riding along, and COUNT shared shingles per
+    // pair — a pure hash-agg, no per-pair set intersection (the naive
+    // all-candidates verify form spent 6s re-intersecting ~1M candidate
+    // arrays). Buckets key on the raw shingle string, so counts are
+    // collision-free lower bounds (exact when the cap is inert).
+    val buckets = post.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("members"))
-      .filter(size(col("members")).between(2, maxDf))
+      .filter(size(col("members")) >= 2)
+    val counted = buckets
+      .filter(size(col("members")) <= maxDf)
       .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"),
         col("p.doc_a.sz").as("sza"), col("p.doc_b.sz").as("szb"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("sza")).as("na"), max(col("szb")).as("nb"))
-    inter
-      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cands = optimisticSurvivors(counted,
+      cappedPerDoc(buckets, maxDf, col("m.doc_id")), threshold)
+    verifyPairs(cands, sh, threshold)
   }
+
+  /** Per-document count of shingles living in DF-capped buckets
+    * (df > maxDf) — the amount by which a bucket-count intersection can
+    * under-count. `docIdPath` addresses the doc id inside the exploded
+    * member struct (alias `m`). The capped relation is small (only docs
+    * touching a stop shingle appear) and shuffles (doc_id, count) only.
+    */
+  private def cappedPerDoc(buckets: DataFrame, maxDf: Int,
+      docIdPath: Column): DataFrame =
+    buckets.filter(size(col("members")) > maxDf)
+      .select(explode(col("members")).as("m"))
+      .groupBy(docIdPath.as("doc_id"))
+      .agg(count(lit(1)).as("capped_ct"))
+
+  /** Keep every counted pair whose OPTIMISTIC Jaccard — counted
+    * intersection plus at most min(capped_a, capped_b) shared capped
+    * shingles — reaches the threshold. Sound: the true intersection
+    * never exceeds the optimistic one, so no qualifying counted pair is
+    * dropped; exact verification prunes the optimists.
+    */
+  private def optimisticSurvivors(counted: DataFrame, capped: DataFrame,
+      threshold: Double): DataFrame =
+    counted
+      .join(capped.select(col("doc_id").as("doc_a"), col("capped_ct").as("ca")),
+        Seq("doc_a"), "left")
+      .join(capped.select(col("doc_id").as("doc_b"), col("capped_ct").as("cb")),
+        Seq("doc_b"), "left")
+      .withColumn("imax", col("inter") +
+        least(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))))
+      .filter(jaccard(col("imax"), col("na"), col("nb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
 
   /** Exact verification of candidate (doc_a, doc_b) pairs: join the
     * shingle sets back and compute true Jaccard. Candidates are few, so
@@ -201,18 +242,21 @@ object Dedup {
     // corpus-frequent shingle of frequency D would otherwise contribute
     // O(D^2) pairs (the 100 TB melt case; cap inert on the harness
     // corpus, max df = 25 < 64). Hash collisions can only INFLATE the
-    // per-pair count, so the approx-Jaccard prefilter at the true
-    // threshold loses nothing, and the survivors (few) are verified
-    // exactly on string shingle sets. Long-long pairs are left to the
-    // sketch path.
+    // per-pair count while the cap can only DEFLATE it, so the
+    // prefilter runs on the optimistic count (counted + capped bound,
+    // [[optimisticSurvivors]]) — sound in both directions — and the
+    // survivors (few) are verified exactly on string shingle sets.
+    // Long-long pairs are left to the sketch path.
     val post = sh.select(col("doc_id"), col("short"),
       size(col("shingles")).as("sz"), explode(col("shingles")).as("s0"))
       .select(col("doc_id"), col("short"), col("sz"),
         xxhash64(col("s0")).as("h"))
-    val shortCands = post.groupBy(col("h"))
+    val hashBuckets = post.groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("short"), col("sz")))
         .as("members"))
-      .filter(size(col("members")).between(2, maxDf))
+      .filter(size(col("members")) >= 2)
+    val shortCounted = hashBuckets
+      .filter(size(col("members")) <= maxDf)
       .select(explode(bucketPairs(col("members"))).as("p"))
       .filter(col("p.doc_a.short") || col("p.doc_b.short"))
       .select(col("p.doc_a.doc_id").as("doc_a"),
@@ -221,8 +265,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("sza")).as("na"), max(col("szb")).as("nb"))
-      .filter(jaccard(col("inter"), col("na"), col("nb")) >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+    val shortCands = optimisticSurvivors(shortCounted,
+      cappedPerDoc(hashBuckets, maxDf, col("m.doc_id")), threshold)
 
     // Sketch path: long docs only. Bit-majorities via explode + 64 flat
     // sum-aggregates (codegen'd), not per-element interpreted filters.
@@ -306,6 +350,14 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // Partially-propagated labels are silently WRONG (a component wider
+    // than the iteration bound would report several fragments as
+    // separate clusters) — refuse to return them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIterations " +
+          "iterations: a component's diameter exceeds the bound; " +
+          "raise maxIterations")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),

@@ -109,9 +109,15 @@ class Pipeline {
   private def checkpointDir(spark: SparkSession, name: String): String =
     spark.conf.get("spark.sql.warehouse.dir") + s"/_graft_checkpoints/$name"
 
+  /** Batch-id marker directory for streaming Table appends — see the
+    * Table case in [[run]].
+    */
+  private def commitsDir(spark: SparkSession, name: String): String =
+    checkpointDir(spark, name) + "_commits"
+
   private def dropOrphanLocation(spark: SparkSession, name: String): Unit =
     graft.core.CatalogUtil.dropOrphanLocation(spark, name,
-      Seq(checkpointDir(spark, name)))
+      Seq(checkpointDir(spark, name), commitsDir(spark, name)))
 
   /** Apply the CLUSTER BY layout (see [[Dataset.clusterBy]]). */
   private def clustered(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -120,9 +126,9 @@ class Pipeline {
       .sortWithinPartitions(cols.map(df.col): _*)
 
   /** Batch frames enforce all expectations up front; streaming frames can
-    * only apply Drop (a plan-level filter) in flight — warn/fail need an
-    * aggregate, so Table materialization re-checks them on the committed
-    * batch after the AvailableNow run (equivalent for a finite trigger).
+    * only apply Drop (a plan-level filter) in flight — warn/fail are
+    * enforced per micro-batch inside the Table sink's foreachBatch,
+    * before each append commits (see [[run]]).
     */
   private def applyExpectations(df: DataFrame, exps: Seq[Expectation]): DataFrame =
     if (exps.isEmpty) df
@@ -145,16 +151,38 @@ class Pipeline {
         case Materialize.View => df
         case Materialize.Table if df.isStreaming =>
           dropOrphanLocation(spark, name)
+          // Warn/fail expectations need an aggregate, which a streaming
+          // plan cannot host — so each micro-batch is validated inside
+          // foreachBatch BEFORE its append (DLT's ON VIOLATION FAIL
+          // UPDATE aborts the update): a Fail violation throws before
+          // any write, the source checkpoint does not advance, and a
+          // re-run reprocesses exactly the offending files; warn counts
+          // are per-batch, never re-counting history. Appends stay
+          // idempotent across re-runs via a batch-id marker written
+          // after each successful append (the standard foreachBatch
+          // dedup pattern; like any non-transactional sink, a crash in
+          // the instant between append and marker can duplicate that
+          // one batch on replay).
+          val warnFail = d.expectations.filter(_.action != Action.Drop)
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val commits = new org.apache.hadoop.fs.Path(commitsDir(spark, name))
           val q = df.writeStream
-            .format("parquet")
             .option("checkpointLocation", checkpointDir(spark, name))
             .trigger(Trigger.AvailableNow())
-            .toTable(name)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              Expectations.enforce(batch, warnFail)
+              val fs = commits.getFileSystem(hconf)
+              val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
+              if (!fs.exists(marker)) {
+                clustered(batch, d.clusterBy)
+                  .write.mode("append").format("parquet").saveAsTable(name)
+                fs.mkdirs(marker)
+              }
+              ()
+            }
+            .start()
           q.awaitTermination()
-          val committed = spark.table(name)
-          Expectations.enforce(committed,
-            d.expectations.filter(_.action != Action.Drop))
-          committed
+          spark.table(name)
         case Materialize.Table =>
           dropOrphanLocation(spark, name)
           clustered(df, d.clusterBy)
