@@ -94,52 +94,58 @@ object Dedup {
     // all-candidates verify form spent 6s re-intersecting ~1M candidate
     // arrays). Buckets key on the raw shingle string, so counts are
     // collision-free lower bounds (exact when the cap is inert).
-    val buckets = post.groupBy(col("sh"))
+    val counted = post.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("members"))
-      .filter(size(col("members")) >= 2)
-    val counted = buckets
-      .filter(size(col("members")) <= maxDf)
+      .filter(size(col("members")).between(2, maxDf))
       .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"),
         col("p.doc_a.sz").as("sza"), col("p.doc_b.sz").as("szb"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("sza")).as("na"), max(col("szb")).as("nb"))
-    val cands = optimisticSurvivors(counted,
-      cappedPerDoc(buckets, maxDf, col("m.doc_id")), threshold)
-    verifyPairs(cands, sh, threshold)
+    val bounded = withCappedBound(counted, cappedPerDoc(post, "sh", maxDf))
+    // Pairs the cap cannot have touched (neither side holds a capped
+    // shingle) have an EXACT count — emit them straight from the count
+    // arithmetic, exactly as when the cap is inert. Only cap-touched
+    // pairs whose optimistic Jaccard reaches the threshold pay the
+    // verification join — zero pairs on a corpus with no stop shingles.
+    val exactNow = bounded.filter(col("cmin") === 0)
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val needVerify = bounded.filter(col("cmin") > 0)
+      .filter(jaccard(col("inter") + col("cmin"), col("na"), col("nb"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    exactNow.unionByName(verifyPairs(needVerify, sh, threshold))
   }
 
-  /** Per-document count of shingles living in DF-capped buckets
-    * (df > maxDf) — the amount by which a bucket-count intersection can
-    * under-count. `docIdPath` addresses the doc id inside the exploded
-    * member struct (alias `m`). The capped relation is small (only docs
-    * touching a stop shingle appear) and shuffles (doc_id, count) only.
+  /** Per-document count of shingles whose document frequency exceeds
+    * maxDf — the amount by which a bucket-count intersection can
+    * under-count. One light count-aggregate finds the stop shingles
+    * (bounded by vocabulary, so broadcast-sized by construction); one
+    * broadcast semi-join + count gives the per-doc totals. Empty when
+    * the cap is inert. `post` must carry (doc_id, `key`).
     */
-  private def cappedPerDoc(buckets: DataFrame, maxDf: Int,
-      docIdPath: Column): DataFrame =
-    buckets.filter(size(col("members")) > maxDf)
-      .select(explode(col("members")).as("m"))
-      .groupBy(docIdPath.as("doc_id"))
-      .agg(count(lit(1)).as("capped_ct"))
+  private def cappedPerDoc(post: DataFrame, key: String, maxDf: Int): DataFrame = {
+    val stop = post.groupBy(col(key)).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col(key))
+    post.join(broadcast(stop), key)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("capped_ct"))
+  }
 
-  /** Keep every counted pair whose OPTIMISTIC Jaccard — counted
-    * intersection plus at most min(capped_a, capped_b) shared capped
-    * shingles — reaches the threshold. Sound: the true intersection
-    * never exceeds the optimistic one, so no qualifying counted pair is
-    * dropped; exact verification prunes the optimists.
+  /** Annotate counted pairs with `cmin` = min(capped_a, capped_b): the
+    * maximum number of shared shingles the DF cap can have hidden from
+    * the count. The true intersection lies in [inter, inter + cmin].
     */
-  private def optimisticSurvivors(counted: DataFrame, capped: DataFrame,
-      threshold: Double): DataFrame =
+  private def withCappedBound(counted: DataFrame, capped: DataFrame): DataFrame =
     counted
       .join(capped.select(col("doc_id").as("doc_a"), col("capped_ct").as("ca")),
         Seq("doc_a"), "left")
       .join(capped.select(col("doc_id").as("doc_b"), col("capped_ct").as("cb")),
         Seq("doc_b"), "left")
-      .withColumn("imax", col("inter") +
+      .withColumn("cmin",
         least(coalesce(col("ca"), lit(0L)), coalesce(col("cb"), lit(0L))))
-      .filter(jaccard(col("imax"), col("na"), col("nb")) >= threshold)
-      .select(col("doc_a"), col("doc_b"))
 
   /** Exact verification of candidate (doc_a, doc_b) pairs: join the
     * shingle sets back and compute true Jaccard. Candidates are few, so
@@ -169,39 +175,26 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup pairs.
     *
-    * Signature: 128 universal-hash permutations over p = 2^31-1:
-    * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, a_i in [1, p),
-    * b_i in [0, p). Products stay < 2^62, so the expression is safe under
-    * Spark 4's default ANSI overflow checking. Banding: 32 bands x 4 rows;
-    * docs sharing any band hash are candidates, then verified exactly.
-    * Shuffle payload per doc: 32 band keys, not the text.
+    * Signature: 128 universal-hash permutations over p = 2^31-1,
+    * computed and banded per row by the native
+    * [[graft.functions.MinHashBandKeys]] expression — the signature
+    * never leaves the row. Banding: 32 bands x 4 rows; docs sharing any
+    * band key are candidates, then verified exactly. Shuffle payload per
+    * doc: 32 (band, key) longs — not the text, not the shingle postings
+    * (the previous explode + 128-min-aggregate signature build shuffled
+    * one row per shingle and its wide aggregate fell out of whole-stage
+    * codegen).
     */
   def minhashPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int, threshold: Double,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val p = graft.text.TextFunctions.HashMod
-    val rows = numHashes / bands
-    val rnd = new scala.util.Random(42)
-    val as = Array.fill(numHashes)(1L + rnd.nextLong((p - 1)))
-    val bs = Array.fill(numHashes)(rnd.nextLong(p))
-
     val sh = shingled(df, textCol, idCol, n)
-    // Signature via explode + flat min-aggregates: 128 codegen'd agg
-    // buffers over the shingle postings. (The HOF formulation — 128 x
-    // array_min(transform(...)) per doc — runs interpreted per element
-    // and is an order of magnitude slower.)
-    val post = sh.select(col("doc_id"), explode(col("shingles")).as("s0"))
-      .select(col("doc_id"), pmod(xxhash64(col("s0")), lit(p)).as("h"))
-    val minCols = (0 until numHashes).map(i =>
-      min((col("h") * as(i) + bs(i)) % p).as(s"mh_$i"))
-    val sig = post.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    val bandKeys = sig.select(col("doc_id"),
-      explode(array((0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          hash((bnd * rows until (bnd + 1) * rows)
-            .map(i => col(s"mh_$i")): _*).as("bkey")))
-        : _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val bandKeys = df.select(idCol.as("doc_id"),
+        graft.text.TextFunctions.minhashBandKeys(textCol, n, numHashes, bands)
+          .as("bks"))
+      .filter(col("bks").isNotNull)
+      .select(col("doc_id"), posexplode(col("bks")))
+      .toDF("doc_id", "band", "bkey")
     val cands = bandKeys.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")) > 1)
@@ -251,12 +244,10 @@ object Dedup {
       size(col("shingles")).as("sz"), explode(col("shingles")).as("s0"))
       .select(col("doc_id"), col("short"), col("sz"),
         xxhash64(col("s0")).as("h"))
-    val hashBuckets = post.groupBy(col("h"))
+    val shortCounted = post.groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("short"), col("sz")))
         .as("members"))
-      .filter(size(col("members")) >= 2)
-    val shortCounted = hashBuckets
-      .filter(size(col("members")) <= maxDf)
+      .filter(size(col("members")).between(2, maxDf))
       .select(explode(bucketPairs(col("members"))).as("p"))
       .filter(col("p.doc_a.short") || col("p.doc_b.short"))
       .select(col("p.doc_a.doc_id").as("doc_a"),
@@ -265,20 +256,22 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("sza")).as("na"), max(col("szb")).as("nb"))
-    val shortCands = optimisticSurvivors(shortCounted,
-      cappedPerDoc(hashBuckets, maxDf, col("m.doc_id")), threshold)
+    val shortCands = withCappedBound(shortCounted,
+        cappedPerDoc(post.select(col("doc_id"), col("h")), "h", maxDf))
+      .filter(jaccard(col("inter") + col("cmin"), col("na"), col("nb"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
 
-    // Sketch path: long docs only. Bit-majorities via explode + 64 flat
-    // sum-aggregates (codegen'd), not per-element interpreted filters.
-    val postL = post.filter(!col("short")).select(col("doc_id"), col("h"))
-    val aggCols = count(lit(1)).as("nh") +: (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val sim = postL.groupBy(col("doc_id"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") * 2 >= col("nh"), lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
+    // Sketch path: long docs only. The 64-bit code is computed per row
+    // by the native [[graft.functions.SimHashCode]] expression (distinct
+    // shingles, majority bit vote, null below the shingle cutoff — so
+    // short docs never enter this pipeline); only (doc_id, chunk keys)
+    // are shuffled. Replaces an explode + 65-sum-aggregate majority
+    // build that shuffled one row per shingle.
+    val sim = df.select(idCol.as("doc_id"),
+        graft.text.TextFunctions.simhashCode(textCol, n, minShinglesForSketch)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
     val chunkKeys = sim.select(col("doc_id"),
       explode(array((0 until blocks).map(c =>
         struct(lit(c).as("blk"),

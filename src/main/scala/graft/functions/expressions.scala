@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -176,6 +176,165 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** MinHash-LSH band keys of a document in ONE pass: tokenization
+  * identical to [[ShingleSet]]; per shingle the 64-bit xxHash (seed 42,
+  * same function as Spark's `xxhash64`) is reduced mod p = 2^31-1 and
+  * pushed through `numHashes` universal-hash permutations
+  * h_k(x) = (a_k * x + b_k) mod p (a_k in [1,p), b_k in [0,p), fixed
+  * seed), keeping the per-permutation minimum; the signature is then
+  * folded into `bands` band keys (rows = numHashes / bands minima per
+  * band, band index baked into the fold seed). Null when the document
+  * has fewer than n tokens.
+  *
+  * Replaces the explode → shuffle → 128-min-aggregate signature build:
+  * the signature never leaves the row, so the only shuffled payload in
+  * MinHash dedup is (doc_id, band, key) — `bands` rows per document
+  * instead of one row per shingle. Duplicate shingles are not
+  * deduplicated (a duplicate cannot change a minimum). All products
+  * stay below 2^62 (plain JVM arithmetic — ANSI overflow rules do not
+  * apply inside an expression's eval). CodegenFallback like
+  * [[ShingleSet]]: one eval per row, tight JIT'd loops.
+  */
+case class MinHashBandKeys(child: Expression, n: Int, numHashes: Int,
+    bands: Int) extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_band_keys"
+
+  private val P = 2147483647L
+
+  // Fixed-seed universal-hash coefficients — identical draw order to the
+  // column-based formulation this replaced, so candidate sets are stable
+  // across versions.
+  @transient private lazy val (coefA, coefB) = {
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(numHashes)(1L + rnd.nextLong(P - 1))
+    val bs = Array.fill(numHashes)(rnd.nextLong(P))
+    (as, bs)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = s.substring(start, end).split(" +").filter(_.nonEmpty)
+    if (toks.length < n) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val xxh = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      val h = java.lang.Math.floorMod(xxh, P)
+      var j = 0
+      while (j < numHashes) {
+        val v = (coefA(j) * h + coefB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val rows = numHashes / bands
+    val keys = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rows) {
+        acc = acc * 1000003L + mins(b * rows + r)
+        r += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a document's DISTINCT word n-gram shingles in ONE
+  * pass: tokenization and distinct semantics identical to [[ShingleSet]],
+  * per-shingle hash = xxHash64(seed 42, Spark's `xxhash64`), bit j of
+  * the code set iff at least half the distinct shingle hashes have bit j
+  * set (2*count >= total — the same majority rule as the aggregate
+  * formulation this replaced). Null when the document has fewer than
+  * `minShingles` distinct shingles: below that the majority vote has not
+  * concentrated and callers route the document through an exact path —
+  * encoding the cutoff here means short docs never enter the sketch
+  * pipeline at all.
+  *
+  * Replaces an explode → shuffle → 65-sum-aggregate majority build; the
+  * only shuffled payload in SimHash blocking is (doc_id, chunk keys).
+  */
+case class SimHashCode(child: Expression, n: Int, minShingles: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = s.substring(start, end).split(" +").filter(_.nonEmpty)
+    if (toks.length < n) return null
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](64)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(sh), 42L)
+        var j = 0
+        while (j < 64) {
+          counts(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val total = seen.size
+    if (total < minShingles) return null
+    var code = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 >= total) code |= (1L << j)
+      j += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashCode =
     copy(child = newChild)
 }
 

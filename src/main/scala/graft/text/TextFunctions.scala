@@ -113,6 +113,25 @@ object TextFunctions {
       graft.functions.MinShingleHash(
         org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
 
+  /** Per-row MinHash-LSH band keys ([[graft.functions.MinHashBandKeys]]):
+    * the full signature is computed and banded inside one evaluator, so
+    * MinHash dedup shuffles `bands` longs per document instead of one
+    * row per shingle (see the expression scaladoc for the arithmetic).
+    */
+  def minhashBandKeys(c: Column, n: Int, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n, numHashes, bands))
+
+  /** Per-row 64-bit SimHash over distinct shingles
+    * ([[graft.functions.SimHashCode]]); null below `minShingles` distinct
+    * shingles (the sketch-reliability cutoff).
+    */
+  def simhashCode(c: Column, n: Int, minShingles: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SimHashCode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), n, minShingles))
+
   /** Semantic reference for [[shingleFingerprint]] (parity-tested). */
   def shingleFingerprintHof(c: Column, n: Int): Column =
     array_min(transform(shingleSet(c, n), s =>

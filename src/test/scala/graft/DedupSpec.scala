@@ -32,6 +32,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size === 3)           // nothing else is similar
   }
 
+  test("jaccardPairs reports exact values when the DF cap binds") {
+    // Shingle "A B C" appears in all 10 docs (df = 10 > maxDf = 4), so
+    // the bucket count under-counts doc0/doc1's intersection (2 of 3).
+    // The capped bound must route the pair through exact verification:
+    // reported jaccard = 3/5 = 0.6, identical to an uncapped run.
+    val docs = (Seq(
+      (0L, "A B C D E F"),
+      (1L, "A B C D E G")) ++
+      (2L until 10L).map(i => (i, s"A B C x$i y$i z$i"))).toDF("doc_id", "text")
+    def run(maxDf: Int) =
+      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), 3, 0.5, maxDf)
+        .as[(Long, Long, Double)].collect().toSet
+    val capped = run(4)
+    assert(capped === run(1000))
+    assert(capped === Set((0L, 1L, 0.6)))
+  }
+
   test("duplicateClusters resolves chains, triangles and isolated pairs") {
     import spark.implicits._
     // Components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21.

@@ -60,6 +60,37 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("minhashBandKeys: deterministic, band-count sized, null when short") {
+    import spark.implicits._
+    val out = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "the quick brown fox jumps over the lazy dog today",  // identical
+      "the quick brown fox jumps over the lazy cat today",  // near dup
+      "a b")                                                // < n tokens
+      .toDF("t").select(minhashBandKeys(col("t"), 3, 128, 32).as("k")).collect()
+    assert(out(3).isNullAt(0))
+    val Seq(k0, k1, k2) = (0 to 2).map(_ match {
+      case i => out(i).getSeq[Long](0)
+    })
+    assert(k0.length === 32)
+    assert(k0 === k1)                       // same text -> same keys
+    assert(k0.zip(k2).exists { case (a, b) => a == b })  // near dup shares a band
+    assert(k0 !== k2)                       // but not every band
+  }
+
+  test("simhashCode: majority-stable, Hamming-close for near dups, cutoff null") {
+    import spark.implicits._
+    val long1 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 80).map(i => if (i == 40) "X" else s"w$i").mkString(" ")
+    val out = Seq(long1, long1, long2, "tiny doc here")
+      .toDF("t").select(simhashCode(col("t"), 3, 64).as("c")).collect()
+    assert(out(3).isNullAt(0))              // below the shingle cutoff
+    assert(out(0).getLong(0) === out(1).getLong(0))
+    val ham = java.lang.Long.bitCount(out(0).getLong(0) ^ out(2).getLong(0))
+    assert(ham <= 12)                       // near dup concentrates
+    assert(out(0).getLong(0) !== 0L)
+  }
+
   test("shingleSetN edge cases: short, empty, padded") {
     import spark.implicits._
     val out = Seq("a b", "", "  x y z  ", "a  b c").toDF("t")
