@@ -104,7 +104,34 @@ object PipelineQueries {
     Streams.statefulCounts(s, d)
   }
 
+  // ---- st7: session windows (8h inactivity gap, complete mode) ----
+  // Oracle: gaps-and-islands — a session breaks where the per-user
+  // spacing reaches the gap (>= matches session_window's strict-overlap
+  // merge), session end = last event + gap. Micros arithmetic mirrors
+  // the ns -> us floor division of the stream reader.
+  val st7SessionWindow = withOracle(
+    "st7_stream_session",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+      |           FROM events),
+      |d AS (SELECT user_id, us, value,
+      |             CASE WHEN lag(us) OVER w IS NULL
+      |                  OR us - lag(us) OVER w >= 28800000000
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT user_id, us, value,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d)
+      |SELECT user_id,
+      |       CAST(min(us) AS BIGINT) AS session_start_us,
+      |       CAST(max(us) + 28800000000 AS BIGINT) AS session_end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+    Streams.sessionAgg(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, st1HourlyAgg, st2StreamDedup, st3Stateful,
-      st4Watermarked, st5StreamJoin)
+      st4Watermarked, st5StreamJoin, st7SessionWindow)
 }

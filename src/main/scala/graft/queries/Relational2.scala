@@ -256,7 +256,59 @@ object Relational2 {
         sum(col("pos") + 1).as("pos_sum"))
   }
 
+  // ---- A11: salted two-phase aggregation over skewed keys ----
+  // lineitem's (returnflag, linestatus) has only ~4 heavy groups — at
+  // 100 TB a single-phase hash-agg would funnel everything into 4
+  // reducer partitions (the classic skew collapse). The salt spreads
+  // each group across 64 partial groups, the first aggregation runs at
+  // full parallelism, and the second collapses 4x64 tiny rows. Sums are
+  // DECIMAL partials (order-independent), so the result is identical to
+  // the plain GROUP BY the oracle runs. The salt is a deterministic
+  // function of the row key — no RNG, re-runs are stable.
+  val a11SaltedAgg = withOracle(
+    "a11_salted_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val partial = Tables.lineitem(s, d)
+      .withColumn("_salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(64)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("_salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"))
+    partial.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("pn")).as("n_items"),
+        sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pp")).cast("double").as("sum_price"))
+  }
+
+  // ---- W6: distribution windows (percent_rank / cume_dist / ntile) ----
+  // percent_rank and cume_dist are exact rationals ((rank-1)/(n-1),
+  // peers/n) — bit-identical across engines; the window order is made
+  // total by the orderkey tie-break so every rank is deterministic.
+  val w6Distribution = withOracle(
+    "w6_distribution",
+    """SELECT o_orderkey, o_orderpriority,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume_dist,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").cast("decimal(18,2)"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume_dist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    w3LeadLag, w4Running, w5Rank, a8Rollup, a9Cube, a10Pivot,
-    u1SetOps, j13RangeJoin, j14AsOf, e1Explode)
+    w3LeadLag, w4Running, w5Rank, w6Distribution, a8Rollup, a9Cube, a10Pivot,
+    a11SaltedAgg, u1SetOps, j13RangeJoin, j14AsOf, e1Explode)
 }

@@ -154,5 +154,95 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(s1BruteTopK, s2AnnLsh)
+  private val IvfK = 16
+  private val IvfCentroidBase = 100
+  private val IvfNProbe = 4
+
+  // ---- s3: IVF (inverted-file) ANN — cell-partitioned probe, exact re-rank ----
+  /** The third ANN shape from the survey's scale menu (s1 brute force,
+    * s2 LSH buckets, s3 IVF): a 16-vector coarse quantizer (deterministic
+    * codebook = embeddings 100..115) assigns every vector to its argmax-
+    * cosine cell as a PURE PER-ROW EXPRESSION over literal centroids (no
+    * join, no shuffle — see [[VectorFunctions.ivfCell]]); each query
+    * probes its `IvfNProbe` nearest cells through a broadcast equi-join
+    * on the cell id and candidates are exactly re-ranked. At 100 TB the
+    * table is partitioned by cell at ingest, so a probe reads only
+    * nprobe/K of the data — the IVF contract. The oracle mirrors the
+    * quantizer and probe exactly (same fold arithmetic, same rank-1 and
+    * rank<=nprobe tie-breaks), so the result — including any recall the
+    * coarse quantizer trades away — is bit-reproducible, the same
+    * mirrored-semantics contract as s2.
+    */
+  val s3AnnIvf = withOracle(
+    "s3_ann_ivf",
+    s"""WITH c AS (SELECT CAST(vec_id - $IvfCentroidBase AS INT) AS j,
+       |                  embedding AS c_emb
+       |           FROM embeddings
+       |           WHERE vec_id BETWEEN $IvfCentroidBase
+       |                 AND ${IvfCentroidBase + IvfK - 1}),
+       |v AS (SELECT vec_id, embedding FROM embeddings),
+       |asg0 AS (SELECT v.vec_id, c.j,
+       |                ${cosSql("c.c_emb", "v.embedding")} AS cs
+       |         FROM v, c),
+       |cells AS (SELECT vec_id, j AS cell FROM
+       |          (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY cs DESC, j) AS rn FROM asg0)
+       |          WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |qs AS (SELECT q.q_id, c.j, ${cosSql("c.c_emb", "q.q_emb")} AS cs
+       |       FROM q, c),
+       |probe AS (SELECT q_id, j AS cell FROM
+       |          (SELECT q_id, j, row_number() OVER (PARTITION BY q_id
+       |                      ORDER BY cs DESC, j) AS rn FROM qs)
+       |          WHERE rn <= $IvfNProbe),
+       |cand AS (SELECT p.q_id, ce.vec_id AS cand_id
+       |         FROM probe p JOIN cells ce ON p.cell = ce.cell
+       |         WHERE ce.vec_id <> p.q_id),
+       |sc AS (SELECT cand.q_id, cand.cand_id,
+       |              ${cosSql("q.q_emb", "v.embedding")} AS cosine
+       |       FROM cand JOIN q ON q.q_id = cand.q_id
+       |                 JOIN v ON v.vec_id = cand.cand_id),
+       |r AS (SELECT q_id, cand_id, cosine,
+       |             row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY cosine DESC, cand_id) AS rank FROM sc)
+       |SELECT q_id, cand_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= $TopK""".stripMargin) { (s, d) =>
+    // Codebook load: 16 rows collected once at plan build — the coarse
+    // quantizer is broadcast-sized by construction (not a driver loop
+    // over data).
+    val centroids: Seq[Seq[Float]] = Tables.embeddings(s, d)
+      .filter(col("vec_id")
+        .between(IvfCentroidBase, IvfCentroidBase + IvfK - 1))
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().toSeq.map(_.getSeq[Float](0))
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm"))
+      .withColumn("cell", ivfCell(centroids, col("embedding"), col("nrm")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cell"))
+    val probes = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        posexplode(array(centroids.map(c =>
+          centroidCosine(c, col("embedding"), col("nrm"))): _*)))
+      .toDF("q_id", "q_emb", "q_nrm", "cell", "cos")
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    base.join(broadcast(probes),
+        base("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dotN(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("cand_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(s1BruteTopK, s2AnnLsh, s3AnnIvf)
 }

@@ -190,7 +190,55 @@ object TextAnalysis {
         .otherwise("heldout").as("split"))
   }
 
+  // ---- TF-IDF top terms per document ----
+  // Corpus-relative term weighting: tf from an explode + (doc, term)
+  // count, df from a second count over the distinct (doc, term) pairs,
+  // idf as the RATIONAL (N+1)/(df+1) rather than its logarithm — log is
+  // a transcendental whose last-ulp can differ across libm
+  // implementations, while the rational is exact IEEE division on both
+  // engines AND a monotone transform of log-idf, so per-document term
+  // ranking is identical to the textbook formula. Top-3 terms per doc by
+  // (tfidf DESC, term). Scale: two hash-aggs over the token explode and
+  // a broadcast of the (tiny) corpus-size scalar; the per-doc window
+  // rides the (doc_id) partitioning of the tf agg.
+  val t6Tfidf = withOracle(
+    "t6_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(trim(text), ' +'),
+      |                            t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |              CAST(tf.tf AS DOUBLE)
+      |                * (CAST(n.n_docs + 1 AS DOUBLE)
+      |                   / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+      |       FROM tf JOIN df USING (term), n),
+      |r AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+      |                 ORDER BY tfidf DESC, term) AS rank FROM sc)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+      |       CAST(df AS BIGINT) AS df, tfidf, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double")
+        * ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank").cast("long").as("rank"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint, t5TokenPercentiles,
-      c1HashSplit)
+      t6Tfidf, c1HashSplit)
 }

@@ -78,6 +78,35 @@ object VectorFunctions {
   /** Hamming distance between two bucket codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- IVF (inverted-file) coarse quantization ----
+
+  /** Cosine of a vector column against a LITERAL centroid — the centroid
+    * array and its norm constant-fold, so cell assignment runs inside the
+    * scan's generated code with no join and no shuffle. Fold order is the
+    * oracle's (vector index order; IEEE multiply is commutative, so
+    * operand order inside each product is immaterial).
+    */
+  def centroidCosine(cent: Seq[Float], v: Column, vNrm: Column): Column =
+    dotN(typedLit(cent), v) / (normN(typedLit(cent)) * vNrm)
+
+  /** IVF cell id: argmax-cosine centroid index, ties to the SMALLER
+    * index (via struct max over (cosine, -index) — lexicographic struct
+    * ordering makes greatest() pick max cosine then min index, exactly
+    * the oracle's `ORDER BY cosine DESC, j` rank-1 row).
+    *
+    * The codebook is a handful of literal vectors (16 x 64 floats here —
+    * the standard IVF contract: the quantizer is broadcast-sized by
+    * construction), so assignment is a pure per-row expression: at 100 TB
+    * vectors can be PARTITIONED BY this cell at ingest and a probe
+    * touches only the probed cells' files.
+    */
+  def ivfCell(centroids: Seq[Seq[Float]], v: Column, vNrm: Column): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      struct(centroidCosine(c, v, vNrm).as("c"), lit(-j).as("nj"))
+    }
+    (-greatest(scored: _*).getField("nj")).cast("int")
+  }
+
   /** EXACT all-pairs cosine-threshold join, triangle-blocked for scale.
     *
     * For dense near-random embeddings at a low threshold there is no

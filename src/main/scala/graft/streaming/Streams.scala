@@ -124,6 +124,29 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
   }
 
+  /** Session-window aggregate (complete mode): per-user sessions closed
+    * by an inactivity gap. `session_window` opens [ts, ts+gap) per event
+    * and merges overlapping intervals, so two events share a session iff
+    * their spacing is STRICTLY below the gap, and the session end is
+    * last-event + gap — the exact gaps-and-islands semantics the batch
+    * oracle recomputes. Complete mode emits every merged session at
+    * end-of-stream, so micro-batch boundaries cannot change the result
+    * (session state merges across batches). Outputs exact microsecond
+    * bounds (BIGINT) rather than formatted timestamps.
+    */
+  def sessionAgg(spark: SparkSession, sfDir: String,
+      gap: String = "8 hours"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runToMemory(spark, agg, "graft_stream_session", OutputMode.Complete())
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Streaming deduplication: stateful dropDuplicates over the key
     * columns; the emitted first-seen rows projected to the key set are
     * order-independent. (Unbounded state, as in the reference; a
