@@ -330,16 +330,17 @@ object Dedup {
     while (!converged && it < maxIterations) {
       val nbrMin = sym.join(labels, sym("dst") === labels("v"))
         .groupBy(sym("src")).agg(min(col("lbl")).as("nm"))
+      // The change flag rides the propagation join (no second join
+      // against the old labels): a vertex changed iff a neighbor
+      // offered a strictly smaller label.
       val next = labels.alias("L")
         .join(nbrMin.alias("N"), col("L.v") === col("N.src"), "left")
         .select(col("L.v").as("v"),
-          least(col("L.lbl"), coalesce(col("N.nm"), col("L.lbl"))).as("lbl"))
+          least(col("L.lbl"), coalesce(col("N.nm"), col("L.lbl"))).as("lbl"),
+          (coalesce(col("N.nm"), col("L.lbl")) < col("L.lbl")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("v"), col("lbl"))
       converged = changed == 0
       it += 1
     }

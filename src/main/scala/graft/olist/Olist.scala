@@ -494,12 +494,19 @@ object OlistGold {
       silverPayments: DataFrame,
       silverReviews: DataFrame): DataFrame = {
 
-    val paymentTotals = silverPayments.groupBy(col("order_id")).agg(
+    // Same split as a1_group_agg: collect_set (ObjectHashAggregate) fused
+    // with countDistinct (Expand) degrades super-linearly; two
+    // aggregations joined on the group key share one hash partitioning
+    // and their stages overlap.
+    val payMain = silverPayments.groupBy(col("order_id")).agg(
       sum(col("payment_value")).as("total_payment_value"),
-      countDistinct(col("payment_type")).as("payment_type_count"),
       max(col("payment_installments")).as("max_installments"),
       array_join(sort_array(collect_set(col("payment_type"))), ", ")
         .as("payment_types"))
+    val payTypes = silverPayments.select(col("order_id"), col("payment_type"))
+      .distinct()
+      .groupBy(col("order_id")).agg(count(lit(1)).as("payment_type_count"))
+    val paymentTotals = payMain.join(payTypes, "order_id")
 
     val reviewSummary = silverReviews.groupBy(col("order_id")).agg(
       max(col("review_score")).as("review_score"),

