@@ -54,6 +54,61 @@ object Multimodal {
     }
   }
 
+  /** One sampled "video frame", pooled to a fixed-width vector. */
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Long, frame_bytes: Long,
+      p0: Double, p1: Double, p2: Double, p3: Double)
+
+  /** Frame-sampling + resize plumbing over the same stubbed codec:
+    * the payload is treated as a frame sequence (BlockSize bytes per
+    * frame), every SampleEvery-th frame is decoded, and each decoded
+    * frame is "resized" by equal-split mean pooling to a fixed
+    * Pools-wide vector — the deterministic stand-in for
+    * decode -> sample -> resize -> embed. The 1-row-to-n-frames
+    * expansion runs iterator-in/iterator-out per partition (the
+    * mapInPandas batch shape), so frame explosion never materializes a
+    * document's frames in one object, and output rows are fixed-width.
+    */
+  object FrameSampler {
+    val SampleEvery = 4
+    val Pools = 4
+
+    def sampleFrames(media: Array[Byte]): Iterator[(Long, Long, Array[Double])] = {
+      val n = media.length
+      val nFrames = (n + FakeCodec.BlockSize - 1) / FakeCodec.BlockSize
+      (0 until nFrames).iterator.filter(_ % SampleEvery == 0).map { i =>
+        val s = i * FakeCodec.BlockSize
+        val e = math.min(n, s + FakeCodec.BlockSize)
+        val fb = e - s
+        val pools = Array.tabulate(Pools) { j =>
+          val ps = s + j * fb / Pools
+          val pe = s + (j + 1) * fb / Pools
+          if (pe > ps) {
+            var sum = 0L
+            var k = ps
+            while (k < pe) { sum += media(k) & 0xff; k += 1 }
+            sum.toDouble / (pe - ps).toDouble
+          } else 0.0
+        }
+        (i.toLong, fb.toLong, pools)
+      }
+    }
+  }
+
+  /** Partition-batched frame sampling: one input row expands to its
+    * sampled frames' fixed-width feature rows.
+    */
+  def extractFrames(spark: SparkSession, media: DataFrame): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { rec =>
+        FrameSampler.sampleFrames(rec.media).map { case (idx, fb, p) =>
+          FrameFeatures(rec.doc_id, idx, fb, p(0), p(1), p(2), p(3))
+        }
+      }
+    }
+  }
+
   /** Attach a synthetic binary payload (UTF-8 bytes of the text) plus
     * metadata — the ingest step that in production reads object-store
     * blobs alongside the row.

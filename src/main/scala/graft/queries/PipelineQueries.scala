@@ -44,6 +44,49 @@ object PipelineQueries {
       Multimodal.attachMedia(Tables.documents(s, d))).toDF()
   }
 
+  // ---- m2: frame sampling + pooled resize (1 row -> n frame rows) ----
+  // Same ASCII-payload trick as m1: the oracle recomputes every sampled
+  // frame's equal-split pool means with identical integer bucket bounds
+  // (j*fb//4) and the same sum/len double division.
+  val m2FrameSample = withOracle(
+    "m2_frame_sample",
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(list_filter(string_split(text, ''),
+      |                                    c -> length(c) > 0),
+      |                        c -> CAST(ascii(c) AS BIGINT)) AS cps
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n, cps,
+      |         unnest(list_filter(range(0, CAST((n + 63) // 64 AS BIGINT)),
+      |                            i -> i % 4 = 0)) AS frame_idx
+      |  FROM b),
+      |g AS (
+      |  SELECT doc_id, frame_idx,
+      |         CAST(frame_idx * 64 AS BIGINT) AS s,
+      |         CAST(least(n, frame_idx * 64 + 64) AS BIGINT) AS e, cps
+      |  FROM f),
+      |p AS (
+      |  SELECT doc_id, frame_idx, e - s AS fb,
+      |         [CASE WHEN (j + 1) * (e - s) // 4 > j * (e - s) // 4
+      |               THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                      cps[CAST(s + j * (e - s) // 4 + 1 AS BIGINT)
+      |                          :CAST(s + (j + 1) * (e - s) // 4 AS BIGINT)]),
+      |                      (a, b) -> a + b) AS DOUBLE)
+      |                    / CAST((j + 1) * (e - s) // 4
+      |                           - j * (e - s) // 4 AS DOUBLE)
+      |               ELSE 0.0 END
+      |          FOR j IN [0, 1, 2, 3]] AS pools
+      |  FROM g)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(fb AS BIGINT) AS frame_bytes,
+      |       pools[1] AS p0, pools[2] AS p1,
+      |       pools[3] AS p2, pools[4] AS p3
+      |FROM p""".stripMargin) { (s, d) =>
+    Multimodal.extractFrames(s,
+      Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+  }
+
   // ---- st1: tumbling event-time window aggregate (complete mode) ----
   val st1HourlyAgg = withOracle(
     "st1_stream_hourly",
@@ -104,6 +147,13 @@ object PipelineQueries {
     Streams.statefulCounts(s, d)
   }
 
+  // ---- st8: WATERMARKED streaming dedup (state-bounded) ----
+  val st8StreamDedupWm = withOracle(
+    "st8_stream_dedup_wm",
+    "SELECT DISTINCT user_id, event_type FROM events") { (s, d) =>
+    Streams.streamDedupWatermarked(s, d)
+  }
+
   // ---- st7: session windows (8h inactivity gap, complete mode) ----
   // Oracle: gaps-and-islands — a session breaks where the per-user
   // spacing reaches the gap (>= matches session_window's strict-overlap
@@ -132,6 +182,7 @@ object PipelineQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(m1MediaFeatures, st1HourlyAgg, st2StreamDedup, st3Stateful,
-      st4Watermarked, st5StreamJoin, st7SessionWindow)
+    Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
+      st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
+      st8StreamDedupWm)
 }

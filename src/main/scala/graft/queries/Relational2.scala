@@ -256,6 +256,30 @@ object Relational2 {
         sum(col("pos") + 1).as("pos_sum"))
   }
 
+  // ---- U2: multiset set ops (INTERSECT ALL / EXCEPT ALL) ----
+  // Multiplicity semantics (min / difference of per-row counts) — the
+  // ALL variants u1's DISTINCT forms don't cover. Tagged union keeps one
+  // output shape.
+  val u2SetOpsAll = withOracle(
+    "u2_setops_all",
+    """WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
+      |           WHERE o_custkey % 2 = 0),
+      |b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+      |      WHERE o_custkey % 3 = 0)
+      |SELECT 'intersect_all' AS op, * FROM (
+      |  SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'except_all' AS op, * FROM (
+      |  SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_custkey") % 2 === 0)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+    val b = o.filter(col("o_custkey") % 3 === 0)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+    a.intersectAll(b).select(lit("intersect_all").as("op"), col("*"))
+      .unionAll(a.exceptAll(b).select(lit("except_all").as("op"), col("*")))
+  }
+
   // ---- A11: salted two-phase aggregation over skewed keys ----
   // lineitem's (returnflag, linestatus) has only ~4 heavy groups — at
   // 100 TB a single-phase hash-agg would funnel everything into 4
@@ -310,5 +334,5 @@ object Relational2 {
 
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, a8Rollup, a9Cube, a10Pivot,
-    a11SaltedAgg, u1SetOps, j13RangeJoin, j14AsOf, e1Explode)
+    a11SaltedAgg, u1SetOps, u2SetOpsAll, j13RangeJoin, j14AsOf, e1Explode)
 }

@@ -66,5 +66,33 @@ object SourceQueries {
         col("j.missing").isNull.as("missing_is_null"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(s1CsvIngest, f5Json)
+  // ---- Regex vocabulary (extract / replace-count / extract_all / rlike) ----
+  // Patterns are restricted to the syntax Java regex and RE2 interpret
+  // identically (char classes, quantifiers, alternation — no lookaround,
+  // no \b) so both engines match the same spans. The digit-strip is
+  // reported as a LENGTH (not the rewritten text) to keep the hashed
+  // payload small.
+  val f6Regex = withOracle(
+    "f6_regex",
+    """SELECT doc_id,
+      |       regexp_extract(text, '([0-9]+)', 1) AS first_num,
+      |       CAST(length(text) -
+      |            length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+      |         AS n_digit_chars,
+      |       CAST(length(regexp_extract_all(text, '[A-Za-z]+ing')) AS BIGINT)
+      |         AS ing_words,
+      |       regexp_matches(text, 'the [a-z]+') AS has_the_phrase
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("long").as("n_digit_chars"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+ing"), lit(0)))
+        .cast("long").as("ing_words"),
+      col("text").rlike("the [a-z]+").as("has_the_phrase"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(s1CsvIngest, f5Json, f6Regex)
 }

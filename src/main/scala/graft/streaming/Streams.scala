@@ -160,6 +160,23 @@ object Streams {
       .select(col("user_id"), col("event_type"))
   }
 
+  /** Watermarked streaming dedup (`dropDuplicatesWithinWatermark`): the
+    * state-BOUNDED variant of [[streamDedup]] — per-key state is evicted
+    * once the watermark passes it, which is what makes streaming dedup
+    * survive an unbounded stream (plain dropDuplicates keeps state
+    * forever). Duplicates arriving inside the watermark horizon are
+    * dropped; with AvailableNow over the finite input every duplicate is
+    * within horizon, so the emitted key set equals batch DISTINCT.
+    */
+  def streamDedupWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToMemory(spark, dedup, "graft_stream_dedup_wm", OutputMode.Append())
+      .select(col("user_id"), col("event_type"))
+  }
+
   // Public: Catalyst's generated (de)serializers need access.
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)

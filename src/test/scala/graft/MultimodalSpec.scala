@@ -19,6 +19,30 @@ class MultimodalSpec extends SparkSpec {
     assert(mean === 255.0)
   }
 
+  test("FrameSampler: every 4th frame, equal-split pools, short tail frame") {
+    // 300 bytes -> frames 0..4 (last = 44 bytes); sampled: 0 and 4.
+    val bytes = Array.tabulate(300)(i => (i % 251).toByte)
+    val frames = Multimodal.FrameSampler.sampleFrames(bytes).toSeq
+    assert(frames.map(_._1) === Seq(0L, 4L))
+    assert(frames.map(_._2) === Seq(64L, 44L))
+    val (_, _, p) = frames(1)                   // tail frame: 44 bytes, 11 per pool
+    val s = 4 * 64
+    val exp = (0 until 4).map(j =>
+      (s + j * 11 until s + (j + 1) * 11).map(k => bytes(k) & 0xff).sum / 11.0)
+    assert(p.toSeq === exp)
+  }
+
+  test("FrameSampler: sub-pool frames pad empty pools with 0.0") {
+    // A 3-byte payload: one frame, pools get 0,1,1,1 bytes (j*3/4 bounds).
+    val frames = Multimodal.FrameSampler.sampleFrames(
+      Array[Byte](10, 20, 30)).toSeq
+    assert(frames.size === 1)
+    val (_, fb, p) = frames(0)
+    assert(fb === 3L)
+    assert(p(0) === 0.0)                        // empty first pool
+    assert(p.toSeq.drop(1) === Seq(10.0, 20.0, 30.0))
+  }
+
   test("media pipeline: attach -> extract keeps one row per doc") {
     val docs = Seq((1L, "hello"), (2L, "worlds")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs))
