@@ -11,7 +11,7 @@ package graft.olist
 object OlistOracle {
   import OlistMaps._
 
-  private val ctes: String = s"""WITH
+  val ctes: String = s"""WITH
 olist_orders AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
          CAST(o_custkey AS VARCHAR) AS customer_id,

@@ -153,7 +153,44 @@ object OlistQueries {
       FROM silver_products""")
   }
 
+  /** g9 — the consumption layer: revenue by customer state and month off
+    * the star (fact ⋈ dim_customers ⋈ dim_date, grouped) — the everyday
+    * analytics query the medallion exists to serve. Money sums go
+    * through DECIMAL (item_total_value is an exact 2-dp double, so the
+    * cast is lossless and the sum order-independent). dim_date
+    * broadcasts; the customer-key join rides the fact's existing
+    * partitioning.
+    */
+  val g9RevenueRollup = withOracle(
+    "g9_revenue_rollup",
+    OlistOracle.ctes +
+      """SELECT dc.customer_state, dd.year, dd.month,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(f.item_total_value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST(sum(CASE WHEN f.is_positive_review THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS positive_reviews
+        |FROM gold_fact_order_items f
+        |JOIN gold_dim_customers dc ON f.customer_key = dc.customer_key
+        |JOIN gold_dim_date dd ON f.order_date_key = dd.date_key
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val g = new OlistGraph(s, d)
+    g.factOrderItems
+      .join(g.dimCustomers
+        .select(col("customer_key"), col("customer_state")), "customer_key")
+      .join(broadcast(g.dimDate
+        .select(col("date_key").as("order_date_key"),
+          col("year"), col("month"))), "order_date_key")
+      .groupBy(col("customer_state"), col("year"), col("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("item_total_value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        sum(when(col("is_positive_review"), 1L).otherwise(0L))
+          .as("positive_reviews"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
-    g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, st6CsvBronze)
+    g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
+    st6CsvBronze)
 }
