@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Catalog
+
+/** Plan-shape assertions for the scale-critical paths added in round 3:
+  * the point of a native sketch or a de-fused aggregation is the PLAN it
+  * produces, so a regression that silently reintroduces the expensive
+  * shape must fail the build even while values stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = Catalog.queries(name)(spark, Sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("a1_group_agg: no Expand (countDistinct de-fused from collect_set)") {
+    val plan = executedPlan("a1_group_agg")
+    assert(!plan.contains("Expand"),
+      s"countDistinct re-fused into the collect_set aggregation:\n$plan")
+  }
+
+  test("d3_minhash_lsh: no wide signature aggregate — sketches are per-row") {
+    val plan = executedPlan("d3_minhash_lsh")
+    // The old explode + 128-min-aggregate signature build carried mh_0..
+    // mh_127 aggregate buffers; the native expression must keep them out.
+    assert(!plan.contains("mh_0"),
+      s"column-based minhash signature aggregation is back:\n$plan")
+    assert(plan.contains("graft_minhash_band_keys"),
+      s"native band-keys expression missing from plan:\n$plan")
+  }
+
+  test("d4_simhash: majority vote is per-row, not a 64-sum aggregate") {
+    val plan = executedPlan("d4_simhash")
+    assert(!plan.contains("b63"),
+      s"column-based simhash bit aggregation is back:\n$plan")
+    assert(plan.contains("graft_simhash"),
+      s"native simhash expression missing from plan:\n$plan")
+  }
+
+  test("s3_ann_ivf: cell assignment is expression-only (no exchange, no join)") {
+    // The IVF quantizer is a literal codebook: assignment must run
+    // inside the scan's stage. Only the probe join and the tiny
+    // query-side window may shuffle.
+    val base = graft.core.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding"),
+        graft.similarity.VectorFunctions.normN(col("embedding")).as("nrm"))
+    val cells = base.withColumn("cell",
+      graft.similarity.VectorFunctions.ivfCell(
+        Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)).map(_.toSeq),
+        col("embedding"), col("nrm")))
+    cells.collect()
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"IVF cell assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"),
+      s"IVF cell assignment must not join:\n$plan")
+  }
+
+  test("j3_fact_star: dimension joins broadcast (no shuffle of the dims)") {
+    val plan = executedPlan("j3_fact_star")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins in the star build:\n$plan")
+  }
+
+  test("t1_token_stats: pure projection — no exchange at all") {
+    val plan = executedPlan("t1_token_stats")
+    assert(!plan.contains("Exchange"),
+      s"per-row text analysis must not shuffle:\n$plan")
+  }
+
+  test("approx_count_distinct tracks exact within 5% (the 100-TB path for a1)") {
+    // Not oracle-checked (HLL sketches differ across engines), so the
+    // accuracy contract is pinned here instead.
+    val li = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
