@@ -244,5 +244,34 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(s1BruteTopK, s2AnnLsh, s3AnnIvf)
+  // ---- v1: typed UDAF — quantized per-group embedding centroid ----
+  /** The custom-aggregate surface (SURVEY §2.9/§7): a Spark
+    * `Aggregator` registered via `functions.udaf`, running as a real
+    * partial/final aggregate. Components are quantized to Longs before
+    * summation (floor(x*1000)) so the aggregation is order-independent
+    * and the DuckDB oracle — an unnest-zip per-dimension integer sum —
+    * hash-matches exactly; see [[graft.similarity.CentroidAggregator]].
+    */
+  val v1CentroidAgg = withOracle(
+    "v1_centroid_agg",
+    """WITH e AS (SELECT vec_id % 8 AS grp,
+      |                  unnest(embedding) AS x,
+      |                  unnest(range(1, length(embedding) + 1)) AS dim
+      |           FROM embeddings)
+      |SELECT CAST(grp AS BIGINT) AS grp,
+      |       CAST(dim - 1 AS BIGINT) AS dim,
+      |       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS centroid
+      |FROM e GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val centroid = udaf(graft.similarity.CentroidAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    Tables.embeddings(s, d)
+      .groupBy((col("vec_id") % 8).as("grp"))
+      .agg(centroid(col("embedding")).as("c"))
+      .select(col("grp"), posexplode(col("c")))
+      .toDF("grp", "dim", "centroid")
+      .select(col("grp"), col("dim").cast("long").as("dim"), col("centroid"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(s1BruteTopK, s2AnnLsh, s3AnnIvf, v1CentroidAgg)
 }

@@ -63,4 +63,19 @@ class VectorFunctionsSpec extends SparkSpec {
       .select(hamming(col("x"), col("y"))).collect()(0).getInt(0)
     assert(h === 2) // 101 vs 110
   }
+
+  test("CentroidAggregator: quantized means, merge paths, dim mismatch") {
+    import graft.similarity.{CentroidAggregator => CA, CentroidBuf}
+    // floor-quantization: 0.0015 -> 1, -0.0015 -> -2 (floor, not trunc)
+    val b = CA.reduce(CA.reduce(CA.zero, Seq(0.0015f, -0.0015f)),
+      Seq(0.5f, 0.5f))
+    assert(b.sums.toSeq === Seq(1L + 500L, -2L + 500L))
+    val merged = CA.merge(b, CA.merge(CA.zero, b))   // zero-merge passthrough
+    assert(merged.n === 4L)
+    assert(merged.sums.toSeq === Seq(1002L, 996L))
+    assert(CA.finish(merged) === Seq(250.5, 249.0))
+    assert(CA.finish(CA.zero) === Seq.empty)
+    intercept[IllegalArgumentException](
+      CA.merge(b, CA.reduce(CA.zero, Seq(1.0f))))
+  }
 }
