@@ -280,6 +280,70 @@ object Relational2 {
       .unionAll(a.exceptAll(b).select(lit("except_all").as("op"), col("*")))
   }
 
+  // ---- U3: SCD1 upsert (the MERGE INTO shape, engine-neutral) ----
+  // Lakehouse upsert semantics without a transactional format: updates
+  // full-outer-joined to the base, update wins per column, insert rows
+  // ride the null base side. This is exactly what MERGE INTO ... WHEN
+  // MATCHED UPDATE / WHEN NOT MATCHED INSERT computes; a Delta/Iceberg
+  // writer would commit this frame as the new snapshot.
+  val u3UpsertScd1 = withOracle(
+    "u3_upsert_scd1",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |updates AS (
+      |  SELECT c_custkey, c_mktsegment || '_v2' AS c_mktsegment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+      |       coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |       CAST(coalesce(u.bal, b.bal) AS DOUBLE) AS bal,
+      |       u.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL AS was_updated,
+      |       u.c_custkey IS NOT NULL AND b.c_custkey IS NULL AS was_inserted
+      |FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey""".stripMargin) {
+    (s, d) =>
+      val c = Tables.customer(s, d)
+      val base = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_v2")).as("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") + lit("100.00").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("bal"))
+      base.alias("b")
+        .join(updates.alias("u"), col("b.c_custkey") === col("u.c_custkey"),
+          "full_outer")
+        .select(
+          coalesce(col("u.c_custkey"), col("b.c_custkey")).as("c_custkey"),
+          coalesce(col("u.c_mktsegment"), col("b.c_mktsegment"))
+            .as("c_mktsegment"),
+          coalesce(col("u.bal"), col("b.bal")).cast("double").as("bal"),
+          (col("u.c_custkey").isNotNull && col("b.c_custkey").isNotNull)
+            .as("was_updated"),
+          (col("u.c_custkey").isNotNull && col("b.c_custkey").isNull)
+            .as("was_inserted"))
+  }
+
+  // ---- J15: explicit join-strategy control (SHUFFLE_HASH hint) ----
+  // Values are a plain join; the operator under test is the STRATEGY:
+  // the hint forces a shuffled hash join where the planner would pick
+  // sort-merge — the right call when one side is much smaller than the
+  // other but too big to broadcast (skips both sorts). PlanSpec asserts
+  // the executed plan really is ShuffledHashJoin.
+  val j15ShuffleHash = withOracle(
+    "j15_shuffle_hash",
+    """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).alias("c")
+      .join(Tables.nation(s, d).hint("shuffle_hash").alias("n"),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .groupBy(col("n.n_name").as("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(col("n_name"), col("n_customers"))
+  }
+
   // ---- A11: salted two-phase aggregation over skewed keys ----
   // lineitem's (returnflag, linestatus) has only ~4 heavy groups — at
   // 100 TB a single-phase hash-agg would funnel everything into 4
@@ -334,5 +398,6 @@ object Relational2 {
 
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, a8Rollup, a9Cube, a10Pivot,
-    a11SaltedAgg, u1SetOps, u2SetOpsAll, j13RangeJoin, j14AsOf, e1Explode)
+    a11SaltedAgg, u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
+    j15ShuffleHash, e1Explode)
 }

@@ -72,6 +72,12 @@ class PlanSpec extends SparkSpec {
       s"per-row text analysis must not shuffle:\n$plan")
   }
 
+  test("j15_shuffle_hash: the hint forces a ShuffledHashJoin") {
+    val plan = executedPlan("j15_shuffle_hash")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint not honored:\n$plan")
+  }
+
   test("approx_count_distinct tracks exact within 5% (the 100-TB path for a1)") {
     // Not oracle-checked (HLL sketches differ across engines), so the
     // accuracy contract is pinned here instead.
