@@ -66,6 +66,41 @@ object SourceQueries {
         col("j.missing").isNull.as("missing_is_null"))
   }
 
+  // ---- JSON-lines source round-trip ----
+  // Same write-once/_SUCCESS-guard shape as s1: dump documents as
+  // JSON-lines, read back with a PINNED schema (inference on first
+  // contact is a separate, tested path — CsvSource.readInferred; a
+  // pinned schema is the production contract). Exact round-trip is the
+  // assertion: JSON string escaping and integer widths survive.
+  val s4JsonRoundtrip = withOracle(
+    "s4_json_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
+    val sfName = new java.io.File(d).getName
+    val dir = s"/tmp/graft_json/$sfName/documents"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(dir)
+    s.read.schema(DocSchema).json(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+  }
+
+  // ---- ORC source round-trip (the second columnar format) ----
+  val s5OrcRoundtrip = withOracle(
+    "s5_orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
+    val sfName = new java.io.File(d).getName
+    val dir = s"/tmp/graft_orc/$sfName/documents"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+  }
+
   // ---- Regex vocabulary (extract / replace-count / extract_all / rlike) ----
   // Patterns are restricted to the syntax Java regex and RE2 interpret
   // identically (char classes, quantifiers, alternation — no lookaround,
@@ -94,5 +129,5 @@ object SourceQueries {
       col("text").rlike("the [a-z]+").as("has_the_phrase"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(s1CsvIngest, f5Json, f6Regex)
+  val specs: Seq[QuerySpec] = Seq(s1CsvIngest, s4JsonRoundtrip, s5OrcRoundtrip, f5Json, f6Regex)
 }
