@@ -48,16 +48,33 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a finite (AvailableNow) stream into a memory sink, return it. */
+  /** Run a finite (AvailableNow) stream into a memory sink, return it.
+    *
+    * `statePartitions`: a stateful streaming query materializes one
+    * state-store instance per shuffle partition, and that count is
+    * FROZEN into the checkpoint at first run — so it must be sized to
+    * the expected key cardinality, not inherited from the batch shuffle
+    * default (per-partition store open/commit overhead dominates when
+    * keys are few; a real deployment sizes this once per pipeline).
+    * The session conf is set for the duration of query START (captured
+    * into the query's plan) and restored afterwards.
+    */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode, statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions.isDefined) spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 
@@ -70,7 +87,8 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete())
+    runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete(),
+      statePartitions = Some(8))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("n_events"), col("sum_value"))
@@ -89,7 +107,8 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"))
-    runToMemory(spark, agg, "graft_stream_wm", OutputMode.Append())
+    runToMemory(spark, agg, "graft_stream_wm", OutputMode.Append(),
+      statePartitions = Some(8))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("n_events"))
@@ -119,7 +138,8 @@ object Streams {
       col("user_id") === col("s_user_id")
         && col("p_ts") >= col("s_ts")
         && col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
-    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append())
+    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append(),
+      statePartitions = Some(8))
       .select(col("purchase_id"), col("signup_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
   }
@@ -140,7 +160,8 @@ object Streams {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    runToMemory(spark, agg, "graft_stream_session", OutputMode.Complete())
+    runToMemory(spark, agg, "graft_stream_session", OutputMode.Complete(),
+      statePartitions = Some(8))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
@@ -156,7 +177,8 @@ object Streams {
     val dedup = eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    runToMemory(spark, dedup, "graft_stream_dedup", OutputMode.Append())
+    runToMemory(spark, dedup, "graft_stream_dedup", OutputMode.Append(),
+      statePartitions = Some(8))
       .select(col("user_id"), col("event_type"))
   }
 
@@ -173,7 +195,8 @@ object Streams {
       .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    runToMemory(spark, dedup, "graft_stream_dedup_wm", OutputMode.Append())
+    runToMemory(spark, dedup, "graft_stream_dedup_wm", OutputMode.Append(),
+      statePartitions = Some(8))
       .select(col("user_id"), col("event_type"))
   }
 
@@ -205,7 +228,8 @@ object Streams {
           (userId, n, mx)
       }
       .toDF("user_id", "n_events", "max_value")
-    runToMemory(spark, updates, "graft_stream_state", OutputMode.Update())
+    runToMemory(spark, updates, "graft_stream_state", OutputMode.Update(),
+      statePartitions = Some(8))
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         max(col("max_value")).as("max_value"))
