@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinShingleHash, RollingHash, ShingleSet}
+import graft.functions.{DotProduct, MinHashBandKeys, MinShingleHash, RollingHash, ShingleSet, SimHashCode}
 
 /** SQL surface for the native kernels, so `spark.sql` users get them too:
   *
@@ -62,7 +62,26 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_min_shingle_hash"),
       new ExpressionInfo(classOf[MinShingleHash].getName, "graft_min_shingle_hash"),
-      minShingleHashBuilder _))
+      minShingleHashBuilder _),
+    (FunctionIdentifier("graft_minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName,
+        "graft_minhash_band_keys"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4,
+          "graft_minhash_band_keys(text, n, numHashes, bands)")
+        MinHashBandKeys(exprs.head,
+          literalN("graft_minhash_band_keys", exprs(1)),
+          literalN("graft_minhash_band_keys", exprs(2)),
+          literalN("graft_minhash_band_keys", exprs(3)))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashCode].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "graft_simhash(text, n, minShingles)")
+        SimHashCode(exprs.head,
+          literalN("graft_simhash", exprs(1)),
+          literalN("graft_simhash", exprs(2)))
+      }))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -32,6 +32,27 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("graft_minhash_band_keys and graft_simhash usable from spark.sql") {
+    GraftExtensions.register(spark)
+    val bk = spark.sql(
+      "SELECT graft_minhash_band_keys('a b c d e', 3, 128, 32) AS k")
+      .collect()(0).getSeq[Long](0)
+    assert(bk.length === 32)
+    // identical text -> identical keys (pure deterministic expression)
+    val bk2 = spark.sql(
+      "SELECT graft_minhash_band_keys('a b c d e', 3, 128, 32) AS k")
+      .collect()(0).getSeq[Long](0)
+    assert(bk === bk2)
+    assert(spark.sql("SELECT graft_minhash_band_keys('a b', 3, 128, 32)")
+      .collect()(0).isNullAt(0))
+    val longDoc = (1 to 80).map(i => s"w$i").mkString(" ")
+    val sim = spark.sql(s"SELECT graft_simhash('$longDoc', 3, 64) AS c")
+      .collect()(0).getLong(0)
+    assert(sim !== 0L)
+    assert(spark.sql("SELECT graft_simhash('tiny doc', 3, 64)")
+      .collect()(0).isNullAt(0))
+  }
+
   test("registration is idempotent") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)

@@ -64,6 +64,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(h === 2) // 101 vs 110
   }
 
+  test("ivfCell assigns argmax-cosine cell with smallest-index tie-break") {
+    import graft.similarity.VectorFunctions.{ivfCell, normN}
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 0.0f))
+    val rows = Seq(
+      (0L, Array(0.9f, 0.1f)),   // -> cell 0 (ties with 2 -> smaller index)
+      (1L, Array(0.1f, 0.9f)),   // -> cell 1
+      (2L, Array(1.0f, 1.0f)))   // equidistant 0/1... dot favors none; tie -> 0
+    val df = rows.toDF("id", "emb")
+      .withColumn("nrm", normN(col("emb")))
+      .withColumn("cell", ivfCell(cents, col("emb"), col("nrm")))
+    val cells = df.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(cells(0L) === 0)
+    assert(cells(1L) === 1)
+    assert(cells(2L) === 0)
+  }
+
   test("CentroidAggregator: quantized means, merge paths, dim mismatch") {
     import graft.similarity.{CentroidAggregator => CA, CentroidBuf}
     // floor-quantization: 0.0015 -> 1, -0.0015 -> -2 (floor, not trunc)
