@@ -208,24 +208,40 @@ object SimilarityQueries {
        |                 ORDER BY cosine DESC, cand_id) AS rank FROM sc)
        |SELECT q_id, cand_id, CAST(rank AS BIGINT) AS rank, cosine
        |FROM r WHERE rank <= $TopK""".stripMargin) { (s, d) =>
-    // Codebook load: 16 rows collected once at plan build — the coarse
-    // quantizer is broadcast-sized by construction (not a driver loop
-    // over data).
-    val centroids: Seq[Seq[Float]] = Tables.embeddings(s, d)
+    ivfSearch(embBase(s, d), seedCodebook(s, d))
+  }
+
+  /** (vec_id, embedding, nrm) over the embeddings table. */
+  private def embBase(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm"))
+
+  /** Codebook load: 16 rows collected once at plan build — the coarse
+    * quantizer is broadcast-sized by construction (not a driver loop
+    * over data). Float components widen to double exactly.
+    */
+  private def seedCodebook(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Seq[Double]] =
+    Tables.embeddings(s, d)
       .filter(col("vec_id")
         .between(IvfCentroidBase, IvfCentroidBase + IvfK - 1))
       .orderBy(col("vec_id")).select(col("embedding"))
-      .collect().toSeq.map(_.getSeq[Float](0))
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        normN(col("embedding")).as("nrm"))
-      .withColumn("cell", ivfCell(centroids, col("embedding"), col("nrm")))
+      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+
+  /** Assign cells from a literal codebook, probe each query's nearest
+    * `IvfNProbe` cells through a broadcast equi-join, re-rank exactly.
+    */
+  private def ivfSearch(base: org.apache.spark.sql.DataFrame,
+      codebook: Seq[Seq[Double]]): org.apache.spark.sql.DataFrame = {
+    val assigned = base.withColumn("cell",
+      ivfCell(codebook, col("embedding"), col("nrm")))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cell"))
-    val probes = base.filter(col("vec_id") < NumQueries)
+    val probes = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
-        posexplode(array(centroids.map(c =>
+        posexplode(array(codebook.map(c =>
           centroidCosine(c, col("embedding"), col("nrm"))): _*)))
       .toDF("q_id", "q_emb", "q_nrm", "cell", "cos")
       .withColumn("rn", row_number().over(wProbe))
@@ -233,8 +249,8 @@ object SimilarityQueries {
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    base.join(broadcast(probes),
-        base("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+    assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dotN(col("q_emb"), col("embedding"))
           / (col("q_nrm") * col("nrm"))).as("cosine"))
@@ -242,6 +258,87 @@ object SimilarityQueries {
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("cand_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
+  }
+
+  // ---- s6: TRAINED IVF — one quantized Lloyd iteration ----
+  /** Composes the IVF machinery with the centroid UDAF: seed-codebook
+    * assignment (as s3), then one k-means (Lloyd) refinement — each
+    * cell's new centroid is the QUANTIZED component mean from
+    * [[graft.similarity.CentroidAggregator]] (order-independent integer
+    * sums, so the trained codebook is deterministic and the oracle
+    * recomputes it bit-for-bit; cosine is scale-invariant, so the
+    * x1000 quantization scale needs no undo) — then reassignment and
+    * probing against the trained codebook. The training step is one
+    * partial/final aggregate producing 16 rows; everything else stays
+    * the per-row-expression + broadcast-probe plan of s3. This is the
+    * real IVF build loop in miniature: more Lloyd rounds are the same
+    * aggregate repeated.
+    */
+  val s6AnnIvfTrained = withOracle(
+    "s6_ann_ivf_trained",
+    s"""WITH c AS (SELECT CAST(vec_id - $IvfCentroidBase AS INT) AS j,
+       |                  embedding AS c_emb
+       |           FROM embeddings
+       |           WHERE vec_id BETWEEN $IvfCentroidBase
+       |                 AND ${IvfCentroidBase + IvfK - 1}),
+       |v AS (SELECT vec_id, embedding FROM embeddings),
+       |asg0 AS (SELECT v.vec_id, c.j,
+       |                ${cosSql("c.c_emb", "v.embedding")} AS cs
+       |         FROM v, c),
+       |cells0 AS (SELECT vec_id, j AS cell FROM
+       |           (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cs DESC, j) AS rn FROM asg0)
+       |           WHERE rn = 1),
+       |comp AS (SELECT ce.cell, unnest(v.embedding) AS x,
+       |                unnest(range(1, length(v.embedding) + 1)) AS dim
+       |         FROM v JOIN cells0 ce USING (vec_id)),
+       |cm AS (SELECT cell, dim,
+       |              CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+       |                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+       |       FROM comp GROUP BY cell, dim),
+       |trained AS (SELECT cell, list(m ORDER BY dim) AS t_emb
+       |            FROM cm GROUP BY cell),
+       |asg1 AS (SELECT v.vec_id, t.cell,
+       |                ${cosSql("t.t_emb", "v.embedding")} AS cs
+       |         FROM v, trained t),
+       |cells1 AS (SELECT vec_id, cell FROM
+       |           (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cs DESC, cell) AS rn FROM asg1)
+       |           WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |qs AS (SELECT q.q_id, t.cell, ${cosSql("t.t_emb", "q.q_emb")} AS cs
+       |       FROM q, trained t),
+       |probe AS (SELECT q_id, cell FROM
+       |          (SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+       |                      ORDER BY cs DESC, cell) AS rn FROM qs)
+       |          WHERE rn <= $IvfNProbe),
+       |cand AS (SELECT p.q_id, ce.vec_id AS cand_id
+       |         FROM probe p JOIN cells1 ce ON p.cell = ce.cell
+       |         WHERE ce.vec_id <> p.q_id),
+       |sc AS (SELECT cand.q_id, cand.cand_id,
+       |              ${cosSql("q.q_emb", "v.embedding")} AS cosine
+       |       FROM cand JOIN q ON q.q_id = cand.q_id
+       |                 JOIN v ON v.vec_id = cand.cand_id),
+       |r AS (SELECT q_id, cand_id, cosine,
+       |             row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY cosine DESC, cand_id) AS rank FROM sc)
+       |SELECT q_id, cand_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= $TopK""".stripMargin) { (s, d) =>
+    val base = embBase(s, d)
+    val seeded = base.withColumn("cell",
+      ivfCell(seedCodebook(s, d), col("embedding"), col("nrm")))
+    val centroidU = udaf(graft.similarity.CentroidAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val trainedRows = seeded.groupBy(col("cell"))
+      .agg(centroidU(col("embedding")).as("c"))
+      .orderBy(col("cell")).collect()
+    require(trainedRows.length == IvfK &&
+      trainedRows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      "Lloyd iteration emptied a cell — codebook/cell ids out of line")
+    val trained: Seq[Seq[Double]] =
+      trainedRows.toSeq.map(_.getSeq[Double](1))
+    ivfSearch(base, trained)
   }
 
   // ---- v1: typed UDAF — quantized per-group embedding centroid ----
@@ -273,5 +370,6 @@ object SimilarityQueries {
       .select(col("grp"), col("dim").cast("long").as("dim"), col("centroid"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(s1BruteTopK, s2AnnLsh, s3AnnIvf, v1CentroidAgg)
+  val specs: Seq[QuerySpec] =
+    Seq(s1BruteTopK, s2AnnLsh, s3AnnIvf, s6AnnIvfTrained, v1CentroidAgg)
 }

@@ -84,9 +84,11 @@ object VectorFunctions {
     * array and its norm constant-fold, so cell assignment runs inside the
     * scan's generated code with no join and no shuffle. Fold order is the
     * oracle's (vector index order; IEEE multiply is commutative, so
-    * operand order inside each product is immaterial).
+    * operand order inside each product is immaterial). Codebooks are
+    * doubles: float seeds widen exactly, trained (mean) centroids are
+    * doubles natively.
     */
-  def centroidCosine(cent: Seq[Float], v: Column, vNrm: Column): Column =
+  def centroidCosine(cent: Seq[Double], v: Column, vNrm: Column): Column =
     dotN(typedLit(cent), v) / (normN(typedLit(cent)) * vNrm)
 
   /** IVF cell id: argmax-cosine centroid index, ties to the SMALLER
@@ -94,13 +96,13 @@ object VectorFunctions {
     * ordering makes greatest() pick max cosine then min index, exactly
     * the oracle's `ORDER BY cosine DESC, j` rank-1 row).
     *
-    * The codebook is a handful of literal vectors (16 x 64 floats here —
-    * the standard IVF contract: the quantizer is broadcast-sized by
-    * construction), so assignment is a pure per-row expression: at 100 TB
-    * vectors can be PARTITIONED BY this cell at ingest and a probe
-    * touches only the probed cells' files.
+    * The codebook is a handful of literal vectors (16 x 64 components
+    * here — the standard IVF contract: the quantizer is broadcast-sized
+    * by construction), so assignment is a pure per-row expression: at
+    * 100 TB vectors can be PARTITIONED BY this cell at ingest and a
+    * probe touches only the probed cells' files.
     */
-  def ivfCell(centroids: Seq[Seq[Float]], v: Column, vNrm: Column): Column = {
+  def ivfCell(centroids: Seq[Seq[Double]], v: Column, vNrm: Column): Column = {
     val scored = centroids.zipWithIndex.map { case (c, j) =>
       struct(centroidCosine(c, v, vNrm).as("c"), lit(-j).as("nj"))
     }

@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
         graft.similarity.VectorFunctions.normN(col("embedding")).as("nrm"))
     val cells = base.withColumn("cell",
       graft.similarity.VectorFunctions.ivfCell(
-        Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)).map(_.toSeq),
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
         col("embedding"), col("nrm")))
     cells.collect()
     val plan = cells.queryExecution.executedPlan.toString

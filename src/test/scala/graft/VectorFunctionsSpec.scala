@@ -66,7 +66,7 @@ class VectorFunctionsSpec extends SparkSpec {
 
   test("ivfCell assigns argmax-cosine cell with smallest-index tie-break") {
     import graft.similarity.VectorFunctions.{ivfCell, normN}
-    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 0.0f))
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
     val rows = Seq(
       (0L, Array(0.9f, 0.1f)),   // -> cell 0 (ties with 2 -> smaller index)
       (1L, Array(0.1f, 0.9f)),   // -> cell 1
