@@ -155,7 +155,49 @@ object DedupQueries {
         n = 3, threshold = 0.8).select(col("doc_a"), col("doc_b")))
   }
 
+  // ---- Semantic duplicate clusters: components over EMBEDDING edges ----
+  // The same clustering decision step applied to d5's cosine edge set —
+  // semantic dedup closes over meaning-level near-dups the way d6
+  // closes over lexical ones. Oracle: recursive-CTE transitive closure
+  // over the identical brute-force cosine edges.
+  val d7EmbedClusters = withOracle(
+    "d7_embed_clusters",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2048),
+      |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, length(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y)
+      |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |       list_transform(range(1, length(a.embedding) + 1),
+      |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+      |       (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |       list_transform(range(1, length(b.embedding) + 1),
+      |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |       (x, y) -> x + y))) AS cosine
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id),
+      |edges AS (SELECT doc_a, doc_b FROM p WHERE cosine >= 0.4),
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+      |        UNION SELECT doc_b, doc_a FROM edges),
+      |reach AS (
+      |  WITH RECURSIVE r(src, dst) AS (
+      |    SELECT src, dst FROM sym
+      |    UNION
+      |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+      |    WHERE s.dst <> r.src)
+      |  SELECT * FROM r)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep,
+      |       CAST(count(DISTINCT dst) + 1 AS BIGINT) AS cluster_size
+      |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
+    Dedup.duplicateClusters(
+      allPairsCosine(
+        Tables.embeddings(s, d).filter(col("vec_id") < 2048),
+        "vec_id", "embedding", threshold = 0.4, blocks = 8)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
-      d6DupClusters)
+      d6DupClusters, d7EmbedClusters)
 }

@@ -256,6 +256,59 @@ object Relational2 {
         sum(col("pos") + 1).as("pos_sum"))
   }
 
+  // ---- W7: value-based RANGE window frame ----
+  // RANGE frames bound by VALUE distance (orders within $100 below the
+  // current one), not row count — and because membership is value-based,
+  // the result is deterministic even under order-by ties. Prices go
+  // through exact integer cents (double -> decimal(18,2) -> *100 ->
+  // bigint) so both engines frame identical sets.
+  val w7RangeFrame = withOracle(
+    "w7_range_frame",
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                    AS cents
+      |           FROM orders)
+      |SELECT o_orderkey, o_orderpriority, cents,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_within_100,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS cents_within_100
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+      |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, d) =>
+      val cents = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents")).rangeBetween(-10000L, 0L)
+      cents.select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        count(lit(1)).over(w).as("n_within_100"),
+        sum(col("cents")).over(w).as("cents_within_100"))
+  }
+
+  // ---- A12: explicit GROUPING SETS (beyond rollup/cube) ----
+  // An arbitrary grouping-set list — the form rollup/cube cannot
+  // express — through the SQL entry path, with GROUPING() flags
+  // disambiguating real NULLs from subtotal rows.
+  val a12GroupingSets = withOracle(
+    "a12_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_a12_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM graft_a12_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+  }
+
   // ---- U2: multiset set ops (INTERSECT ALL / EXCEPT ALL) ----
   // Multiplicity semantics (min / difference of per-row counts) — the
   // ALL variants u1's DISTINCT forms don't cover. Tagged union keeps one
@@ -397,7 +450,7 @@ object Relational2 {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    w3LeadLag, w4Running, w5Rank, w6Distribution, a8Rollup, a9Cube, a10Pivot,
-    a11SaltedAgg, u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
-    j15ShuffleHash, e1Explode)
+    w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
+    a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, u1SetOps, u2SetOpsAll,
+    u3UpsertScd1, j13RangeJoin, j14AsOf, j15ShuffleHash, e1Explode)
 }
