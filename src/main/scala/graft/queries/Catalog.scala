@@ -6,7 +6,7 @@ object Catalog {
     Relational.specs ++ Relational2.specs ++ Star.specs ++
       TextAnalysis.specs ++ DedupQueries.specs ++ SimilarityQueries.specs ++
       PipelineQueries.specs ++ SourceQueries.specs ++ OlistQueries.specs ++
-      StorageQueries.specs
+      StorageQueries.specs ++ SketchQueries.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     specs.map(s => s.name -> s.fn).toMap

@@ -181,8 +181,23 @@ object PipelineQueries {
     Streams.sessionAgg(s, d)
   }
 
+  // ---- st9: stream-static broadcast join + complete-mode agg ----
+  // The streaming fact enriched by a batch dimension (the reference's
+  // silver streams against static lookups). Stateless join — only the
+  // downstream aggregate holds state. Batch-deterministic: the final
+  // complete-mode emission aggregates the whole input.
+  val st9StreamStatic = withOracle(
+    "st9_stream_static",
+    """SELECT c.c_nationkey,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    Streams.streamStaticJoin(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
-      st8StreamDedupWm)
+      st8StreamDedupWm, st9StreamStatic)
 }

@@ -309,6 +309,136 @@ object Relational2 {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
   }
 
+  // ---- A13: unpivot / melt (wide -> long) ----
+  // The inverse of a10's pivot: per-priority aggregates melted into
+  // (measure, value) rows via the DataFrame unpivot operator (Spark's
+  // Expand node — row multiplication happens AFTER the aggregation, so
+  // the melt itself is shuffle-free). All measures are cast to a common
+  // DOUBLE before melting, as unpivot requires one value type.
+  val a13Unpivot = withOracle(
+    "a13_unpivot",
+    """WITH agg AS (
+      |  SELECT o_orderpriority,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS total_price,
+      |         CAST(count(*) AS DOUBLE) AS n_orders,
+      |         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, measure, value
+      |FROM agg UNPIVOT (value FOR measure IN
+      |  (total_price, n_orders, n_customers))""".stripMargin) { (s, d) =>
+    val agg = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        count(lit(1)).cast("double").as("n_orders"),
+        countDistinct(col("o_custkey")).cast("double").as("n_customers"))
+    agg.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("total_price"), col("n_orders"), col("n_customers")),
+      "measure", "value")
+  }
+
+  // ---- J16: correlated EXISTS / NOT EXISTS subqueries ----
+  // Catalyst rewrites EXISTS to a left-semi and NOT EXISTS to a
+  // left-anti hash join on the correlation key — the same physical
+  // shape as j_semi/j_anti, but arrived at from the declarative
+  // subquery form (the planner, not the author, picks the join).
+  val j16Exists = withOracle(
+    "j16_exists",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 400000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F'
+      |                    AND o2.o_totalprice < 5000)""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_j16_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_j16_orders")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM graft_j16_customer c
+      WHERE EXISTS (SELECT 1 FROM graft_j16_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+        AND NOT EXISTS (SELECT 1 FROM graft_j16_orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F'
+                          AND o2.o_totalprice < 5000)""")
+  }
+
+  // ---- C2: deterministic stratified sampling ----
+  // ~10% of each priority stratum, selected by a Wang-style xor-shift
+  // mix of the row key (multiply / xor-shift rounds; affine-only hashes
+  // bias rank statistics — see hll1's scaladoc). Content-addressed
+  // sampling is reproducible across runs, engines, and repartitioning —
+  // unlike rand()-based sampling — and is a pure per-row filter: no
+  // shuffle, fully pushdown-friendly. The same mix feeds hll1; shifts
+  // are written as floor-div so DuckDB (`//`) and Spark (`shiftright`)
+  // agree bit-for-bit on the nonnegative domain.
+  val c2StratifiedSample = withOracle(
+    "c2_stratified_sample",
+    """WITH h0 AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |            (o_orderkey * 2654435761) % 2147483648 AS h1 FROM orders),
+      |hx AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |       (xor(h1, h1 // 32768) * 1597334677) % 2147483648 AS h3 FROM h0)
+      |SELECT o_orderkey, o_orderpriority,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM hx WHERE xor(h3, h3 // 8192) % 10 = 0""".stripMargin) { (s, d) =>
+    val h1 = (col("o_orderkey") * lit(2654435761L)) % lit(2147483648L)
+    val h3 = (h1.bitwiseXOR(shiftright(h1, 15)) * lit(1597334677L)) %
+      lit(2147483648L)
+    val hv = h3.bitwiseXOR(shiftright(h3, 13))
+    Tables.orders(s, d)
+      .filter(hv % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+  }
+
+  // ---- R1: recursive CTE (hierarchy walk) ----
+  // Spark 4's WITH RECURSIVE (UNION ALL form; the engine rejects
+  // recursion under distinct-UNION) over a synthetic part hierarchy
+  // (parent = p_partkey div 10 — a tree rooted at key 0, so the walk is
+  // a DAG traversal that terminates at the leaves without a depth
+  // guard). Each level is one equi-join on the computed parent key —
+  // linear total work, shuffle-partitioned per level, no driver loop:
+  // the ONLY catalog entry where iteration happens inside the engine
+  // rather than in library code (contrast Dedup.duplicateClusters).
+  // path_cost accumulates root-to-node retailprice in DECIMAL(18,2),
+  // re-cast each step so both engines carry the identical type (Spark
+  // would otherwise widen per addition), emitted as DOUBLE.
+  val r1RecursiveCte = withOracle(
+    "r1_recursive_cte",
+    """WITH RECURSIVE r(p_partkey, depth, path_cost) AS (
+      |  SELECT p_partkey, 0, CAST(p_retailprice AS DECIMAL(18,2))
+      |  FROM part WHERE p_partkey = 0
+      |  UNION ALL
+      |  SELECT c.p_partkey, r.depth + 1,
+      |         CAST(r.path_cost + CAST(c.p_retailprice AS DECIMAL(18,2))
+      |              AS DECIMAL(18,2))
+      |  FROM r JOIN part c ON c.p_partkey // 10 = r.p_partkey
+      |                    AND c.p_partkey > 0)
+      |SELECT p_partkey, CAST(depth AS BIGINT) AS depth,
+      |       CAST(path_cost AS DOUBLE) AS path_cost
+      |FROM r""".stripMargin) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("graft_r1_part")
+    s.sql("""
+      WITH RECURSIVE r(p_partkey, depth, path_cost) AS (
+        SELECT p_partkey, 0, CAST(p_retailprice AS DECIMAL(18,2))
+        FROM graft_r1_part WHERE p_partkey = 0
+        UNION ALL
+        SELECT c.p_partkey, r.depth + 1,
+               CAST(r.path_cost + CAST(c.p_retailprice AS DECIMAL(18,2))
+                    AS DECIMAL(18,2))
+        FROM r JOIN graft_r1_part c ON c.p_partkey div 10 = r.p_partkey
+                                   AND c.p_partkey > 0)
+      SELECT p_partkey, CAST(depth AS BIGINT) AS depth,
+             CAST(path_cost AS DOUBLE) AS path_cost
+      FROM r""")
+  }
+
   // ---- U2: multiset set ops (INTERSECT ALL / EXCEPT ALL) ----
   // Multiplicity semantics (min / difference of per-row counts) — the
   // ALL variants u1's DISTINCT forms don't cover. Tagged union keeps one
@@ -451,6 +581,8 @@ object Relational2 {
 
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
-    a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, u1SetOps, u2SetOpsAll,
-    u3UpsertScd1, j13RangeJoin, j14AsOf, j15ShuffleHash, e1Explode)
+    a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
+    u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
+    j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
+    r1RecursiveCte)
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Sketch-based approximate aggregation — the distinct-count scale path.
+  *
+  * At 100 TB an exact `count(DISTINCT key)` shuffles every distinct key;
+  * a HyperLogLog sketch shuffles a FIXED m-register state per group
+  * (here m = 64 registers, i.e. bytes, per group) and is mergeable:
+  * register-wise max is associative/commutative, so Spark's partial
+  * aggregation combines sketches map-side and the reduce side merges
+  * 32 partial sketches per group instead of re-seeing every key —
+  * the same two-level shape `approx_count_distinct` uses internally.
+  *
+  * Spark ships HLL++ (`approx_count_distinct`), but its registers hash
+  * with xxhash64 seeds DuckDB does not expose, so its estimates cannot
+  * be oracle-checked. This query builds the HLL estimator from scratch
+  * with engine-portable arithmetic instead, and the driver hash-matches
+  * every intermediate against DuckDB running the identical algorithm:
+  *
+  *  - hash: two Wang-style multiply + xor-shift rounds mod 2^31 (an
+  *    affine-ONLY hash, e.g. one LCG round, maps the near-sequential
+  *    custkeys to an arithmetic progression whose leading-zero ranks
+  *    are badly biased — measured 2x overestimate; the xor-shift
+  *    rounds break affinity and bring the estimate within the
+  *    1.04/sqrt(64) ~ 13% theoretical error),
+  *  - register index: low 6 hash bits; rank: leading zeros of the
+  *    remaining 25-bit suffix + 1, computed as 26 - length(bin(x))
+  *    (`bin` exists in both engines and never emits leading zeros —
+  *    no log2/floating point anywhere near the integer path),
+  *  - estimate: the raw HLL harmonic mean alpha_m * m^2 / sum(2^-Mj),
+  *    with empty registers contributing 2^0 = 1. Every float step is
+  *    IEEE-exact (powers of two, division) so the DOUBLE output
+  *    hash-matches bit-for-bit; no transcendental corrections.
+  */
+object SketchQueries {
+
+  import QuerySpec._
+
+  private val M = 64 // registers per group (6 index bits, 25 rank bits)
+
+  val hll1ApproxDistinct = withOracle(
+    "hll1_approx_distinct",
+    """WITH h0 AS (
+      |  SELECT o_orderpriority,
+      |         (o_custkey * 2654435761) % 2147483648 AS h1
+      |  FROM orders),
+      |hx AS (
+      |  SELECT o_orderpriority,
+      |         (xor(h1, h1 // 32768) * 1597334677) % 2147483648 AS h3
+      |  FROM h0),
+      |h AS (SELECT o_orderpriority, xor(h3, h3 // 8192) AS hv FROM hx),
+      |regs AS (
+      |  SELECT o_orderpriority, hv % 64 AS reg,
+      |         max(CASE WHEN hv // 64 = 0 THEN 26
+      |                  ELSE 26 - length(bin(hv // 64)) END) AS mx
+      |  FROM h GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT o_orderpriority,
+      |         sum(power(CAST(2.0 AS DOUBLE), -mx)) AS s,
+      |         count(*) AS nb
+      |  FROM regs GROUP BY 1),
+      |ex AS (
+      |  SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact
+      |  FROM orders GROUP BY 1)
+      |SELECT sk.o_orderpriority,
+      |       CAST((0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+      |            / (s + (64 - nb) * 1.0) AS DOUBLE) AS hll_est,
+      |       CAST(n_exact AS BIGINT) AS n_exact
+      |FROM sk JOIN ex USING (o_orderpriority)""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val h1 = (col("o_custkey") * lit(2654435761L)) % lit(2147483648L)
+    val h3 = (h1.bitwiseXOR(shiftright(h1, 15)) * lit(1597334677L)) %
+      lit(2147483648L)
+    val hv = h3.bitwiseXOR(shiftright(h3, 13))
+    val suffix = shiftright(col("hv"), 6) // hv div 64, nonneg
+    val regs = orders
+      .select(col("o_orderpriority"), hv.as("hv"))
+      .groupBy(col("o_orderpriority"), (col("hv") % M).as("reg"))
+      .agg(max(when(suffix === 0, 26)
+        .otherwise(lit(26) - length(bin(suffix)))).as("mx"))
+    val sketch = regs.groupBy(col("o_orderpriority"))
+      .agg(sum(pow(lit(2.0), -col("mx"))).as("s"),
+        count(lit(1)).as("nb"))
+      .select(col("o_orderpriority"),
+        (lit(0.7213 / (1.0 + 1.079 / M)) * M * M /
+          (col("s") + (lit(M) - col("nb")) * 1.0)).as("hll_est"))
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    sketch.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("hll_est"), col("n_exact"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(hll1ApproxDistinct)
+}

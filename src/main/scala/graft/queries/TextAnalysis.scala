@@ -238,7 +238,37 @@ object TextAnalysis {
         col("tfidf"), col("rank").cast("long").as("rank"))
   }
 
+  // ---- Top-k terms per language ----
+  // The wordcount-at-scale shape: tokenize + explode (map-side), one
+  // hash-agg on (lang, term), then a top-k window riding the same
+  // (lang) partitioning — no second shuffle. Ties break on term text
+  // so the ranking is total and engine-independent. At 100 TB the
+  // (lang, term) agg is the only full shuffle and its cardinality is
+  // vocabulary-sized, not corpus-sized; a heavy-hitter variant would
+  // swap the exact agg for count-min + candidate re-count.
+  val t7TopTerms = withOracle(
+    "t7_top_terms",
+    """WITH tok AS (
+      |  SELECT lang, unnest(list_filter(string_split_regex(trim(text), ' +'),
+      |                      t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tc AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, term, n,
+      |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, term)
+      |        AS rnk FROM tc)
+      |SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("term"), col("n"), col("rnk"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t1TokenStats, t2Quality, t3LangId, t4Fingerprint, t5TokenPercentiles,
-      t6Tfidf, c1HashSplit)
+      t6Tfidf, t7TopTerms, c1HashSplit)
 }

@@ -200,6 +200,29 @@ object Streams {
       .select(col("user_id"), col("event_type"))
   }
 
+  /** Stream-static join: the streaming fact enriched against a batch
+    * dimension — the reference's core incremental shape (a silver
+    * stream joining a static lookup, e.g. the seller state map). The
+    * static side is re-read per micro-batch and BROADCAST, so the
+    * stream side never shuffles for the join (stateless — unlike the
+    * stream-stream join, no join state at all); the only stateful op
+    * is the downstream complete-mode aggregate, keyed by the (tiny)
+    * nation cardinality. At 100 TB/day the same plan holds: broadcast
+    * dim, map-side join, partial agg before the one shuffle.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val enriched = eventsStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runToMemory(spark, enriched, "graft_stream_static", OutputMode.Complete(),
+      statePartitions = Some(8))
+      .select(col("c_nationkey"), col("n_events"), col("sum_value"))
+  }
+
   // Public: Catalyst's generated (de)serializers need access.
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)

@@ -78,6 +78,52 @@ class PlanSpec extends SparkSpec {
       s"shuffle_hash hint not honored:\n$plan")
   }
 
+  test("c2_stratified_sample: pure pushdown filter — no exchange") {
+    val plan = executedPlan("c2_stratified_sample")
+    assert(!plan.contains("Exchange"),
+      s"hash sampling must stay a per-row filter:\n$plan")
+  }
+
+  test("j16_exists: EXISTS/NOT EXISTS planned as semi + anti joins") {
+    val plan = executedPlan("j16_exists")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not lower to a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not lower to a left-anti join:\n$plan")
+  }
+
+  test("hll1: portable sketch estimate within 20% of exact per group") {
+    // m=64 registers -> 1.04/sqrt(64) ~ 13% theoretical standard error;
+    // 20% bounds every group at this scale. (The oracle pins exact
+    // VALUES; this pins the statistical CONTRACT the values must keep.)
+    Catalog.queries("hll1_approx_distinct")(spark, Sf0001).collect()
+      .foreach { r =>
+        val est = r.getAs[Double]("hll_est")
+        val exact = r.getAs[Long]("n_exact").toDouble
+        assert(math.abs(est - exact) / exact < 0.20,
+          s"${r.getString(0)}: est=$est exact=$exact")
+      }
+  }
+
+  test("r1_recursive_cte: the walk reaches every part exactly once") {
+    val rows = Catalog.queries("r1_recursive_cte")(spark, Sf0001)
+    val n = spark.read.parquet(s"$Sf0001/part.parquet").count()
+    assert(rows.count() === n)
+    assert(rows.select("p_partkey").distinct().count() === n)
+  }
+
+  test("st9_stream_static: stream-static join equals the batch join") {
+    val streamed = Catalog.queries("st9_stream_static")(spark, Sf0001)
+    val ev = graft.core.Tables.events(spark, Sf0001)
+    val dim = spark.read.parquet(s"$Sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val batch = ev.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("approx_count_distinct tracks exact within 5% (the 100-TB path for a1)") {
     // Not oracle-checked (HLL sketches differ across engines), so the
     // accuracy contract is pinned here instead.
