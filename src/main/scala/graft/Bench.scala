@@ -32,12 +32,25 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Times rounded to ms: full-precision doubles made the JSON line long
+    // enough that the driver's stdout tail window truncated it (r3:
+    // "parsed": null). Belt and braces, the same JSON is also written to a
+    // file the driver/judge can read untruncated.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      System.err.println(s"[bench] json written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
+    println(json)
     spark.stop()
   }
 }

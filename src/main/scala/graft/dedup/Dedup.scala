@@ -236,8 +236,9 @@ object Dedup {
     // O(D^2) pairs (the 100 TB melt case; cap inert on the harness
     // corpus, max df = 25 < 64). Hash collisions can only INFLATE the
     // per-pair count while the cap can only DEFLATE it, so the
-    // prefilter runs on the optimistic count (counted + capped bound,
-    // [[optimisticSurvivors]]) — sound in both directions — and the
+    // prefilter runs on the optimistic count (counted + the capped bound
+    // from [[withCappedBound]]/[[cappedPerDoc]]) — sound in both
+    // directions — and the
     // survivors (few) are verified exactly on string shingle sets.
     // Long-long pairs are left to the sketch path.
     val post = sh.select(col("doc_id"), col("short"),

@@ -211,8 +211,11 @@ case class MinHashBandKeys(child: Expression, n: Int, numHashes: Int,
   private val P = 2147483647L
 
   // Fixed-seed universal-hash coefficients — identical draw order to the
-  // column-based formulation this replaced, so candidate sets are stable
-  // across versions.
+  // column-based formulation this replaced, so the per-permutation MINIMA
+  // (and hence the candidate SEMANTICS — which documents can collide in a
+  // band) are stable across versions. The band-KEY values themselves are
+  // a fold over those minima and have changed encodings before; persisted
+  // keys are not comparable across builds, only the minima are.
   @transient private lazy val (coefA, coefB) = {
     val rnd = new scala.util.Random(42)
     val as = Array.fill(numHashes)(1L + rnd.nextLong(P - 1))
@@ -259,6 +262,14 @@ case class MinHashBandKeys(child: Expression, n: Int, numHashes: Int,
         acc = acc * 1000003L + mins(b * rows + r)
         r += 1
       }
+      // Finalizing xor-shift mix (splitmix64 tail): the plain affine fold
+      // keeps the low bits weakly mixed, which admits spurious band-key
+      // collisions (harmless for correctness — candidates are verified
+      // exactly — but each one costs a verification). Equal minima still
+      // map to equal keys, so candidate semantics are unchanged.
+      acc ^= acc >>> 30; acc *= 0xbf58476d1ce4e5b9L
+      acc ^= acc >>> 27; acc *= 0x94d049bb133111ebL
+      acc ^= acc >>> 31
       keys(b) = acc
       b += 1
     }

@@ -166,6 +166,16 @@ class Pipeline {
           val warnFail = d.expectations.filter(_.action != Action.Drop)
           val hconf = spark.sparkContext.hadoopConfiguration
           val commits = new org.apache.hadoop.fs.Path(commitsDir(spark, name))
+          // Markers are only meaningful RELATIVE to their checkpoint's
+          // batch numbering. If the checkpoint was reset (dir deleted)
+          // while the commits dir survived, batch ids restart at 0 and a
+          // stale marker would silently swallow a legitimately new batch
+          // — so a missing checkpoint always clears the markers with it.
+          val ckpt = new org.apache.hadoop.fs.Path(checkpointDir(spark, name))
+          if (!ckpt.getFileSystem(hconf).exists(ckpt)) {
+            val cfs = commits.getFileSystem(hconf)
+            if (cfs.exists(commits)) cfs.delete(commits, true)
+          }
           val q = df.writeStream
             .option("checkpointLocation", checkpointDir(spark, name))
             .trigger(Trigger.AvailableNow())

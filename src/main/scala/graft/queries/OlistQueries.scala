@@ -116,11 +116,13 @@ object OlistQueries {
     */
   val st6CsvBronze = withOracle(
     "st6_csv_bronze", OlistOracle.bronzeOrdersSql) { (s, d) =>
-    val dir = s"/tmp/graft_st6_csv/${java.lang.Integer.toHexString(d.hashCode)}"
+    // Scratch dir keyed by the SANITIZED sf path, not its hashCode — a
+    // hash collision across sf dirs would silently mix fixtures.
+    val dir = s"/tmp/graft_st6_csv/${d.replaceAll("[^A-Za-z0-9._-]+", "_")}"
     OlistData.orders(s, d).write.mode("overwrite")
       .option("header", "true").csv(dir)
     val stream = CsvSource.readStream(s, dir, bronzeOrdersSchema)
-    Streams.runToMemory(s, stream, "graft_st6_bronze", OutputMode.Append())
+    Streams.runToMemory(stream, "graft_st6_bronze", OutputMode.Append())
   }
 
   /** g8 — the SQL entry path: the reference's gold dim_products build

@@ -26,19 +26,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** events.parquet carries TIMESTAMP(NANOS); stream it with the same
-    * legacy-long bridge the batch reader uses (Tables.eventsNorm).
+  /** Child session scoped to one streaming helper run. Two settings must
+    * be live session-wide when the stream STARTS:
+    *
+    *  - `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS), read
+    *    through the same legacy-long bridge the batch reader uses
+    *    (Tables.eventsNorm);
+    *  - `shuffle.partitions`: a stateful streaming query materializes one
+    *    state-store instance per shuffle partition, so the count must be
+    *    sized to key cardinality, not inherited from the batch shuffle
+    *    default (per-partition store open/commit overhead dominates when
+    *    keys are few; a real deployment sizes this once per pipeline and
+    *    the count is frozen into the checkpoint at first run).
+    *
+    * Mutating the CALLER's session for either would leak into any query
+    * planned concurrently on it (and two concurrent helpers could clobber
+    * each other's restore) — so each run gets its own `newSession`:
+    * shared SparkContext and catalog-backed tables, isolated conf and
+    * temp-view namespace.
     */
+  private def eventsSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The file source requires a DIRECTORY; the testdata table is a single
     // file. Expose it through a scratch dir of symlinks (one-time, local
-    // metadata only — no data copy).
+    // metadata only — no data copy), keyed by the sanitized dir path so
+    // distinct sf dirs can never share (or collide on) a scratch dir.
     val dir = java.nio.file.Paths.get("/tmp/graft_streams",
-      java.lang.Integer.toHexString(sfDir.hashCode), "events")
+      sfDir.replaceAll("[^A-Za-z0-9._-]+", "_"), "events")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
@@ -49,33 +70,18 @@ object Streams {
   }
 
   /** Run a finite (AvailableNow) stream into a memory sink, return it.
-    *
-    * `statePartitions`: a stateful streaming query materializes one
-    * state-store instance per shuffle partition, and that count is
-    * FROZEN into the checkpoint at first run — so it must be sized to
-    * the expected key cardinality, not inherited from the batch shuffle
-    * default (per-partition store open/commit overhead dominates when
-    * keys are few; a real deployment sizes this once per pipeline).
-    * The session conf is set for the duration of query START (captured
-    * into the query's plan) and restored afterwards.
+    * Pure with respect to session conf: any settings the stream needs
+    * must already live on `df`'s session (see [[eventsSession]]).
     */
-  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode, statePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      if (statePartitions.isDefined) spark.conf.set(key, prev)
-    }
-    spark.table(name)
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
   }
 
   /** Tumbling-window aggregate (complete mode): per-hour event counts and
@@ -83,12 +89,12 @@ object Streams {
     * complete mode emits every window at end-of-stream.
     */
   def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    val agg = eventsStream(ss, sfDir)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete(),
-      statePartitions = Some(8))
+    runToMemory(agg, "graft_stream_hourly", OutputMode.Complete())
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("n_events"), col("sum_value"))
@@ -103,12 +109,12 @@ object Streams {
     * exactly as they would be on a live stream.
     */
   def watermarkedHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"))
-    runToMemory(spark, agg, "graft_stream_wm", OutputMode.Append(),
-      statePartitions = Some(8))
+    runToMemory(agg, "graft_stream_wm", OutputMode.Append())
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("n_events"))
@@ -125,7 +131,8 @@ object Streams {
     * plain SQL join.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val events = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    val events = eventsStream(ss, sfDir)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -138,8 +145,7 @@ object Streams {
       col("user_id") === col("s_user_id")
         && col("p_ts") >= col("s_ts")
         && col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
-    runToMemory(spark, joined, "graft_stream_join", OutputMode.Append(),
-      statePartitions = Some(8))
+    runToMemory(joined, "graft_stream_join", OutputMode.Append())
       .select(col("purchase_id"), col("signup_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
   }
@@ -156,12 +162,12 @@ object Streams {
     */
   def sessionAgg(spark: SparkSession, sfDir: String,
       gap: String = "8 hours"): DataFrame = {
-    val agg = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    val agg = eventsStream(ss, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    runToMemory(spark, agg, "graft_stream_session", OutputMode.Complete(),
-      statePartitions = Some(8))
+    runToMemory(agg, "graft_stream_session", OutputMode.Complete())
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
@@ -174,11 +180,11 @@ object Streams {
     * watermarked variant would use dropDuplicatesWithinWatermark.)
     */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val dedup = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    val dedup = eventsStream(ss, sfDir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    runToMemory(spark, dedup, "graft_stream_dedup", OutputMode.Append(),
-      statePartitions = Some(8))
+    runToMemory(dedup, "graft_stream_dedup", OutputMode.Append())
       .select(col("user_id"), col("event_type"))
   }
 
@@ -187,16 +193,26 @@ object Streams {
     * once the watermark passes it, which is what makes streaming dedup
     * survive an unbounded stream (plain dropDuplicates keeps state
     * forever). Duplicates arriving inside the watermark horizon are
-    * dropped; with AvailableNow over the finite input every duplicate is
-    * within horizon, so the emitted key set equals batch DISTINCT.
+    * dropped.
+    *
+    * Oracle equivalence (batch DISTINCT) requires every duplicate of a
+    * key to arrive before the watermark evicts its state. That must hold
+    * for ANY micro-batching of the finite input — AvailableNow splits on
+    * file/size boundaries, and the watermark advances between batches —
+    * so the delay is set beyond the whole event-time span of the harness
+    * table (~31 days): no eviction can occur mid-run, and the emitted key
+    * set equals batch DISTINCT regardless of how the input is batched.
+    * A live deployment would instead size the delay to its real late-data
+    * horizon and accept re-emission past it (that IS the semantics of
+    * within-watermark dedup).
     */
   def streamDedupWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
-    val dedup = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    val dedup = eventsStream(ss, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "60 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    runToMemory(spark, dedup, "graft_stream_dedup_wm", OutputMode.Append(),
-      statePartitions = Some(8))
+    runToMemory(dedup, "graft_stream_dedup_wm", OutputMode.Append())
       .select(col("user_id"), col("event_type"))
   }
 
@@ -211,15 +227,15 @@ object Streams {
     * dim, map-side join, partial agg before the one shuffle.
     */
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    val ss = eventsSession(spark)
+    val dim = ss.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey"))
-    val enriched = eventsStream(spark, sfDir)
+    val enriched = eventsStream(ss, sfDir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    runToMemory(spark, enriched, "graft_stream_static", OutputMode.Complete(),
-      statePartitions = Some(8))
+    runToMemory(enriched, "graft_stream_static", OutputMode.Complete())
       .select(col("c_nationkey"), col("n_events"), col("sum_value"))
   }
 
@@ -233,8 +249,9 @@ object Streams {
     * sequence), which is batch-deterministic.
     */
   def statefulCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val updates = eventsStream(spark, sfDir)
+    val ss = eventsSession(spark)
+    import ss.implicits._
+    val updates = eventsStream(ss, sfDir)
       .select(col("user_id"), col("value"))
       .as[UserEvent]
       .groupByKey(_.user_id)
@@ -251,8 +268,7 @@ object Streams {
           (userId, n, mx)
       }
       .toDF("user_id", "n_events", "max_value")
-    runToMemory(spark, updates, "graft_stream_state", OutputMode.Update(),
-      statePartitions = Some(8))
+    runToMemory(updates, "graft_stream_state", OutputMode.Update())
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         max(col("max_value")).as("max_value"))
