@@ -298,6 +298,40 @@ object Dedup {
       sh.drop("short"), threshold)
   }
 
+  /** Train/eval decontamination: flag every training document sharing at
+    * least one word n-gram with the evaluation corpus — the standard
+    * benchmark-leakage sweep a pretraining pipeline runs before
+    * training (n = 13 is the conventional window).
+    *
+    * Scale design: eval corpora are benchmarks — thousands of documents
+    * against a 100 TB train side — so the eval n-gram set is DISTINCTed
+    * and BROADCAST; the train side then streams through a map-side hash
+    * join (no shuffle of train shingles) and a per-doc partial/final
+    * count. The left join restores zero-hit docs so the output domain is
+    * exactly the training set. If the eval set ever outgrew broadcast,
+    * the same plan degrades gracefully to a shuffled equi-join on the
+    * shingle — still linear, never all-pairs.
+    *
+    * Output: (doc_id, n_shared_ngrams, is_contaminated) for every
+    * training doc; `n_shared_ngrams` counts the doc's DISTINCT n-grams
+    * that appear anywhere in eval.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 13): DataFrame = {
+    val evalSh = eval.select(explode(shingleSetN(textCol, n)).as("sh"))
+      .distinct()
+    val trainSh = train.select(idCol.as("doc_id"),
+      explode(shingleSetN(textCol, n)).as("sh"))
+    val hits = trainSh.join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+    train.select(idCol.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   /** Connected components over near-dup pairs: the clustering step that
     * turns pairwise matches into keep/drop decisions (every member maps
     * to the minimum doc id of its component — the canonical survivor).

@@ -527,10 +527,21 @@ object OlistGold {
     val pt = paymentTotals.alias("pt")
     val rs = reviewSummary.alias("rs")
 
+    // Join order is partition-aware: ALL order_id-keyed joins (o, dok,
+    // pt, rs) run contiguously so the fact side shuffles on order_id
+    // ONCE; then the two customer_id joins share one shuffle; then
+    // product; bounded dims broadcast last. Catalyst does not reorder
+    // inner joins by partitioning without CBO stats, so interleaving
+    // keys (the old o → c → dok order) paid an extra exchange of the
+    // fact side per key switch. The pt/rs left joins carry unique
+    // per-order keys, so commuting them ahead of the inner dims is
+    // value-identical.
     oi.filter(col("oi.order_id").isNotNull)
       .join(o, col("oi.order_id") === col("o.order_id"))
-      .join(c, col("o.customer_id") === col("c.customer_id"))
       .join(dok, col("o.order_id") === col("dok.order_natural_key"))
+      .join(pt, col("oi.order_id") === col("pt.order_id"), "left")
+      .join(rs, col("oi.order_id") === col("rs.order_id"), "left")
+      .join(c, col("o.customer_id") === col("c.customer_id"))
       .join(dck, col("c.customer_id") === col("dck.customer_natural_key"))
       .join(dpk, col("oi.product_id") === col("dpk.product_natural_key"))
       .join(broadcast(dsk), col("oi.seller_id") === col("dsk.seller_natural_key"))
@@ -539,8 +550,6 @@ object OlistGold {
       .join(broadcast(dd2),
         to_date(col("o.order_delivered_customer_date")) === col("dd2.date_actual"),
         "left")
-      .join(pt, col("oi.order_id") === col("pt.order_id"), "left")
-      .join(rs, col("oi.order_id") === col("rs.order_id"), "left")
       .select(
         sha2(concat(col("oi.order_id"), lit("|"),
           col("oi.order_item_id").cast("string")), 256).as("order_item_key"),

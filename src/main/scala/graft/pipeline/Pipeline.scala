@@ -43,6 +43,22 @@ import graft.dq.{Action, Expectation, Expectations}
   *   columns, so rows with nearby keys co-locate in the same files and
   *   min/max file statistics prune reads — the parquet analogue of Delta
   *   data skipping. Layout-only: values are unchanged.
+  * @param tableProperties informational metadata recorded on the
+  *   committed table via ALTER TABLE ... SET TBLPROPERTIES — the
+  *   engine's carrier for the reference's NOT-ENFORCED constraint
+  *   declarations (`fact_order_items.sql:3-7` names PRIMARY KEY / FOREIGN
+  *   KEY constraints that Databricks stores as catalog metadata, not
+  *   runtime checks; enforcement here is the expectations layer).
+  * @param validateStaged how warn/fail expectations are checked on a
+  *   BATCH table/MV build. false (default): one aggregate pass over the
+  *   build plan before the write — right for cheap builds (scan +
+  *   project), where re-running the plan costs less than an extra
+  *   materialization. true: the build is materialized ONCE to a staging
+  *   dir, validated there, and committed from the staged copy — right
+  *   for expensive builds (multi-join facts), where the aggregate pass
+  *   would re-run the whole join tree; either way a Fail violation
+  *   throws BEFORE the catalog is touched, so the prior committed
+  *   version survives a failed refresh (DLT's FAIL UPDATE abort).
   */
 final case class Dataset(
     name: String,
@@ -50,13 +66,30 @@ final case class Dataset(
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
     expectations: Seq[Expectation] = Nil,
     materialize: Materialize = Materialize.View,
-    clusterBy: Seq[String] = Nil)
+    clusterBy: Seq[String] = Nil,
+    tableProperties: Map[String, String] = Map.empty,
+    validateStaged: Boolean = false)
 
 sealed trait Materialize
 object Materialize {
   case object View extends Materialize
   case object Table extends Materialize
   case object MaterializedView extends Materialize
+
+  /** MERGE-based refresh keyed on the table's natural key — the
+    * reference's incremental streaming-table semantics for batch
+    * upstream (docs/pipeline-flow.png "Streaming Tables — INCREMENTAL
+    * LOAD"): each run upserts the incoming batch (matched keys are
+    * replaced whole-row, SCD1; unmatched keys insert) and rows ABSENT
+    * from the batch survive — unlike Table's batch full refresh, history
+    * is retained across runs. Without a transactional table format the
+    * snapshot swap is a staged rewrite (see the run() case); with
+    * Delta/Iceberg jars the same frame would commit as `MERGE INTO`
+    * touching only matched files.
+    */
+  final case class Incremental(keys: Seq[String]) extends Materialize {
+    require(keys.nonEmpty, "incremental materialization needs merge keys")
+  }
 }
 
 final class PipelineCycleException(msg: String) extends RuntimeException(msg)
@@ -125,30 +158,111 @@ class Pipeline {
     else df.repartitionByRange(cols.map(df.col): _*)
       .sortWithinPartitions(cols.map(df.col): _*)
 
-  /** Batch frames enforce all expectations up front; streaming frames can
-    * only apply Drop (a plan-level filter) in flight — warn/fail are
-    * enforced per micro-batch inside the Table sink's foreachBatch,
-    * before each append commits (see [[run]]).
+  /** Drop expectations are plan-level filters applied in flight (batch
+    * and streaming alike). Warn/fail need an aggregate over the full
+    * frame, so WHERE they run depends on the materialization — see
+    * [[run]]: lazy views enforce at build time, streaming tables per
+    * micro-batch inside foreachBatch, and batch materializations against
+    * a staged copy of the build (one build pass, abort-before-commit).
     */
-  private def applyExpectations(df: DataFrame, exps: Seq[Expectation]): DataFrame =
-    if (exps.isEmpty) df
-    else if (!df.isStreaming) Expectations.enforce(df, exps)
-    else exps.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
+  private def applyDrops(df: DataFrame, exps: Seq[Expectation]): DataFrame =
+    exps.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
       acc.filter(coalesce(r.predicate, lit(false)))
     }
 
-  /** Build every dataset in dependency order; returns name -> DataFrame
-    * (materialized datasets are re-read from the catalog so downstream
-    * consumers see the committed table).
+  /** Validate a batch build destined for a table WITHOUT running the
+    * build twice: materialize it once to a staging dir, enforce warn/fail
+    * over the staged copy (a cheap parquet scan, not a re-build), and
+    * hand back the staged frame for the commit. A Fail violation throws
+    * HERE — before the catalog is touched — so the previously committed
+    * version survives a failed refresh (DLT's ON VIOLATION FAIL UPDATE
+    * abort), and the build's joins/aggregates are paid exactly once.
+    * Caller must [[deleteDir]] the staging dir after the commit.
+    */
+  private def stageAndValidate(spark: SparkSession, df: DataFrame,
+      warnFail: Seq[Expectation], staging: String): DataFrame = {
+    df.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    Expectations.enforce(staged, warnFail)
+    staged
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Build every dataset respecting dependency order; returns
+    * name -> DataFrame (materialized datasets are re-read from the
+    * catalog so downstream consumers see the committed table).
+    *
+    * Independent datasets materialize CONCURRENTLY: each dataset's
+    * materialization is a Future gated on its upstream Futures, so the
+    * wall-clock of a level of independent silver tables is the MAX of
+    * the level, not the sum — the DLT behavior (independent flows run
+    * in parallel) and the right shape for a driver orchestrating a
+    * 1000-executor cluster, where serializing independent table refreshes
+    * would idle the fleet. Spark's scheduler interleaves the concurrent
+    * jobs; a failure anywhere fails the run with the original exception.
     */
   def run(spark: SparkSession): Map[String, DataFrame] = {
-    val built = mutable.LinkedHashMap.empty[String, DataFrame]
-    topoOrder.foreach { name =>
-      val d = datasets(name)
-      val upstream = d.deps.map(dep => dep -> built(dep)).toMap
-      val df = applyExpectations(d.build(spark, upstream), d.expectations)
-      val out = d.materialize match {
-        case Materialize.View => df
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // Per-dataset wall-time observability (DLT's pipeline event log
+    // analogue): opt-in via conf so the quiet default stays quiet.
+    val verbose = spark.conf.getOption("spark.graft.pipeline.verbose")
+      .contains("true")
+    val order = topoOrder // validates deps + rejects cycles up front
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, datasets.size)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = mutable.LinkedHashMap.empty[String, Future[DataFrame]]
+      order.foreach { name =>
+        val d = datasets(name)
+        val gate = Future.sequence(d.deps.map(futures(_)))
+        futures(name) = gate.map { depFrames =>
+          val tStart = System.nanoTime()
+          val out = materializeOne(spark, d, d.deps.zip(depFrames).toMap)
+          if (verbose)
+            System.err.println(f"[pipeline] $name%-40s ${(System.nanoTime() - tStart) / 1e9}%7.2f s (${d.materialize})")
+          out
+        }
+      }
+      val frames =
+        Await.result(Future.sequence(order.map(futures(_))), Duration.Inf)
+      order.zip(frames).toMap
+    } finally pool.shutdown()
+  }
+
+  /** Materialize a single dataset from its resolved upstream frames. */
+  private def materializeOne(spark: SparkSession, d: Dataset,
+      upstream: Map[String, DataFrame]): DataFrame = {
+    val name = d.name
+    val df = applyDrops(d.build(spark, upstream), d.expectations)
+    val warnFail = d.expectations.filter(_.action != Action.Drop)
+    // Batch builds bound for a table check warn/fail either directly on
+    // the build plan (cheap builds) or against a STAGED copy (expensive
+    // builds, one build pass) — see Dataset.validateStaged; views and
+    // streaming frames handle warn/fail in their own cases below.
+    val validateDir = spark.conf.get("spark.sql.warehouse.dir") +
+      s"/_graft_staging/${name}_validate"
+    val staged =
+      if (warnFail.nonEmpty && !df.isStreaming &&
+        d.materialize != Materialize.View) {
+        if (d.validateStaged)
+          stageAndValidate(spark, df, warnFail, validateDir)
+        else { Expectations.enforce(df, warnFail); df }
+      } else df
+    val out = d.materialize match {
+        case Materialize.View =>
+          // Lazy view: nothing is committed, so the only place to check
+          // is the build frame itself (one aggregate pass at registration,
+          // the DLT @dlt.view + expectations shape).
+          if (warnFail.nonEmpty && !df.isStreaming)
+            Expectations.enforce(df, warnFail)
+          df
         case Materialize.Table if df.isStreaming =>
           dropOrphanLocation(spark, name)
           // Warn/fail expectations need an aggregate, which a streaming
@@ -163,7 +277,6 @@ class Pipeline {
           // dedup pattern; like any non-transactional sink, a crash in
           // the instant between append and marker can duplicate that
           // one batch on replay).
-          val warnFail = d.expectations.filter(_.action != Action.Drop)
           val hconf = spark.sparkContext.hadoopConfiguration
           val commits = new org.apache.hadoop.fs.Path(commitsDir(spark, name))
           // Markers are only meaningful RELATIVE to their checkpoint's
@@ -195,19 +308,58 @@ class Pipeline {
           spark.table(name)
         case Materialize.Table =>
           dropOrphanLocation(spark, name)
-          clustered(df, d.clusterBy)
+          clustered(staged, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
+          deleteDir(spark, validateDir)
           spark.table(name)
         case Materialize.MaterializedView =>
           require(!df.isStreaming,
             s"materialized view $name cannot refresh from a streaming build")
           dropOrphanLocation(spark, name)
-          clustered(df, d.clusterBy)
+          clustered(staged, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
+          deleteDir(spark, validateDir)
+          spark.table(name)
+        case Materialize.Incremental(keys) =>
+          require(!df.isStreaming,
+            s"incremental table $name merges batch builds; streaming " +
+              "sources use Table (checkpointed exactly-once append)")
+          dropOrphanLocation(spark, name)
+          if (!spark.catalog.tableExists(name)) {
+            // First load: the merge against an empty target is the batch
+            // itself — plain write, no staging pass.
+            clustered(staged, d.clusterBy)
+              .write.mode("overwrite").format("parquet").saveAsTable(name)
+          } else {
+            // MERGE INTO semantics: incoming batch wins on key match
+            // (whole-row SCD1 update), unmatched target rows survive.
+            // The anti join shuffles only (keys) from the batch side and
+            // — at scale — is the plan a Delta MERGE's find-touched-files
+            // phase runs; the snapshot swap is staged to a scratch dir
+            // because Spark (correctly) refuses to overwrite a table the
+            // plan is still reading.
+            val target = spark.table(name)
+            val merged = staged.unionByName(
+              target.join(staged.select(keys.map(staged.col): _*).distinct(),
+                keys, "left_anti"))
+            val snapshot = spark.conf.get("spark.sql.warehouse.dir") +
+              s"/_graft_staging/${name}_snapshot"
+            clustered(merged, d.clusterBy)
+              .write.mode("overwrite").parquet(snapshot)
+            spark.read.parquet(snapshot)
+              .write.mode("overwrite").format("parquet").saveAsTable(name)
+            deleteDir(spark, snapshot)
+          }
+          deleteDir(spark, validateDir)
           spark.table(name)
       }
-      built += name -> out
+    if (d.tableProperties.nonEmpty && d.materialize != Materialize.View) {
+      val props = d.tableProperties
+        .map { case (k, v) =>
+          s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'" }
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES ($props)")
     }
-    built.toMap
+    out
   }
 }

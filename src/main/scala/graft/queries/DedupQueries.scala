@@ -197,7 +197,48 @@ object DedupQueries {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
   }
 
+  // ---- Decontamination: train/eval 13-gram overlap ----
+  // Split: docs with doc_id % 7 = 0 stand in for the eval benchmark;
+  // the rest are the training corpus. A training doc is contaminated if
+  // it shares ANY 13-gram with eval (planted near-dup clusters that
+  // straddle the split are exactly what this catches). The oracle
+  // recomputes the same shingle sets brute-force in DuckDB.
+  private val cat13 =
+    (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+
+  val d8Decontaminate = withOracle(
+    "d8_decontaminate",
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), ' +'),
+       |                     t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |sh13 AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN length(toks) >= 13 THEN
+       |           list_transform(range(1, length(toks) - 11),
+       |             i -> $cat13)
+       |           ELSE [] END) AS shingles
+       |  FROM tok),
+       |ev AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh13
+       |       WHERE doc_id % 7 = 0),
+       |tr AS (SELECT doc_id, unnest(shingles) AS sh FROM sh13
+       |       WHERE doc_id % 7 <> 0),
+       |hits AS (SELECT tr.doc_id, count(*) AS n
+       |         FROM tr JOIN ev USING (sh) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+       |       coalesce(h.n, 0) > 0 AS is_contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+       |LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(
+      train = docs.filter(col("doc_id") % 7 =!= 0),
+      eval = docs.filter(col("doc_id") % 7 === 0),
+      textCol = col("text"), idCol = col("doc_id"), n = 13)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
-      d6DupClusters, d7EmbedClusters)
+      d6DupClusters, d7EmbedClusters, d8Decontaminate)
 }

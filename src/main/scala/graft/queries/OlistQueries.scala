@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.dq.{Expectations => DQ}
 import graft.ingest.CsvSource
-import graft.olist.{OlistData, OlistGold, OlistGraph, OlistOracle, OlistSilver}
+import graft.olist.{OlistData, OlistGold, OlistGraph, OlistMaterialized, OlistOracle, OlistSilver}
 import graft.pipeline.{Dataset, Materialize, Pipeline}
 import graft.streaming.Streams
 
@@ -51,9 +51,18 @@ object OlistQueries {
       .withColumn("date_actual", col("date_actual").cast("string"))
   }
 
+  /** g6 — the fact through its REAL read path: the first gold query per
+    * scale dir triggers one Pipeline run that commits every silver table
+    * (incremental MERGE tables) and gold table (materialized-view
+    * refreshes) to the catalog; g6 itself is then a scan of the
+    * committed fact — the reference model, where gold reads committed
+    * silver (`fact_order_items.sql:86-112` over `LIVE.silver_*`) and BI
+    * reads committed gold. PlanSpec asserts the executed plan scans ONLY
+    * warehouse-committed tables, never the raw source dir.
+    */
   val g6FactOrderItems = withOracle(
     "g6_fact_order_items", OlistOracle.sql("gold_fact_order_items")) { (s, d) =>
-    new OlistGraph(s, d).factOrderItems
+    s.table(OlistMaterialized.ensure(s, d).fact)
   }
 
   /** g7 — the medallion THROUGH the Pipeline runner and the session
@@ -176,11 +185,13 @@ object OlistQueries {
         |JOIN gold_dim_customers dc ON f.customer_key = dc.customer_key
         |JOIN gold_dim_date dd ON f.order_date_key = dd.date_key
         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
-    val g = new OlistGraph(s, d)
-    g.factOrderItems
-      .join(g.dimCustomers
+    // Star consumption over COMMITTED gold tables (shared one-time
+    // materialization with g6) — scan + joins only, no re-derivation.
+    val n = OlistMaterialized.ensure(s, d)
+    s.table(n.fact)
+      .join(s.table(n.dimCustomers)
         .select(col("customer_key"), col("customer_state")), "customer_key")
-      .join(broadcast(g.dimDate
+      .join(broadcast(s.table(n.dimDate)
         .select(col("date_key").as("order_date_key"),
           col("year"), col("month"))), "order_date_key")
       .groupBy(col("customer_state"), col("year"), col("month"))
@@ -191,8 +202,52 @@ object OlistQueries {
           .as("positive_reviews"))
   }
 
+  /** u4 — Materialize.Incremental through the Pipeline, two refreshes:
+    * batch 1 loads silver orders for ~2/3 of the keys; batch 2 carries
+    * only NEW keys (order_id % 3 = 0) plus CHANGED rows (% 5 = 0,
+    * status suffixed '_u2'). MERGE semantics under test: changed keys
+    * are replaced whole-row by batch 2, new keys insert, and batch-1
+    * rows ABSENT from batch 2 survive — the reference's incremental
+    * streaming-table contract (docs/pipeline-flow.png "Streaming Tables
+    * — INCREMENTAL LOAD"), vs a full refresh which would forget them.
+    * The oracle computes the same merge as batch2 ∪ (batch1 ⊲ batch2).
+    */
+  val u4IncrementalSilver = withOracle(
+    "u4_incremental_silver",
+    OlistOracle.ctes +
+      """,
+        |b1 AS (SELECT * FROM silver_orders
+        |       WHERE CAST(order_id AS BIGINT) % 3 <> 0),
+        |b2 AS (SELECT order_id, customer_id, order_status || '_u2' AS order_status,
+        |              order_purchase_timestamp, order_approved_at,
+        |              order_delivered_carrier_date, order_delivered_customer_date,
+        |              order_estimated_delivery_date
+        |       FROM silver_orders
+        |       WHERE CAST(order_id AS BIGINT) % 3 = 0
+        |          OR CAST(order_id AS BIGINT) % 5 = 0)
+        |SELECT * FROM b2
+        |UNION ALL
+        |SELECT * FROM b1
+        |WHERE order_id NOT IN (SELECT order_id FROM b2)""".stripMargin) { (s, d) =>
+    val tbl = s"olist_silver_orders_inc_${OlistMaterialized.sfx(d)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    def refresh(src: org.apache.spark.sql.DataFrame): Unit = {
+      new Pipeline()
+        .register(Dataset(tbl, Nil, (_, _) => src,
+          materialize = Materialize.Incremental(Seq("order_id"))))
+        .run(s)
+      ()
+    }
+    val silver = OlistSilver.orders(OlistData.orders(s, d))
+    val key = col("order_id").cast("bigint")
+    refresh(silver.filter(key % 3 =!= 0))
+    refresh(silver.filter(key % 3 === 0 || key % 5 === 0)
+      .withColumn("order_status", concat(col("order_status"), lit("_u2"))))
+    s.table(tbl)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
     g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
-    st6CsvBronze)
+    st6CsvBronze, u4IncrementalSilver)
 }

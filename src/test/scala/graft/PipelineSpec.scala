@@ -153,4 +153,54 @@ class PipelineSpec extends SparkSpec {
         expectations = Seq(DQ.fail("no_negatives", col("amount") >= 0 || col("amount").isNull))))
     intercept[ExpectationViolation](p.run(spark))
   }
+
+  private def incPipe(name: String, rows: Seq[(String, Double, String)],
+      exps: Seq[graft.dq.Expectation] = Nil): Pipeline = {
+    import spark.implicits._
+    val df = rows.toDF("order_id", "amount", "status")
+    new Pipeline().register(Dataset(name, Nil, (_, _) => df,
+      expectations = exps,
+      materialize = Materialize.Incremental(Seq("order_id"))))
+  }
+
+  test("incremental MERGE: matched keys update, new keys insert, absent keys survive") {
+    spark.sql("DROP TABLE IF EXISTS inc_orders")
+    incPipe("inc_orders", Seq(
+      ("o1", 10.0, "NEW"), ("o2", 20.0, "NEW"), ("o3", 30.0, "NEW"))).run(spark)
+    incPipe("inc_orders", Seq(
+      ("o2", 25.0, "SHIPPED"), ("o4", 40.0, "NEW"))).run(spark)
+    val out = spark.table("inc_orders").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out === Map(
+      "o1" -> ((10.0, "NEW")),     // absent from batch 2 — survived
+      "o2" -> ((25.0, "SHIPPED")), // matched — replaced whole-row (SCD1)
+      "o3" -> ((30.0, "NEW")),     // absent — survived
+      "o4" -> ((40.0, "NEW"))))    // unmatched — inserted
+  }
+
+  test("incremental fail expectation aborts BEFORE the snapshot swap") {
+    spark.sql("DROP TABLE IF EXISTS inc_guarded")
+    val nonneg = Seq(DQ.fail("nonneg", col("amount") >= 0))
+    incPipe("inc_guarded", Seq(("o1", 10.0, "NEW")), nonneg).run(spark)
+    intercept[ExpectationViolation](
+      incPipe("inc_guarded", Seq(("o2", -1.0, "BAD")), nonneg).run(spark))
+    // The violating refresh must not have touched the committed version.
+    val rows = spark.table("inc_guarded").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("o1"))
+  }
+
+  test("tableProperties record informational constraint metadata") {
+    spark.sql("DROP TABLE IF EXISTS props_gold")
+    import spark.implicits._
+    val df = Seq(("k1", 1L)).toDF("key", "n")
+    new Pipeline().register(Dataset("props_gold", Nil, (_, _) => df,
+      materialize = Materialize.MaterializedView,
+      tableProperties = Map(
+        "constraint.pk_props_gold" -> "PRIMARY KEY (key) NOT ENFORCED",
+        "layer" -> "analytics"))).run(spark)
+    val props = spark.sql("SHOW TBLPROPERTIES props_gold").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("constraint.pk_props_gold") === "PRIMARY KEY (key) NOT ENFORCED")
+    assert(props("layer") === "analytics")
+  }
 }

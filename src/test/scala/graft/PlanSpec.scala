@@ -124,6 +124,26 @@ class PlanSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("g6/g9 scan COMMITTED gold tables only — never the raw source dir") {
+    // The medallion read path (VERDICT r3 #1): gold consumption must
+    // read tables the Pipeline committed, not re-derive bronze+silver
+    // inline. inputFiles IS the plan's scan set.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for ((q, marker) <- Seq(
+      "g6_fact_order_items" -> "olist_gold_fact_order_items",
+      "g9_revenue_rollup" -> "olist_gold_dim_customers")) {
+      val df = Catalog.queries(q)(spark, Sf0001)
+      val files = df.inputFiles
+      assert(files.nonEmpty, s"$q: no scan inputs")
+      assert(files.forall(!_.contains("/root/testdata")),
+        s"$q still scans the raw source dir:\n${files.mkString("\n")}")
+      assert(files.forall(_.contains(new java.io.File(wh).getName)),
+        s"$q scans outside the warehouse:\n${files.mkString("\n")}")
+      assert(files.exists(_.contains(marker)),
+        s"$q misses the committed table $marker:\n${files.mkString("\n")}")
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5% (the 100-TB path for a1)") {
     // Not oracle-checked (HLL sketches differ across engines), so the
     // accuracy contract is pinned here instead.
