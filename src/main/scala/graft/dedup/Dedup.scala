@@ -332,6 +332,76 @@ object Dedup {
         (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("is_contaminated"))
   }
 
+  /** Bloom-filter decontamination: the same train/eval n-gram sweep as
+    * [[decontaminate]], but the eval side is compressed into a FIXED-SIZE
+    * bitset (m bits, k double-hashed probes per n-gram) instead of a
+    * broadcast hash set of the n-gram strings.
+    *
+    * This is the 100 TB shape when the eval corpus is itself large: the
+    * broadcast payload is m/8 bytes (8 KiB here) — independent of eval
+    * size — and the train side stays a pure scan: per shingle, k integer
+    * probes against the bitset literal, zero joins, zero shuffle until
+    * the per-doc rollup. The price is one-sided error: Bloom hits include
+    * false positives (flagged docs get re-checked by the exact pass over
+    * a now-tiny subset), never false negatives — a contaminated doc can't
+    * escape.
+    *
+    * Determinism: probe i of a shingle with rolling hash h lands at
+    * (h + i*((h mod 65521)+1)) mod m — double hashing with an
+    * always-nonzero step, all integer arithmetic the DuckDB oracle
+    * reproduces exactly (bitset membership == membership of the probe
+    * position in the eval positions set, so the oracle needs no bitset).
+    *
+    * The eval-position collect is bounded by min(k * |eval shingles|, m)
+    * <= m = 65536 rows — the codebook-materialization pattern, not a data
+    * collect.
+    *
+    * Output: (doc_id, n_bloom_hits, maybe_contaminated) for every
+    * training doc; `maybe_contaminated` is the superset-flag an exact
+    * verification pass (e.g. [[decontaminate]] restricted to flagged
+    * docs) would confirm.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 13,
+      m: Int = 65536, k: Int = 3): DataFrame = {
+    require(m % 64 == 0, s"bitset size must be word-aligned, got $m")
+    def positions(h: Column): Seq[Column] =
+      (0 until k).map(i =>
+        pmod(h + lit(i.toLong) * (pmod(h, lit(65521L)) + 1L), lit(m.toLong)))
+    val evalPos = eval.select(explode(shingleSetN(textCol, n)).as("sh"))
+      .distinct()
+      .select(rollingHash(col("sh")).as("h"))
+      .select(explode(array(positions(col("h")): _*)).as("p"))
+      .distinct()
+    val bits = new Array[Long](m / 64)
+    evalPos.collect().foreach { r =>
+      val p = r.getLong(0).toInt
+      bits(p >> 6) |= 1L << (p & 63)
+    }
+    val bitsLit = lit(bits)
+    def bitSet(p: Column): Column = {
+      val word = element_at(bitsLit, (p / 64).cast("int") + 1)
+      val shifted = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftRight(
+          org.apache.spark.sql.graftbridge.Bridge.expression(word),
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            (p % 64).cast("int"))))
+      shifted.bitwiseAND(lit(1L)) === 1L
+    }
+    // explode_outer keeps sub-n-token docs (sh = null -> no hit), so the
+    // output domain is exactly the training set without a restore join.
+    train.select(idCol.as("doc_id"),
+        explode_outer(shingleSetN(textCol, n)).as("sh"))
+      .withColumn("h", rollingHash(col("sh")))
+      .withColumn("hit",
+        when(col("sh").isNull, lit(false))
+          .otherwise(positions(col("h")).map(bitSet).reduce(_ && _)))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_bloom_hits"),
+        (col("n_bloom_hits") > 0).as("maybe_contaminated"))
+  }
+
   /** Connected components over near-dup pairs: the clustering step that
     * turns pairwise matches into keep/drop decisions (every member maps
     * to the minimum doc id of its component — the canonical survivor).

@@ -410,3 +410,65 @@ case class MinShingleHash(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
     copy(child = newChild)
 }
+
+/** Full sign-random-projection code in ONE evaluator: bit j of the result
+  * is the sign of the dot product between the embedding and deterministic
+  * hyperplane j (components from the LCG rational formula — see
+  * [[graft.similarity.VectorFunctions.hyperplaneComponent]]).
+  *
+  * Bit-identical to the composed form (`lshCode`: nBits `graft_dot`s
+  * against literal hyperplane arrays OR-ed together) — same left-to-right
+  * double accumulation per hyperplane — but as a single O(nBits * dim)
+  * loop over one precomputed component table. The composed form's
+  * expression tree (64 dot kernels x 64-element literals) costs seconds
+  * of codegen/JIT per stage before the first row; this evaluates with no
+  * per-stage compilation at all (CodegenFallback: one eval per row, the
+  * body is a tight JIT'd loop).
+  */
+case class SrpCode(child: Expression, nBits: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBits >= 1 && nBits <= 64, "code width must be 1..64 bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_code"
+
+  @transient private lazy val elemDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  /** hyperplanes(j*dim + i) = lcg(j*dim + i)/2^31 - 0.5, exactly the
+    * literal components the composed form folds against. */
+  @transient private lazy val hyperplanes: Array[Double] = {
+    val h = new Array[Double](nBits * dim)
+    var k = 0
+    while (k < h.length) {
+      h(k) = ((1103515245L * k + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
+      k += 1
+    }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var code = 0L
+    var j = 0
+    while (j < nBits) {
+      var acc = 0.0
+      val base = j * dim
+      var i = 0
+      while (i < n) {
+        val x = if (elemDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        acc += hyperplanes(base + i) * x
+        i += 1
+      }
+      if (acc >= 0.0) code |= 1L << j
+      j += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpCode =
+    copy(child = newChild)
+}

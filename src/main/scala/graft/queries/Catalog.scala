@@ -3,8 +3,9 @@ package graft.queries
 /** Aggregates every query batch into the driver-facing maps. */
 object Catalog {
   def specs: Seq[QuerySpec] =
-    Relational.specs ++ Relational2.specs ++ Star.specs ++
-      TextAnalysis.specs ++ DedupQueries.specs ++ SimilarityQueries.specs ++
+    Relational.specs ++ Relational2.specs ++ Relational3.specs ++ Star.specs ++
+      TextAnalysis.specs ++ TextAnalysis2.specs ++ DedupQueries.specs ++
+      SimilarityQueries.specs ++
       PipelineQueries.specs ++ SourceQueries.specs ++ OlistQueries.specs ++
       StorageQueries.specs ++ SketchQueries.specs
 

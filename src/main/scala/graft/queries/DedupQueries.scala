@@ -238,7 +238,59 @@ object DedupQueries {
       textCol = col("text"), idCol = col("doc_id"), n = 13)
   }
 
+  // ---- Bloom-filter decontamination ----
+  // Same split and window as d8, but the eval side travels as an 8 KiB
+  // bitset instead of a broadcast shingle set (the right trade when the
+  // eval corpus is itself large). The flag is a SUPERSET of d8's —
+  // one-sided Bloom error — and the oracle reproduces the false
+  // positives exactly: bit p set <=> position p occurs among the eval
+  // probes, so set-membership on positions mirrors the bitset
+  // bit-for-bit.
+  private val hashSql = (e: String) =>
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(string_split($e, ''), c -> length(c) > 0),
+       |                 c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 2147483647)""".stripMargin
+
+  val d9BloomDecontaminate = withOracle(
+    "d9_bloom_decontaminate",
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), ' +'),
+       |                     t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |sh13 AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN length(toks) >= 13 THEN
+       |           list_transform(range(1, length(toks) - 11),
+       |             i -> $cat13)
+       |           ELSE [] END) AS shingles
+       |  FROM tok),
+       |evh AS (SELECT DISTINCT ${hashSql("sh")} AS h FROM (
+       |          SELECT DISTINCT unnest(shingles) AS sh FROM sh13
+       |          WHERE doc_id % 7 = 0)),
+       |evp AS (SELECT DISTINCT (h + i * ((h % 65521) + 1)) % 65536 AS p
+       |        FROM evh, (SELECT unnest([0, 1, 2]) AS i) ii),
+       |trh AS (SELECT doc_id, ${hashSql("sh")} AS h FROM (
+       |          SELECT doc_id, unnest(shingles) AS sh FROM sh13
+       |          WHERE doc_id % 7 <> 0)),
+       |hits AS (SELECT doc_id, count(*) AS n FROM trh
+       |         WHERE ((h + 0 * ((h % 65521) + 1)) % 65536) IN (SELECT p FROM evp)
+       |           AND ((h + 1 * ((h % 65521) + 1)) % 65536) IN (SELECT p FROM evp)
+       |           AND ((h + 2 * ((h % 65521) + 1)) % 65536) IN (SELECT p FROM evp)
+       |         GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_bloom_hits,
+       |       coalesce(h.n, 0) > 0 AS maybe_contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+       |LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.bloomDecontaminate(
+      train = docs.filter(col("doc_id") % 7 =!= 0),
+      eval = docs.filter(col("doc_id") % 7 === 0),
+      textCol = col("text"), idCol = col("doc_id"), n = 13)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
-      d6DupClusters, d7EmbedClusters, d8Decontaminate)
+      d6DupClusters, d7EmbedClusters, d8Decontaminate, d9BloomDecontaminate)
 }

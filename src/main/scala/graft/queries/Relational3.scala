@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Third relational batch: lateral joins, correlated scalar subqueries,
+  * and the higher-order array-function vocabulary — the remaining ANSI
+  * SQL surface a reference user would expect to carry over.
+  *
+  * Scale notes are per-query; the common theme is that all three decorate
+  * into standard joins/aggregations under Catalyst's decorrelation rules,
+  * so none of them hides a nested-loop at 100 TB.
+  */
+object Relational3 {
+
+  import QuerySpec._
+
+  // ---- LATERAL join: top-2 orders per customer ----
+  // The per-row-subquery shape (DuckDB/Postgres LATERAL). Catalyst
+  // decorrelates the LIMIT-per-group lateral into a window rank over a
+  // single shuffled join — the executed plan has no nested loop, so it
+  // scales like any top-k-per-key window. Customers with no orders drop
+  // (inner lateral), matching the oracle.
+  val j17Lateral = withOracle(
+    "j17_lateral",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true""".stripMargin) {
+    (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_j17_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_j17_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM graft_j17_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_j17_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+  }
+
+  // ---- Correlated scalar subqueries (incl. the COUNT-bug case) ----
+  // Two correlated aggregates per outer row. COUNT over an empty
+  // correlated group must yield 0, not NULL (the classic "COUNT bug") —
+  // Catalyst's decorrelation inserts the null-to-zero projection after
+  // the left outer join; customers without orders prove it. Both
+  // subqueries decorrelate into ONE aggregate-then-join (shared group on
+  // o_custkey), not two nested loops.
+  val j18CorrelatedAgg = withOracle(
+    "j18_correlated_agg",
+    """SELECT c_custkey,
+      |  CAST((SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_j18_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_j18_orders")
+    s.sql("""
+      SELECT c_custkey,
+        CAST((SELECT count(*) FROM graft_j18_orders o
+              WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+        (SELECT max(o_totalprice) FROM graft_j18_orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_price
+      FROM graft_j18_customer c""")
+  }
+
+  // ---- Higher-order array functions ----
+  // transform / filter / aggregate / slice / array_contains /
+  // array_position / array_min over the token array — the array-column
+  // vocabulary. Pure per-row expressions: zero shuffle, runs inside the
+  // scan at any scale. (HOF lambdas are interpreted, not codegen'd, so
+  // the token array is PROJECTED once first — inlining `tokens(text)`
+  // into every lambda would re-split the document per function.)
+  val f7ArrayHof = withOracle(
+    "f7_array_hof",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+      |                             t -> length(t) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(toks) AS BIGINT) AS n_tokens,
+      |  CAST(length(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+      |       (a, b) -> a + b) AS BIGINT) AS char_sum,
+      |  array_to_string(list_slice(toks, 1, 3), ' ') AS head3,
+      |  list_contains(toks, 'the') AS has_the,
+      |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+      |  list_min(toks) AS first_term
+      |FROM tok""".stripMargin) { (s, d) =>
+    import graft.text.TextFunctions.tokens
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("char_sum"),
+        array_join(slice(col("toks"), 1, 3), " ").as("head3"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "the").as("the_pos"),
+        array_min(col("toks")).as("first_term"))
+  }
+
+  // ---- Batch sessionization ----
+  // The batch twin of st7's streaming sessions: a 30-minute inactivity
+  // gap closes a session. Classic gaps-and-islands — lag to mark session
+  // starts, running sum to number them, then per-session aggregates.
+  // Scale: both windows share ONE (user_id) partitioning and sort (the
+  // second rides the first — one shuffle); the closing groupBy is a
+  // hash-agg with map-side partials. Timestamps are compared and emitted
+  // at MICROsecond precision on both engines (events.parquet is ns;
+  // Tables.events truncates like DuckDB's epoch_ns // 1000). Money-style
+  // sum via decimal (order-independent), final cast to double.
+  val e2Sessionize = withOracle(
+    "e2_sessionize",
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |n AS (SELECT *, CASE WHEN prev IS NULL
+      |        OR epoch_ns(ts) // 1000 - epoch_ns(prev) // 1000 > 1800000000
+      |      THEN 1 ELSE 0 END AS is_new FROM l),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM n)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS session_start_us,
+      |       CAST(epoch_ns(max(ts)) // 1000 AS BIGINT) AS session_end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev", lag(col("ts"), 1).over(wo))
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("is_new")).over(wrun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
+  // ---- MERGE with a DELETE clause ----
+  // Extends u3's SCD1 upsert with the third MERGE arm:
+  //   WHEN MATCHED AND <cond> THEN DELETE
+  //   WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT
+  // computed engine-neutrally as one full-outer join: delete rows are
+  // FILTERED out of the merged snapshot, update wins per column, inserts
+  // ride the null base side, unmatched base rows survive. The `action`
+  // column is the merge audit trail (Delta's operationMetrics analogue).
+  val u5MergeDelete = withOracle(
+    "u5_merge_delete",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |changes AS (
+      |  SELECT c_custkey, c_mktsegment || '_v2' AS c_mktsegment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |m AS (
+      |  SELECT b.c_custkey AS bk, u.c_custkey AS uk,
+      |         coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+      |         coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |         coalesce(u.bal, b.bal) AS bal
+      |  FROM base b FULL OUTER JOIN changes u ON b.c_custkey = u.c_custkey)
+      |SELECT c_custkey, c_mktsegment, CAST(bal AS DOUBLE) AS bal,
+      |       CASE WHEN bk IS NOT NULL AND uk IS NOT NULL THEN 'updated'
+      |            WHEN uk IS NOT NULL THEN 'inserted'
+      |            ELSE 'kept' END AS action
+      |FROM m
+      |WHERE NOT (bk IS NOT NULL AND uk IS NOT NULL AND bal > 9000.00)""".stripMargin) {
+    (s, d) =>
+      val c = Tables.customer(s, d)
+      val base = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val changes = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_v2")).as("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)")
+            + lit("100.00").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("bal"))
+      base.alias("b")
+        .join(changes.alias("u"), col("b.c_custkey") === col("u.c_custkey"),
+          "full_outer")
+        .select(
+          col("b.c_custkey").as("bk"), col("u.c_custkey").as("uk"),
+          coalesce(col("u.c_custkey"), col("b.c_custkey")).as("c_custkey"),
+          coalesce(col("u.c_mktsegment"), col("b.c_mktsegment"))
+            .as("c_mktsegment"),
+          coalesce(col("u.bal"), col("b.bal")).as("bal"))
+        .filter(!(col("bk").isNotNull && col("uk").isNotNull
+          && col("bal") > lit("9000.00").cast("decimal(18,2)")))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("bal").cast("double").as("bal"),
+          when(col("bk").isNotNull && col("uk").isNotNull, "updated")
+            .when(col("uk").isNotNull, "inserted")
+            .otherwise("kept").as("action"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete)
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextFunctions._
+
+/** Second text-pipeline batch: repetition filters, PII scrubbing, document
+  * chunking and sequence packing — the curation stages that sit between
+  * quality scoring and tokenizer output in a pretraining pipeline.
+  */
+object TextAnalysis2 {
+
+  import QuerySpec._
+
+  /** Shared DuckDB token CTE (mirrors TextFunctions.tokens). */
+  private val TokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, source, text,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  // ---- Repetition filters (Gopher-style) ----
+  // Two signals: the fraction of tokens that are the single most frequent
+  // token (top-term coverage) and the fraction of duplicate 3-grams.
+  // Scale: the top-term count uses the explode + two-level hash-agg shape
+  // (map-side combine on (doc, term), then a per-doc max that RIDES the
+  // doc_id partitioning of the first agg — one shuffle total), because the
+  // per-row HOF alternative is O(len^2) per document and dies on long
+  // docs. The trigram-dup fraction IS per-row (native ShingleSet distinct
+  // count vs. positional count), zero extra shuffle.
+  val t8Repetition = withOracle(
+    "t8_repetition",
+    s"""$TokCte,
+       |tc AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       |top AS (SELECT doc_id, max(n) AS top_n FROM (
+       |          SELECT doc_id, term, count(*) AS n FROM tc GROUP BY 1, 2)
+       |        GROUP BY 1),
+       |tri AS (SELECT doc_id,
+       |          CAST(length(toks) AS BIGINT) AS n_tokens,
+       |          CASE WHEN length(toks) >= 3 THEN length(toks) - 2 ELSE 0 END AS tri_total,
+       |          CASE WHEN length(toks) >= 3 THEN length(list_distinct(
+       |            list_transform(range(1, length(toks) - 1),
+       |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+       |          ELSE 0 END AS tri_distinct
+       |        FROM tok),
+       |m AS (SELECT t.doc_id, t.n_tokens,
+       |        CAST(coalesce(top.top_n, 0) AS DOUBLE)
+       |          / greatest(CAST(t.n_tokens AS DOUBLE), 1.0) AS top_term_frac,
+       |        CASE WHEN t.tri_total = 0 THEN 0.0
+       |             ELSE 1.0 - CAST(t.tri_distinct AS DOUBLE)
+       |                          / CAST(t.tri_total AS DOUBLE) END AS dup_trigram_frac
+       |      FROM tri t LEFT JOIN top USING (doc_id))
+       |SELECT doc_id, n_tokens, top_term_frac, dup_trigram_frac,
+       |       top_term_frac > 0.12 OR dup_trigram_frac > 0.35 AS is_repetitive
+       |FROM m""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val perRow = toks.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      greatest(size(col("toks")) - 2, lit(0)).cast("long").as("tri_total"),
+      size(array_distinct(shinglesOfTokens(col("toks"), 3)))
+        .cast("long").as("tri_distinct"))
+    val top = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
+    perRow.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (coalesce(col("top_n"), lit(0L)).cast("double")
+          / greatest(col("n_tokens").cast("double"), lit(1.0))).as("top_term_frac"),
+        when(col("tri_total") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("tri_distinct").cast("double")
+            / col("tri_total").cast("double")).as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_term_frac") > 0.12 || col("dup_trigram_frac") > 0.35)
+  }
+
+  // ---- PII scrubbing ----
+  // Redact long digit runs (ids, account numbers, phone-shaped tokens)
+  // from a derived contact line. Pure per-row regexp expressions — the
+  // scrub pipelines inside the scan with zero shuffle at any scale. The
+  // redaction COUNT is kept alongside the scrubbed text (audit trail:
+  // curation pipelines log how much was removed, not just the output).
+  // DuckDB note: its regexp_replace is first-match unless the 'g' flag is
+  // given; Spark's is global always — the oracle passes 'g'.
+  val t9PiiScrub = withOracle(
+    "t9_pii_scrub",
+    """WITH line AS (
+      |  SELECT c_custkey,
+      |         'contact ' || c_name || ' balance ' ||
+      |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) ||
+      |         ' segment ' || c_mktsegment AS raw
+      |  FROM customer)
+      |SELECT c_custkey,
+      |       regexp_replace(raw, '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+      |       CAST(length(regexp_extract_all(raw, '[0-9]{4,}')) AS BIGINT)
+      |         AS n_redacted
+      |FROM line""".stripMargin) { (s, d) =>
+    val raw = concat(
+      lit("contact "), col("c_name"), lit(" balance "),
+      col("c_acctbal").cast("decimal(12,2)").cast("string"),
+      lit(" segment "), col("c_mktsegment"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("raw"), "[0-9]{4,}", "<NUM>").as("scrubbed"),
+        size(regexp_extract_all(col("raw"), lit("[0-9]{4,}"), lit(0)))
+          .cast("long").as("n_redacted"))
+  }
+
+  // ---- Overlapping document chunking ----
+  // Fixed-size token windows (40 tokens, stride 30 → overlap 10): the
+  // long-document split before tokenizer/embedding stages. explode of a
+  // per-row start sequence + slice — per-row expressions, zero shuffle;
+  // output rows ∝ total tokens / stride, the unavoidable fan-out.
+  val t10Chunking = withOracle(
+    "t10_chunking",
+    s"""$TokCte,
+       |st AS (SELECT doc_id, toks,
+       |         unnest(generate_series(1, length(toks), 30)) AS chunk_start
+       |       FROM tok WHERE length(toks) > 0)
+       |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+       |       CAST(least(40, length(toks) - chunk_start + 1) AS BIGINT)
+       |         AS chunk_len,
+       |       array_to_string(list_slice(toks, chunk_start, chunk_start + 39), ' ')
+       |         AS chunk_text
+       |FROM st""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(30))).as("chunk_start"))
+      .select(
+        col("doc_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(40), size(col("toks")) - col("chunk_start") + 1)
+          .cast("long").as("chunk_len"),
+        array_join(slice(col("toks"), col("chunk_start"), lit(40)), " ")
+          .as("chunk_text"))
+  }
+
+  // ---- Sequence packing ----
+  // Assign documents to fixed token-budget training sequences (2048
+  // tokens) by running offset within a shard. Sharding by `source` is the
+  // production shape: packing needs a total order, and a global sort of
+  // 100 TB is exactly what to avoid — per-shard windows sort only within
+  // each shard's partition, in parallel. Window frame is ROWS-based on a
+  // unique key (doc_id), so the running sum is engine-independent.
+  val c3SequencePacking = withOracle(
+    "c3_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(length(list_filter(string_split_regex(trim(text), ' +'),
+      |                                 x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |          AS off FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(off // 2048 AS BIGINT) AS seq_id,
+      |       CAST(off % 2048 AS BIGINT) AS pos_in_seq
+      |FROM o""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("off") / 2048).cast("long").as("seq_id"),
+        (col("off") % 2048).cast("long").as("pos_in_seq"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking)
+}

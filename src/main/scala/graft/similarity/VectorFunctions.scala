@@ -75,6 +75,18 @@ object VectorFunctions {
       when(dotN(hyperplane(j, dim), v) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Native single-evaluator form of [[lshCode]] (bit-identical; parity-
+    * tested): the composed form's 64-dot-kernel expression tree costs
+    * seconds of codegen/JIT per STAGE before the first row — measured as
+    * most of s2's wall time at sf0.1 — while [[graft.functions.SrpCode]]
+    * is one precomputed-table loop with no per-stage compilation. Use in
+    * every LSH hot path.
+    */
+  def lshCodeN(v: Column, nBits: Int, dim: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SrpCode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), nBits, dim))
+
   /** Hamming distance between two bucket codes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -58,6 +58,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(codes === again)
   }
 
+  test("SrpCode native kernel is bit-identical to the composed lshCode") {
+    val both = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(
+        lshCode(col("embedding"), 64, 64).as("composed"),
+        lshCodeN(col("embedding"), 64, 64).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("hamming counts differing bits") {
     val h = Seq((5L, 6L)).toDF("x", "y")
       .select(hamming(col("x"), col("y"))).collect()(0).getInt(0)
