@@ -97,6 +97,24 @@ object PipelineQueries {
     Streams.hourlyAgg(s, d)
   }
 
+  // ---- st10: sliding-window aggregate ----
+  // 2h windows sliding hourly: every event contributes to exactly two
+  // windows (floor-hour and floor-hour minus 1h, epoch-aligned) — the
+  // oracle unnests that assignment explicitly.
+  val st10Sliding = withOracle(
+    "st10_stream_sliding",
+    """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, value FROM events),
+      |w AS (SELECT (us // 3600000000) * 3600000000 - k * 3600000000
+      |               AS window_start_us,
+      |             value
+      |      FROM e, (SELECT unnest([0, 1]) AS k) kk)
+      |SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1""".stripMargin) { (s, d) =>
+    Streams.slidingHourly(s, d)
+  }
+
   // ---- st4: watermarked windowed aggregate (append mode) ----
   // Only watermark-closed windows are emitted. The oracle recomputes the
   // final watermark (max event time in MILLISECONDS, as Spark tracks it,
@@ -199,5 +217,5 @@ object PipelineQueries {
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
-      st8StreamDedupWm, st9StreamStatic)
+      st8StreamDedupWm, st9StreamStatic, st10Sliding)
 }

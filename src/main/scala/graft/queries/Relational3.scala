@@ -215,6 +215,71 @@ object Relational3 {
             .otherwise("kept").as("action"))
   }
 
+  // ---- Native session_window in batch ----
+  // Spark's built-in session-window operator (the declarative form of
+  // e2's hand-rolled gaps-and-islands): sessions merge while the next
+  // event starts BEFORE the current session end (last ts + gap), so a
+  // gap of exactly 30 minutes STARTS a new session (e2's manual rule
+  // closes only on strictly-greater — both conventions exist; each
+  // oracle mirrors its own). session end = last event + gap, emitted as
+  // epoch µs. One shuffle on user_id; per-key session merging happens
+  // inside the aggregation.
+  val w9SessionWindow = withOracle(
+    "w9_session_window",
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |n AS (SELECT *, CASE WHEN prev IS NULL
+      |        OR epoch_ns(ts) // 1000 - epoch_ns(prev) // 1000 >= 1800000000
+      |      THEN 1 ELSE 0 END AS is_new FROM l),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM n)
+      |SELECT user_id,
+      |       CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS session_start_us,
+      |       CAST(epoch_ns(max(ts)) // 1000 + 1800000000 AS BIGINT)
+      |         AS session_end_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
+  // ---- String-function vocabulary ----
+  // split_part / translate / lpad / repeat / left / reverse / instr —
+  // the remaining portable string surface. Pure per-row expressions,
+  // zero shuffle.
+  val f8StringFuncs = withOracle(
+    "f8_string_funcs",
+    """SELECT c_custkey,
+      |       split_part(c_name, '#', 2) AS id_part,
+      |       translate(c_name, '#0', '_x') AS translated,
+      |       lpad(c_mktsegment, 12, '.') AS padded,
+      |       repeat(left(c_name, 3), 2) AS repeated,
+      |       reverse(c_mktsegment) AS reversed,
+      |       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
+      |FROM customer""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      expr("split_part(c_name, '#', 2)").as("id_part"),
+      translate(col("c_name"), "#0", "_x").as("translated"),
+      lpad(col("c_mktsegment"), 12, ".").as("padded"),
+      repeat(expr("left(c_name, 3)"), 2).as("repeated"),
+      reverse(col("c_mktsegment")).as("reversed"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete)
+    Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
+      w9SessionWindow, f8StringFuncs)
 }

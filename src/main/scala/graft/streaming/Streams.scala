@@ -100,6 +100,28 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** SLIDING-window aggregate (complete mode): 2-hour windows every hour,
+    * so each event lands in exactly size/slide = 2 windows — the overlap
+    * is the point (smoothing/trailing metrics). Spark assigns an event to
+    * windows starting at floor(ts, slide) - k*slide, k < size/slide, all
+    * epoch-aligned; the batch oracle reproduces that assignment with
+    * integer µs arithmetic. Scale: the fan-out is a per-row explode
+    * (factor size/slide) before the same partial-agg shuffle as tumbling
+    * windows — state is per-window, bounded by the time span, not the
+    * stream.
+    */
+  def slidingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val agg = eventsStream(ss, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runToMemory(agg, "graft_stream_sliding", OutputMode.Complete())
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Watermarked tumbling-window aggregate in APPEND mode: only windows
     * the 2-hour watermark has closed are emitted — the state-bounding
     * discipline the reference lacks (SURVEY §2.8: no watermarks anywhere,

@@ -76,4 +76,20 @@ class DedupSpec extends SparkSpec {
     assert(sh === exact)
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
+
+  test("bloomDecontaminate flags a superset of the exact sweep, zero misses") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val train = d.filter(col("doc_id") % 7 =!= 0)
+    val eval = d.filter(col("doc_id") % 7 === 0)
+    val exact = Dedup.decontaminate(train, eval, col("text"), col("doc_id"))
+      .filter(col("is_contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomDecontaminate(train, eval, col("text"), col("doc_id"))
+      .filter(col("maybe_contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty)            // the corpus plants cross-split dupes
+    assert(exact.subsetOf(bloom))     // one-sided error: no false negatives
+    // and the filter is doing work: flagged set stays far from "everything"
+    assert(bloom.size < train.count())
+  }
 }
