@@ -406,13 +406,16 @@ object Dedup {
     * turns pairwise matches into keep/drop decisions (every member maps
     * to the minimum doc id of its component — the canonical survivor).
     *
-    * Algorithm: iterative min-label propagation (each vertex repeatedly
-    * takes the minimum label among itself and its neighbors) — the
-    * standard MapReduce/Spark connected-components shape: every
-    * iteration is one join + partial/final min-aggregation, state is
-    * (vertex, label) pairs only, and the iteration count is the graph
-    * diameter (near-dup components are chains of a few documents, so
-    * single digits; `maxIterations` guards pathological inputs).
+    * Algorithm: min-label propagation with POINTER DOUBLING — each round
+    * first takes the minimum label among a vertex and its neighbors (one
+    * join + partial/final min-aggregation), then shortcuts every vertex
+    * to its label's label (a self-join on the label frame). Propagation
+    * alone needs diameter rounds — similarity graphs plant surprisingly
+    * long chains (16 observed on the embedding corpus), and at 100 TB
+    * each round is a global shuffle — while the jump step halves the
+    * remaining path per round, so the iteration count is O(log diameter).
+    * State stays (vertex, label) pairs only; `maxIterations` guards
+    * pathological inputs.
     * Lineage is cut each round with an eager localCheckpoint, otherwise
     * the loop's plan grows exponentially. The fixpoint is unique, so
     * the result is deterministic and matches the oracle's recursive-CTE
@@ -433,16 +436,29 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIterations) {
+      // Step 1 — neighbor-min propagation: each vertex takes the minimum
+      // label among itself and its neighbors.
       val nbrMin = sym.join(labels, sym("dst") === labels("v"))
         .groupBy(sym("src")).agg(min(col("lbl")).as("nm"))
-      // The change flag rides the propagation join (no second join
-      // against the old labels): a vertex changed iff a neighbor
-      // offered a strictly smaller label.
-      val next = labels.alias("L")
+      val prop = labels.alias("L")
         .join(nbrMin.alias("N"), col("L.v") === col("N.src"), "left")
         .select(col("L.v").as("v"),
           least(col("L.lbl"), coalesce(col("N.nm"), col("L.lbl"))).as("lbl"),
-          (coalesce(col("N.nm"), col("L.lbl")) < col("L.lbl")).as("chg"))
+          col("L.lbl").as("old"))
+        .localCheckpoint(true)
+      // Step 2 — pointer doubling: shortcut each vertex to its label's
+      // label (labels are vertex ids, so the self-join is total). Plain
+      // propagation needs DIAMETER rounds — a 16-long similarity chain
+      // costs 16 global joins; the jump halves remaining path length per
+      // round, so convergence is O(log diameter). Labels only decrease,
+      // so one strictly-smaller test after both steps catches any change.
+      val next = prop.alias("A")
+        .join(prop.select(col("v").as("pv"), col("lbl").as("plbl")).alias("P"),
+          col("A.lbl") === col("P.pv"), "left")
+        .select(col("A.v").as("v"),
+          least(col("A.lbl"), coalesce(col("P.plbl"), col("A.lbl"))).as("lbl"),
+          col("A.old").as("old"))
+        .withColumn("chg", col("lbl") < col("old"))
         .localCheckpoint(true)
       val changed = next.filter(col("chg")).limit(1).count()
       labels = next.select(col("v"), col("lbl"))
