@@ -179,6 +179,81 @@ object TextAnalysis2 {
         (col("off") % 2048).cast("long").as("pos_in_seq"))
   }
 
+  // ---- Count-min heavy hitters ----
+  // Terms covering >= 2% of all tokens, EXACTLY — found the sketch way.
+  // Why not groupBy(term) directly? With a bounded vocabulary that is
+  // fine (t7 does it), but when distinct terms outgrow executor hash
+  // maps (URLs, n-grams — billions of keys at 100 TB), the partial
+  // aggregation spills and the full (term) shuffle carries the whole
+  // corpus. The count-min plan never shuffles more than it must:
+  //
+  //  1. SKETCH: each term instance maps to 4 (row, position) cells
+  //     (independent universal hashes of the term's rolling hash);
+  //     groupBy(row, pos) has a FIXED 4 x 2048 group space, so map-side
+  //     partial aggregation is bounded (the per-partition partials ARE
+  //     per-partition count-min sketches, and the exchange merges them —
+  //     8192 rows per partition, corpus-size-independent). The collected
+  //     matrix is 64 KiB — the codebook-materialization pattern.
+  //  2. FILTER: est(term) = min over rows of matrix[r][pos_r(term)],
+  //     a pure per-row expression against the broadcast matrix. Count-min
+  //     only OVERcounts, so every true heavy hitter survives; the
+  //     instance filter is a map-side scan, no shuffle.
+  //  3. RE-COUNT: groupBy(term) over surviving instances only — the
+  //     shuffle now carries candidate terms' instances, not the corpus —
+  //     and the exact HAVING removes the sketch's false positives.
+  //
+  // Net result is EXACT (the oracle is the plain exact query), which is
+  // the point: the sketch buys the plan, not an approximation.
+  private val CmRows = 4
+  private val CmWidth = 2048
+  private val CmA = Array(31L, 131L, 8191L, 524287L)
+  private val CmB = Array(7L, 11L, 13L, 17L)
+  private val HhFrac = 0.02
+
+  private def cmPos(h: org.apache.spark.sql.Column, r: Int) =
+    pmod(pmod(lit(CmA(r)) * h + lit(CmB(r)), lit(2147483647L)), lit(CmWidth.toLong))
+
+  val t11HeavyHitters = withOracle(
+    "t11_heavy_hitters",
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(trim(text), ' +'),
+       |                            t -> length(t) > 0)) AS term
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS n_tokens FROM tok),
+       |tc AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
+       |SELECT term, CAST(n AS BIGINT) AS n
+       |FROM tc, tot
+       |WHERE CAST(n AS DOUBLE) >= CAST(n_tokens AS DOUBLE) * $HhFrac""".stripMargin) {
+    (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+      // Pass 1: build + collect the 4 x 2048 sketch.
+      val cells = toks.select(rollingHash(col("term")).as("h"))
+        .select(explode(array((0 until CmRows).map(r =>
+          struct(lit(r).as("r"), cmPos(col("h"), r).as("p"))): _*)).as("rp"))
+        .groupBy(col("rp.r").as("r"), col("rp.p").as("p"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+      val matrix = Array.fill(CmRows)(new Array[Long](CmWidth))
+      cells.foreach(row =>
+        matrix(row.getInt(0))(row.getLong(1).toInt) = row.getLong(2))
+      // Pass 2: per-instance estimate filter, exact re-count, exact HAVING.
+      val total = broadcast(toks.agg(count(lit(1)).as("n_tokens")))
+      val withH = toks.select(col("term"), rollingHash(col("term")).as("h"))
+      val est = least((0 until CmRows).map(r =>
+        element_at(lit(matrix(r)), cmPos(col("h"), r).cast("int") + 1)): _*)
+      withH
+        .withColumn("est", est)
+        .crossJoin(total)
+        .filter(col("est").cast("double")
+          >= col("n_tokens").cast("double") * HhFrac)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("nt"))
+        .filter(col("n").cast("double") >= col("nt").cast("double") * HhFrac)
+        .select(col("term"), col("n"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking)
+    Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking,
+      t11HeavyHitters)
 }
