@@ -253,7 +253,63 @@ object TextAnalysis2 {
         .select(col("term"), col("n"))
   }
 
+  // ---- Mergeable-histogram quantiles ----
+  // t5 computes EXACT percentiles (sort-based — fine while groups are
+  // bounded); this is the sketch that replaces it when they aren't: a
+  // fixed 64-bucket histogram of token counts per language. groupBy
+  // (lang, bucket) has a bounded group space, so map-side partials are
+  // per-partition histograms and the exchange merges them — the same
+  // mergeable-sketch shape as HLL/count-min, corpus-size-independent
+  // state. Quantile q resolves to the first bucket whose cumulative
+  // count reaches q*n; the answer is the bucket's lower bound (error
+  // bounded by bucket width — a resolution knob, not a correctness one).
+  // All bucket/cumulative arithmetic is integer + exact IEEE doubles, so
+  // the oracle reproduces the estimates bit-for-bit.
+  private val QBucketW = 8L
+  private val QBuckets = 64L
+
+  val t12QuantileHistogram = withOracle(
+    "t12_quantile_histogram",
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         CAST(length(list_filter(string_split_regex(trim(text), ' +'),
+       |                                 x -> length(x) > 0)) AS BIGINT) AS n
+       |  FROM documents),
+       |h AS (SELECT lang, least(n // $QBucketW, ${QBuckets - 1}) AS bucket,
+       |             count(*) AS c
+       |      FROM t GROUP BY 1, 2),
+       |cum AS (SELECT lang, bucket, c,
+       |          sum(c) OVER (PARTITION BY lang ORDER BY bucket
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |          sum(c) OVER (PARTITION BY lang) AS n_lang
+       |        FROM h),
+       |q AS (SELECT * FROM cum, (SELECT unnest([0.5, 0.9, 0.99]) AS q) qq
+       |      WHERE CAST(cum AS DOUBLE) >= q * CAST(n_lang AS DOUBLE))
+       |SELECT lang, q, CAST(min(bucket) * $QBucketW AS BIGINT) AS est_lo,
+       |       CAST(min(n_lang) AS BIGINT) AS n_docs
+       |FROM q GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, d)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("lang"),
+        least(floor(col("n") / QBucketW), lit(QBuckets - 1)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_lang", sum(col("c")).over(wAll))
+      .crossJoin(broadcast(
+        s.range(1).select(explode(typedLit(Seq(0.5, 0.9, 0.99))).as("q"))))
+      .filter(col("cum").cast("double") >= col("q") * col("n_lang").cast("double"))
+      .groupBy(col("lang"), col("q"))
+      .agg((min(col("bucket")) * QBucketW).as("est_lo"),
+        min(col("n_lang")).as("n_docs"))
+      .select(col("lang"), col("q"), col("est_lo"), col("n_docs"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking,
-      t11HeavyHitters)
+      t11HeavyHitters, t12QuantileHistogram)
 }

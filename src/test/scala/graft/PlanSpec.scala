@@ -155,4 +155,19 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("d9_bloom_decontaminate: the train side is a pure scan — no joins") {
+    // The Bloom bitset travels as a literal, so the executed plan must
+    // contain NO join anywhere: shingle probes are per-row expressions
+    // and the only exchange is the per-doc rollup.
+    val plan = executedPlan("d9_bloom_decontaminate")
+    assert(!plan.contains("Join"),
+      s"bloom decontamination regressed to a join plan:\n$plan")
+  }
+
+  test("j17_lateral decorrelates: no nested-loop or cartesian join") {
+    val plan = executedPlan("j17_lateral")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"lateral subquery failed to decorrelate:\n$plan")
+  }
 }
