@@ -129,5 +129,35 @@ object SourceQueries {
       col("text").rlike("the [a-z]+").as("has_the_phrase"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(s1CsvIngest, s4JsonRoundtrip, s5OrcRoundtrip, f5Json, f6Regex)
+  // ---- Plain-text source round-trip ----
+  // spark.read.text — the rawest ingest format (one row per line, one
+  // `value` column); the standard first step for crawl/log corpora
+  // before any structure exists. Documents here are single-line, so a
+  // text round-trip preserves row identity; the read side recovers the
+  // content-addressed identity via the same rolling hash the curation
+  // stack uses. (Line-split corpora at scale: the text source splits on
+  // newlines within partitions — no cross-file coordination needed.)
+  val s7TextRoundtrip = withOracle(
+    "s7_text_roundtrip",
+    """SELECT text,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                             c -> CAST(ascii(c) AS BIGINT))),
+      |            (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS content_fp,
+      |       CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.text.TextFunctions.rollingHash
+    val sfName = new java.io.File(d).getName
+    val dir = s"/tmp/graft_text/$sfName/documents"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(col("value").as("text"),
+        rollingHash(col("value")).as("content_fp"),
+        length(col("value")).cast("long").as("n_chars"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(s1CsvIngest, s4JsonRoundtrip, s5OrcRoundtrip,
+    s7TextRoundtrip, f5Json, f6Regex)
 }

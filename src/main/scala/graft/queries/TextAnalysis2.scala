@@ -309,7 +309,39 @@ object TextAnalysis2 {
       .select(col("lang"), col("q"), col("est_lo"), col("n_docs"))
   }
 
+  // ---- Training-mix source sampling ----
+  // Down-sample each source at its own rate — the data-mixture step that
+  // turns "weights per corpus" into an actual training set. The keep
+  // decision is keyed on the CONTENT hash (like c1's split), so it is
+  // reproducible with no seed plumbing, byte-identical duplicates sample
+  // identically across sources, and re-running over a grown corpus keeps
+  // every previously-kept document (rates are per-row pure functions —
+  // zero shuffle, survives any scale). Rates here derive from the source
+  // name (src0 → 100%, down by 4.5% per index); a production mixture
+  // would broadcast a rate map — f4 demonstrates the literal-map decode.
+  val c4SourceMixture = withOracle(
+    "c4_source_mixture",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         1000 - 45 * CAST(substr(source, 4) AS INT) AS permille,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(permille AS BIGINT) AS permille
+      |FROM r WHERE bucket < permille""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (lit(1000) - lit(45) * expr("substring(source, 4)").cast("int"))
+          .cast("long").as("permille"),
+        pmod(rollingHash(col("text")), lit(1000L)).as("bucket"))
+      .filter(col("bucket") < col("permille"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("permille"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking,
-      t11HeavyHitters, t12QuantileHistogram)
+      t11HeavyHitters, t12QuantileHistogram, c4SourceMixture)
 }
