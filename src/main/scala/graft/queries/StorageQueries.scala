@@ -22,15 +22,45 @@ object StorageQueries {
   private def sfName(d: String) =
     new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
 
-  /** Write-once guard: (re)create a bucketed/partitioned table only if
-    * this scale factor hasn't materialized it yet in this warehouse
-    * (clearing any orphaned location a lost in-memory catalog left).
+  /** Write-once guard: materialize a bucketed/partitioned table ONCE per
+    * generation of the source data, not once per process. The in-memory
+    * catalog dies with the JVM while the warehouse dir survives, so a
+    * naive guard rewrites the table every fresh process (~3s of write
+    * charged to what should be a read benchmark). Instead a marker file
+    * records the source fingerprint the last successful write derived
+    * from (the OlistMaterialized pattern): on a match, the surviving
+    * location is RE-REGISTERED via DDL — `CLUSTERED BY ... INTO n
+    * BUCKETS LOCATION ...` preserves the bucket metadata, `MSCK REPAIR`
+    * rediscovers partitions — and on a mismatch (source regenerated)
+    * everything is dropped and rebuilt, so staleness is impossible.
     */
-  private def ensureTable(s: SparkSession, name: String)(create: => Unit): Unit =
-    if (!s.catalog.tableExists(name)) {
+  private def ensureTable(s: SparkSession, name: String, srcDir: String,
+      reRegisterDdl: String => String, repairPartitions: Boolean = false)(
+      create: => Unit): Unit = {
+    if (s.catalog.tableExists(name)) return
+    val hconf = s.sparkContext.hadoopConfiguration
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val marker = new org.apache.hadoop.fs.Path(wh, s"_graft_tbl_$name.fp")
+    val fs = marker.getFileSystem(hconf)
+    val fp = graft.olist.OlistMaterialized.fingerprint(s, srcDir)
+    val priorFp =
+      if (!fs.exists(marker)) None
+      else scala.util.Try {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      }.toOption
+    if (priorFp.contains(fp) && fs.exists(loc)) {
+      s.sql(reRegisterDdl(loc.toString))
+      if (repairPartitions) s.sql(s"MSCK REPAIR TABLE $name")
+    } else {
+      if (fs.exists(marker)) fs.delete(marker, false)
       graft.core.CatalogUtil.dropOrphanLocation(s, name)
       create
+      val out = fs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
+  }
 
   /** b1 — co-located join + aggregation over bucketed tables.
     *
@@ -52,14 +82,22 @@ object StorageQueries {
     val sf = sfName(d)
     val lTbl = s"lineitem_bkt_$sf"
     val oTbl = s"orders_bkt_$sf"
-    ensureTable(s, lTbl) {
+    ensureTable(s, lTbl, d, loc =>
+      s"""CREATE TABLE $lTbl (l_orderkey BIGINT, l_quantity DOUBLE)
+         |USING parquet
+         |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
+         |LOCATION '$loc'""".stripMargin) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .format("parquet").saveAsTable(lTbl)
     }
-    ensureTable(s, oTbl) {
+    ensureTable(s, oTbl, d, loc =>
+      s"""CREATE TABLE $oTbl (o_orderkey BIGINT, o_orderstatus STRING)
+         |USING parquet
+         |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+         |LOCATION '$loc'""".stripMargin) {
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite")
@@ -87,7 +125,13 @@ object StorageQueries {
       |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
       |FROM orders WHERE o_orderstatus = 'P'""".stripMargin) { (s, d) =>
     val tbl = s"orders_part_${sfName(d)}"
-    ensureTable(s, tbl) {
+    ensureTable(s, tbl, d, loc =>
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_orderdate TIMESTAMP,
+         |                   o_orderstatus STRING)
+         |USING parquet
+         |PARTITIONED BY (o_orderstatus)
+         |LOCATION '$loc'""".stripMargin,
+      repairPartitions = true) {
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_orderstatus")
         .write.mode("overwrite")
