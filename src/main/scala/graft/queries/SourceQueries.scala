@@ -31,7 +31,10 @@ object SourceQueries {
     "s1_csv_ingest",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val dir = s"/tmp/graft_csv/$sfName/documents"
+    // Scratch keyed by source-dir fingerprint: regenerating the test data
+    // changes the key, so the write-once guard can never serve stale CSV.
+    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
+    val dir = s"/tmp/graft_csv/${sfName}_$fp/documents"
     // _SUCCESS marker, not bare existence: a previously interrupted write
     // leaves a partial dir that must be overwritten, not trusted.
     if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -76,7 +79,8 @@ object SourceQueries {
     "s4_json_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val dir = s"/tmp/graft_json/$sfName/documents"
+    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
+    val dir = s"/tmp/graft_json/${sfName}_$fp/documents"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -91,7 +95,8 @@ object SourceQueries {
     "s5_orc_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val dir = s"/tmp/graft_orc/$sfName/documents"
+    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
+    val dir = s"/tmp/graft_orc/${sfName}_$fp/documents"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -148,7 +153,8 @@ object SourceQueries {
       |FROM documents""".stripMargin) { (s, d) =>
     import graft.text.TextFunctions.rollingHash
     val sfName = new java.io.File(d).getName
-    val dir = s"/tmp/graft_text/$sfName/documents"
+    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
+    val dir = s"/tmp/graft_text/${sfName}_$fp/documents"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d).select(col("text"))
         .write.mode("overwrite").text(dir)
