@@ -164,6 +164,50 @@ object SourceQueries {
         length(col("value")).cast("long").as("n_chars"))
   }
 
+  // ---- Native kernels through the SQL surface ----
+  // The extension path a `spark.sql` user takes: GraftExtensions
+  // registers the custom Catalyst expressions as SQL functions
+  // (injectFunction via spark.sql.extensions at session build, or
+  // register() on a live session — used here since the driver owns the
+  // session). The oracle reproduces each kernel's defining arithmetic,
+  // proving the SQL names bind to the same semantics as the DataFrame
+  // column functions (t1/t4 cover those).
+  val f9SqlKernels = withOracle(
+    "f9_sql_kernels",
+    """WITH tok AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, text,
+      |         list_distinct(CASE WHEN length(toks) >= 3 THEN
+      |           list_transform(range(1, length(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [] END) AS shingles
+      |  FROM tok)
+      |SELECT doc_id,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                             c -> CAST(ascii(c) AS BIGINT))),
+      |            (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fp,
+      |       CAST(length(shingles) AS BIGINT) AS n_shingles,
+      |       CAST(list_min(list_transform(shingles,
+      |              s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                     list_transform(list_filter(string_split(s, ''), c -> length(c) > 0),
+      |                                    c -> CAST(ascii(c) AS BIGINT))),
+      |                   (a, b) -> (a * 31 + b) % 2147483647))) AS BIGINT) AS min_shingle
+      |FROM sh""".stripMargin) { (s, d) =>
+    graft.ext.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_f9_docs")
+    s.sql("""
+      SELECT doc_id,
+             graft_rolling_hash(text) AS fp,
+             CAST(size(graft_shingle_set(text, 3)) AS BIGINT) AS n_shingles,
+             graft_min_shingle_hash(text, 3) AS min_shingle
+      FROM graft_f9_docs""")
+  }
+
   val specs: Seq[QuerySpec] = Seq(s1CsvIngest, s4JsonRoundtrip, s5OrcRoundtrip,
-    s7TextRoundtrip, f5Json, f6Regex)
+    s7TextRoundtrip, f5Json, f6Regex, f9SqlKernels)
 }
