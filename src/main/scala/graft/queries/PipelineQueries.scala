@@ -115,6 +115,20 @@ object PipelineQueries {
     Streams.slidingHourly(s, d)
   }
 
+  // ---- st11: the same hourly aggregate through MANY micro-batches ----
+  // Source split into 8 files, maxFilesPerTrigger=2 → 4 incremental
+  // batches updating window state; the end state must equal st1's
+  // single-batch run AND the batch oracle — the invariant that makes
+  // incremental processing trustworthy.
+  val st11MultiBatch = withOracle(
+    "st11_stream_multibatch",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Streams.multiBatchHourly(s, d)
+  }
+
   // ---- st4: watermarked windowed aggregate (append mode) ----
   // Only watermark-closed windows are emitted. The oracle recomputes the
   // final watermark (max event time in MILLISECONDS, as Spark tracks it,
@@ -217,5 +231,5 @@ object PipelineQueries {
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
-      st8StreamDedupWm, st9StreamStatic, st10Sliding)
+      st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch)
 }

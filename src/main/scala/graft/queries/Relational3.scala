@@ -279,7 +279,40 @@ object Relational3 {
       instr(col("c_name"), "#").cast("long").as("hash_pos"))
   }
 
+  // ---- first_value / last_value / nth_value windows ----
+  // The value-picking window vocabulary: first event value so far, the
+  // partition's final value (full frame), the second value seen. Order
+  // made total by (ts-as-µs, event_id), so every pick is deterministic
+  // and engine-independent; values are emitted raw (no accumulation), so
+  // doubles compare exactly.
+  val w10ValuePick = withOracle(
+    "w10_value_pick",
+    """SELECT event_id, user_id, value,
+      |       first_value(value) OVER w AS first_v,
+      |       last_value(value) OVER (PARTITION BY user_id
+      |         ORDER BY epoch_ns(ts) // 1000, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS final_v,
+      |       nth_value(value, 2) OVER w AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY epoch_ns(ts) // 1000, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Seq(unix_micros(col("ts")), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        first(col("value")).over(wRun).as("first_v"),
+        last(col("value")).over(wAll).as("final_v"),
+        nth_value(col("value"), 2).over(wRun).as("second_v"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
-      w9SessionWindow, f8StringFuncs)
+      w9SessionWindow, f8StringFuncs, w10ValuePick)
 }

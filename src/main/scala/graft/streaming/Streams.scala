@@ -52,20 +52,41 @@ object Streams {
     ss
   }
 
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, sfDir: String,
+      splitFiles: Int = 0, maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The file source requires a DIRECTORY; the testdata table is a single
     // file. Expose it through a scratch dir of symlinks (one-time, local
     // metadata only — no data copy), keyed by the sanitized dir path so
     // distinct sf dirs can never share (or collide on) a scratch dir.
-    val dir = java.nio.file.Paths.get("/tmp/graft_streams",
-      sfDir.replaceAll("[^A-Za-z0-9._-]+", "_"), "events")
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    spark.readStream.schema(schema).parquet(dir.toString)
+    // splitFiles > 0 instead materializes that many parquet files (a
+    // write-once copy) so maxFilesPerTrigger can spread AvailableNow
+    // over several micro-batches.
+    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    val dir =
+      if (splitFiles > 0) {
+        val split = java.nio.file.Paths.get("/tmp/graft_streams",
+          s"${sane}_split$splitFiles", "events")
+        if (!java.nio.file.Files.exists(split.resolve("_SUCCESS")))
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .repartition(splitFiles)
+            .write.mode("overwrite").parquet(split.toString)
+        split
+      } else {
+        val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
+        java.nio.file.Files.createDirectories(link_dir)
+        val link = link_dir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+        link_dir
+      }
+    val reader = spark.readStream.schema(schema)
+    val throttled =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    throttled.parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -95,6 +116,29 @@ object Streams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     runToMemory(agg, "graft_stream_hourly", OutputMode.Complete())
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Tumbling-window aggregate driven through MULTIPLE micro-batches:
+    * the source is split into several files and throttled with
+    * maxFilesPerTrigger, so AvailableNow executes a sequence of
+    * incremental batches (each updating window state) instead of one
+    * bulk batch. Complete mode emits the END state, which must be
+    * IDENTICAL however the input was batched — the invariant that makes
+    * incremental processing trustworthy, asserted here by sharing st1's
+    * batch oracle. (This is also the configuration the rate-limited
+    * production ingest runs: bounded work per trigger, state carrying
+    * the rest.)
+    */
+  def multiBatchHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val agg = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runToMemory(agg, "graft_stream_multibatch", OutputMode.Complete())
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("n_events"), col("sum_value"))
