@@ -125,15 +125,15 @@ object OlistQueries {
     */
   val st6CsvBronze = withOracle(
     "st6_csv_bronze", OlistOracle.bronzeOrdersSql) { (s, d) =>
-    // Scratch dir keyed by sanitized sf path + source-dir FINGERPRINT:
-    // distinct sf dirs can't collide, and regenerating the test data
-    // changes the fingerprint, so the write-once guard can never serve
-    // stale fixtures (and repeat runs stop paying the CSV write).
-    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
-    val dir = s"/tmp/graft_st6_csv/${d.replaceAll("[^A-Za-z0-9._-]+", "_")}_$fp"
+    // Write-once scratch keyed by source fingerprint + the DERIVATION's
+    // schema (Scratch.key): regenerated data or a changed OlistData.orders
+    // derivation both bust the cache; stale generations are pruned.
+    val src = OlistData.orders(s, d)
+    val dir = graft.core.Scratch.dir("/tmp/graft_st6_csv",
+      d.replaceAll("[^A-Za-z0-9._-]+", "_"),
+      graft.core.Scratch.key(s, d, src.schema.json)).toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
-      OlistData.orders(s, d).write.mode("overwrite")
-        .option("header", "true").csv(dir)
+      src.write.mode("overwrite").option("header", "true").csv(dir)
     val stream = CsvSource.readStream(s, dir, bronzeOrdersSchema)
     Streams.runToMemory(stream, "graft_st6_bronze", OutputMode.Append())
   }

@@ -88,12 +88,19 @@ object PipelineQueries {
   }
 
   // ---- st1: tumbling event-time window aggregate (complete mode) ----
-  val st1HourlyAgg = withOracle(
-    "st1_stream_hourly",
+  /** Shared hourly-aggregate oracle: st1 (single batch) and st11 (multi
+    * micro-batch) must agree with the SAME convention — one string, so a
+    * format/scale tweak can't silently decouple the invariant st11 tests.
+    */
+  private val HourlyOracleSql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
       |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      |FROM events GROUP BY 1""".stripMargin
+
+  val st1HourlyAgg = withOracle(
+    "st1_stream_hourly",
+    HourlyOracleSql) { (s, d) =>
     Streams.hourlyAgg(s, d)
   }
 
@@ -122,10 +129,7 @@ object PipelineQueries {
   // incremental processing trustworthy.
   val st11MultiBatch = withOracle(
     "st11_stream_multibatch",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-      |       CAST(count(*) AS BIGINT) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    HourlyOracleSql) { (s, d) =>
     Streams.multiBatchHourly(s, d)
   }
 

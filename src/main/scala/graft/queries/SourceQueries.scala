@@ -31,10 +31,11 @@ object SourceQueries {
     "s1_csv_ingest",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    // Scratch keyed by source-dir fingerprint: regenerating the test data
-    // changes the key, so the write-once guard can never serve stale CSV.
-    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
-    val dir = s"/tmp/graft_csv/${sfName}_$fp/documents"
+    // Scratch keyed by source fingerprint + written schema (Scratch.key):
+    // regenerated data OR a changed derivation busts the cache, and stale
+    // generations are pruned.
+    val dir = graft.core.Scratch.dir("/tmp/graft_csv", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json)).resolve("documents").toString
     // _SUCCESS marker, not bare existence: a previously interrupted write
     // leaves a partial dir that must be overwritten, not trusted.
     if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -79,8 +80,8 @@ object SourceQueries {
     "s4_json_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
-    val dir = s"/tmp/graft_json/${sfName}_$fp/documents"
+    val dir = graft.core.Scratch.dir("/tmp/graft_json", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json)).resolve("documents").toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -95,8 +96,8 @@ object SourceQueries {
     "s5_orc_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
-    val dir = s"/tmp/graft_orc/${sfName}_$fp/documents"
+    val dir = graft.core.Scratch.dir("/tmp/graft_orc", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json)).resolve("documents").toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -153,8 +154,8 @@ object SourceQueries {
       |FROM documents""".stripMargin) { (s, d) =>
     import graft.text.TextFunctions.rollingHash
     val sfName = new java.io.File(d).getName
-    val fp = graft.olist.OlistMaterialized.fingerprint(s, d).take(12)
-    val dir = s"/tmp/graft_text/${sfName}_$fp/documents"
+    val dir = graft.core.Scratch.dir("/tmp/graft_text", sfName,
+      graft.core.Scratch.key(s, d, "text-lines-v1")).resolve("documents").toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.documents(s, d).select(col("text"))
         .write.mode("overwrite").text(dir)

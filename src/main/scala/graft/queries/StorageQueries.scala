@@ -43,7 +43,12 @@ object StorageQueries {
     val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
     val marker = new org.apache.hadoop.fs.Path(wh, s"_graft_tbl_$name.fp")
     val fs = marker.getFileSystem(hconf)
-    val fp = graft.olist.OlistMaterialized.fingerprint(s, srcDir)
+    // The marker folds in the re-register DDL: if the table's declared
+    // schema/layout changes in code, the fingerprint mismatches and the
+    // table is rebuilt — old files can never be re-registered under a
+    // new declared schema.
+    val fp = graft.olist.OlistMaterialized.fingerprint(s, srcDir) +
+      "|" + graft.core.Scratch.sha8(reRegisterDdl("<loc>"))
     val priorFp =
       if (!fs.exists(marker)) None
       else scala.util.Try {

@@ -175,7 +175,10 @@ object TextAnalysis2 {
       .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
-        floor(col("off") / 2048).cast("long").as("seq_id"),
+        // integer `div`, NOT floor(double /): past 2^53 total tokens the
+        // double quotient is lossy and could land one sequence off the
+        // oracle's exact integer division
+        expr("off div 2048").as("seq_id"),
         (col("off") % 2048).cast("long").as("pos_in_seq"))
   }
 

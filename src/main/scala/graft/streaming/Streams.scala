@@ -65,13 +65,12 @@ object Streams {
     val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_")
     val dir =
       if (splitFiles > 0) {
-        // Fingerprint-keyed like every write-once scratch copy: a
-        // regenerated source changes the key, so stale splits are
-        // impossible (the symlink path below needs no key — it follows
-        // the source file).
-        val fp = graft.olist.OlistMaterialized.fingerprint(spark, sfDir).take(12)
-        val split = java.nio.file.Paths.get("/tmp/graft_streams",
-          s"${sane}_split${splitFiles}_$fp", "events")
+        // Scratch.key like every write-once copy: regenerated data busts
+        // the cache and stale generations are pruned (the symlink path
+        // below needs no key — it follows the source file).
+        val split = graft.core.Scratch.dir("/tmp/graft_streams",
+          s"${sane}_split$splitFiles",
+          graft.core.Scratch.key(spark, sfDir, schema.json)).resolve("events")
         if (!java.nio.file.Files.exists(split.resolve("_SUCCESS")))
           spark.read.parquet(s"$sfDir/events.parquet")
             .repartition(splitFiles)
