@@ -100,4 +100,28 @@ class PropertySpec extends SparkSpec {
       .select(graft.functions.keys.surrogateKey(col("id"), lit("x")).as("sk"))
     assert(df.distinct().count() === 5000)
   }
+
+  test("Scratch.dir prunes stale generations and keys on derivation") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scratch_test")
+    val g1 = graft.core.Scratch.dir(base.toString, "docs", "key1")
+    java.nio.file.Files.createDirectories(g1)
+    java.nio.file.Files.writeString(g1.resolve("data"), "v1")
+    assert(java.nio.file.Files.exists(g1))
+    // a new generation prunes the old one
+    val g2 = graft.core.Scratch.dir(base.toString, "docs", "key2")
+    java.nio.file.Files.createDirectories(g2)
+    assert(!java.nio.file.Files.exists(g1), "stale generation survived")
+    assert(java.nio.file.Files.exists(g2))
+    // an unrelated name is untouched
+    val other = graft.core.Scratch.dir(base.toString, "events", "keyX")
+    java.nio.file.Files.createDirectories(other)
+    val g2Again = graft.core.Scratch.dir(base.toString, "docs", "key2")
+    assert(java.nio.file.Files.exists(other))
+    assert(g2Again == g2)
+    // derivation change changes the key (source unchanged)
+    val k1 = graft.core.Scratch.key(spark, Sf0001, "schema-v1")
+    val k2 = graft.core.Scratch.key(spark, Sf0001, "schema-v2")
+    assert(k1 != k2)
+    assert(k1.takeWhile(_ != '-') == k2.takeWhile(_ != '-'))
+  }
 }
