@@ -170,4 +170,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"lateral subquery failed to decorrelate:\n$plan")
   }
+
+  test("s2_ann_lsh: codes come from the native SrpCode kernel") {
+    // The composed 64-dot-kernel form costs seconds of codegen per stage
+    // (and its 548-element probe CreateArray used to fail janino and run
+    // interpreted) — the plan must carry the single-evaluator kernel.
+    val plan = executedPlan("s2_ann_lsh")
+    assert(plan.contains("graft_srp_code"),
+      s"native SRP kernel missing from the s2 plan:\n$plan")
+  }
 }
