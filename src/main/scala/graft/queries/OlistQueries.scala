@@ -206,6 +206,41 @@ object OlistQueries {
           .as("positive_reviews"))
   }
 
+  /** g10 — category KPI rollup, the second consumption shape over the
+    * same committed gold tables (g9 cuts by geography+time, this by
+    * product category): fact scan + one broadcast dim join + hash-agg.
+    * Shares the one-time materialization with g6/g9 — a BI dashboard's
+    * marginal query cost is exactly this plan, nothing else.
+    */
+  val g10CategoryKpis = withOracle(
+    "g10_category_kpis",
+    OlistOracle.ctes +
+      """SELECT dp.product_category_name AS category,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(f.item_total_value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue,
+        |       CAST(sum(CAST(f.item_price AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS price_total,
+        |       CAST(sum(CASE WHEN f.is_positive_review THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS positive_reviews
+        |FROM gold_fact_order_items f
+        |JOIN gold_dim_products dp ON f.product_key = dp.product_key
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+    val n = OlistMaterialized.ensure(s, d)
+    s.table(n.fact)
+      .join(broadcast(s.table(n.dimProducts)
+        .select(col("product_key"), col("product_category_name"))),
+        "product_key")
+      .groupBy(col("product_category_name").as("category"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("item_total_value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        sum(col("item_price").cast("decimal(18,2)")).cast("double")
+          .as("price_total"),
+        sum(when(col("is_positive_review"), 1L).otherwise(0L))
+          .as("positive_reviews"))
+  }
+
   /** u4 — Materialize.Incremental through the Pipeline, two refreshes:
     * batch 1 loads silver orders for ~2/3 of the keys; batch 2 carries
     * only NEW keys (order_id % 3 = 0) plus CHANGED rows (% 5 = 0,
@@ -253,5 +288,6 @@ object OlistQueries {
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
     g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
+    g10CategoryKpis,
     st6CsvBronze, u4IncrementalSilver)
 }
