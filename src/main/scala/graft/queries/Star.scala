@@ -120,15 +120,25 @@ object Star {
       val dp = dd.as("dp")
       val ds = dd.as("ds")
 
+      // Join order is partition-aware (same rationale as the Olist fact,
+      // olist/Olist.scala:530-543): ALL l_orderkey-keyed joins (orders,
+      // order_totals, order_flags) run contiguously so the fact side
+      // shuffles on l_orderkey ONCE; only then does it re-exchange to
+      // o_custkey for the customer join; bounded dims broadcast last.
+      // The old o → c → ...broadcasts... → ot → fl order interleaved the
+      // keys (orderkey → custkey → orderkey) and paid TWO extra
+      // full-fact exchanges. The ot/fl left joins carry unique
+      // per-order keys, so commuting them ahead of the customer inner
+      // join is value-identical.
       li
         .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(orderTotals, li("l_orderkey") === orderTotals("ot_orderkey"), "left")
+        .join(orderFlags, li("l_orderkey") === orderFlags("fl_orderkey"), "left")
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .join(broadcast(sp), li("l_suppkey") === sp("s_suppkey"))
         .join(broadcast(dp), o("o_orderdate").cast("date") === col("dp.date_actual"))
         .join(broadcast(ds), li("l_shipdate").cast("date") === col("ds.date_actual"), "left")
-        .join(orderTotals, li("l_orderkey") === orderTotals("ot_orderkey"), "left")
-        .join(orderFlags, li("l_orderkey") === orderFlags("fl_orderkey"), "left")
         .select(
           surrogateKey(li("l_orderkey"), li("l_linenumber")).as("fact_key"),
           li("l_orderkey"),

@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast dim joins in the star build:\n$plan")
   }
 
+  test("j3_fact_star: fact side exchanges once per key — 6 hash exchanges") {
+    // All l_orderkey-keyed joins (orders, order_totals, order_flags)
+    // run contiguously, so the growing fact side is re-partitioned
+    // exactly twice: onto l_orderkey once, onto o_custkey once. Static
+    // (pre-AQE) shape: li + orders + the two CTE aggregations on
+    // orderkey, then fact->custkey + customer = 6 hash exchanges. The
+    // old interleaved order (orderkey -> custkey -> orderkey) planned
+    // 7, re-shuffling the full-width fact an extra time — the r4
+    // verdict's one scale-killer.
+    val df = Catalog.queries("j3_fact_star")(spark, Sf0001)
+    val plan = df.queryExecution.sparkPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 6, s"fact star plans $n hash exchanges (expected <= 6):\n$plan")
+  }
+
   test("t1_token_stats: pure projection — no exchange at all") {
     val plan = executedPlan("t1_token_stats")
     assert(!plan.contains("Exchange"),
@@ -169,6 +184,50 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan("j17_lateral")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"lateral subquery failed to decorrelate:\n$plan")
+  }
+
+  test("AQE splits the skewed join partition (the unsalted skew path)") {
+    // a11 proves the MANUAL salt; this pins the runtime complement: an
+    // unsalted shuffle join whose hot key dwarfs the median partition is
+    // re-planned by AQE's skew-join rule into split reads (the plan's
+    // AQEShuffleRead reports `skewed`) — so at 100 TB an unforeseen hot
+    // key degrades to extra parallel splits, not one straggler task.
+    // Thresholds are production-default RATIOS scaled down to test bytes.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "8KB")
+      spark.conf.set(keys(1), "4KB")
+      spark.conf.set(keys(2), "-1")    // force the shuffle join both ways
+      spark.conf.set(keys(3), "-1")
+      // repartition(8) first: AQE splits a skewed reduce partition at
+      // MAPPER-block granularity, and a single-file scan is one mapper
+      // — with one block per reduce partition there is nothing to split.
+      val li = spark.read.parquet(s"$Sf0001/lineitem.parquet").repartition(8)
+      // ~2/3 of all rows pile onto key 7777 — the hot-key shape.
+      val left = li.select(
+        when(col("l_orderkey") % 3 =!= 0, lit(7777L))
+          .otherwise(col("l_orderkey") % 997).as("k"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      val right = spark.range(0, 8000)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+        .agg(sum(col("l_quantity") * col("v")).as("s"),
+          // keep the payload columns alive through the join so column
+          // pruning can't shrink the hot partition under the threshold
+          sum(col("l_extendedprice")).as("s2"), max(col("l_shipdate")).as("d"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"),
+        s"AQE skew-join split did not fire on the hot key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("s2_ann_lsh: codes come from the native SrpCode kernel") {
