@@ -104,4 +104,30 @@ class VectorFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CA.merge(b, CA.reduce(CA.zero, Seq(1.0f))))
   }
+
+  test("lloydCodebook: round 2 moves assignments and composes round-wise") {
+    import graft.similarity.VectorFunctions.{ivfCell, normN}
+    val base = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm")).persist()
+    val seed: Seq[Seq[Double]] = base
+      .filter(col("vec_id").between(100, 115)).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val cb1 = graft.queries.SimilarityQueries.lloydCodebook(base, seed, 1)
+    val cb2 = graft.queries.SimilarityQueries.lloydCodebook(base, seed, 2)
+    // k rounds = one round iterated: training from cb1 for one more
+    // round is exactly the two-round codebook.
+    assert(graft.queries.SimilarityQueries.lloydCodebook(base, cb1, 1) === cb2)
+    assert(cb1 !== cb2, "second Lloyd round left the codebook unchanged")
+    // The second round must actually MOVE assignments (the loop is not
+    // a no-op): count vectors whose argmax cell differs under cb1 vs cb2.
+    def cells(cb: Seq[Seq[Double]]) = base.select(col("vec_id"),
+      ivfCell(cb, col("embedding"), col("nrm")).as("cell"))
+    val moved = cells(cb1).as("a")
+      .join(cells(cb2).as("b"), col("a.vec_id") === col("b.vec_id"))
+      .filter(col("a.cell") =!= col("b.cell")).count()
+    assert(moved > 0, "round 2 reassigned no vectors")
+    base.unpersist()
+  }
 }
