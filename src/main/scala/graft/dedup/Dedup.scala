@@ -460,10 +460,16 @@ object Dedup {
           col("A.old").as("old"))
         .withColumn("chg", col("lbl") < col("old"))
         .localCheckpoint(true)
-      val changed = next.filter(col("chg")).limit(1).count()
-      labels = next.select(col("v"), col("lbl"))
-      converged = changed == 0
       it += 1
+      // Labels only decrease, so a change-free round is a fixpoint and
+      // every later round is change-free too: probing convergence only
+      // every 2nd round halves the driver-action count per round at the
+      // cost of at most one extra (cheap — already-converged) round
+      // after the fixpoint. The final permitted round always probes so
+      // the non-convergence guard below stays exact.
+      if (it % 2 == 0 || it == maxIterations)
+        converged = next.filter(col("chg")).limit(1).count() == 0
+      labels = next.select(col("v"), col("lbl"))
     }
     // Partially-propagated labels are silently WRONG (a component wider
     // than the iteration bound would report several fragments as
