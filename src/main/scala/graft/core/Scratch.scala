@@ -7,15 +7,19 @@ import org.apache.spark.sql.SparkSession
 /** Write-once scratch directories for derived fixtures (CSV/JSON/ORC/text
   * copies of the test tables, split streaming sources).
   *
-  * Keying: `<name>_<key>` where the key folds together (a) a fingerprint
-  * of the SOURCE directory — regenerated data changes it — and (b) a hash
-  * of the derivation's SCHEMA (or DDL) — a code change to what gets
-  * written changes it. Either change busts the cache, so a `_SUCCESS`
-  * guard can never serve stale or mis-shaped fixtures.
+  * Keying: `<base>/<name>/<key>` where the key folds together (a) a
+  * fingerprint of the SOURCE directory — regenerated data changes it —
+  * and (b) a hash of the derivation's SCHEMA (or DDL) — a code change to
+  * what gets written changes it. Either change busts the cache, so a
+  * `_SUCCESS` guard can never serve stale or mis-shaped fixtures.
+  * Generations are scoped in a per-name SUBDIRECTORY so pruning one name
+  * can never touch another (under the old flat `<name>_<key>` layout a
+  * `_`-prefix sibling — `docs` vs `docs_v2` — was deletable).
   *
-  * Pruning: creating a new generation deletes stale sibling generations
-  * of the same name (same `<name>_` prefix, different key), so repeated
-  * regenerate-and-run cycles don't accumulate corpus copies in /tmp.
+  * Pruning: stale sibling generations are deleted only AFTER the new
+  * generation's marker exists ([[ensure]]) — pruning at resolve time
+  * destroyed the last working generation before the rebuild had
+  * succeeded, so a transient write failure left no usable fixture.
   * (Single-writer assumption: the harness runs one JVM at a time against
   * a scratch root; concurrent processes racing the prune would need a
   * lock this deliberately doesn't take.)
@@ -31,20 +35,37 @@ object Scratch {
     graft.olist.OlistMaterialized.fingerprint(spark, srcDir).take(12) +
       "-" + sha8(derivation)
 
-  /** Resolve `<base>/<name>_<key>`, pruning stale generations of `name`. */
-  def dir(base: String, name: String, key: String): Path = {
-    val parent = Paths.get(base)
-    val target = s"${name}_$key"
+  /** Resolve `<base>/<name>/<key>`. Pure path arithmetic — no pruning
+    * (see [[ensure]]/[[prune]] for the post-success cleanup).
+    */
+  def dir(base: String, name: String, key: String): Path =
+    Paths.get(base, name, key)
+
+  /** Delete every stale sibling generation of `name` (any key but
+    * `keep`). Call only once the new generation is proven good.
+    */
+  def prune(base: String, name: String, keep: String): Unit = {
+    val parent = Paths.get(base, name)
     if (Files.isDirectory(parent)) {
       val it = Files.list(parent)
-      try {
-        it.iterator().forEachRemaining { p =>
-          val fn = p.getFileName.toString
-          if (fn.startsWith(s"${name}_") && fn != target) deleteRecursively(p)
-        }
+      try it.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString != keep) deleteRecursively(p)
       } finally it.close()
     }
-    parent.resolve(target)
+  }
+
+  /** The write-once protocol in one place: resolve the generation dir,
+    * run `write` if `marker` (a generation-relative path like
+    * `documents/_SUCCESS`) is absent, and prune stale generations only
+    * once the marker exists — so a failed rebuild leaves the previous
+    * generation intact for the next attempt.
+    */
+  def ensure(base: String, name: String, key: String, marker: String)
+      (write: Path => Unit): Path = {
+    val gen = dir(base, name, key)
+    if (!Files.exists(gen.resolve(marker))) write(gen)
+    if (Files.exists(gen.resolve(marker))) prune(base, name, key)
+    gen
   }
 
   private def deleteRecursively(p: Path): Unit = {

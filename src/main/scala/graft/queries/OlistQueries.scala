@@ -127,13 +127,14 @@ object OlistQueries {
     "st6_csv_bronze", OlistOracle.bronzeOrdersSql) { (s, d) =>
     // Write-once scratch keyed by source fingerprint + the DERIVATION's
     // schema (Scratch.key): regenerated data or a changed OlistData.orders
-    // derivation both bust the cache; stale generations are pruned.
+    // derivation both bust the cache; stale generations are pruned only
+    // after the new write's _SUCCESS lands.
     val src = OlistData.orders(s, d)
-    val dir = graft.core.Scratch.dir("/tmp/graft_st6_csv",
+    val dir = graft.core.Scratch.ensure("/tmp/graft_st6_csv",
       d.replaceAll("[^A-Za-z0-9._-]+", "_"),
-      graft.core.Scratch.key(s, d, src.schema.json)).toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      src.write.mode("overwrite").option("header", "true").csv(dir)
+      graft.core.Scratch.key(s, d, src.schema.json), "_SUCCESS") { gen =>
+      src.write.mode("overwrite").option("header", "true").csv(gen.toString)
+    }.toString
     val stream = CsvSource.readStream(s, dir, bronzeOrdersSchema)
     Streams.runToMemory(stream, "graft_st6_bronze", OutputMode.Append())
   }
@@ -260,7 +261,7 @@ object OlistQueries {
         |b2 AS (SELECT order_id, customer_id, order_status || '_u2' AS order_status,
         |              order_purchase_timestamp, order_approved_at,
         |              order_delivered_carrier_date, order_delivered_customer_date,
-        |              order_estimated_delivery_date
+        |              order_estimated_delivery_date, processed_date
         |       FROM silver_orders
         |       WHERE CAST(order_id AS BIGINT) % 3 = 0
         |          OR CAST(order_id AS BIGINT) % 5 = 0)

@@ -32,16 +32,18 @@ object SourceQueries {
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
     // Scratch keyed by source fingerprint + written schema (Scratch.key):
-    // regenerated data OR a changed derivation busts the cache, and stale
-    // generations are pruned.
-    val dir = graft.core.Scratch.dir("/tmp/graft_csv", sfName,
-      graft.core.Scratch.key(s, d, DocSchema.json)).resolve("documents").toString
-    // _SUCCESS marker, not bare existence: a previously interrupted write
-    // leaves a partial dir that must be overwritten, not trusted.
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      Tables.documents(s, d)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .write.option("header", "true").mode("overwrite").csv(dir)
+    // regenerated data OR a changed derivation busts the cache. The
+    // _SUCCESS marker (not bare existence) gates the rebuild — an
+    // interrupted write leaves a partial dir that must be overwritten,
+    // not trusted — and stale generations are pruned only after it.
+    val dir = graft.core.Scratch.ensure("/tmp/graft_csv", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json), "documents/_SUCCESS") {
+      gen =>
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.option("header", "true").mode("overwrite")
+          .csv(gen.resolve("documents").toString)
+    }.resolve("documents").toString
     CsvSource.read(s, dir, DocSchema)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
@@ -80,12 +82,13 @@ object SourceQueries {
     "s4_json_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val dir = graft.core.Scratch.dir("/tmp/graft_json", sfName,
-      graft.core.Scratch.key(s, d, DocSchema.json)).resolve("documents").toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      Tables.documents(s, d)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite").json(dir)
+    val dir = graft.core.Scratch.ensure("/tmp/graft_json", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json), "documents/_SUCCESS") {
+      gen =>
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").json(gen.resolve("documents").toString)
+    }.resolve("documents").toString
     s.read.schema(DocSchema).json(dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
@@ -96,12 +99,13 @@ object SourceQueries {
     "s5_orc_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
     val sfName = new java.io.File(d).getName
-    val dir = graft.core.Scratch.dir("/tmp/graft_orc", sfName,
-      graft.core.Scratch.key(s, d, DocSchema.json)).resolve("documents").toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      Tables.documents(s, d)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite").orc(dir)
+    val dir = graft.core.Scratch.ensure("/tmp/graft_orc", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json), "documents/_SUCCESS") {
+      gen =>
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").orc(gen.resolve("documents").toString)
+    }.resolve("documents").toString
     s.read.orc(dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
@@ -154,11 +158,12 @@ object SourceQueries {
       |FROM documents""".stripMargin) { (s, d) =>
     import graft.text.TextFunctions.rollingHash
     val sfName = new java.io.File(d).getName
-    val dir = graft.core.Scratch.dir("/tmp/graft_text", sfName,
-      graft.core.Scratch.key(s, d, "text-lines-v1")).resolve("documents").toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      Tables.documents(s, d).select(col("text"))
-        .write.mode("overwrite").text(dir)
+    val dir = graft.core.Scratch.ensure("/tmp/graft_text", sfName,
+      graft.core.Scratch.key(s, d, "text-lines-v1"), "documents/_SUCCESS") {
+      gen =>
+        Tables.documents(s, d).select(col("text"))
+          .write.mode("overwrite").text(gen.resolve("documents").toString)
+    }.resolve("documents").toString
     s.read.text(dir)
       .select(col("value").as("text"),
         rollingHash(col("value")).as("content_fp"),
@@ -209,6 +214,44 @@ object SourceQueries {
       FROM graft_f9_docs""")
   }
 
+  // ---- CSV schema evolution (Auto Loader schemaLocation contract) ----
+  /** Two-generation ingest: batch 1 lands (doc_id, text, lang); batch 2
+    * arrives with a NEW trailing `source` column. The first read infers
+    * and PERSISTS the schema (v0.json, bronze_ingestion.py:25,30's
+    * `cloudFiles.schemaLocation`); the post-drift read under the rescue
+    * contract keeps v0 authoritative and folds the drifted column's
+    * values into `_rescued_data` — so a producer adding a column can
+    * never silently change a bronze table's shape. (The evolve=true
+    * branch — `addNewColumns` — is exercised in PipelineSpec.)
+    */
+  val s8CsvEvolution = withOracle(
+    "s8_csv_evolution",
+    """SELECT doc_id, text, lang,
+      |       CASE WHEN doc_id >= 250
+      |            THEN '{"source":"' || source || '"}' END AS _rescued_data
+      |FROM documents""".stripMargin) { (s, d) =>
+    val sfName = new java.io.File(d).getName
+    val gen = graft.core.Scratch.ensure("/tmp/graft_csv_evo", sfName,
+      graft.core.Scratch.key(s, d, "csv-evolution-v1"), "_SEEDED") { g =>
+      val docs = Tables.documents(s, d)
+      val data = g.resolve("data").toString
+      // batch 1, then FIRST CONTACT (persists v0 from batch 1 alone),
+      // then batch 2 with the drifted column — the arrival order that
+      // makes run 2 a genuine post-drift read.
+      docs.filter(col("doc_id") < 250).select("doc_id", "text", "lang")
+        .write.mode("overwrite").option("header", "true").csv(data)
+      CsvSource.readEvolving(s, data, g.resolve("schemas").toString)
+      docs.filter(col("doc_id") >= 250)
+        .select("doc_id", "text", "lang", "source")
+        .write.mode("append").option("header", "true").csv(data)
+      java.nio.file.Files.createFile(g.resolve("_SEEDED"))
+    }
+    CsvSource.readEvolving(s, gen.resolve("data").toString,
+        gen.resolve("schemas").toString, evolve = false)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col(CsvSource.RescueColumn))
+  }
+
   val specs: Seq[QuerySpec] = Seq(s1CsvIngest, s4JsonRoundtrip, s5OrcRoundtrip,
-    s7TextRoundtrip, f5Json, f6Regex, f9SqlKernels)
+    s7TextRoundtrip, s8CsvEvolution, f5Json, f6Regex, f9SqlKernels)
 }

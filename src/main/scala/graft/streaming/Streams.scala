@@ -66,16 +66,16 @@ object Streams {
     val dir =
       if (splitFiles > 0) {
         // Scratch.key like every write-once copy: regenerated data busts
-        // the cache and stale generations are pruned (the symlink path
-        // below needs no key — it follows the source file).
-        val split = graft.core.Scratch.dir("/tmp/graft_streams",
+        // the cache and stale generations are pruned post-_SUCCESS (the
+        // symlink path below needs no key — it follows the source file).
+        graft.core.Scratch.ensure("/tmp/graft_streams",
           s"${sane}_split$splitFiles",
-          graft.core.Scratch.key(spark, sfDir, schema.json)).resolve("events")
-        if (!java.nio.file.Files.exists(split.resolve("_SUCCESS")))
+          graft.core.Scratch.key(spark, sfDir, schema.json),
+          "events/_SUCCESS") { gen =>
           spark.read.parquet(s"$sfDir/events.parquet")
             .repartition(splitFiles)
-            .write.mode("overwrite").parquet(split.toString)
-        split
+            .write.mode("overwrite").parquet(gen.resolve("events").toString)
+        }.resolve("events")
       } else {
         val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
         java.nio.file.Files.createDirectories(link_dir)

@@ -101,22 +101,38 @@ class PropertySpec extends SparkSpec {
     assert(df.distinct().count() === 5000)
   }
 
-  test("Scratch.dir prunes stale generations and keys on derivation") {
-    val base = java.nio.file.Files.createTempDirectory("graft_scratch_test")
-    val g1 = graft.core.Scratch.dir(base.toString, "docs", "key1")
-    java.nio.file.Files.createDirectories(g1)
-    java.nio.file.Files.writeString(g1.resolve("data"), "v1")
-    assert(java.nio.file.Files.exists(g1))
-    // a new generation prunes the old one
-    val g2 = graft.core.Scratch.dir(base.toString, "docs", "key2")
-    java.nio.file.Files.createDirectories(g2)
-    assert(!java.nio.file.Files.exists(g1), "stale generation survived")
-    assert(java.nio.file.Files.exists(g2))
-    // an unrelated name is untouched
-    val other = graft.core.Scratch.dir(base.toString, "events", "keyX")
-    java.nio.file.Files.createDirectories(other)
-    val g2Again = graft.core.Scratch.dir(base.toString, "docs", "key2")
-    assert(java.nio.file.Files.exists(other))
+  test("Scratch.ensure prunes only after success and scopes per name") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_scratch_test").toString
+    def written(gen: java.nio.file.Path): Unit = {
+      Files.createDirectories(gen)
+      Files.writeString(gen.resolve("_SUCCESS"), "")
+    }
+    val g1 = graft.core.Scratch.ensure(base, "docs", "key1", "_SUCCESS")(written)
+    assert(Files.exists(g1.resolve("_SUCCESS")))
+    // a FAILED rebuild for a new key leaves the working generation intact
+    intercept[RuntimeException] {
+      graft.core.Scratch.ensure(base, "docs", "key2", "_SUCCESS") { _ =>
+        throw new RuntimeException("transient write failure")
+      }
+    }
+    assert(Files.exists(g1.resolve("_SUCCESS")),
+      "failed rebuild destroyed the previous working generation")
+    // a write that completes WITHOUT the marker must not prune either
+    graft.core.Scratch.ensure(base, "docs", "key2", "_SUCCESS") { gen =>
+      Files.createDirectories(gen)
+    }
+    assert(Files.exists(g1.resolve("_SUCCESS")),
+      "markerless write pruned the previous working generation")
+    // a successful rebuild prunes the stale sibling generation
+    val g2 = graft.core.Scratch.ensure(base, "docs", "key2", "_SUCCESS")(written)
+    assert(!Files.exists(g1), "stale generation survived a successful rebuild")
+    assert(Files.exists(g2.resolve("_SUCCESS")))
+    // a `_`-prefixed sibling NAME is out of scope (docs vs docs_v2 — the
+    // flat-layout prefix-collision bug)
+    val v2 = graft.core.Scratch.ensure(base, "docs_v2", "keyX", "_SUCCESS")(written)
+    val g2Again = graft.core.Scratch.ensure(base, "docs", "key2", "_SUCCESS")(written)
+    assert(Files.exists(v2.resolve("_SUCCESS")), "sibling name was pruned")
     assert(g2Again == g2)
     // derivation change changes the key (source unchanged)
     val k1 = graft.core.Scratch.key(spark, Sf0001, "schema-v1")
