@@ -40,7 +40,6 @@ object StorageQueries {
     if (s.catalog.tableExists(name)) return
     val hconf = s.sparkContext.hadoopConfiguration
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
     val marker = new org.apache.hadoop.fs.Path(wh, s"_graft_tbl_$name.fp")
     val fs = marker.getFileSystem(hconf)
     // The marker folds in the re-register DDL: if the table's declared
@@ -49,21 +48,34 @@ object StorageQueries {
     // new declared schema.
     val fp = graft.olist.OlistMaterialized.fingerprint(s, srcDir) +
       "|" + graft.core.Scratch.sha8(reRegisterDdl("<loc>"))
-    val priorFp =
+    // Line 2 of the marker is the table location the successful write
+    // ACTUALLY produced (from the catalog, written below) — re-deriving
+    // it from the warehouse conf would silently point the re-registered
+    // DDL at the wrong-but-existing path if the session's current
+    // database or a custom location were ever in play.
+    val prior: Option[(String, String)] =
       if (!fs.exists(marker)) None
       else scala.util.Try {
         val in = fs.open(marker)
         try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      }.toOption
-    if (priorFp.contains(fp) && fs.exists(loc)) {
-      s.sql(reRegisterDdl(loc.toString))
-      if (repairPartitions) s.sql(s"MSCK REPAIR TABLE $name")
-    } else {
-      if (fs.exists(marker)) fs.delete(marker, false)
-      graft.core.CatalogUtil.dropOrphanLocation(s, name)
-      create
-      val out = fs.create(marker, true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }.toOption.map(_.split("\n", 2)).collect {
+        case Array(f, l) => (f, l.trim)
+      }
+    prior match {
+      case Some((pfp, ploc)) if pfp == fp &&
+          fs.exists(new org.apache.hadoop.fs.Path(ploc)) =>
+        s.sql(reRegisterDdl(ploc))
+        if (repairPartitions) s.sql(s"MSCK REPAIR TABLE $name")
+      case _ =>
+        if (fs.exists(marker)) fs.delete(marker, false)
+        graft.core.CatalogUtil.dropOrphanLocation(s, name)
+        create
+        val actualLoc = s.sql(s"DESCRIBE TABLE EXTENDED $name")
+          .filter(col("col_name") === "Location")
+          .select("data_type").head().getString(0)
+        val out = fs.create(marker, true)
+        try out.write(s"$fp\n$actualLoc".getBytes("UTF-8"))
+        finally out.close()
     }
   }
 
@@ -150,4 +162,38 @@ object StorageQueries {
   }
 
   val specs: Seq[QuerySpec] = Seq(b1BucketedJoin, b2PartitionPruning)
+
+  /** Per-row-group `[min, max]` footer statistics of a string column
+    * across every parquet file in `dir` — the stats a data-skipping
+    * reader (parquet row-group filter, or a Delta/Iceberg file-stat
+    * planner over the same layout) prunes on. Exposed for the
+    * StorageSpec clusterBy-skipping proof.
+    */
+  def rowGroupRanges(s: SparkSession, dir: String,
+      column: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(hconf)
+    fs.listStatus(d).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val stats = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(s"no $column chunk in ${st.getPath}"))
+            .getStatistics
+          require(!stats.isEmpty, s"parquet wrote no stats for $column")
+          (stats.genericGetMin
+             .asInstanceOf[org.apache.parquet.io.api.Binary]
+             .toStringUsingUTF8,
+           stats.genericGetMax
+             .asInstanceOf[org.apache.parquet.io.api.Binary]
+             .toStringUsingUTF8)
+        } finally reader.close()
+      }
+  }
 }

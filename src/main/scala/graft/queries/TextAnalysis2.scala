@@ -295,7 +295,10 @@ object TextAnalysis2 {
     val hist = Tables.documents(s, d)
       .select(col("lang"), tokenCount(col("text")).cast("long").as("n"))
       .groupBy(col("lang"),
-        least(floor(col("n") / QBucketW), lit(QBuckets - 1)).as("bucket"))
+        // integer `div`, not floor(double /): exact long semantics match
+        // the oracle's `//` at any magnitude (double division goes lossy
+        // past 2^53 — same rationale as c3_sequence_packing).
+        least(expr(s"n div $QBucketW"), lit(QBuckets - 1)).as("bucket"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

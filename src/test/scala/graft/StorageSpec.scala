@@ -30,4 +30,56 @@ class StorageSpec extends SparkSpec {
       .matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
       s"status filter not pushed to partitions:\n$plan")
   }
+
+  test("clusterBy layout: min/max file stats prune a clustered-key probe") {
+    import org.apache.spark.sql.functions._
+    // The committed gold fact is CLUSTER BY (product_key, ...) via
+    // Pipeline.clustered = repartitionByRange + sortWithinPartitions
+    // (the liquid-clustering stand-in, fact_order_items.sql:9). At
+    // sf0.001 AQE rightly coalesces the whole table into ONE file, which
+    // can't exhibit pruning — so this proof takes the committed fact's
+    // DATA and lays it out at an explicit 8-way range clustering (what
+    // the same transform produces once the table exceeds one target
+    // file), then reads the parquet footers: the stats a row-group
+    // filter — or a Delta/Iceberg file planner over this layout — skips
+    // with. Clustered layout ⇒ key ranges are (near-)disjoint, a point
+    // probe lands in ≤2 of 8 row groups; the SAME DATA hash-scattered ⇒
+    // every row group's [min,max] spans the probe and nothing prunes.
+    val names = graft.olist.OlistMaterialized.ensure(spark, Sf0001)
+    val fact = spark.table(names.fact)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_clusterby").toString
+    fact.repartitionByRange(8, col("product_key"))
+      .sortWithinPartitions(col("product_key"))
+      .write.mode("overwrite").parquet(s"$base/clustered")
+    fact.repartition(8, col("order_item_key"))   // layout-free control
+      .write.mode("overwrite").parquet(s"$base/scattered")
+    // Probe with a MEDIAN key, not an extreme: the global minimum sits
+    // below every other file's range, so even a scattered layout would
+    // spuriously "prune" it.
+    val nKeys = fact.count()
+    val probe = fact.select(col("product_key"))
+      .orderBy(col("product_key")).limit((nKeys / 2).toInt + 1)
+      .orderBy(col("product_key").desc).limit(1).head().getString(0)
+    def hits(dir: String): (Int, Int) = {
+      val ranges = StorageQueries.rowGroupRanges(spark, dir, "product_key")
+      (ranges.count { case (lo, hi) => lo <= probe && probe <= hi },
+        ranges.size)
+    }
+    val (cHits, cTotal) = hits(s"$base/clustered")
+    val (sHits, sTotal) = hits(s"$base/scattered")
+    assert(cTotal >= 8 && sTotal >= 8, s"layouts too small: $cTotal/$sTotal")
+    assert(cHits <= 2,
+      s"clustered layout did not isolate the probe key: $cHits/$cTotal")
+    assert(sHits == sTotal,
+      s"control layout unexpectedly prunable: $sHits/$sTotal")
+    // And Spark pushes the probe predicate to the parquet scan, where
+    // the row-group filter consumes exactly these stats.
+    val scan = spark.read.parquet(s"$base/clustered")
+      .filter(col("product_key") === probe)
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("product_key"),
+      s"probe predicate not pushed to the scan:\n$plan")
+  }
 }
