@@ -241,25 +241,38 @@ object OlistData {
 
 /** Silver transforms — one function per reference script, DataFrame in /
   * DataFrame out so the same logic runs in the direct query path, the
-  * Pipeline DAG, and the CSV e2e test. Audit `processed_timestamp`
-  * columns are intentionally omitted (FIXTURES.md: wall-clock audit
-  * columns must be frozen for hash comparison; they carry no query
-  * semantics).
+  * Pipeline DAG, and the CSV e2e test. Every table carries the
+  * reference's wall-clock audit column (processed_/modified_timestamp;
+  * orders' is NAMED processed_date but holds current_timestamp() —
+  * faithful quirk) through an INJECTED clock: `current_timestamp()` is
+  * non-deterministic, so the default is a fixed epoch the oracle
+  * freezes as a literal, and a live deployment passes
+  * `functions.current_timestamp()` instead.
   */
 object OlistSilver {
   import OlistMaps._
 
+  /** The frozen audit instant (UTC) — mirrored literally in
+    * [[OlistOracle]]'s silver CTEs. */
+  val AuditEpoch = "2024-01-01 00:00:00"
+
+  /** Default injected audit clock; swap for `current_timestamp()` in a
+    * live pipeline. */
+  def auditClock: Column = lit(AuditEpoch).cast("timestamp")
+
   /** Silver_orders.py:28-41 — timestamp casts + the 18-minute approval
-    * imputation for delivered orders. */
-  def orders(bronze: DataFrame): DataFrame =
+    * imputation for delivered orders; audit column `processed_date`
+    * (a TIMESTAMP despite the name — Silver_orders.py:41). */
+  def orders(bronze: DataFrame, clock: Column = auditClock): DataFrame =
     bronze.withColumn("order_approved_at",
       when(col("order_status") === "delivered" && col("order_approved_at").isNull,
         col("order_purchase_timestamp") + expr("INTERVAL 18 MINUTES"))
         .otherwise(col("order_approved_at")))
+      .withColumn("processed_date", clock)
 
-  /** Silver_order_items.py:50-58 — projection + casts (price/freight to
-    * decimal(10,2)). */
-  def orderItems(bronze: DataFrame): DataFrame =
+  /** Silver_order_items.py:50-60 — projection + casts (price/freight to
+    * decimal(10,2)) + processed_timestamp. */
+  def orderItems(bronze: DataFrame, clock: Column = auditClock): DataFrame =
     bronze.select(
       col("order_id"),
       col("order_item_id").cast("int").as("order_item_id"),
@@ -267,11 +280,12 @@ object OlistSilver {
       col("seller_id"),
       col("shipping_limit_date").cast("timestamp").as("shipping_limit_date"),
       col("price").cast("decimal(10,2)").as("price"),
-      col("freight_value").cast("decimal(10,2)").as("freight_value"))
+      col("freight_value").cast("decimal(10,2)").as("freight_value"),
+      clock.as("processed_timestamp"))
 
   /** silver_customers.py:64-88 — zip cast + map-decode with raw-code
     * fallback (note: fallback = the RAW code, unlike sellers' 'Unknown'). */
-  def customers(bronze: DataFrame): DataFrame =
+  def customers(bronze: DataFrame, clock: Column = auditClock): DataFrame =
     bronze
       .withColumn("customer_zip_code_prefix",
         col("customer_zip_code_prefix").cast("int"))
@@ -279,13 +293,15 @@ object OlistSilver {
         coalesce(stateFullCol(col("customer_state")), col("customer_state")))
       .select("customer_id", "customer_unique_id", "customer_zip_code_prefix",
         "customer_city", "customer_state", "customer_state_full")
+      .withColumn("modified_timestamp", clock)   // silver_customers.py:79
 
   /** silver_products.py:67-119 — broadcast translation join, casts,
     * volume, has_* flags (computed BEFORE fillna, so null inputs keep the
     * flags NULL — faithful quirk), fillna(0) on numerics, dropDuplicates.
     * Determinism: planted duplicates are full-row identical, so the
     * arbitrary-row pick of dropDuplicates is value-stable. */
-  def products(bronze: DataFrame, translation: DataFrame): DataFrame =
+  def products(bronze: DataFrame, translation: DataFrame,
+      clock: Column = auditClock): DataFrame =
     bronze
       .join(broadcast(translation), Seq("product_category_name"), "left")
       .select(
@@ -307,34 +323,41 @@ object OlistSilver {
       .na.fill(0, Seq("product_name_length", "product_description_length",
         "product_photos_qty", "product_weight_g", "product_length_cm",
         "product_height_cm", "product_width_cm", "product_volume_cm3"))
+      // silver_products.py:116 — appended before the dedup, as upstream;
+      // the clock is constant per run, so the arbitrary-row pick stays
+      // value-stable.
+      .withColumn("processed_timestamp", clock)
       .dropDuplicates(Seq("product_id"))
 
   /** silver_sellers.py:93-113 — trim/upper normalization + 27-state map
     * with 'Unknown' fallback (vs customers' raw-code fallback). */
-  def sellers(bronze: DataFrame): DataFrame =
+  def sellers(bronze: DataFrame, clock: Column = auditClock): DataFrame =
     bronze.select(
       col("seller_id"),
       col("seller_zip_code_prefix").cast("int").as("seller_zip_code_prefix"),
       trim(col("seller_city")).as("seller_city"),
       upper(trim(col("seller_state"))).as("seller_state"),
       coalesce(stateFullCol(upper(trim(col("seller_state")))), lit("Unknown"))
-        .as("seller_state_full"))
+        .as("seller_state_full"),
+      clock.as("processed_timestamp"))   // silver_sellers.py:112
 
-  /** order_payments.py:46-56 — casts. */
-  def payments(bronze: DataFrame): DataFrame =
+  /** order_payments.py:46-56 — casts + modified_timestamp. */
+  def payments(bronze: DataFrame, clock: Column = auditClock): DataFrame =
     bronze.select(
       col("order_id"),
       col("payment_type"),
       col("payment_sequential").cast("int").as("payment_sequential"),
       col("payment_installments").cast("int").as("payment_installments"),
-      col("payment_value").cast("decimal(10,2)").as("payment_value"))
+      col("payment_value").cast("decimal(10,2)").as("payment_value"),
+      clock.as("modified_timestamp"))   // order_payments.py:55
 
   /** order_reviews.py:38-78 — inner join to silver_orders, dedup by
     * review_id, N/A comment fill, creation-date imputation chain, and the
     * reference's faithful quirk: review_answer_timestamp is imputed from
     * the ORIGINAL (pre-imputation) creation date, so a review with both
     * dates null keeps a null answer timestamp. */
-  def reviews(bronze: DataFrame, silverOrders: DataFrame): DataFrame = {
+  def reviews(bronze: DataFrame, silverOrders: DataFrame,
+      clock: Column = auditClock): DataFrame = {
     val lookup = silverOrders.select(
       col("order_id"),
       col("order_delivered_customer_date").cast("timestamp").as("delivered_date"),
@@ -356,7 +379,8 @@ object OlistSilver {
           .as("review_creation_date"),
         coalesce(col("review_answer_timestamp").cast("timestamp"),
           col("review_creation_date").cast("timestamp") + expr("INTERVAL 3 DAY"))
-          .as("review_answer_timestamp"))
+          .as("review_answer_timestamp"),
+        clock.as("processed_timestamp"))   // order_reviews.py:78
   }
 
   /** silver_geolocations.py — passthrough. */

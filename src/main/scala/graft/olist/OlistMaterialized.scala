@@ -94,9 +94,16 @@ object OlistMaterialized {
     * written only AFTER a fully successful run, so a crashed build can
     * never masquerade as reusable. Returns the committed table names.
     */
+  /** Bumped whenever the medallion's committed SCHEMAS/layout change in
+    * code (the source-data fingerprint alone cannot see a code change,
+    * so a warm warehouse would re-register tables built by the old
+    * logic). v2: silver audit columns (processed_/modified_timestamp).
+    */
+  private val LayoutVersion = "v2"
+
   def ensure(s: SparkSession, dir: String): Names = synchronized {
     val n = Names(sfx(dir))
-    val fp = fingerprint(s, dir)
+    val fp = fingerprint(s, dir) + "|" + LayoutVersion
     if (materialized.contains((s, n.suffix, fp))) return n
     val hconf = s.sparkContext.hadoopConfiguration
     val wh = s.conf.get("spark.sql.warehouse.dir")

@@ -11,6 +11,10 @@ package graft.olist
 object OlistOracle {
   import OlistMaps._
 
+  /** The frozen audit clock — same instant [[OlistSilver.auditClock]]
+    * injects, so silver audit columns hash-match. */
+  private val clock = s"CAST('${OlistSilver.AuditEpoch}' AS TIMESTAMP)"
+
   val ctes: String = s"""WITH
 olist_orders AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
@@ -26,7 +30,8 @@ silver_orders AS (
   SELECT order_id, customer_id, order_status, order_purchase_timestamp,
          CASE WHEN order_status = 'delivered' AND order_approved_at IS NULL
               THEN order_purchase_timestamp + to_minutes(18) ELSE order_approved_at END AS order_approved_at,
-         order_delivered_carrier_date, order_delivered_customer_date, order_estimated_delivery_date
+         order_delivered_carrier_date, order_delivered_customer_date, order_estimated_delivery_date,
+         $clock AS processed_date
   FROM olist_orders),
 olist_items AS (
   SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
@@ -41,7 +46,8 @@ silver_order_items AS (
   SELECT order_id, CAST(order_item_id AS INT) AS order_item_id, product_id, seller_id,
          shipping_limit_date,
          CAST(price_raw AS DECIMAL(10,2)) AS price,
-         CAST(freight_raw AS DECIMAL(10,2)) AS freight_value
+         CAST(freight_raw AS DECIMAL(10,2)) AS freight_value,
+         $clock AS processed_timestamp
   FROM olist_items),
 olist_customers AS (
   SELECT CAST(c_custkey AS VARCHAR) AS customer_id,
@@ -54,7 +60,8 @@ silver_order_customers AS (
   SELECT customer_id, customer_unique_id,
          CAST(customer_zip_code_prefix AS INT) AS customer_zip_code_prefix,
          customer_city, customer_state,
-         coalesce(${stateFullSql("customer_state")}, customer_state) AS customer_state_full
+         coalesce(${stateFullSql("customer_state")}, customer_state) AS customer_state_full,
+         $clock AS modified_timestamp
   FROM olist_customers),
 olist_products_base AS (
   SELECT CAST(p_partkey AS VARCHAR) AS product_id,
@@ -86,7 +93,8 @@ silver_products AS (
          coalesce(CAST(p.product_width_cm AS INT), 0) AS product_width_cm,
          coalesce(CAST(p.product_length_cm AS INT) * CAST(p.product_height_cm AS INT) * CAST(p.product_width_cm AS INT), 0) AS product_volume_cm3,
          CAST(p.product_photos_qty AS INT) > 0 AS has_photos,
-         CAST(p.product_description_lenght AS INT) > 0 AS has_description
+         CAST(p.product_description_lenght AS INT) > 0 AS has_description,
+         $clock AS processed_timestamp
   FROM olist_products p LEFT JOIN cat_translation t USING (product_category_name)),
 olist_sellers AS (
   SELECT CAST(s_suppkey AS VARCHAR) AS seller_id,
@@ -101,7 +109,8 @@ silver_sellers AS (
   SELECT seller_id, CAST(seller_zip_code_prefix AS INT) AS seller_zip_code_prefix,
          trim(seller_city) AS seller_city,
          upper(trim(seller_state)) AS seller_state,
-         coalesce(${stateFullSql("upper(trim(seller_state))")}, 'Unknown') AS seller_state_full
+         coalesce(${stateFullSql("upper(trim(seller_state))")}, 'Unknown') AS seller_state_full,
+         $clock AS processed_timestamp
   FROM olist_sellers),
 olist_payments AS (
   SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
@@ -114,7 +123,8 @@ olist_payments AS (
 silver_order_payments AS (
   SELECT order_id, payment_type, CAST(payment_sequential AS INT) AS payment_sequential,
          CAST(payment_installments AS INT) AS payment_installments,
-         CAST(payment_value_raw AS DECIMAL(10,2)) AS payment_value
+         CAST(payment_value_raw AS DECIMAL(10,2)) AS payment_value,
+         $clock AS modified_timestamp
   FROM olist_payments),
 olist_reviews_base AS (
   SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS review_id,
@@ -137,7 +147,8 @@ silver_order_reviews AS (
     coalesce(r.review_comment_message, 'N/A') AS review_comment_message,
     coalesce(r.review_creation_date, o.order_delivered_customer_date + to_days(1),
              o.order_estimated_delivery_date + to_days(1)) AS review_creation_date,
-    coalesce(r.review_answer_timestamp, r.review_creation_date + to_days(3)) AS review_answer_timestamp
+    coalesce(r.review_answer_timestamp, r.review_creation_date + to_days(3)) AS review_answer_timestamp,
+    $clock AS processed_timestamp
   FROM olist_reviews r JOIN silver_orders o ON r.order_id = o.order_id),
 olist_geolocations AS (
   SELECT CAST(z.zip AS INT) AS geolocation_zip_code_prefix,
