@@ -45,19 +45,26 @@ object CsvSource {
 
   /** The rescue plan (shared by batch and streaming reads): type every
     * column with try_cast and fold conversion failures plus structural
-    * failures into the JSON `_rescued_data` column.
+    * failures into the JSON `_rescued_data` column. `extras` are columns
+    * PRESENT IN THE DATA but absent from the declared schema (schema
+    * drift under the rescue contract): their raw values always land in
+    * the rescue JSON, never in the output schema.
     */
-  private def rescueProject(raw: DataFrame, schema: StructType): DataFrame = {
+  private def rescueProject(raw: DataFrame, schema: StructType,
+      extras: Seq[String] = Nil): DataFrame = {
     def typed(f: StructField): Column =
       if (f.dataType == StringType) col(f.name)
       else expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
 
     // JSON map of {column -> raw value} for values that failed to cast
-    // (raw non-null/non-empty but conversion null).
+    // (raw non-null/non-empty but conversion null), plus any drifted
+    // column's values wholesale.
     val failedEntries = schema.fields.filter(_.dataType != StringType).map { f =>
       lit(f.name) -> when(
         col(f.name).isNotNull && col(f.name) =!= "" && typed(f).isNull,
         col(f.name))
+    } ++ extras.map { name =>
+      lit(name) -> when(col(name).isNotNull && col(name) =!= "", col(name))
     }
     val failedMap = map_filter(
       map(failedEntries.flatMap { case (k, v) => Seq(k, v) }: _*),
@@ -102,4 +109,127 @@ object CsvSource {
         .schema(rawSchema(schema))
         .csv(path),
       schema)
+
+  /** The directory's files grouped by their EXACT header column
+    * sequence (insertion-ordered; files name-sorted). Driver-side: one
+    * first-line read per file — the same listing-scale metadata pass
+    * Auto Loader's schema tracking performs; the result routes each
+    * header generation to a parse with its own positional schema.
+    */
+  private def headerGroups(spark: SparkSession,
+      path: String): Seq[(Seq[String], Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      .filter(_.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    val groups =
+      scala.collection.mutable.LinkedHashMap.empty[Seq[String], Vector[String]]
+    files.foreach { f =>
+      val in = fs.open(f)
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        val line = br.readLine()
+        if (line != null && line.nonEmpty) {
+          val header = line.split(",", -1).toSeq.map(_.trim)
+          groups(header) = groups.getOrElse(header, Vector.empty) :+ f.toString
+        }
+      } finally in.close()
+    }
+    groups.toSeq
+  }
+
+  /** Parse the directory as header-homogeneous file GROUPS — each group
+    * gets a positional raw schema built from ITS OWN header — then
+    * conform every group to `schema`: columns a group lacks read as
+    * null, columns it carries beyond `schema` fold into `_rescued_data`
+    * (the rescue contract). Header-driven routing means drift needs no
+    * append-only discipline: added, reordered, or removed columns all
+    * conform.
+    */
+  private def readConforming(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val known = schema.fieldNames.toSet
+    headerGroups(spark, path).map { case (header, files) =>
+      val rawS = StructType(
+        header.map(StructField(_, StringType, nullable = true))
+          :+ StructField(StructuralColumn, StringType, nullable = true))
+      val raw = base(spark.read)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", StructuralColumn)
+        .schema(rawS).csv(files: _*)
+      val padded = schema.fieldNames.filterNot(header.contains)
+        .foldLeft(raw)((df, m) => df.withColumn(m, lit(null).cast("string")))
+      rescueProject(padded, schema, extras = header.filterNot(known))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def loadLatestSchema(spark: SparkSession,
+      schemaLocation: String): Option[(Int, StructType)] = {
+    val p = new org.apache.hadoop.fs.Path(schemaLocation)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .maxOption.map { v =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(p, s"v$v.json"))
+        val json = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        (v, org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType])
+      }
+  }
+
+  private def persistSchema(spark: SparkSession, schemaLocation: String,
+      version: Int, schema: StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(schemaLocation, s"v$version.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted-schema contract — the Auto Loader `schemaLocation`
+    * analogue (reference `bronze_ingestion.py:25,30`). First contact
+    * INFERS the schema and persists it as `v0.json` under
+    * `schemaLocation`; every later read loads the newest persisted
+    * version instead of re-inferring, so the parsing contract survives
+    * process restarts. When the directory has since grown files with NEW
+    * trailing columns (schema drift):
+    *
+    *  - `evolve = false` (`cloudFiles.schemaEvolutionMode = rescue`):
+    *    the persisted schema stays authoritative and the drifted
+    *    columns' values fold into `_rescued_data` alongside type
+    *    failures;
+    *  - `evolve = true` (`addNewColumns`): the schema is widened with
+    *    the new columns (as strings — deterministic; a later explicit
+    *    contract re-types them), persisted as `v<n+1>.json`, and the
+    *    read returns the widened shape.
+    *
+    * Each header GENERATION parses with its own positional schema and
+    * conforms to the contract, so drift may add, reorder, or remove
+    * columns; removed columns read as null — they are never dropped
+    * from the contract.
+    */
+  def readEvolving(spark: SparkSession, path: String, schemaLocation: String,
+      evolve: Boolean = false): DataFrame =
+    loadLatestSchema(spark, schemaLocation) match {
+      case None =>
+        val inferred = base(spark.read)
+          .option("inferSchema", "true").csv(path).schema
+        persistSchema(spark, schemaLocation, 0, inferred)
+        read(spark, path, inferred)
+      case Some((v, persisted)) =>
+        val known = persisted.fieldNames.toSet
+        val fresh = headerGroups(spark, path).flatMap(_._1)
+          .distinct.filterNot(known)
+        if (fresh.isEmpty) readConforming(spark, path, persisted)
+        else if (evolve) {
+          val widened = StructType(persisted.fields ++
+            fresh.map(StructField(_, StringType, nullable = true)))
+          persistSchema(spark, schemaLocation, v + 1, widened)
+          readConforming(spark, path, widened)
+        } else readConforming(spark, path, persisted)
+    }
 }
