@@ -189,6 +189,73 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq === Seq("o1"))
   }
 
+  test("csv schemaLocation: persisted contract, rescue drift, then evolve") {
+    import java.nio.file.Files
+    import graft.ingest.CsvSource
+    val base = Files.createTempDirectory("graft_csv_evo_spec")
+    val data = base.resolve("data"); Files.createDirectories(data)
+    val schemas = base.resolve("schemas").toString
+    Files.writeString(data.resolve("b1.csv"), "a,b\n1,x\n2,y\n")
+    // Run 1 — first contact: infers (a int, b string), persists v0.
+    val run1 = CsvSource.readEvolving(spark, data.toString, schemas)
+    assert(Files.exists(java.nio.file.Paths.get(schemas, "v0.json")))
+    assert(run1.schema.fieldNames.toSeq ===
+      Seq("a", "b", CsvSource.RescueColumn))
+    assert(run1.count() === 2)
+    // Drift: a later batch appends column c.
+    Files.writeString(data.resolve("b2.csv"), "a,b,c\n3,z,Q\n")
+    // Run 2 (rescue contract): schema unchanged, c's values rescued.
+    val run2 = CsvSource.readEvolving(spark, data.toString, schemas)
+    assert(run2.schema.fieldNames.toSeq ===
+      Seq("a", "b", CsvSource.RescueColumn))
+    val rescued = run2.collect()
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(rescued(1) == null && rescued(2) == null)
+    assert(rescued(3) === """{"c":"Q"}""")
+    // Run 3 (evolve): widened schema persisted as v1, c now a column.
+    val run3 = CsvSource.readEvolving(spark, data.toString, schemas,
+      evolve = true)
+    assert(Files.exists(java.nio.file.Paths.get(schemas, "v1.json")))
+    assert(run3.schema.fieldNames.toSeq ===
+      Seq("a", "b", "c", CsvSource.RescueColumn))
+    val evolved = run3.collect()
+      .map(r => r.getInt(0) -> Option(r.getString(2))).toMap
+    assert(evolved(3) === Some("Q") && evolved(1).isEmpty)
+    // Run 4: the widened contract persists — no rescue, no re-widening.
+    val run4 = CsvSource.readEvolving(spark, data.toString, schemas)
+    assert(run4.schema.fieldNames.toSeq ===
+      Seq("a", "b", "c", CsvSource.RescueColumn))
+    assert(run4.filter(org.apache.spark.sql.functions
+      .col(CsvSource.RescueColumn).isNotNull).count() === 0)
+  }
+
+  test("silver tables carry the reference's audit columns (injected clock)") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val n = graft.olist.OlistMaterialized.ensure(spark, Sf0001)
+    val expected = Seq(
+      n.silverOrders -> "processed_date",        // Silver_orders.py:41
+      n.silverItems -> "processed_timestamp",    // Silver_order_items.py:60
+      n.silverCustomers -> "modified_timestamp", // silver_customers.py:79
+      n.silverProducts -> "processed_timestamp", // silver_products.py:116
+      n.silverSellers -> "processed_timestamp",  // silver_sellers.py:112
+      n.silverPayments -> "modified_timestamp",  // order_payments.py:55
+      n.silverReviews -> "processed_timestamp")  // order_reviews.py:78
+    for ((tbl, c) <- expected) {
+      val df = spark.table(tbl)
+      val f = df.schema.fields.find(_.name == c)
+      assert(f.exists(_.dataType ==
+        org.apache.spark.sql.types.TimestampType),
+        s"$tbl misses timestamp audit column $c: ${df.schema.simpleString}")
+      // The injected clock freezes every row at the audit epoch (session
+      // tz is UTC), which is what keeps the oracle hash deterministic.
+      val vals = df.select(
+        date_format(col(c), "yyyy-MM-dd HH:mm:ss").as("t"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      assert(vals == Seq(graft.olist.OlistSilver.AuditEpoch),
+        s"$tbl audit clock not frozen: $vals")
+    }
+  }
+
   test("tableProperties record informational constraint metadata") {
     spark.sql("DROP TABLE IF EXISTS props_gold")
     import spark.implicits._
