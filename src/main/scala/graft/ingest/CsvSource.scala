@@ -212,6 +212,32 @@ object CsvSource {
     * columns; removed columns read as null — they are never dropped
     * from the contract.
     */
+  /** Streaming read under the persisted-schema contract — the full Auto
+    * Loader call shape (`bronze_ingestion.py:20-32`: readStream +
+    * `cloudFiles.schemaLocation` + `inferColumnTypes`). A stream cannot
+    * infer per-batch, so first contact runs ONE batch inference pass to
+    * seed `v0.json` (exactly Auto Loader's stream-start inference);
+    * every later start — including across process restarts — parses
+    * with the newest persisted version and the standard rescue plan.
+    * Drifted files inside a running stream surface in `_rescued_data`
+    * only if their type conversion fails (positional parse); restart
+    * after [[readEvolving]]`(evolve = true)` to widen the contract —
+    * Auto Loader's addNewColumns mode likewise evolves only across
+    * restarts.
+    */
+  def readStreamEvolving(spark: SparkSession, path: String,
+      schemaLocation: String): DataFrame = {
+    val schema = loadLatestSchema(spark, schemaLocation) match {
+      case Some((_, s)) => s
+      case None =>
+        val inferred = base(spark.read)
+          .option("inferSchema", "true").csv(path).schema
+        persistSchema(spark, schemaLocation, 0, inferred)
+        inferred
+    }
+    readStream(spark, path, schema)
+  }
+
   def readEvolving(spark: SparkSession, path: String, schemaLocation: String,
       evolve: Boolean = false): DataFrame =
     loadLatestSchema(spark, schemaLocation) match {

@@ -229,6 +229,37 @@ class PipelineSpec extends SparkSpec {
       .col(CsvSource.RescueColumn).isNotNull).count() === 0)
   }
 
+  test("streaming csv under the persisted schema contract (Auto Loader shape)") {
+    import java.nio.file.Files
+    import graft.ingest.CsvSource
+    import org.apache.spark.sql.streaming.OutputMode
+    val base = Files.createTempDirectory("graft_csv_evo_stream")
+    val data = base.resolve("data"); Files.createDirectories(data)
+    val schemas = base.resolve("schemas").toString
+    Files.writeString(data.resolve("b1.csv"), "a,b\n1,x\n2,y\n")
+    // Stream start = first contact: one batch inference pass seeds v0,
+    // then the stream parses with the persisted contract + rescue plan.
+    val s1 = graft.streaming.Streams.runToMemory(
+      CsvSource.readStreamEvolving(spark, data.toString, schemas),
+      "graft_evo_stream1", OutputMode.Append())
+    assert(Files.exists(java.nio.file.Paths.get(schemas, "v0.json")))
+    assert(s1.schema.fieldNames.toSeq ===
+      Seq("a", "b", CsvSource.RescueColumn))
+    assert(s1.count() === 2)
+    // Drift + an evolve restart: the widened v1 contract drives the
+    // restarted stream (evolution across restarts, as Auto Loader).
+    Files.writeString(data.resolve("b2.csv"), "a,b,c\n3,z,Q\n")
+    CsvSource.readEvolving(spark, data.toString, schemas, evolve = true)
+    val s2 = graft.streaming.Streams.runToMemory(
+      CsvSource.readStreamEvolving(spark, data.toString, schemas),
+      "graft_evo_stream2", OutputMode.Append())
+    assert(s2.schema.fieldNames.toSeq ===
+      Seq("a", "b", "c", CsvSource.RescueColumn))
+    assert(s2.count() === 3)
+    assert(s2.filter(org.apache.spark.sql.functions.col("c") === "Q")
+      .count() === 1)
+  }
+
   test("silver tables carry the reference's audit columns (injected clock)") {
     import org.apache.spark.sql.functions.{col, date_format}
     val n = graft.olist.OlistMaterialized.ensure(spark, Sf0001)
