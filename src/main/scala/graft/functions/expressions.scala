@@ -472,3 +472,47 @@ case class SrpCode(child: Expression, nBits: Int, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): SrpCode =
     copy(child = newChild)
 }
+
+/** 64-bit Morton (Z-order) interleave of up to four 16-bit column ranks:
+  * bit `i` of rank `j` lands at output position `i * k + (k - 1 - j)`,
+  * so rows sorted by the code cluster on equal-rank PREFIXES of every
+  * input column simultaneously — the multi-dimensional locality Delta's
+  * `OPTIMIZE ZORDER BY` (and liquid clustering over several keys) relies
+  * on for min/max file-stat skipping on NON-leading cluster keys, where
+  * a lexicographic sort only tightens the leading one.
+  *
+  * Inputs are LongType ranks already reduced to 16 bits (see
+  * `graft.storage.ZOrder.rank16`); higher bits are masked. Null ranks
+  * read as 0, so null keys cluster first (NULLS FIRST). CodegenFallback:
+  * evaluated once per row on the WRITE path only.
+  */
+case class ZOrderCode(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.size <= 4,
+    "z-order interleave supports 1-4 rank columns")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_zorder"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = children.size
+    var z = 0L
+    var j = 0
+    while (j < k) {
+      val v = children(j).eval(input)
+      val r = if (v == null) 0L else v.asInstanceOf[Long] & 0xFFFFL
+      var i = 0
+      while (i < 16) {
+        z |= ((r >> i) & 1L) << (i * k + (k - 1 - j))
+        i += 1
+      }
+      j += 1
+    }
+    z
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderCode =
+    copy(children = newChildren)
+}

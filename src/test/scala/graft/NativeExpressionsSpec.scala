@@ -91,6 +91,28 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(out(0).getLong(0) !== 0L)
   }
 
+  test("ZOrderCode interleaves 16-bit ranks most-significant-first") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.ZOrderCode
+    def z(rs: Long*): Long = {
+      val df = Seq(1).toDF("x")
+      df.select(Bridge.column(ZOrderCode(
+        rs.map(r => Bridge.expression(lit(r).cast("long"))))).as("z"))
+        .collect()(0).getLong(0)
+    }
+    assert(z(0xFFFFL) === 0xFFFFL)                 // k=1: identity
+    assert(z(1L, 0L) === 2L)                       // col 0 owns odd bits
+    assert(z(0L, 1L) === 1L)
+    assert(z(0xFFFFL, 0L) === 0xAAAAAAAAL)         // alternating 10
+    assert(z(0L, 0xFFFFL) === 0x55555555L)
+    assert(z(0xFFFFL, 0xFFFFL) === 0xFFFFFFFFL)
+    assert(z(0x1FFFFL, 0L) === 0xAAAAAAAAL)        // high bits masked
+    assert(z(1L, 1L, 1L, 1L) === 15L)              // k=4: one nibble
+    // ordering: the leading column dominates, then the second
+    assert(z(2L, 0L) > z(1L, 3L))
+  }
+
   test("shingleSetN edge cases: short, empty, padded") {
     import spark.implicits._
     val out = Seq("a b", "", "  x y z  ", "a  b c").toDF("t")

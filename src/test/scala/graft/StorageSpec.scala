@@ -82,4 +82,48 @@ class StorageSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("product_key"),
       s"probe predicate not pushed to the scan:\n$plan")
   }
+
+  test("zorder layout: every clustered key prunes, not just the leading one") {
+    import org.apache.spark.sql.functions._
+    // The multi-key CLUSTER BY claim (fact_order_items.sql:9 clusters on
+    // FOUR keys): under a lexicographic sort only the leading key's
+    // per-file min/max is tight — a probe on the second key overlaps
+    // every file. The Z-order layout interleaves a 16-bit rank of each
+    // key, so a median-key probe on EITHER column prunes.
+    val names = graft.olist.OlistMaterialized.ensure(spark, Sf0001)
+    val fact = spark.table(names.fact)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zorder_proof").toString
+    graft.storage.ZOrder
+      .layout(fact, Seq("product_key", "seller_key"), partitions = Some(8))
+      .write.mode("overwrite").parquet(s"$base/z")
+    fact.repartitionByRange(8, col("product_key"), col("seller_key"))
+      .sortWithinPartitions(col("product_key"), col("seller_key"))
+      .write.mode("overwrite").parquet(s"$base/lex")
+    // Expected probe cost: mean number of row-group ranges containing a
+    // key, averaged over EVERY distinct key of the column (a median
+    // single probe would under-measure — seller_key has only ~10
+    // distinct values at this sf, so any one value sits inside most
+    // spans by chance).
+    def meanHits(dir: String, c: String): (Double, Int) = {
+      val ranges = StorageQueries.rowGroupRanges(spark, dir, c)
+      val keys = fact.select(col(c)).distinct().collect()
+        .map(_.getString(0))
+      (keys.map(k =>
+        ranges.count { case (lo, hi) => lo <= k && k <= hi }).sum
+        .toDouble / keys.length, ranges.size)
+    }
+    val (pz, zn) = meanHits(s"$base/z", "product_key")
+    val (sz, _) = meanHits(s"$base/z", "seller_key")
+    val (pl, ln) = meanHits(s"$base/lex", "product_key")
+    val (sl, _) = meanHits(s"$base/lex", "seller_key")
+    assert(zn >= 8 && ln >= 8, s"layouts too small: $zn/$ln")
+    assert(pl <= 2.0, s"lexicographic leading-key probe spread: $pl/$ln")
+    assert(sl >= ln - 0.5,
+      s"lexicographic second key unexpectedly prunable: $sl/$ln")
+    assert(pz <= 0.6 * zn,
+      s"z-order leading-key probe did not prune: $pz/$zn")
+    assert(sz <= 0.8 * zn && sz < sl - 1.0,
+      s"z-order second-key probe did not prune: $sz/$zn vs lex $sl")
+  }
 }
