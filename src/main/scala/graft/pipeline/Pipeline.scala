@@ -342,22 +342,65 @@ class Pipeline {
           } else {
             // MERGE INTO semantics: incoming batch wins on key match
             // (whole-row SCD1 update), unmatched target rows survive.
-            // The anti join shuffles only (keys) from the batch side and
-            // — at scale — is the plan a Delta MERGE's find-touched-files
-            // phase runs; the snapshot swap is staged to a scratch dir
-            // because Spark (correctly) refuses to overwrite a table the
-            // plan is still reading.
+            // FILE-LEVEL commit, the Delta MERGE shape: phase 1 joins the
+            // batch's keys against the target WITH file provenance
+            // (key-columns-only column-pruned scan) to find the files
+            // that hold a matched key; phase 2 re-merges ONLY those
+            // files' rows with the batch; phase 3 carries every
+            // untouched file into the new snapshot BY RENAME (a
+            // metadata move, no IO) and swaps the directory under the
+            // stable table location. Write IO is proportional to
+            // touched files + batch, not table size. Without a
+            // transaction log the swap is not atomic — a crash between
+            // the delete and the final rename needs a pipeline refresh
+            // (the fingerprint markers force one); Delta's log is what
+            // removes that window.
+            val hconf = spark.sparkContext.hadoopConfiguration
+            def local(u: String) = new org.apache.hadoop.fs.Path(u)
+              .toUri.getPath
             val target = spark.table(name)
+            val liveFiles = target.inputFiles.map(local).toSet
+            val batchKeys = staged.select(keys.map(staged.col): _*).distinct()
+            val touched = target
+              .withColumn("_graft_file",
+                org.apache.spark.sql.functions.input_file_name())
+              .join(batchKeys, keys, "left_semi")
+              .select("_graft_file").distinct()
+              .collect().map(r => local(r.getString(0))).toSet
+            val untouched = (liveFiles -- touched).toSeq.sorted
+            val touchedRows =
+              if (touched.isEmpty) target.limit(0)
+              else spark.read.schema(target.schema)
+                .parquet(touched.toSeq.sorted: _*)
             val merged = staged.unionByName(
-              target.join(staged.select(keys.map(staged.col): _*).distinct(),
-                keys, "left_anti"))
+              touchedRows.join(batchKeys, keys, "left_anti"))
             val snapshot = spark.conf.get("spark.sql.warehouse.dir") +
               s"/_graft_staging/${name}_snapshot"
+            // 1. rewrite = touched rows + batch only (reads old files).
             clustered(merged, d.clusterBy)
               .write.mode("overwrite").parquet(snapshot)
-            spark.read.parquet(snapshot)
-              .write.mode("overwrite").format("parquet").saveAsTable(name)
-            deleteDir(spark, snapshot)
+            // 2. carry untouched files by rename; prefix avoids part-
+            //    file name collisions with the rewrite's own output.
+            val snapPath = new org.apache.hadoop.fs.Path(snapshot)
+            val fs = snapPath.getFileSystem(hconf)
+            untouched.zipWithIndex.foreach { case (f, i) =>
+              val src = new org.apache.hadoop.fs.Path(f)
+              require(fs.rename(src, new org.apache.hadoop.fs.Path(
+                snapPath, s"carried-$i-${src.getName}")),
+                s"could not carry $f into the merge snapshot")
+            }
+            // 3. directory swap under the stable location (the CATALOG's
+            //    location, not a warehouse-conf reconstruction) + cache
+            //    drop.
+            val liveDir = new org.apache.hadoop.fs.Path(
+              spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+                .filter(org.apache.spark.sql.functions
+                  .col("col_name") === "Location")
+                .select("data_type").head().getString(0))
+            fs.delete(liveDir, true)
+            require(fs.rename(snapPath, liveDir),
+              s"could not swap merge snapshot into $liveDir")
+            spark.sql(s"REFRESH TABLE $name")
           }
           deleteDir(spark, validateDir)
           spark.table(name)

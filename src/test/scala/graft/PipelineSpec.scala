@@ -178,6 +178,58 @@ class PipelineSpec extends SparkSpec {
       "o4" -> ((40.0, "NEW"))))    // unmatched — inserted
   }
 
+  test("incremental MERGE is file-level: untouched files carried by rename") {
+    // The Delta MERGE commit shape: the rewrite touches only files
+    // holding a matched key; every other file moves into the new
+    // snapshot as a metadata rename — write IO scales with the batch,
+    // not the table. Coalescing is pinned off so the range-clustered
+    // first load actually lands in several files at test size.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val tbl = "graft_incr_filelevel"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def run(src: org.apache.spark.sql.DataFrame): Unit = {
+        new Pipeline().register(Dataset(tbl, Nil, (_, _) => src,
+          materialize = Materialize.Incremental(Seq("k")),
+          clusterBy = Seq("k"))).run(spark)
+        ()
+      }
+      run(spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 10).as("v")))
+      val files1 = spark.table(tbl).inputFiles
+        .map(f => new java.io.File(f).getName).toSet
+      assert(files1.size >= 2, s"first load landed in ${files1.size} file")
+      // batch 2 updates the low key range and inserts new keys — only
+      // the file(s) covering k < 10 hold matched keys.
+      run(spark.range(0, 10).select(col("id").as("k"), lit(-1L).as("v"))
+        .unionByName(spark.range(100, 105)
+          .select(col("id").as("k"), lit(7L).as("v"))))
+      val after = spark.table(tbl)
+      assert(after.count() === 105)
+      assert(after.filter(col("k") < 10 && col("v") =!= -1L).count() === 0)
+      assert(after.filter(col("k") >= 100 && col("v") =!= 7L).count() === 0)
+      assert(after.filter(col("k").between(10, 99)
+        && col("v") =!= col("k") * 10).count() === 0)
+      val files2 = spark.table(tbl).inputFiles
+        .map(f => new java.io.File(f).getName)
+      val carried = files2.filter(_.startsWith("carried-"))
+      assert(carried.nonEmpty, s"no files carried by rename: " +
+        files2.mkString(", "))
+      // carried files are literally batch 1's part files, name-preserved
+      assert(carried.forall(c =>
+        files1.contains(c.replaceFirst("^carried-\\d+-", ""))),
+        s"carried names do not trace back to the first load: " +
+          carried.mkString(", "))
+      assert(carried.length < files1.size,
+        "every file was carried — the merge rewrote nothing?")
+    } finally saved match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
   test("incremental fail expectation aborts BEFORE the snapshot swap") {
     spark.sql("DROP TABLE IF EXISTS inc_guarded")
     val nonneg = Seq(DQ.fail("nonneg", col("amount") >= 0))
