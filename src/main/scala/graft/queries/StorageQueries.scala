@@ -161,7 +161,34 @@ object StorageQueries {
         col("o_orderdate").cast("date").cast("string").as("order_date"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(b1BucketedJoin, b2PartitionPruning)
+  /** b3 — deletion vectors (`fact_order_items.sql:7
+    * delta.enableDeletionVectors`): two DELETEs append physical
+    * (file, row_index) coordinates to a sidecar, the read subtracts
+    * them with a broadcast anti-join, and the data files are never
+    * rewritten (StorageSpec pins names+sizes). Rebuilt per run so the
+    * accumulated-vector state is deterministic.
+    */
+  val b3DeletionVectors = withOracle(
+    "b3_deletion_vectors",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 5 = 0)""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_dv_${sfName(d)}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 7 === 0)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 5 === 0)
+      graft.storage.DeletionVectors.read(s, tbl)
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

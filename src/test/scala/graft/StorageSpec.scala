@@ -83,6 +83,39 @@ class StorageSpec extends SparkSpec {
       s"probe predicate not pushed to the scan:\n$plan")
   }
 
+  test("deletion vectors: deletes leave data files byte-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.DeletionVectors
+    val tbl = "dv_spec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    def listing(): Set[(String, Long, Long)] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.table(tbl).inputFiles.head).getParent
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+    }
+    val before = listing()
+    DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    DeletionVectors.delete(spark, tbl, col("id") >= 900)
+    // the delete is metadata-only: same names, sizes, mtimes
+    assert(listing() === before, "a delete rewrote data files")
+    val live = DeletionVectors.read(spark, tbl)
+    assert(live.count() === 1000 - 100 - 100 + 10)   // %10 ∩ >=900 = 10
+    assert(live.filter(col("id") % 10 === 0 || col("id") >= 900)
+      .count() === 0)
+    // compact folds the vectors in: files rewritten, sidecar gone,
+    // visible rows unchanged
+    DeletionVectors.compact(spark, tbl)
+    assert(!spark.catalog.tableExists(s"${tbl}__dv"))
+    assert(spark.table(tbl).count() === 810)
+    assert(DeletionVectors.read(spark, tbl).count() === 810)
+  }
+
   test("zorder layout: every clustered key prunes, not just the leading one") {
     import org.apache.spark.sql.functions._
     // The multi-key CLUSTER BY claim (fact_order_items.sql:9 clusters on
