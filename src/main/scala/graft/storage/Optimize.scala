@@ -1,0 +1,71 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction honoring a target file size — the stand-in for
+  * `delta.targetFileSize` / `autoOptimize.autoCompact`
+  * (`scripts/gold/fact_order_items.sql:14-17` sets 256 MiB): streaming
+  * appends and file-level merges accumulate small files; OPTIMIZE
+  * bin-packs them back to the target.
+  *
+  * The record budget per file derives from the table's OWN bytes/row
+  * (total file bytes / total rows — the observed on-disk encoding, not
+  * a guess), enforced through the `maxRecordsPerFile` write option;
+  * partition fan-in uses the same estimate so each task writes about
+  * one target-sized file. Values and schema are untouched — this is a
+  * pure layout rewrite, the compaction counterpart of
+  * [[DeletionVectors.compact]].
+  */
+object Optimize {
+
+  /** Table-property key consulted when `targetFileSize` is not given —
+    * the same spelling the reference declares. */
+  val TargetFileSizeProp = "delta.targetFileSize"
+
+  private def tableFiles(spark: SparkSession, table: String) = {
+    val files = spark.table(table).inputFiles
+    require(files.nonEmpty, s"$table has no files to compact")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    files.toSeq.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }
+  }
+
+  /** Compact `table` so files land near the target size (bytes). With
+    * no explicit size, the table's `delta.targetFileSize` property is
+    * consulted, then a 128 MiB default. Returns (files before, after).
+    */
+  def compact(spark: SparkSession, table: String,
+      targetFileSize: Option[Long] = None): (Int, Int) = {
+    val target = targetFileSize.orElse {
+      spark.sql(s"SHOW TBLPROPERTIES $table")
+        .collect()
+        .find(_.getString(0) == TargetFileSizeProp)
+        .flatMap(r => scala.util.Try(r.getString(1).toLong).toOption)
+    }.getOrElse(128L * 1024 * 1024)
+    require(target > 0, s"bad target file size: $target")
+
+    val sizes = tableFiles(spark, table)
+    val totalBytes = sizes.sum
+    val rows = spark.table(table).count()
+    val bytesPerRow = math.max(1.0, totalBytes.toDouble / math.max(1L, rows))
+    val recordsPerFile = math.max(1L, (target / bytesPerRow).toLong)
+    val partitions = math.max(1,
+      math.ceil(totalBytes.toDouble / target).toInt)
+
+    val staging = spark.conf.get("spark.sql.warehouse.dir") +
+      s"/_graft_staging/${table}_optimize"
+    spark.table(table).coalesce(partitions)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .format("parquet").saveAsTable(table)
+    val p = new org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (sizes.length, spark.table(table).inputFiles.length)
+  }
+}

@@ -116,6 +116,42 @@ class StorageSpec extends SparkSpec {
     assert(DeletionVectors.read(spark, tbl).count() === 810)
   }
 
+  test("optimize bin-packs small files toward the target size") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.Optimize
+    val tbl = "opt_spec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.range(0, 20000)
+      .select(col("id"), lpad(col("id").cast("string"), 64, "x").as("pad"))
+      .repartition(16)
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    val before = spark.table(tbl).inputFiles.length
+    assert(before === 16)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def bytes(): Long = spark.table(tbl).inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val checksum = spark.table(tbl)
+      .agg(sum(col("id")), count(lit(1))).collect()(0)
+    // explicit target ~ a third of the table -> expect ~3-5 files
+    val (nb, na) = Optimize.compact(spark, tbl, Some(bytes() / 3))
+    assert(nb === 16 && na < 16 && na <= 6,
+      s"compaction produced $na files from $nb")
+    assert(spark.table(tbl)
+      .agg(sum(col("id")), count(lit(1))).collect()(0) === checksum,
+      "compaction changed the data")
+    // property-driven target (the reference's delta.targetFileSize
+    // spelling): a tiny target re-splits into MORE files than the
+    // compacted layout — the option is honored end to end.
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      s"('${Optimize.TargetFileSizeProp}' = '16384')")
+    val (_, na2) = Optimize.compact(spark, tbl)
+    assert(na2 > na, s"targetFileSize property ignored: $na2 <= $na")
+    assert(spark.table(tbl)
+      .agg(sum(col("id")), count(lit(1))).collect()(0) === checksum)
+  }
+
   test("zorder layout: every clustered key prunes, not just the leading one") {
     import org.apache.spark.sql.functions._
     // The multi-key CLUSTER BY claim (fact_order_items.sql:9 clusters on
