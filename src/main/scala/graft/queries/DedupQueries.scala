@@ -290,7 +290,65 @@ object DedupQueries {
       textCol = col("text"), idCol = col("doc_id"), n = 13)
   }
 
+  /** d10 — C4-style passage-level exact dedup ACROSS the corpus: every
+    * document splits into consecutive 8-token passages, a passage
+    * survives only at its globally FIRST occurrence (total order
+    * (doc_id, idx) — C4 deduplicates three-sentence spans corpus-wide
+    * the same way), and each document reassembles from its survivors.
+    * Scale shape: one explode (passages ~= tokens/8 rows), one window
+    * rank partitioned BY PASSAGE (the dedup shuffle — analogous to d1's
+    * groupBy but at sub-document granularity), one per-doc rollup.
+    * Documents whose every passage duplicates elsewhere drop entirely —
+    * the boilerplate-document case.
+    */
+  val d10PassageDedup = withOracle(
+    "d10_passage_dedup",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, i AS idx,
+      |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS passage
+      |  FROM t, unnest(range(0, CAST(ceil(length(toks) / 8.0) AS BIGINT))) u(i)),
+      |r AS (
+      |  SELECT doc_id, idx, passage,
+      |         row_number() OVER (PARTITION BY passage
+      |                            ORDER BY doc_id, idx) AS rn
+      |  FROM p)
+      |SELECT doc_id,
+      |       string_agg(passage, ' ' ORDER BY idx) AS clean_text,
+      |       CAST(count(*) AS BIGINT) AS n_kept
+      |FROM r WHERE rn = 1
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), " +"), t => length(t) > 0)
+          .as("toks"))
+    val passages = toks
+      .select(col("doc_id"),
+        // empty docs guard: sequence(0, -1) would DESCEND, not vanish
+        posexplode(when(size(col("toks")) > 0, transform(
+          sequence(lit(0), ceil(size(col("toks")) / 8.0).cast("long") - 1),
+          i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")))
+          .otherwise(array())))
+      .toDF("doc_id", "idx", "passage")
+    val firstOccurrence = Window.partitionBy(col("passage"))
+      .orderBy(col("doc_id"), col("idx"))
+    passages
+      .withColumn("rn", row_number().over(firstOccurrence))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(array_sort(collect_list(struct(col("idx"), col("passage"))))
+          .getField("passage"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
-      d6DupClusters, d7EmbedClusters, d8Decontaminate, d9BloomDecontaminate)
+      d6DupClusters, d7EmbedClusters, d8Decontaminate, d9BloomDecontaminate,
+      d10PassageDedup)
 }

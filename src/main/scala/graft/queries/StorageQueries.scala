@@ -176,8 +176,12 @@ object StorageQueries {
       |WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 5 = 0)""".stripMargin) {
     (s, d) =>
       val tbl = s"orders_dv_${sfName(d)}"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      // in-session rerun: drop; fresh JVM over a used warehouse: the
+      // catalog forgot the managed dirs — clear the orphan locations.
+      Seq(tbl, s"${tbl}__dv").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.core.CatalogUtil.dropOrphanLocation(s, t)
+      }
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"))
