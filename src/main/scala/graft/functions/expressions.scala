@@ -509,7 +509,12 @@ case class ZOrderCode(children: Seq[Expression])
       }
       j += 1
     }
-    z
+    // Four coordinates fill all 64 bits, putting the leading column's
+    // top bit on the SIGN bit — under signed Long ordering (what
+    // repartitionByRange compares) the domain's upper half would sort
+    // first. Flipping the sign bit maps unsigned interleave order onto
+    // signed order, keeping the code monotone per coordinate.
+    if (k == 4) z ^ java.lang.Long.MIN_VALUE else z
   }
 
   override protected def withNewChildrenInternal(

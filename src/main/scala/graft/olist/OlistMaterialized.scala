@@ -98,9 +98,10 @@ object OlistMaterialized {
     * code (the source-data fingerprint alone cannot see a code change,
     * so a warm warehouse would re-register tables built by the old
     * logic). v2: silver audit columns (processed_/modified_timestamp).
-    * v3: multi-key CLUSTER BY switched to the Z-order layout.
+    * v3: multi-key CLUSTER BY switched to the Z-order layout. v4:
+    * 4-key z-codes flip the sign bit (monotone signed ordering).
     */
-  private val LayoutVersion = "v3"
+  private val LayoutVersion = "v4"
 
   def ensure(s: SparkSession, dir: String): Names = synchronized {
     val n = Names(sfx(dir))

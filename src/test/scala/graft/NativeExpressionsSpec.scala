@@ -108,7 +108,10 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(z(0L, 0xFFFFL) === 0x55555555L)
     assert(z(0xFFFFL, 0xFFFFL) === 0xFFFFFFFFL)
     assert(z(0x1FFFFL, 0L) === 0xAAAAAAAAL)        // high bits masked
-    assert(z(1L, 1L, 1L, 1L) === 15L)              // k=4: one nibble
+    // k=4 fills 64 bits; the sign-bit flip keeps signed ordering equal
+    // to unsigned interleave ordering
+    assert(z(1L, 1L, 1L, 1L) === (15L ^ Long.MinValue))
+    assert(z(0xFFFFL, 0L, 0L, 0L) > z(0x7FFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL))
     // ordering: the leading column dominates, then the second
     assert(z(2L, 0L) > z(1L, 3L))
   }

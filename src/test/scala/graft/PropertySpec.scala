@@ -140,4 +140,70 @@ class PropertySpec extends SparkSpec {
     assert(k1 != k2)
     assert(k1.takeWhile(_ != '-') == k2.takeWhile(_ != '-'))
   }
+
+  test("ZOrderCode: per-coordinate monotone, injective, prefix-local") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def z(rs: Seq[Long]): Long =
+      graft.functions.ZOrderCode(rs.map(r => Literal(r)))
+        .eval(null).asInstanceOf[Long]
+    val rank = Gen.choose(0L, 65535L)
+    val tupleGen = for {
+      k <- Gen.choose(1, 4)
+      rs <- Gen.listOfN(k, rank)
+    } yield rs
+    val tuples = samples(tupleGen, 400)
+    // monotone in every coordinate (others fixed) — the property that
+    // makes a z-range constrain each column to a range
+    for (rs <- tuples; j <- rs.indices) {
+      val bumped = samples(rank.suchThat(_ != rs(j)), 1).head
+      val other = rs.updated(j, bumped)
+      assert((z(other) > z(rs)) === (bumped > rs(j)),
+        s"not monotone at coord $j: $rs vs $other")
+    }
+    // injective over masked tuples (grouped per arity — the code width
+    // is 16k bits)
+    tuples.groupBy(_.length).foreach { case (_, ts) =>
+      val distinctTs = ts.distinct
+      assert(distinctTs.map(z).distinct.size === distinctTs.size)
+    }
+    // prefix locality: agreeing on the top b bits of EVERY coordinate
+    // forces agreement on the top k*b bits of the code — exactly why
+    // a contiguous z-range yields tight per-column min/max file stats
+    val cases = samples(for {
+      k <- Gen.choose(1, 4)
+      b <- Gen.choose(1, 15)
+      hi <- Gen.listOfN(k, rank)
+      lo1 <- Gen.listOfN(k, rank)
+      lo2 <- Gen.listOfN(k, rank)
+    } yield (k, b, hi, lo1, lo2), 200)
+    for ((k, b, hi, lo1, lo2) <- cases) {
+      def mix(lo: Seq[Long]) = hi.lazyZip(lo).map((h, l) =>
+        (h & (0xFFFFL << (16 - b)) & 0xFFFFL) | (l & ((1L << (16 - b)) - 1)))
+      val shift = 16 * k - k * b
+      assert((z(mix(lo1)) >> shift) === (z(mix(lo2)) >> shift),
+        s"prefix locality broken at k=$k b=$b")
+    }
+  }
+
+  test("deletion vectors compose: sequential deletes == one disjunction") {
+    import graft.storage.DeletionVectors
+    val preds = Seq(
+      (col("id") % 7 === 0, col("id") % 11 === 3),
+      (col("id") > 400, col("id") % 2 === 0),
+      (col("id") < 0, col("id").between(100, 120))) // incl. empty delete
+    for (((p1, p2), i) <- preds.zipWithIndex) {
+      val tbl = s"dv_prop_$i"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      spark.range(0, 500).select(col("id"), (col("id") * 2).as("v"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      DeletionVectors.delete(spark, tbl, p1)
+      DeletionVectors.delete(spark, tbl, p2)
+      val visible = DeletionVectors.read(spark, tbl)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = spark.table(tbl).filter(!p1 && !p2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(visible === expected, s"case $i diverged")
+    }
+  }
 }
