@@ -473,6 +473,113 @@ case class SrpCode(child: Expression, nBits: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** Shared product-quantization distance loop: entry m*k0 + k of the
+  * result is the squared L2 distance between subvector m of the input
+  * (elements m*subDim .. m*subDim+subDim-1, floats widened to double)
+  * and centroid (m, k) of the flattened codebook — an ordered
+  * left-to-right fold of (x - c)^2, the exact arithmetic of the
+  * oracle's list_reduce fold.
+  */
+private[functions] object PqKernel {
+  def distTable(v: ArrayData, elemDouble: Boolean, cb: Array[Double],
+      m: Int, k0: Int, subDim: Int): Array[Double] = {
+    val out = new Array[Double](m * k0)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * subDim
+      var k = 0
+      while (k < k0) {
+        val cOff = (mi * k0 + k) * subDim
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (elemDouble) v.getDouble(off + i)
+                  else v.getFloat(off + i).toDouble
+          val d = x - cb(cOff + i)
+          acc += d * d
+          i += 1
+        }
+        out(mi * k0 + k) = acc
+        k += 1
+      }
+      mi += 1
+    }
+    out
+  }
+}
+
+/** Product-quantization code of an embedding in ONE evaluator: element m
+  * is the argmin-squared-L2 centroid index of subvector m against the
+  * literal sub-codebook (ties to the SMALLER index — strict `<` keeps
+  * the first minimum, matching the oracle's `ORDER BY d ASC, k` rank-1
+  * row). The codebook is M*K*subDim flattened doubles — broadcast-sized
+  * by construction, so encoding is a pure per-row expression: at 100 TB
+  * the 4-byte-per-subspace codes replace the float vector at ingest and
+  * ADC ranking never reads the floats. CodegenFallback: one eval per
+  * row, tight JIT'd loops.
+  */
+case class PqCode(child: Expression, codebook: Seq[Double], m: Int,
+    k: Int, subDim: Int) extends UnaryExpression with CodegenFallback {
+
+  require(codebook.size == m * k * subDim, "codebook must be m*k*subDim")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_code"
+
+  @transient private lazy val cb = codebook.toArray
+  @transient private lazy val elemDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = PqKernel.distTable(input.asInstanceOf[ArrayData], elemDouble,
+      cb, m, k, subDim)
+    val codes = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.PositiveInfinity
+      var arg = 0
+      var ki = 0
+      while (ki < k) {
+        val v = d(mi * k + ki)
+        if (v < best) { best = v; arg = ki }
+        ki += 1
+      }
+      codes(mi) = arg
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
+/** Per-query PQ lookup table: the full M*K squared-L2 distance table of
+  * [[PqKernel.distTable]] as a flat array<double> — computed once per
+  * QUERY row; a candidate's asymmetric (ADC) distance is then M array
+  * lookups summed, independent of the vector dimension.
+  */
+case class PqLut(child: Expression, codebook: Seq[Double], m: Int,
+    k: Int, subDim: Int) extends UnaryExpression with CodegenFallback {
+
+  require(codebook.size == m * k * subDim, "codebook must be m*k*subDim")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  @transient private lazy val cb = codebook.toArray
+  @transient private lazy val elemDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqKernel.distTable(
+      input.asInstanceOf[ArrayData], elemDouble, cb, m, k, subDim)
+      .map(_.asInstanceOf[Any]))
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 /** 64-bit Morton (Z-order) interleave of up to four 16-bit column ranks:
   * bit `i` of rank `j` lands at output position `i * k + (k - 1 - j)`,
   * so rows sorted by the code cluster on equal-rank PREFIXES of every

@@ -121,6 +121,30 @@ object VectorFunctions {
     (-greatest(scored: _*).getField("nj")).cast("int")
   }
 
+  // ---- PQ (product quantization) ----
+
+  /** PQ code array (length m): per-subspace argmin-squared-L2 centroid
+    * index against a flattened literal sub-codebook (layout
+    * `(mi*k + ki)*subDim + i`); ties to the smaller index. See
+    * [[graft.functions.PqCode]].
+    */
+  def pqCodeN(v: Column, codebook: Seq[Double], m: Int, k: Int,
+      subDim: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqCode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        codebook, m, k, subDim))
+
+  /** Flat M*K per-query squared-L2 lookup table for ADC ranking. See
+    * [[graft.functions.PqLut]].
+    */
+  def pqLutN(v: Column, codebook: Seq[Double], m: Int, k: Int,
+      subDim: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqLut(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        codebook, m, k, subDim))
+
   /** EXACT all-pairs cosine-threshold join, triangle-blocked for scale.
     *
     * For dense near-random embeddings at a low threshold there is no

@@ -116,6 +116,40 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(z(2L, 0L) > z(1L, 3L))
   }
 
+  test("PqCode/PqLut natives equal the HOF argmin/distance formulation") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val M = 4; val K = 16; val sub = 16
+    val seeds = emb.filter(col("vec_id").between(200, 215))
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+    val flat = for { m <- 0 until M; k <- 0 until K; i <- 0 until sub }
+      yield seeds(k)(m * sub + i)
+    // Reference: interpreted HOF fold of (x - c)^2 over each subspace
+    // slice — the same widen-subtract-square-accumulate order as the
+    // native loop and the DuckDB oracle.
+    def l2Ref(m: Int, k: Int) = {
+      val cent = typedLit(seeds(k).slice(m * sub, (m + 1) * sub))
+      aggregate(zip_with(slice(col("embedding"), m * sub + 1, sub), cent,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (a, b) => a + b)
+    }
+    val codesRef = array((0 until M).map { m =>
+      val scored = (0 until K).map(k =>
+        struct((-l2Ref(m, k)).as("nd"), lit(-k).as("nk")))
+      (-greatest(scored: _*).getField("nk")).cast("int")
+    }: _*)
+    val lutRef = array(
+      (for { m <- 0 until M; k <- 0 until K } yield l2Ref(m, k)): _*)
+    val diff = emb.select(
+        codesRef.as("cref"),
+        pqCodeN(col("embedding"), flat, M, K, sub).as("cnat"),
+        lutRef.as("lref"),
+        pqLutN(col("embedding"), flat, M, K, sub).as("lnat"))
+      .filter(col("cref") =!= col("cnat") || col("lref") =!= col("lnat"))
+      .count()
+    assert(diff === 0)
+  }
+
   test("shingleSetN edge cases: short, empty, padded") {
     import spark.implicits._
     val out = Seq("a b", "", "  x y z  ", "a  b c").toDF("t")
