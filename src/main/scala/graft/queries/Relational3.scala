@@ -312,7 +312,62 @@ object Relational3 {
         nth_value(col("value"), 2).over(wRun).as("second_v"))
   }
 
+  // ---- Funnel attribution ----
+  /** Ordered multi-stage funnel (view -> click -> purchase, first-touch):
+    * per user, the earliest view, the earliest click STRICTLY AFTER that
+    * view, and the earliest purchase strictly after that click — the
+    * standard product-analytics funnel over the events stream, emitted
+    * as one row per funnel-entered user with the stage reached and the
+    * per-stage timestamps (microseconds, the e2 convention — both
+    * engines compare and emit at us precision).
+    *
+    * Scale: three hash aggregations and two joins, ALL keyed on
+    * `user_id` — one partitioning reused across every stage (the
+    * sequential dependency between stages is inherent to funnel
+    * semantics; each stage's input is the previous stage's bounded
+    * per-user row, not the event stream re-scanned per stage — stage 2+
+    * scans are filtered to one event type before the join).
+    */
+  val e3Funnel = withOracle(
+    "e3_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT v.user_id,
+      |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |                 WHEN c.user_id IS NOT NULL THEN 2
+      |                 ELSE 1 END AS BIGINT) AS stage,
+      |       CAST(epoch_ns(v.t1) // 1000 AS BIGINT) AS t1_us,
+      |       CAST(epoch_ns(c.t2) // 1000 AS BIGINT) AS t2_us,
+      |       CAST(epoch_ns(p.t3) // 1000 AS BIGINT) AS t3_us
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, lit(3L))
+          .when(col("t2").isNotNull, lit(2L))
+          .otherwise(lit(1L)).as("stage"),
+        unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"),
+        unix_micros(col("t3")).as("t3_us"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
-      w9SessionWindow, f8StringFuncs, w10ValuePick)
+      w9SessionWindow, f8StringFuncs, w10ValuePick, e3Funnel)
 }
