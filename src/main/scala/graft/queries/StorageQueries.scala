@@ -191,8 +191,40 @@ object StorageQueries {
       graft.storage.DeletionVectors.read(s, tbl)
   }
 
+  /** b4 — time travel over the deletion-vector history (Delta's
+    * `VERSION AS OF` / `RESTORE`): two versioned DELETEs accumulate in
+    * the sidecar, then the query reads the table AS OF version 1 — the
+    * second delete invisible, the first applied. Immutable data files +
+    * an append-only versioned sidecar make every historical version
+    * readable with no snapshot copies; StorageSpec additionally proves
+    * RESTORE TO v1 (a sidecar-only rewrite) equals this read and leaves
+    * the data files byte-identical. Rebuilt per run so the vector
+    * history is deterministic.
+    */
+  val b4TimeTravel = withOracle(
+    "b4_time_travel",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0)""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_tt_${sfName(d)}"
+      Seq(tbl, s"${tbl}__dv").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.core.CatalogUtil.dropOrphanLocation(s, t)
+      }
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      val v1 = graft.storage.DeletionVectors
+        .delete(s, tbl, col("o_orderkey") % 7 === 0)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 5 === 0)
+      graft.storage.DeletionVectors.readAt(s, tbl, v1)
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors)
+    Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

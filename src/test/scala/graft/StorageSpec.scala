@@ -116,6 +116,52 @@ class StorageSpec extends SparkSpec {
     assert(DeletionVectors.read(spark, tbl).count() === 810)
   }
 
+  test("time travel: every delete version readable; restore is metadata-only") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.DeletionVectors
+    val tbl = "dv_tt_spec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    def listing(): Set[(String, Long, Long)] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.table(tbl).inputFiles.head).getParent
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+    }
+    val before = listing()
+    assert(DeletionVectors.version(spark, tbl) === 0L)
+    val v1 = DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    val v2 = DeletionVectors.delete(spark, tbl, col("id") >= 900)
+    assert((v1, v2) === (1L, 2L))
+    assert(DeletionVectors.version(spark, tbl) === 2L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val all = (0L until 1000L).toSet
+    // every version stays readable from the same immutable files
+    assert(ids(DeletionVectors.readAt(spark, tbl, 0)) === all)
+    assert(ids(DeletionVectors.readAt(spark, tbl, v1))
+      === all.filterNot(_ % 10 == 0))
+    assert(ids(DeletionVectors.readAt(spark, tbl, v2))
+      === all.filterNot(i => i % 10 == 0 || i >= 900))
+    assert(ids(DeletionVectors.read(spark, tbl))
+      === ids(DeletionVectors.readAt(spark, tbl, v2)))
+    // RESTORE TO v1: the live view rolls back, data files untouched
+    DeletionVectors.restore(spark, tbl, v1)
+    assert(ids(DeletionVectors.read(spark, tbl))
+      === all.filterNot(_ % 10 == 0))
+    assert(DeletionVectors.version(spark, tbl) === v1)
+    assert(listing() === before, "time travel or restore touched data files")
+    // deleting after a restore continues the version chain from v1
+    val v3 = DeletionVectors.delete(spark, tbl, col("id") < 50)
+    assert(v3 === 2L)
+    assert(ids(DeletionVectors.read(spark, tbl))
+      === all.filterNot(i => i % 10 == 0 || i < 50))
+  }
+
   test("optimize bin-packs small files toward the target size") {
     import org.apache.spark.sql.functions._
     import graft.storage.Optimize
