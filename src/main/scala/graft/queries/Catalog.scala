@@ -7,7 +7,8 @@ object Catalog {
       TextAnalysis.specs ++ TextAnalysis2.specs ++ DedupQueries.specs ++
       SimilarityQueries.specs ++
       PipelineQueries.specs ++ SourceQueries.specs ++ OlistQueries.specs ++
-      StorageQueries.specs ++ SketchQueries.specs
+      StorageQueries.specs ++ SketchQueries.specs ++
+      ChangeDataQueries.specs ++ GraphQueries.specs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     specs.map(s => s.name -> s.fn).toMap

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Change-data management: SCD Type 2 history build and a Delta-CDF-style
+  * change feed, both engine-neutral over plain parquet.
+  *
+  * The reference's dims are SCD1 (latest value wins; its MERGE shape is
+  * u3/u5); these two close the remaining lakehouse change-tracking
+  * surface a reference user upgrading their dims would reach for:
+  * versioned history with validity ranges (u6) and the row-level change
+  * stream a downstream incremental consumer reads (u7 — the analogue of
+  * Delta's `readChangeFeed`, reference `scripts/gold/fact_order_items.sql`
+  * territory where MERGE commits are consumed downstream).
+  *
+  * Scale: u6 is one hash shuffle on the business key + a window (the
+  * same shape as w1's dedup — linear, no self-join); u7 is one
+  * full-outer shuffle join on the key with a single-pass row expansion
+  * (explode) — no second scan per change class.
+  */
+object ChangeDataQueries {
+
+  import QuerySpec._
+
+  // ---- U6: SCD Type 2 dimension history ----
+  // Three versioned snapshots of the customer segment attribute (v1 =
+  // initial load; v2 touches custkey%3; v3 touches custkey%5, compounding
+  // on v2 for keys hit by both). The history table assigns each change
+  // row [valid_from, valid_to) over the version axis; the open row per
+  // key is flagged is_current. valid_to of the current row is NULL (the
+  // SCD2 convention) — both engines emit SQL NULL, so the hash agrees.
+  val u6Scd2 = withOracle(
+    "u6_scd2",
+    """WITH v AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, CAST(1 AS BIGINT) AS version
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment || '_v2', CAST(2 AS BIGINT)
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |         (CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_v2'
+      |               ELSE c_mktsegment END) || '_v3', CAST(3 AS BIGINT)
+      |  FROM customer WHERE c_custkey % 5 = 0)
+      |SELECT c_custkey, seg AS c_mktsegment,
+      |       version AS valid_from,
+      |       lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+      |         AS valid_to,
+      |       lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+      |         IS NULL AS is_current
+      |FROM v""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val v1 = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+      lit(1L).as("version"))
+    val v2 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("_v2")).as("seg"),
+        lit(2L).as("version"))
+    val v3 = c.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        concat(
+          when(col("c_custkey") % 3 === 0,
+            concat(col("c_mktsegment"), lit("_v2")))
+            .otherwise(col("c_mktsegment")),
+          lit("_v3")).as("seg"),
+        lit(3L).as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("version"))
+    v1.unionAll(v2).unionAll(v3)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .select(col("c_custkey"), col("seg").as("c_mktsegment"),
+        col("version").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  // ---- U7: row-level change feed between two table versions ----
+  // Delta CDF semantics over plain snapshots: inserts carry the post
+  // image, deletes the pre image, updates emit BOTH a pre- and a
+  // post-image row; unchanged rows emit nothing. Computed as ONE
+  // full-outer join with a per-row explode of the applicable change
+  // rows — a single pass over the matched frame (no union re-scanning
+  // the join once per change class). commit_version stamps the feed
+  // the way a transactional log would.
+  val u7ChangeFeed = withOracle(
+    "u7_change_feed",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |nxt AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_v2'
+      |              ELSE c_mktsegment END AS c_mktsegment,
+      |         CASE WHEN c_custkey % 3 = 0
+      |              THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00
+      |                        AS DECIMAL(18,2))
+      |              ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+      |  FROM customer
+      |  WHERE NOT (c_custkey % 7 <> 0 AND c_custkey % 11 = 0)),
+      |m AS (
+      |  SELECT b.c_custkey AS bk, n.c_custkey AS nk,
+      |         b.c_mktsegment AS bseg, n.c_mktsegment AS nseg,
+      |         b.bal AS bbal, n.bal AS nbal
+      |  FROM base b FULL OUTER JOIN nxt n ON b.c_custkey = n.c_custkey)
+      |SELECT coalesce(nk, bk) AS c_custkey, nseg AS c_mktsegment,
+      |       CAST(nbal AS DOUBLE) AS bal, 'insert' AS change_type,
+      |       CAST(2 AS BIGINT) AS commit_version
+      |FROM m WHERE bk IS NULL
+      |UNION ALL
+      |SELECT bk, bseg, CAST(bbal AS DOUBLE), 'delete', CAST(2 AS BIGINT)
+      |FROM m WHERE nk IS NULL
+      |UNION ALL
+      |SELECT bk, bseg, CAST(bbal AS DOUBLE), 'update_preimage',
+      |       CAST(2 AS BIGINT)
+      |FROM m WHERE bk IS NOT NULL AND nk IS NOT NULL
+      |  AND (bseg <> nseg OR bbal <> nbal)
+      |UNION ALL
+      |SELECT nk, nseg, CAST(nbal AS DOUBLE), 'update_postimage',
+      |       CAST(2 AS BIGINT)
+      |FROM m WHERE bk IS NOT NULL AND nk IS NOT NULL
+      |  AND (bseg <> nseg OR bbal <> nbal)""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val bal2 = col("c_acctbal").cast("decimal(18,2)")
+    val base = c.filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"), bal2.as("bal"))
+    val nxt = c
+      .filter(!(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 11 === 0))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0,
+          concat(col("c_mktsegment"), lit("_v2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 3 === 0,
+          (bal2 + lit("100.00").cast("decimal(18,2)")).cast("decimal(18,2)"))
+          .otherwise(bal2).as("bal"))
+    val m = base.alias("b")
+      .join(nxt.alias("n"), col("b.c_custkey") === col("n.c_custkey"),
+        "full_outer")
+      .select(col("b.c_custkey").as("bk"), col("n.c_custkey").as("nk"),
+        col("b.c_mktsegment").as("bseg"), col("n.c_mktsegment").as("nseg"),
+        col("b.bal").as("bbal"), col("n.bal").as("nbal"))
+    def change(seg: org.apache.spark.sql.Column,
+        bal: org.apache.spark.sql.Column, kind: String) =
+      struct(seg.as("c_mktsegment"), bal.as("bal"),
+        lit(kind).as("change_type"))
+    // explode(NULL) emits zero rows — the unchanged-row case drops here
+    // without a separate filter pass.
+    m.select(coalesce(col("nk"), col("bk")).as("c_custkey"),
+        explode(
+          when(col("bk").isNull,
+            array(change(col("nseg"), col("nbal"), "insert")))
+            .when(col("nk").isNull,
+              array(change(col("bseg"), col("bbal"), "delete")))
+            .when(col("bseg") =!= col("nseg") || col("bbal") =!= col("nbal"),
+              array(
+                change(col("bseg"), col("bbal"), "update_preimage"),
+                change(col("nseg"), col("nbal"), "update_postimage")))
+        ).as("ch"))
+      .select(col("c_custkey"), col("ch.c_mktsegment").as("c_mktsegment"),
+        col("ch.bal").cast("double").as("bal"),
+        col("ch.change_type").as("change_type"),
+        lit(2L).as("commit_version"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(u6Scd2, u7ChangeFeed)
+}

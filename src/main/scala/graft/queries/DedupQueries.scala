@@ -347,8 +347,65 @@ object DedupQueries {
         count(lit(1)).as("n_kept"))
   }
 
+  // ---- d11: SemDeDup — cluster-then-prune semantic dedup ----
+  // The sub-quadratic path d5's scaladoc promises: k-means-style cells
+  // first (s3's 16-vector seed quantizer, assignment a pure per-row
+  // literal-codebook expression — no shuffle), then the pairwise cosine
+  // sweep runs WITHIN cells only, keeping per row the smallest vec_id of
+  // its near-dup group (greedy keep-first at cosine >= 0.4). This is the
+  // SemDeDup recipe (Abbas et al. 2023): at 100 TB cluster count scales
+  // with the corpus so cell population stays bounded, the within-cell
+  // join shuffles on the cell id, and the O(n²) term never materializes
+  // globally. Emits every sliced row with its cell and the keep/drop
+  // verdict (rows dropped are exactly those with a smaller-id near-dup
+  // in the SAME cell — boundary near-dups across cells are the recall
+  // the method trades; the oracle mirrors the identical trade).
+  val d11SemDedup = withOracle(
+    "d11_semdedup",
+    s"""WITH cb AS (SELECT CAST(vec_id - 100 AS INT) AS j, embedding AS c_emb
+       |            FROM embeddings WHERE vec_id BETWEEN 100 AND 115),
+       |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2048),
+       |asg AS (SELECT v.vec_id, cb.j,
+       |               ${SimilarityQueries.cosSql("cb.c_emb", "v.embedding")} AS cs
+       |        FROM v, cb),
+       |cells AS (SELECT vec_id, j AS cell FROM
+       |          (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY cs DESC, j) AS rn FROM asg)
+       |          WHERE rn = 1),
+       |dups AS (SELECT DISTINCT cb2.vec_id AS vb
+       |         FROM cells ca JOIN cells cb2
+       |              ON ca.cell = cb2.cell AND ca.vec_id < cb2.vec_id
+       |         JOIN v a ON a.vec_id = ca.vec_id
+       |         JOIN v b ON b.vec_id = cb2.vec_id
+       |         WHERE ${SimilarityQueries.cosSql("a.embedding", "b.embedding")}
+       |               >= 0.4)
+       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       |       d.vb IS NULL AS is_kept
+       |FROM cells c LEFT JOIN dups d ON d.vb = c.vec_id""".stripMargin) {
+    (s, d) =>
+      val assigned = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 2048)
+        .select(col("vec_id"), col("embedding"),
+          normN(col("embedding")).as("nrm"))
+        .withColumn("cell",
+          ivfCell(SimilarityQueries.seedCodebook(s, d), col("embedding"),
+            col("nrm")))
+      val a = assigned.select(col("vec_id").as("va"), col("cell").as("ca"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("vec_id").as("vb"), col("cell").as("cb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dups = a
+        .join(b, col("ca") === col("cb") && col("va") < col("vb"))
+        .filter(dotN(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.4)
+        .select(col("vb")).distinct()
+      assigned
+        .join(dups, col("vec_id") === col("vb"), "left")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("vb").isNull.as("is_kept"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
       d6DupClusters, d7EmbedClusters, d8Decontaminate, d9BloomDecontaminate,
-      d10PassageDedup)
+      d10PassageDedup, d11SemDedup)
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Iterative graph analytics over the relational tables: PageRank on the
+  * customer↔supplier co-purchase graph (edges from orders⋈lineitem, one
+  * undirected edge per distinct trading pair, represented as two
+  * directed edges so no node dangles).
+  *
+  * Determinism: ranks are fixed-point BIGINTs scaled by 1e12 and every
+  * step is integer arithmetic — `pr div outdeg` contributions, exact
+  * BIGINT sums, `(85 * inflow) div 100` damping — so Spark and DuckDB
+  * agree bit-for-bit (both truncate integer division toward zero for the
+  * all-positive values here). No doubles anywhere: float summation order
+  * can never perturb the hash.
+  *
+  * Scale: the Pregel shape — contributions shuffle on dst, the rank
+  * frame joins edges on src; both sides hash-partition on the node id so
+  * one partitioning is reused across rounds, and rounds are a fixed
+  * small constant (3). At 100 TB you'd localCheckpoint the rank frame
+  * per round exactly as dedup/Dedup.scala's connected components does;
+  * at a fixed 3 rounds the unrolled lazy plan stays linear in rounds and
+  * needs no lineage cut.
+  */
+object GraphQueries {
+
+  import QuerySpec._
+
+  private val Scale = 1000000000000L // rank fixed-point: 1.0 == 1e12
+  private val Teleport = Scale * 15 / 100 // (1-d) * Scale, d = 0.85
+  private val SupplierBase = 1000000L // node-id offset for suppliers
+  private val Rounds = 3
+
+  val pr1PageRank = withOracle(
+    "pr1_pagerank",
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SupplierBase AS sp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, sp AS dst FROM pairs
+       |          UNION ALL SELECT sp, c FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM deg),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |p0 AS (SELECT node, $Scale // n AS pr FROM nodes, nn),
+       |i1 AS (SELECT e.dst, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS inflow
+       |       FROM edges e JOIN deg d ON e.src = d.src
+       |            JOIN p0 p ON p.node = e.src
+       |       GROUP BY 1),
+       |p1 AS (SELECT node, $Teleport // n
+       |              + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+       |       FROM nodes CROSS JOIN nn LEFT JOIN i1 i ON i.dst = node),
+       |i2 AS (SELECT e.dst, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS inflow
+       |       FROM edges e JOIN deg d ON e.src = d.src
+       |            JOIN p1 p ON p.node = e.src
+       |       GROUP BY 1),
+       |p2 AS (SELECT node, $Teleport // n
+       |              + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+       |       FROM nodes CROSS JOIN nn LEFT JOIN i2 i ON i.dst = node),
+       |i3 AS (SELECT e.dst, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS inflow
+       |       FROM edges e JOIN deg d ON e.src = d.src
+       |            JOIN p2 p ON p.node = e.src
+       |       GROUP BY 1),
+       |p3 AS (SELECT node, $Teleport // n
+       |              + (85 * coalesce(i.inflow, 0)) // 100 AS pr
+       |       FROM nodes CROSS JOIN nn LEFT JOIN i3 i ON i.dst = node)
+       |SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM p3""".stripMargin) {
+    (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + SupplierBase).as("sp"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = deg.select(col("src").as("node"))
+      val nn = nodes.agg(count(lit(1)).as("n")) // 1-row broadcast scalar
+      val edgesDeg = edges.join(deg, "src") // (src, dst, outdeg)
+      var pr: DataFrame = nodes.crossJoin(nn)
+        .select(col("node"), expr(s"$Scale div n").as("pr"))
+      for (_ <- 1 to Rounds) {
+        val inflow = edgesDeg
+          .join(pr.select(col("node").as("p_node"), col("pr")),
+            col("src") === col("p_node"))
+          .select(col("dst"), expr("pr div outdeg").as("contrib"))
+          .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+        pr = nodes
+          .join(inflow, col("node") === col("dst"), "left")
+          .crossJoin(nn)
+          .select(col("node"),
+            (expr(s"$Teleport div n")
+              + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
+      }
+      pr.select(col("node"), col("pr").as("pr_scaled"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(pr1PageRank)
+}
