@@ -232,8 +232,28 @@ object PipelineQueries {
     Streams.streamStaticJoin(s, d)
   }
 
+  // ---- st12: CDC apply (the DLT APPLY CHANGES INTO shape) ----
+  // The event stream as a keyed change feed, MERGE-applied per
+  // micro-batch with SEQUENCE ordering (ts, event_id) and 'error' as
+  // the APPLY-AS-DELETE marker. Micro-batches are deliberately
+  // time-shuffled (round-robin file split), so matching the batch
+  // latest-per-key oracle proves the out-of-order CDC contract.
+  val st12ApplyChanges = withOracle(
+    "st12_apply_changes",
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |             ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+      |       event_id, event_type, value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, d) =>
+    Streams.applyChanges(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
-      st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch)
+      st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
+      st12ApplyChanges)
 }

@@ -343,4 +343,64 @@ object Streams {
       .agg(max(col("n_events")).as("n_events"),
         max(col("max_value")).as("max_value"))
   }
+
+  /** CDC apply — the DLT `APPLY CHANGES INTO` shape. The event stream is
+    * treated as a change feed keyed by user_id and SEQUENCED by
+    * (ts, event_id); each micro-batch is MERGE-applied into a keyed
+    * state table via foreachBatch so the table always holds the
+    * highest-sequence change per key, and event_type 'error' plays the
+    * APPLY-AS-DELETE role (a key whose latest change is a delete is
+    * absent from the output). Application is sequence-ordered, NOT
+    * arrival-ordered: the source files are split round-robin so
+    * micro-batches are deliberately time-shuffled, and the end state
+    * must still equal the batch latest-per-key oracle — DLT's
+    * out-of-order CDC contract, proved by construction here.
+    *
+    * State is a parquet generation per batch (prev ∪ batch, keep max
+    * sequence per key, write next, swap) — the same staged-rewrite MERGE
+    * Materialize.Incremental commits, driven from a stream. Per-batch
+    * cost ∝ state + batch, the CDC-apply contract; at 100 TB the state
+    * table is partitioned by key range so a batch rewrites only the
+    * partitions its keys touch (Pipeline.clusterBy supplies that
+    * layout), and the per-key reduction is a window over ONE shuffle.
+    */
+  def applyChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val src = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_apply_changes")
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bySeqDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sess = batch.sparkSession
+          val latest = batch.withColumn("rn", row_number().over(bySeqDesc))
+            .filter(col("rn") === 1).drop("rn")
+          val merged = Option(cur.get()) match {
+            case Some(prev) =>
+              sess.read.parquet(prev).unionByName(latest)
+                .withColumn("rn", row_number().over(bySeqDesc))
+                .filter(col("rn") === 1).drop("rn")
+            case None => latest
+          }
+          val next = root.resolve(s"g${gen.incrementAndGet()}").toString
+          merged.write.mode("overwrite").parquet(next)
+          cur.set(next)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(cur.get != null, "apply_changes: no non-empty micro-batch")
+    ss.read.parquet(cur.get())
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+  }
 }
