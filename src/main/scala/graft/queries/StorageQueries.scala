@@ -130,6 +130,30 @@ object StorageQueries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
   }
 
+  /** The status-partitioned orders table b2 and b5 share: one directory
+    * per `o_orderstatus`, so a predicate (static or runtime) on the
+    * partition column prunes whole directories before any file is read.
+    */
+  private def ordersPartTable(s: SparkSession, d: String): String = {
+    val tbl = s"orders_part_${sfName(d)}"
+    ensureTable(s, tbl, d, loc =>
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_orderdate TIMESTAMP,
+         |                   o_totalprice DOUBLE, o_orderstatus STRING)
+         |USING parquet
+         |PARTITIONED BY (o_orderstatus)
+         |LOCATION '$loc'""".stripMargin,
+      repairPartitions = true) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .format("parquet").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** b2 — partition-pruned scan: orders written partitioned by status,
     * then filtered on the partition column. The scan's PartitionFilters
     * prune to one directory — the files of the other partitions are
@@ -141,24 +165,40 @@ object StorageQueries {
     """SELECT o_orderkey, o_orderstatus,
       |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
       |FROM orders WHERE o_orderstatus = 'P'""".stripMargin) { (s, d) =>
-    val tbl = s"orders_part_${sfName(d)}"
-    ensureTable(s, tbl, d, loc =>
-      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_orderdate TIMESTAMP,
-         |                   o_orderstatus STRING)
-         |USING parquet
-         |PARTITIONED BY (o_orderstatus)
-         |LOCATION '$loc'""".stripMargin,
-      repairPartitions = true) {
-      Tables.orders(s, d)
-        .select("o_orderkey", "o_orderdate", "o_orderstatus")
-        .write.mode("overwrite")
-        .partitionBy("o_orderstatus")
-        .format("parquet").saveAsTable(tbl)
-    }
-    s.table(tbl)
+    s.table(ordersPartTable(s, d))
       .filter(col("o_orderstatus") === "P")
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderdate").cast("date").cast("string").as("order_date"))
+  }
+
+  /** b5 — DYNAMIC partition pruning: the fact side is the
+    * status-partitioned orders table, the dim side is a filter the
+    * optimizer cannot evaluate statically (the status of order #1, known
+    * only at runtime). Catalyst inserts a DynamicPruningExpression into
+    * the fact scan's partition filters, fed from the dim's broadcast —
+    * so the fact reads ONLY the partitions whose keys survive the dim
+    * filter, decided at runtime (PlanSpec pins the DPP subquery). This
+    * is the mechanism that makes star-schema date/dim filters prune a
+    * 100 TB partitioned fact without any static predicate on it:
+    * static pruning (b2) needs the literal in the query; DPP covers the
+    * "WHERE dim.attribute = …" shape every BI query actually has.
+    */
+  val b5Dpp = withOracle(
+    "b5_dpp",
+    """WITH dim AS (
+      |  SELECT DISTINCT o_orderstatus FROM orders WHERE o_orderkey = 1)
+      |SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN dim ON o.o_orderstatus = dim.o_orderstatus
+      |GROUP BY o.o_orderstatus""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderkey") === 1)
+      .select(col("o_orderstatus").as("d_status")).distinct()
+    s.table(ordersPartTable(s, d))
+      .join(broadcast(dim), col("o_orderstatus") === col("d_status"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
   }
 
   /** b3 — deletion vectors (`fact_order_items.sql:7
@@ -224,7 +264,8 @@ object StorageQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel)
+    Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
+      b5Dpp)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

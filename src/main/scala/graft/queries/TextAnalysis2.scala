@@ -347,7 +347,48 @@ object TextAnalysis2 {
       .select(col("doc_id"), col("source"), col("bucket"), col("permille"))
   }
 
+  // ---- BPE vocabulary induction: the first merge's pair counts ----
+  // The scoring kernel a byte-pair-encoding tokenizer trainer runs every
+  // merge iteration: count adjacent symbol pairs across the corpus,
+  // weighted by word frequency, and take the top pairs (the argmax IS
+  // the merge). Computed the way BPE trainers actually do — collapse the
+  // corpus to DISTINCT words first (one shuffle; the heavy Zipf head
+  // collapses to one row each), then expand each vocab word into its
+  // ≤len-1 adjacent pairs and re-aggregate weighted by the word count.
+  // The pair domain is bounded by charset² regardless of corpus size, so
+  // the second shuffle is tiny, and the top-30 is TakeOrdered (per-
+  // partition heads, no global sort). At 100 TB only the word-count
+  // aggregation sees the data; everything after runs on the vocabulary.
+  val t13BpeMerges = withOracle(
+    "t13_bpe_merges",
+    """WITH words AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+      |  WHERE length(w) >= 2
+      |  GROUP BY w),
+      |pairs AS (
+      |  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+      |  FROM words, unnest(range(1, length(word))) AS u(i))
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      |FROM pairs GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    words
+      // interpreted HOF is fine here: it runs once per DISTINCT word
+      // (the vocabulary), not once per corpus token.
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("cnt"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(30)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking,
-      t11HeavyHitters, t12QuantileHistogram, c4SourceMixture)
+      t11HeavyHitters, t12QuantileHistogram, c4SourceMixture, t13BpeMerges)
 }

@@ -230,6 +230,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("b5_dpp: the fact scan carries a runtime DPP partition filter") {
+    // b2 pins STATIC partition pruning (literal predicate on the
+    // partition column); this pins the runtime complement: a join
+    // against a dim whose filter Catalyst cannot evaluate statically
+    // must inject a DynamicPruningExpression into the partitioned fact
+    // scan, fed from the dim's broadcast — the mechanism that prunes a
+    // partitioned 100 TB fact under "WHERE dim.attribute = …" queries.
+    val plan = executedPlan("b5_dpp")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"dynamic partition pruning did not fire on the fact scan:\n$plan")
+  }
+
   test("s2_ann_lsh: codes come from the native SrpCode kernel") {
     // The composed 64-dot-kernel form costs seconds of codegen per stage
     // (and its 548-element probe CreateArray used to fail janino and run
