@@ -251,9 +251,34 @@ object PipelineQueries {
     Streams.applyChanges(s, d)
   }
 
+  // ---- st13: CDC apply, SCD TYPE 2 (APPLY CHANGES … STORED AS SCD 2) ----
+  // Full change history with [valid_from, valid_to) sequence intervals;
+  // 'error' rows are APPLY-AS-DELETE markers that close the preceding
+  // version's interval and are absent from the history themselves. The
+  // time-shuffled micro-batches (round-robin file split) force the
+  // out-of-order rebuild path — matching the batch windowed oracle
+  // proves per-batch touched-key history rewrites converge to it.
+  val st13Scd2 = withOracle(
+    "st13_apply_scd2",
+    """WITH c AS (
+      |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS valid_from_us,
+      |         event_id, event_type, value
+      |  FROM events),
+      |h AS (
+      |  SELECT user_id, valid_from_us, event_id, event_type, value,
+      |         lead(valid_from_us) OVER (PARTITION BY user_id
+      |             ORDER BY valid_from_us, event_id) AS valid_to_us
+      |  FROM c)
+      |SELECT user_id, valid_from_us, valid_to_us,
+      |       event_id, event_type, value,
+      |       valid_to_us IS NULL AS is_current
+      |FROM h WHERE event_type <> 'error'""".stripMargin) { (s, d) =>
+    Streams.applyChangesScd2(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
-      st12ApplyChanges)
+      st12ApplyChanges, st13Scd2)
 }

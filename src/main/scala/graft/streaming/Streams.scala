@@ -403,4 +403,77 @@ object Streams {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("value"))
   }
+
+  /** CDC apply, SCD TYPE 2 — DLT's `APPLY CHANGES … STORED AS SCD TYPE 2`.
+    * Where [[applyChanges]] keeps only the latest change per key, this
+    * keeps EVERY change as a history row with a `[valid_from, valid_to)`
+    * validity interval over the sequence axis and `is_current` on the
+    * open row. 'error' events play APPLY AS DELETE: the delete row
+    * itself never appears in the history, but it CLOSES the interval of
+    * the version that preceded it — so a key whose latest change is a
+    * delete has no current row.
+    *
+    * Micro-batches arrive deliberately time-shuffled (round-robin file
+    * split), so a batch can insert a version BETWEEN two already-stored
+    * versions — the out-of-order case DLT sequences by the SEQUENCE
+    * column. Correct intervals therefore cannot be assigned at arrival;
+    * instead each batch rewrites the history of exactly the keys it
+    * touches: carried = stored history of untouched keys (left_anti on
+    * the batch key set, no recompute, no rewrite of their derivation);
+    * rebuilt = stored raw changes of touched keys ∪ batch, re-windowed
+    * per key. Delete markers stay in the STORED history (dropping them
+    * would mis-interval a later out-of-order insert landing just before
+    * a delete); the final read filters them. Per-batch cost ∝ state +
+    * batch like every CDC apply; at 100 TB the state table is key-range
+    * partitioned so only partitions holding touched keys rewrite, and
+    * the per-key re-derivation is a window over ONE shuffle of the
+    * touched slice.
+    */
+  def applyChangesScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val src = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2)
+      .select(col("user_id"), unix_micros(col("ts")).as("valid_from_us"),
+        col("event_id"), col("event_type"), col("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2")
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bySeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val rawCols = Seq("user_id", "valid_from_us", "event_id", "event_type",
+      "value")
+    def derive(raw: DataFrame): DataFrame =
+      raw.withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(bySeq))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sess = batch.sparkSession
+          val merged = Option(cur.get()) match {
+            case Some(prev) =>
+              val st = sess.read.parquet(prev)
+              val touched = batch.select("user_id").distinct()
+              val carried = st.join(touched, Seq("user_id"), "left_anti")
+              val rebuilt = derive(
+                st.join(touched, Seq("user_id"), "left_semi")
+                  .select(rawCols.map(col): _*)
+                  .unionByName(batch))
+              carried.unionByName(rebuilt)
+            case None => derive(batch)
+          }
+          val next = root.resolve(s"g${gen.incrementAndGet()}").toString
+          merged.write.mode("overwrite").parquet(next)
+          cur.set(next)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(cur.get != null, "apply_changes_scd2: no non-empty micro-batch")
+    ss.read.parquet(cur.get())
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("valid_from_us"), col("valid_to_us"),
+        col("event_id"), col("event_type"), col("value"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
 }
