@@ -388,7 +388,61 @@ object TextAnalysis2 {
       .limit(30)
   }
 
+  // ---- Temperature-scaled mixture sampling ----
+  // c4's rates are STATIC (declared per source name); this is the
+  // data-derived complement a pretraining mixture actually computes:
+  // sample each source proportionally to n^α (α=1/2 — the temperature
+  // smoothing that up-weights small corpora), targeting half the corpus.
+  // All arithmetic is integer-exact so both engines agree at any scale:
+  // weights floor(sqrt(n)) (correctly-rounded IEEE sqrt + floor, exact
+  // below 2^52), per-source quotas by 128-bit-safe integer division, and
+  // the keep decision is `content_hash mod n_source < quota` — a pure
+  // per-row predicate against a broadcast quota map. No global sort, no
+  // per-source window (which would put a whole source in one partition);
+  // the only shuffle is the tiny source-count aggregate, so the data
+  // pass is scan + broadcast-join + filter at any corpus size, and the
+  // content-hash key keeps the sample reproducible with no seed state.
+  val c5TemperatureMixture = withOracle(
+    "c5_temperature_mixture",
+    """WITH n AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt
+      |  FROM n),
+      |tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |         CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+      |q AS (
+      |  SELECT source, n_docs, ((tot.total // 2) * wt) // tot.wsum AS quota
+      |  FROM w, tot),
+      |h AS (
+      |  SELECT doc_id, source,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647) AS hash
+      |  FROM documents)
+      |SELECT h.doc_id, h.source, CAST(h.hash % q.n_docs AS BIGINT) AS bucket,
+      |       CAST(q.quota AS BIGINT) AS quota
+      |FROM h JOIN q USING (source)
+      |WHERE h.hash % q.n_docs < q.quota""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = n.withColumn("wt", floor(sqrt(col("n_docs").cast("double"))))
+    val tot = w.agg(sum(col("n_docs")).as("total"), sum(col("wt")).as("wsum"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .withColumn("quota", expr("((total div 2) * wt) div wsum"))
+      .select(col("source"), col("n_docs"), col("quota"))
+    docs
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("bucket", pmod(rollingHash(col("text")), col("n_docs")))
+      .filter(col("bucket") < col("quota"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("quota"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t8Repetition, t9PiiScrub, t10Chunking, c3SequencePacking,
-      t11HeavyHitters, t12QuantileHistogram, c4SourceMixture, t13BpeMerges)
+      t11HeavyHitters, t12QuantileHistogram, c4SourceMixture, t13BpeMerges,
+      c5TemperatureMixture)
 }
