@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextFunctions._
+
+/** Round-5 text/retrieval additions over the `documents` table: BM25
+  * ranked retrieval, a bigram-familiarity fluency proxy (the
+  * perplexity-filter shape without a neural LM), and deterministic
+  * weighted priority sampling. Shares the determinism conventions of
+  * [[TextAnalysis]] — integer-exact where possible, and where doubles
+  * appear they are produced by the SAME expression tree on both engines
+  * (identical op order → identical IEEE-754 bits).
+  */
+object TextAnalysis3 {
+
+  import QuerySpec._
+
+  // ---- BM25 ranked retrieval ----
+  // score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+  // k1 = 1.2, b = 0.75, over a fixed 4-term query. Two deviations from
+  // the textbook form, both chosen for engine-exact determinism (same
+  // rationale as t6_tfidf's rational idf):
+  //   * idf is the RATIONAL Robertson–Sparck-Jones core
+  //     (2N−2df+1)/(2df+1) — i.e. (N−df+.5)/(df+.5) scaled integer —
+  //     not its logarithm: log's last ulp differs across libm builds,
+  //     the rational is one exact IEEE division and a monotone
+  //     transform of the log form (per-term ranking identical).
+  //   * the per-doc sum runs in a FIXED, explicit order (hash + query +
+  //     stream + vector, coalesced to 0.0) — double addition is not
+  //     associative, so an unordered SUM() could differ between engines;
+  //     a pivoted 4-term chain cannot.
+  // Scale: the tf aggregate is filtered to query terms BEFORE the
+  // shuffle (card ≤ N·|Q|); df and the corpus length stats are tiny
+  // broadcast scalars; the final top-20 is orderBy+limit, which Spark
+  // plans as TakeOrderedAndProject (per-partition partial top-k, no
+  // global sort). Ranks are assigned after the limit, over 20 rows.
+  private val BmQ = Seq("hash", "query", "stream", "vector")
+
+  val t14Bm25 = withOracle(
+    "t14_bm25",
+    """WITH dl AS (
+      |  SELECT doc_id,
+      |         CAST(length(list_filter(string_split_regex(trim(text), ' +'),
+      |                                 t -> length(t) > 0)) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), ' +'),
+      |                                    t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE term IN ('hash', 'query', 'stream', 'vector')
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         (CAST(2 * stats.n_docs - 2 * df.df + 1 AS DOUBLE)
+      |            / CAST(2 * df.df + 1 AS DOUBLE))
+      |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |              / (CAST(tf.tf AS DOUBLE)
+      |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |                                          / stats.avgdl)))) AS contrib
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_match,
+      |         ((coalesce(max(CASE WHEN term = 'hash'   THEN contrib END), 0.0)
+      |          + coalesce(max(CASE WHEN term = 'query'  THEN contrib END), 0.0))
+      |          + coalesce(max(CASE WHEN term = 'stream' THEN contrib END), 0.0))
+      |          + coalesce(max(CASE WHEN term = 'vector' THEN contrib END), 0.0)
+      |           AS score
+      |  FROM sc GROUP BY 1),
+      |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, n_match, score,
+      |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |         AS rnk
+      |FROM top""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(BmQ: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+      .cast("double") / (lit(2) * col("df") + lit(1)).cast("double")
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+    val contrib = idf * ((col("tf").cast("double") * lit(2.2)) / denom)
+    def term(t: String) =
+      coalesce(max(when(col("term") === t, col("contrib"))), lit(0.0))
+    val agg = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"),
+        (((term("hash") + term("query")) + term("stream")) + term("vector"))
+          .as("score"))
+    val top = agg.orderBy(col("score").desc, col("doc_id")).limit(20)
+    top.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
+  // ---- Bigram-familiarity fluency score (perplexity-proxy filter) ----
+  // The CCNet-style quality gate ranks documents by LM perplexity; the
+  // engine-exact analogue scores each document by how FAMILIAR its
+  // bigrams are corpus-wide, with no transcendental math: rank the
+  // bigram vocabulary by corpus count (total order — count DESC, then
+  // bigram text), cut into deciles by integer arithmetic, and score a
+  // doc as the mean decile of its bigrams (0 = most familiar). Fluent,
+  // templated text scores low; rare/garbled juxtapositions score high.
+  // Scale: the ranked table is VOCABULARY-sized (≤ |V|², bounded —
+  // 30-word corpus vocab here, still merely millions for real text), so
+  // its global window is cheap; the corpus-sized pass is explode +
+  // hash-agg + a broadcast join of the decile map. The mean is emitted
+  // both as an exact integer pair (sum, n) and the deterministic
+  // long-over-long double division.
+  val t15BigramFluency = withOracle(
+    "t15_bigram_fluency",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+      |                             t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN length(toks) >= 2 THEN
+      |           list_transform(range(1, length(toks)),
+      |                          i -> toks[i] || ' ' || toks[i+1])
+      |         ELSE [] END) AS bigram
+      |  FROM tok),
+      |vocab AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1),
+      |ranked AS (
+      |  SELECT bigram,
+      |         CAST(((row_number() OVER (ORDER BY n DESC, bigram) - 1) * 10)
+      |              // (SELECT count(*) FROM vocab) AS BIGINT) AS decile
+      |  FROM vocab)
+      |SELECT bg.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(ranked.decile) AS BIGINT) AS sum_decile,
+      |       CAST(sum(ranked.decile) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         AS fluency
+      |FROM bg JOIN ranked USING (bigram)
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(col("toks"), 2)).as("bigram"))
+    val vocab = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val vocabSize = vocab.agg(count(lit(1)).as("v_size"))
+    val ranked = vocab
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("bigram"))))
+      .withColumn("decile",
+        expr("((CAST(rn AS BIGINT) - 1) * 10) div v_size"))
+      .select(col("bigram"), col("decile"))
+    bg.join(broadcast(ranked), "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("decile")).as("sum_decile"),
+        (sum(col("decile")).cast("double") / count(lit(1)).cast("double"))
+          .as("fluency"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_decile"),
+        col("fluency"))
+  }
+
+  // ---- Deterministic weighted priority sampling ----
+  // Weighted sampling without replacement, reproducible with no RNG
+  // state: each doc gets the integer priority hash(text)·1000 div
+  // (n_tokens+1) — longer (heavier) docs draw systematically smaller
+  // priorities, the content-hash numerator makes the draw pseudorandom
+  // within a weight class — and each source keeps its 50 smallest
+  // priorities. The exact-integer analogue of A-ES exponential-jitter
+  // sampling (priority u^(1/w) needs transcendental math; the quotient
+  // keeps the weight monotonicity and is bit-identical across engines).
+  // Scale: pure per-row arithmetic + a per-source window riding one
+  // (source) shuffle; no global sort, no seed plumbing, and re-running
+  // on a superset of the corpus keeps previously sampled survivors
+  // stable unless displaced by genuinely smaller priorities.
+  val c6PrioritySample = withOracle(
+    "c6_priority_sample",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |         CAST(length(list_filter(string_split_regex(trim(text), ' +'),
+      |                                 t -> length(t) > 0)) AS BIGINT) AS wt,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, wt,
+      |         CAST((h * 1000) // (wt + 1) AS BIGINT) AS priority
+      |  FROM w),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |                ORDER BY priority, doc_id) AS BIGINT) AS rn
+      |  FROM p)
+      |SELECT doc_id, source, wt, priority, rn
+      |FROM r WHERE rn <= 50""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("priority"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("wt"),
+        rollingHash(col("text")).as("h"))
+      .withColumn("priority", expr("(h * 1000) div (wt + 1)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 50)
+      .select(col("doc_id"), col("source"), col("wt"), col("priority"),
+        col("rn"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(t14Bm25, t15BigramFluency, c6PrioritySample)
+}
