@@ -263,9 +263,44 @@ object StorageQueries {
       graft.storage.DeletionVectors.readAt(s, tbl, v1)
   }
 
+  /** b6 — VACUUM with a retention floor over the deletion-vector
+    * history: three versioned DELETEs accumulate, then
+    * `vacuum(cutoff = 2)` folds v1/v2 INTO the data files (rewriting
+    * only the files that held a folded row) and REBASES v3's sidecar
+    * coordinates onto the rewritten files' new row indexes. The query
+    * reads the live view afterwards — all three deletes applied, v3
+    * still working through its rebased physical coordinates. StorageSpec
+    * additionally pins the mechanics: live view unchanged across the
+    * vacuum, readAt floors below the cutoff, untouched files carried by
+    * name, sidecar shrunk to the retained entries + floor sentinel.
+    */
+  val b6Vacuum = withOracle(
+    "b6_vacuum",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 5 = 0)
+      |  AND NOT (o_orderkey % 11 = 0)""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_vac_${sfName(d)}"
+      Seq(tbl, s"${tbl}__dv").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.core.CatalogUtil.dropOrphanLocation(s, t)
+      }
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 7 === 0)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 5 === 0)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 11 === 0)
+      graft.storage.DeletionVectors.vacuum(s, tbl, cutoff = 2)
+      graft.storage.DeletionVectors.read(s, tbl)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
-      b5Dpp)
+      b5Dpp, b6Vacuum)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

@@ -241,4 +241,68 @@ class StorageSpec extends SparkSpec {
     assert(sz <= 0.8 * zn && sz < sl - 1.0,
       s"z-order second-key probe did not prune: $sz/$zn vs lex $sl")
   }
+
+  test("vacuum folds old deletes, rebases newer coordinates, carries untouched files") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.DeletionVectors
+    val tbl = "dv_vac_spec_tbl"
+    Seq(tbl, s"${tbl}__dv").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.core.CatalogUtil.dropOrphanLocation(spark, t)
+    }
+    // Range layout gives each file a disjoint id range, so the v1/v2
+    // deletes (ids < 500) leave the upper-range files untouched while
+    // v3 (%7) spreads over every file.
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("payload"))
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    def listing(): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.table(tbl).inputFiles.head).getParent
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    }
+    val v1 = DeletionVectors.delete(spark, tbl,
+      col("id") % 10 === 0 && col("id") < 500)
+    val v2 = DeletionVectors.delete(spark, tbl,
+      col("id") >= 200 && col("id") < 220)
+    val v3 = DeletionVectors.delete(spark, tbl, col("id") % 7 === 0)
+    assert((v1, v2, v3) === (1L, 2L, 3L))
+    val liveBefore = ids(DeletionVectors.read(spark, tbl))
+    val floorState = ids(DeletionVectors.readAt(spark, tbl, v2))
+    val before = listing()
+
+    DeletionVectors.vacuum(spark, tbl, cutoff = v2)
+
+    // The live view and every retained version survive the rewrite.
+    assert(ids(DeletionVectors.read(spark, tbl)) === liveBefore,
+      "vacuum changed the live view")
+    assert(ids(DeletionVectors.readAt(spark, tbl, v3)) === liveBefore)
+    // Below the retention floor, reads return the floor state (v1/v2
+    // are folded into the files and no longer separable).
+    assert(ids(DeletionVectors.readAt(spark, tbl, 0)) === floorState)
+    assert(ids(DeletionVectors.readAt(spark, tbl, v2)) === floorState)
+    // Untouched files (upper id ranges) carried by name and size;
+    // affected files replaced by vacuum-rewritten ones.
+    val after = listing()
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.nonEmpty, "no untouched file was carried")
+    carried.foreach(k => assert(before(k) === after(k),
+      s"carried file $k changed size"))
+    assert((before.keySet -- after.keySet).nonEmpty,
+      "no affected file was replaced")
+    assert(after.keySet.exists(_.startsWith("vacuum-")),
+      "no vacuum-rewritten file present")
+    // Sidecar: folded entries gone, v3 rebased, version chain intact.
+    val sidecar = spark.table(s"${tbl}__dv")
+    assert(sidecar.filter(col("p") >= 0 && col("v") <= v2).count() === 0,
+      "folded sidecar entries survived the vacuum")
+    assert(DeletionVectors.version(spark, tbl) === v3)
+    val v4 = DeletionVectors.delete(spark, tbl, col("id") === 1)
+    assert(v4 === 4L)
+    assert(ids(DeletionVectors.read(spark, tbl)) === (liveBefore - 1L))
+  }
 }
