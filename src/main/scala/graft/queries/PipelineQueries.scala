@@ -166,6 +166,39 @@ object PipelineQueries {
     (s, d) => Streams.streamStreamJoin(s, d)
   }
 
+  // ---- st14: LEFT-OUTER stream-stream join (watermark-proven no-match) ----
+  // Signups null-extend once the watermark proves no purchase can still
+  // match ("did the signup convert" needs a definitive no). The source
+  // runs through 4 time-ordered micro-batches so the watermark actually
+  // overtakes held state; the closing no-data batch flushes against the
+  // final watermark min(max s_ts, max p_ts) - 1h (ms-floored, as Spark
+  // tracks it). Signups in the open tail — expiry s_ts + 24h not yet
+  // behind that watermark — are retained in state, not emitted, and the
+  // oracle reproduces that boundary exactly.
+  val st14StreamLeftJoin = withOracle(
+    "st14_stream_left_join",
+    """WITH s AS (SELECT event_id AS signup_id, user_id,
+      |                  epoch_ns(ts) // 1000 AS s_us
+      |           FROM events WHERE event_type = 'signup'),
+      |p AS (SELECT event_id AS purchase_id, user_id,
+      |             epoch_ns(ts) // 1000 AS p_us
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT s.signup_id, p.purchase_id, s.user_id,
+      |             CAST(p.p_us - s.s_us AS BIGINT) AS lag_us
+      |      FROM s JOIN p ON s.user_id = p.user_id
+      |        AND p.p_us >= s.s_us AND p.p_us - s.s_us <= 86400000000),
+      |wm AS (SELECT least((SELECT (max(s_us) // 1000) * 1000 FROM s),
+      |                    (SELECT (max(p_us) // 1000) * 1000 FROM p))
+      |              - 3600000000 AS wm_us),
+      |u AS (SELECT s.signup_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |             s.user_id, CAST(NULL AS BIGINT) AS lag_us
+      |      FROM s, wm
+      |      WHERE s.s_us + 86400000000 < wm.wm_us
+      |        AND NOT EXISTS (SELECT 1 FROM m WHERE m.signup_id = s.signup_id))
+      |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin) {
+    (s, d) => Streams.streamStreamLeftJoin(s, d)
+  }
+
   // ---- st2: stateful streaming dedup ----
   val st2StreamDedup = withOracle(
     "st2_stream_dedup",
@@ -280,5 +313,5 @@ object PipelineQueries {
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
-      st12ApplyChanges, st13Scd2)
+      st12ApplyChanges, st13Scd2, st14StreamLeftJoin)
 }

@@ -53,7 +53,8 @@ object Streams {
   }
 
   private def eventsStream(spark: SparkSession, sfDir: String,
-      splitFiles: Int = 0, maxFilesPerTrigger: Int = 0): DataFrame = {
+      splitFiles: Int = 0, maxFilesPerTrigger: Int = 0,
+      orderedSplit: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The file source requires a DIRECTORY; the testdata table is a single
     // file. Expose it through a scratch dir of symlinks (one-time, local
@@ -68,13 +69,23 @@ object Streams {
         // Scratch.key like every write-once copy: regenerated data busts
         // the cache and stale generations are pruned post-_SUCCESS (the
         // symlink path below needs no key — it follows the source file).
+        // orderedSplit range-partitions on event time so file k holds
+        // time range k; the file source consumes same-mtime files in
+        // path order (part-00000 first), so watermarks advance
+        // MONOTONICALLY across micro-batches and nothing is dropped as
+        // late — required by any watermarked stateful op that must stay
+        // batch-deterministic under a multi-batch split (the random
+        // split would let an early batch's high max jump the watermark
+        // past later batches' rows).
         graft.core.Scratch.ensure("/tmp/graft_streams",
-          s"${sane}_split$splitFiles",
+          s"${sane}_split$splitFiles${if (orderedSplit) "ord" else ""}",
           graft.core.Scratch.key(spark, sfDir, schema.json),
           "events/_SUCCESS") { gen =>
-          spark.read.parquet(s"$sfDir/events.parquet")
-            .repartition(splitFiles)
-            .write.mode("overwrite").parquet(gen.resolve("events").toString)
+          val src = spark.read.parquet(s"$sfDir/events.parquet")
+          val parts =
+            if (orderedSplit) src.repartitionByRange(splitFiles, col("ts"))
+            else src.repartition(splitFiles)
+          parts.write.mode("overwrite").parquet(gen.resolve("events").toString)
         }.resolve("events")
       } else {
         val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
@@ -217,6 +228,45 @@ object Streams {
         && col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
     runToMemory(joined, "graft_stream_join", OutputMode.Append())
       .select(col("purchase_id"), col("signup_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
+  }
+
+  /** LEFT-OUTER stream-stream join: every signup, paired with the same
+    * user's purchases in the following 24h — or null-extended once the
+    * watermark PROVES no such purchase can still arrive. This is the
+    * semantics inner joins can't give a stream: "did the signup convert"
+    * needs a definitive no, and the watermark is what licenses one
+    * (state for a signup is held until `s_ts + 24h` falls behind the
+    * global watermark, then emitted unmatched exactly once).
+    *
+    * Determinism requires the watermark to actually overtake every held
+    * row, so the source is split into multiple micro-batches (watermark
+    * advances between them) and AvailableNow's closing no-data batch
+    * flushes the rest against the final watermark min(max p_ts, max
+    * s_ts) - 1h. Rows whose expiry has NOT passed that final watermark
+    * (the stream's open tail) are retained in state, not emitted — the
+    * oracle reproduces that boundary with the same floor-to-millisecond
+    * arithmetic Spark tracks watermarks in.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val events = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
+      orderedSplit = true)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"),
+      "left_outer")
+    runToMemory(joined, "graft_stream_left_join", OutputMode.Append())
+      .select(col("signup_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
   }
 
