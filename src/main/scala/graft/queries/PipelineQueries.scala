@@ -199,6 +199,39 @@ object PipelineQueries {
     (s, d) => Streams.streamStreamLeftJoin(s, d)
   }
 
+  // ---- st15: flatMapGroupsWithState + event-time timeout ----
+  // Watermark-clocked session close-out: a per-user state machine emits
+  // one record per closed session, closed either by a >= 4h successor
+  // gap or by the EVENT-TIME TIMEOUT proving the user went idle. The
+  // oracle is gaps-and-islands with the same 4h break, keeping the last
+  // session per user only when the final watermark (ms-floored max
+  // event time - 1h) passed its idle deadline.
+  val st15SessionTimeout = withOracle(
+    "st15_session_timeout",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |wm AS (SELECT (max(us) // 1000) * 1000 - 3600000000 AS wm_us FROM e),
+      |d AS (SELECT user_id, us,
+      |             CASE WHEN lag(us) OVER w IS NULL
+      |                  OR us - lag(us) OVER w >= 14400000000
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT user_id, us,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d),
+      |g AS (SELECT user_id, sid,
+      |             CAST(min(us) AS BIGINT) AS session_start_us,
+      |             CAST(max(us) AS BIGINT) AS session_last_us,
+      |             CAST(count(*) AS BIGINT) AS n_events
+      |      FROM s GROUP BY 1, 2),
+      |last AS (SELECT user_id, max(sid) AS max_sid FROM g GROUP BY 1)
+      |SELECT g.user_id, g.session_start_us, g.session_last_us, g.n_events
+      |FROM g JOIN last USING (user_id), wm
+      |WHERE g.sid < last.max_sid
+      |   OR (g.session_last_us // 1000) * 1000 + 14400000000 < wm.wm_us""".stripMargin) {
+    (s, d) => Streams.sessionTimeout(s, d)
+  }
+
   // ---- st2: stateful streaming dedup ----
   val st2StreamDedup = withOracle(
     "st2_stream_dedup",
@@ -313,5 +346,5 @@ object PipelineQueries {
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
-      st12ApplyChanges, st13Scd2, st14StreamLeftJoin)
+      st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout)
 }

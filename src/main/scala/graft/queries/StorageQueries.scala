@@ -298,9 +298,63 @@ object StorageQueries {
       graft.storage.DeletionVectors.read(s, tbl)
   }
 
+  /** b7 — parquet BLOOM-FILTER index probe (Delta's
+    * `delta.bloomFilter.enabled` stand-in, native to the parquet
+    * format): the table is written with a bloom filter on o_orderkey
+    * and dictionary encoding off (a fully dictionary-encoded chunk
+    * would be skipped by dictionary filtering instead, hiding the
+    * bloom), laid out so every file spans the full key range — min/max
+    * stats can prune NOTHING for a point probe; the bloom filter is the
+    * only skipping mechanism. parquet-mr's row-group filter consults it
+    * for equality predicates (parquet.filter.bloomfilter.enabled,
+    * default on), so the probe reads ~1/N of the row groups instead of
+    * all of them. StorageSpec proves the skipping from the footers:
+    * blooms present, and a sampled probe "might contain" in well under
+    * half the row groups while min/max ranges reject none. The probe
+    * key is the max orderkey — present at every sf, collected as a
+    * 1-row scalar so the data-source filter is a pushable literal.
+    */
+  val b7BloomIndex = withOracle(
+    "b7_bloom_index",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin) {
+    (s, d) =>
+      val tbl = bloomOrdersTable(s, d)
+      val probe = Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      s.table(tbl)
+        .filter(col("o_orderkey") === probe)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"))
+  }
+
+  /** The bloom-indexed orders layout b7 and its StorageSpec proof share:
+    * random 8-way split (every file spans the key range) + a bloom
+    * filter on o_orderkey, dictionary encoding disabled.
+    */
+  def bloomOrdersTable(s: SparkSession, d: String): String = {
+    val tbl = s"orders_bloom_${sfName(d)}"
+    ensureTable(s, tbl, d, loc =>
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING,
+         |                   total DOUBLE)
+         |USING parquet
+         |LOCATION '$loc'""".stripMargin) {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.enable.dictionary", "false")
+        .format("parquet").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
-      b5Dpp, b6Vacuum)
+      b5Dpp, b6Vacuum, b7BloomIndex)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

@@ -226,5 +226,40 @@ object TextAnalysis3 {
         col("rn"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(t14Bm25, t15BigramFluency, c6PrioritySample)
+  // ---- Deterministic shard shuffle (training-order assignment) ----
+  // The tokenize→shuffle→shard step every pretraining run ends with:
+  // assign each document a shard and a position such that (a) the order
+  // is pseudorandom with respect to source/content locality, (b) the
+  // assignment is reproducible across engines and runs with no RNG
+  // state, and (c) no global sort happens — the only shuffle is the
+  // per-shard window, each shard ~1/32 of the corpus. Shard =
+  // content-hash mod 32; position = rank of (hash, doc_id) within the
+  // shard (doc_id breaks hash ties totally, so the order is exact on
+  // both engines). Readers stream shard k in position order and get the
+  // same curriculum everywhere.
+  val c7ShardShuffle = withOracle(
+    "c7_shard_shuffle",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(h % 32 AS BIGINT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY h % 32
+      |              ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM h""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), rollingHash(col("text")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(32L)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle)
 }

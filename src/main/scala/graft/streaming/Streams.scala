@@ -362,6 +362,10 @@ object Streams {
   // Public: Catalyst's generated (de)serializers need access.
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
+  final case class TsEvent(user_id: Long, us: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+      session_last_us: Long, n_events: Long)
 
   /** Custom stateful processing via mapGroupsWithState: per-user running
     * (count, max) updated each micro-batch; update-mode emissions are
@@ -392,6 +396,71 @@ object Streams {
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         max(col("max_value")).as("max_value"))
+  }
+
+  /** Custom session close-out via flatMapGroupsWithState + EVENT-TIME
+    * TIMEOUT — the state-machine API surface `session_window` (st7)
+    * cannot reach: arbitrary per-key state, multiple emissions per key,
+    * and a WATERMARK-DRIVEN timeout that closes a session when the
+    * event-time clock proves the user went idle (4h), not just when a
+    * later event shows up. Each closed session emits exactly once,
+    * whether closed by a successor event (gap >= 4h, detected by
+    * sorting the batch's per-key events) or by the timeout firing
+    * between micro-batches; the LAST session per user emits only if the
+    * final watermark passed its idle deadline — the open tail stays in
+    * state, exactly as on a live stream. Time-ordered micro-batches
+    * keep the watermark monotone (no late drops), so the emitted set is
+    * batch-deterministic and the oracle is plain gaps-and-islands plus
+    * the final-watermark deadline in Spark's ms-floor arithmetic.
+    *
+    * Scale: state is one (start, last, n) triple per ACTIVE user — the
+    * flatMap* pattern's point is that state size tracks concurrent
+    * sessions, not history; the timeout sweep is the state store's own
+    * index scan, no shuffle beyond the groupByKey exchange.
+    */
+  def sessionTimeout(spark: SparkSession, sfDir: String,
+      gapUs: Long = 14400000000L): DataFrame = {
+    val ss = eventsSession(spark)
+    import ss.implicits._
+    val closed = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
+      orderedSplit = true)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, events: Iterator[TsEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = events.map(_.us).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some(s) if us - s.lastUs >= gapUs =>
+                  out += ClosedSession(userId, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(us, us, 1L))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startUs, us, s.n + 1L))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Timeout in the MS clock Spark tracks watermarks in.
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+    runToMemory(closed, "graft_stream_session_timeout", OutputMode.Append())
   }
 
   /** CDC apply — the DLT `APPLY CHANGES INTO` shape. The event stream is

@@ -305,4 +305,59 @@ class StorageSpec extends SparkSpec {
     assert(v4 === 4L)
     assert(ids(DeletionVectors.read(spark, tbl)) === (liveBefore - 1L))
   }
+
+  test("bloom index: point probe skippable by bloom where min/max prunes nothing") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val tbl = StorageQueries.bloomOrdersTable(spark, Sf0001)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.table(tbl).inputFiles.head).getParent
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = loc.getFileSystem(hconf)
+    val files = fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length >= 8, s"expected >= 8 files, got ${files.length}")
+    // Probe keys sampled from the INTERIOR of the range (an extreme key
+    // sits outside most files' [min,max] even under a random split, so
+    // it would make min/max look selective); each lives in exactly one
+    // file of the random split.
+    val keys = spark.table(tbl).select(col("o_orderkey"))
+      .orderBy(col("o_orderkey")).collect().map(_.getLong(0))
+    val probes = (1 to 5).map(i => keys(i * (keys.length - 1) / 6))
+    var totalGroups = 0
+    var bloomHits = 0
+    var minmaxHits = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f, hconf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.foreach { block =>
+        val cm = block.getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderkey").get
+        assert(cm.getBloomFilterOffset >= 0,
+          s"no bloom filter written for o_orderkey in $f")
+        val bloom = reader.getBloomFilterDataReader(block)
+          .readBloomFilter(cm)
+        val stats = cm.getStatistics
+        val lo = stats.genericGetMin.asInstanceOf[java.lang.Long]
+        val hi = stats.genericGetMax.asInstanceOf[java.lang.Long]
+        probes.foreach { k =>
+          totalGroups += 1
+          if (bloom.findHash(bloom.hash(k.longValue()))) bloomHits += 1
+          if (lo <= k && k <= hi) minmaxHits += 1
+        }
+      } finally reader.close()
+    }
+    // Random split: every file spans the key range, so min/max rejects
+    // (almost) nothing; the bloom rejects the row groups that genuinely
+    // lack the key, modulo its false-positive rate.
+    assert(minmaxHits >= (totalGroups * 9) / 10,
+      s"min/max unexpectedly selective: $minmaxHits/$totalGroups")
+    assert(bloomHits <= totalGroups / 2,
+      s"bloom filter not selective: $bloomHits/$totalGroups")
+    // And the engine-level read returns exactly the probed rows.
+    val k = probes.head
+    assert(spark.table(tbl).filter(col("o_orderkey") === k).count() ===
+      keys.count(_ == k))
+  }
 }
