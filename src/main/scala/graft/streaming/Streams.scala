@@ -70,22 +70,41 @@ object Streams {
         // the cache and stale generations are pruned post-_SUCCESS (the
         // symlink path below needs no key — it follows the source file).
         // orderedSplit range-partitions on event time so file k holds
-        // time range k; the file source consumes same-mtime files in
-        // path order (part-00000 first), so watermarks advance
-        // MONOTONICALLY across micro-batches and nothing is dropped as
-        // late — required by any watermarked stateful op that must stay
-        // batch-deterministic under a multi-batch split (the random
-        // split would let an early batch's high max jump the watermark
-        // past later batches' rows).
+        // time range k, then stamps STRICTLY INCREASING mtimes in part
+        // order: the file source orders new files by modification time,
+        // and ties (parallel write tasks land in the same ms) break
+        // ARBITRARILY, not by path — measured delivering part-1,2
+        // before part-0 and scrambling a watermarked state op. Distinct
+        // mtimes make the consumption order total, so watermarks
+        // advance MONOTONICALLY across micro-batches and nothing drops
+        // as late — required by any watermarked stateful op that must
+        // stay batch-deterministic under a multi-batch split.
         graft.core.Scratch.ensure("/tmp/graft_streams",
           s"${sane}_split$splitFiles${if (orderedSplit) "ord" else ""}",
-          graft.core.Scratch.key(spark, sfDir, schema.json),
+          graft.core.Scratch.key(spark, sfDir,
+            schema.json + (if (orderedSplit) "|mtime-total-order" else "")),
           "events/_SUCCESS") { gen =>
           val src = spark.read.parquet(s"$sfDir/events.parquet")
           val parts =
             if (orderedSplit) src.repartitionByRange(splitFiles, col("ts"))
             else src.repartition(splitFiles)
-          parts.write.mode("overwrite").parquet(gen.resolve("events").toString)
+          val out = gen.resolve("events")
+          parts.write.mode("overwrite").parquet(out.toString)
+          if (orderedSplit) {
+            val files = java.nio.file.Files.list(out).iterator()
+            val names = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+            while (files.hasNext) {
+              val p = files.next()
+              if (p.getFileName.toString.endsWith(".parquet")) names += p
+            }
+            val base = System.currentTimeMillis()
+            names.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+              case (p, i) =>
+                java.nio.file.Files.setLastModifiedTime(p,
+                  java.nio.file.attribute.FileTime.fromMillis(
+                    base + (i + 1) * 2000L))
+            }
+          }
         }.resolve("events")
       } else {
         val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
@@ -362,7 +381,11 @@ object Streams {
   // Public: Catalyst's generated (de)serializers need access.
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
-  final case class TsEvent(user_id: Long, us: Long)
+  // Carries the raw watermarked `ts` alongside the µs value: the
+  // watermark is attribute metadata, so the timestamp column must
+  // SURVIVE the projection into the Dataset or the event-time timeout
+  // has no clock to run on.
+  final case class TsEvent(user_id: Long, us: Long, ts: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start_us: Long,
       session_last_us: Long, n_events: Long)
@@ -425,7 +448,7 @@ object Streams {
     val closed = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
       orderedSplit = true)
       .withWatermark("ts", "1 hour")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
       .as[TsEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
