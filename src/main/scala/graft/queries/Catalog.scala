@@ -5,7 +5,7 @@ object Catalog {
   def specs: Seq[QuerySpec] =
     Relational.specs ++ Relational2.specs ++ Relational3.specs ++ Star.specs ++
       TextAnalysis.specs ++ TextAnalysis2.specs ++ TextAnalysis3.specs ++
-      DedupQueries.specs ++
+      CurationPipeline.specs ++ DedupQueries.specs ++
       SimilarityQueries.specs ++
       PipelineQueries.specs ++ SourceQueries.specs ++ OlistQueries.specs ++
       StorageQueries.specs ++ SketchQueries.specs ++

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+
+/** c8 — the END-TO-END corpus curation pipeline, every stage of which
+  * exists as a standalone oracle-verified operator, composed into ONE
+  * declarative plan: the "documents in, training order out" program a
+  * pretraining-data team actually ships.
+  *
+  *   1. content-hash split: bucket >= 90 becomes the held-out/eval set
+  *      (c1 — dupes cannot straddle the split);
+  *   2. language gate: marker-majority langId != 'und' (t3);
+  *   3. quality gate: composite score >= 0.45 (t2 — engine-exact
+  *      doubles, so the comparison is identical on both engines);
+  *   4. exact dedup: min-doc_id survivor per sha256(text) group (d1);
+  *   5. decontamination: drop survivors sharing any 13-gram with the
+  *      held-out set (d8 — broadcast DISTINCT eval shingles);
+  *   6. temperature mixture: per-source sqrt(n) quotas over the
+  *      SURVIVING counts, half-corpus target, content-hash keep rule
+  *      (c5 — integer-exact);
+  *   7. shard shuffle: hash-mod-32 shard + per-shard rank = the
+  *      reproducible training order (c7).
+  *
+  * Scale shape: one corpus scan feeds per-row gates (native
+  * expressions, no shuffle), then the three shuffles the semantics
+  * require — sha groups, the 13-gram explode join (eval side
+  * broadcast), and the per-shard rank window — plus two broadcast
+  * scalars (source quotas, corpus totals). Nothing quadratic, nothing
+  * collected, no stage that would not survive 1000 executors; Catalyst
+  * pipelines the gates into the scan.
+  */
+object CurationPipeline {
+
+  import QuerySpec._
+
+  private val RollHash =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
+      |                 c -> CAST(ascii(c) AS BIGINT))),
+      |  (a, b) -> (a * 31 + b) % 2147483647)""".stripMargin
+
+  private val Cat13 =
+    (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+
+  val c8CorpusPipeline = withOracle(
+    "c8_corpus_pipeline",
+    s"""WITH h AS (
+       |  SELECT doc_id, source, text, $RollHash AS h
+       |  FROM documents),
+       |tr AS (SELECT * FROM h WHERE h % 100 < 90),
+       |ho AS (SELECT * FROM h WHERE h % 100 >= 90),
+       |tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+       |                             t -> length(t) > 0) AS toks
+       |  FROM tr),
+       |lang AS (
+       |  SELECT doc_id,
+       |    length(list_filter(toks, t -> t IN ('the','a','of','and','is')))  AS s_en,
+       |    length(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    length(list_filter(toks, t -> t IN ('el','la','los','que','es')))  AS s_es,
+       |    length(list_filter(toks, t -> t IN ('le','la','les','et','est')))  AS s_fr
+       |  FROM tok),
+       |lp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |              WHEN s_es >= s_fr THEN 'es'
+       |              ELSE 'fr' END AS lang_pred
+       |  FROM lang),
+       |qual AS (
+       |  SELECT doc_id,
+       |         CAST(least(CAST(length(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |            + CAST(length(list_distinct(toks)) AS DOUBLE)
+       |                / greatest(CAST(length(toks) AS DOUBLE), 1.0) * 0.3
+       |            + least(CAST(length(list_filter(toks, t -> t IN
+       |                  ('the','a','an','of','and','or','is','in','to','for'))) AS DOUBLE)
+       |                / greatest(CAST(length(toks) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.2
+       |            + (CASE WHEN
+       |                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                         list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+       |                       (a, b) -> a + b) AS DOUBLE)
+       |                    / greatest(CAST(length(toks) AS DOUBLE), 1.0)
+       |                  BETWEEN 2.0 AND 12.0
+       |               THEN 1.0 ELSE 0.0 END) * 0.1
+       |           AS DOUBLE) AS q
+       |  FROM tok),
+       |filt AS (
+       |  SELECT tr.*, lp.lang_pred
+       |  FROM tr JOIN lp USING (doc_id) JOIN qual USING (doc_id)
+       |  WHERE lp.lang_pred <> 'und' AND qual.q >= 0.45),
+       |grp AS (
+       |  SELECT sha256(text) AS sha, min(doc_id) AS rep
+       |  FROM filt GROUP BY 1),
+       |uniq AS (
+       |  SELECT filt.* FROM filt
+       |  JOIN grp ON sha256(filt.text) = grp.sha AND filt.doc_id = grp.rep),
+       |utok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+       |                             t -> length(t) > 0) AS toks
+       |  FROM uniq),
+       |ush AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN length(toks) >= 13 THEN
+       |           list_transform(range(1, length(toks) - 11), i -> $Cat13)
+       |           ELSE [] END) AS shingles
+       |  FROM utok),
+       |htok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
+       |                             t -> length(t) > 0) AS toks
+       |  FROM ho),
+       |ev AS (
+       |  SELECT DISTINCT unnest(
+       |           list_distinct(CASE WHEN length(toks) >= 13 THEN
+       |             list_transform(range(1, length(toks) - 11), i -> $Cat13)
+       |             ELSE [] END)) AS sh
+       |  FROM htok),
+       |hits AS (
+       |  SELECT t.doc_id FROM
+       |    (SELECT doc_id, unnest(shingles) AS sh FROM ush) t
+       |  JOIN ev USING (sh) GROUP BY 1),
+       |clean AS (
+       |  SELECT uniq.* FROM uniq
+       |  LEFT JOIN hits USING (doc_id) WHERE hits.doc_id IS NULL),
+       |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |      FROM clean GROUP BY 1),
+       |w AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt
+       |      FROM n),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+       |               CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+       |q2 AS (SELECT source, n_docs, ((tot.total // 2) * wt) // tot.wsum AS quota
+       |       FROM w, tot),
+       |samp AS (
+       |  SELECT clean.* FROM clean JOIN q2 USING (source)
+       |  WHERE clean.h % q2.n_docs < q2.quota)
+       |SELECT doc_id, source, lang_pred,
+       |       CAST(h % 32 AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % 32
+       |              ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM samp""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("h", rollingHash(col("text")))
+    val train = docs.filter(pmod(col("h"), lit(100L)) < 90)
+    val heldout = docs.filter(pmod(col("h"), lit(100L)) >= 90)
+    val filtered = train
+      .withColumn("lang_pred", langId(col("text")))
+      .filter(col("lang_pred") =!= "und")
+      .filter(qualityScore(col("text")) >= 0.45)
+    val reps = Dedup.exactGroups(filtered, col("text"), col("doc_id"))
+      .filter(!col("is_dup")).select(col("doc_id"))
+    val unique = filtered.join(reps, "doc_id")
+    val keep = Dedup.decontaminate(unique, heldout,
+        col("text"), col("doc_id"), n = 13)
+      .filter(!col("is_contaminated")).select(col("doc_id"))
+    val clean = unique.join(keep, "doc_id")
+    val counts = clean.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val weights = counts
+      .withColumn("wt", floor(sqrt(col("n_docs").cast("double"))))
+    val totals = weights.agg(sum(col("n_docs")).as("total"),
+      sum(col("wt")).as("wsum"))
+    val quotas = weights.crossJoin(broadcast(totals))
+      .withColumn("quota", expr("((total div 2) * wt) div wsum"))
+      .select(col("source"), col("n_docs"), col("quota"))
+    val sampled = clean
+      .join(broadcast(quotas), "source")
+      .filter(pmod(col("h"), col("n_docs")) < col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    sampled
+      .withColumn("shard", pmod(col("h"), lit(32L)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("shard"), col("pos"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(c8CorpusPipeline)
+}
