@@ -367,7 +367,91 @@ object Relational3 {
         unix_micros(col("t3")).as("t3_us"))
   }
 
+  // ---- J19: interval-OVERLAP join (two derived interval sets) ----
+  // Which per-user activity sessions overlap which per-type event
+  // bursts — the interval×interval non-equi join (a_start <= b_end AND
+  // b_start <= a_end) that a theta join would execute as an O(A×B)
+  // nested loop. The scalable plan bins TIME instead: every interval
+  // explodes to the DAY bins it spans (fan-out = duration/day, bounded
+  // by the timeline, not the data), the bin becomes an equi-join key,
+  // pairs sharing several days are deduplicated, and the exact overlap
+  // predicate filters the survivors. One shuffle on the bin key, pair
+  // work proportional to co-located-in-time intervals — the same
+  // bin-the-range trick as j13, lifted from points to intervals on
+  // both sides.
+  val j19IntervalOverlap = withOracle(
+    "j19_interval_overlap",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |                  epoch_ns(ts) // 1000 AS us FROM events),
+      |al AS (SELECT user_id, us, event_id,
+      |              CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS brk
+      |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |asn AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+      |          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM al),
+      |a AS (SELECT user_id, CAST(min(us) AS BIGINT) AS a_start_us,
+      |             CAST(max(us) AS BIGINT) AS a_end_us
+      |      FROM asn GROUP BY user_id, sid),
+      |bl AS (SELECT event_type, us, event_id,
+      |              CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w > 600000000
+      |              THEN 1 ELSE 0 END AS brk
+      |       FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+      |bsn AS (SELECT event_type, us, sum(brk) OVER (PARTITION BY event_type
+      |          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM bl),
+      |b AS (SELECT event_type, CAST(min(us) AS BIGINT) AS b_start_us,
+      |             CAST(max(us) AS BIGINT) AS b_end_us
+      |      FROM bsn GROUP BY event_type, sid)
+      |SELECT a.user_id, b.event_type, a.a_start_us, a.a_end_us,
+      |       b.b_start_us, b.b_end_us,
+      |       CAST(least(a.a_end_us, b.b_end_us)
+      |            - greatest(a.a_start_us, b.b_start_us) AS BIGINT) AS overlap_us
+      |FROM a JOIN b ON a.a_start_us <= b.b_end_us
+      |            AND b.b_start_us <= a.a_end_us""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    def islands(keyCol: String, gapUs: Long): org.apache.spark.sql.DataFrame = {
+      val wo = Window.partitionBy(col(keyCol)).orderBy(col("us"), col("event_id"))
+      val wrun = Window.partitionBy(col(keyCol))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev", lag(col("us"), 1).over(wo))
+        .withColumn("brk",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("sid", sum(col("brk")).over(wrun))
+        .groupBy(col(keyCol), col("sid"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .drop("sid")
+    }
+    val a = islands("user_id", 1800000000L)
+      .select(col("user_id"), col("start_us").as("a_start_us"),
+        col("end_us").as("a_end_us"))
+    val b = islands("event_type", 600000000L)
+      .select(col("event_type"), col("start_us").as("b_start_us"),
+        col("end_us").as("b_end_us"))
+    def binned(df: org.apache.spark.sql.DataFrame, s0: String, e0: String) =
+      df.withColumn("bin",
+        explode(sequence(expr(s"$s0 div ${DayUs}L"), expr(s"$e0 div ${DayUs}L"))))
+    binned(a, "a_start_us", "a_end_us")
+      .join(binned(b, "b_start_us", "b_end_us"), "bin")
+      .filter(col("a_start_us") <= col("b_end_us")
+        && col("b_start_us") <= col("a_end_us"))
+      .select(col("user_id"), col("event_type"),
+        col("a_start_us"), col("a_end_us"),
+        col("b_start_us"), col("b_end_us"))
+      .distinct()
+      .withColumn("overlap_us",
+        least(col("a_end_us"), col("b_end_us"))
+          - greatest(col("a_start_us"), col("b_start_us")))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
-      w9SessionWindow, f8StringFuncs, w10ValuePick, e3Funnel)
+      w9SessionWindow, f8StringFuncs, w10ValuePick, e3Funnel,
+      j19IntervalOverlap)
 }

@@ -230,6 +230,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CBO: ANALYZE column stats flip a filtered-dim join to broadcast") {
+    // Without statistics the planner sizes a filtered dim by its FILE
+    // bytes — the filter's selectivity is invisible, the dim misses the
+    // broadcast threshold, and the join shuffles BOTH sides. ANALYZE ...
+    // FOR ALL COLUMNS + CBO gives the optimizer per-column NDV/ranges,
+    // the filter estimate shrinks below the threshold, and the same
+    // query plans a broadcast join with zero fact-side shuffle — at
+    // 100 TB, collected table stats are what save the full-fact
+    // exchange whenever a dim arrives filtered. AQE off so the test
+    // pins the STATIC (compile-time) decision, not the runtime rescue.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    val tbl = "orders_cbo_spec"
+    ss.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.core.CatalogUtil.dropOrphanLocation(ss, tbl)
+    // sf0.01 so the UNfiltered dim file is safely above the threshold;
+    // the filter (status + a ~1% key range) is what stats must surface.
+    ss.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.format("parquet").saveAsTable(tbl)
+    val maxKey = ss.table(tbl).agg(max(col("o_orderkey"))).head().getLong(0)
+    val li = ss.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    def plan(): String = {
+      val q = li.join(
+        ss.table(tbl).filter(col("o_orderstatus") === "P"
+          && col("o_orderkey") <= maxKey / 100),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity")).as("q"))
+      q.queryExecution.executedPlan.toString
+    }
+    val before = plan()
+    assert(before.contains("SortMergeJoin") || before.contains("ShuffledHashJoin"),
+      s"expected a shuffle join before ANALYZE:\n$before")
+    ss.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    val after = plan()
+    assert(after.contains("BroadcastHashJoin"),
+      s"column stats did not flip the filtered dim to broadcast:\n$after")
+    ss.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("b5_dpp: the fact scan carries a runtime DPP partition filter") {
     // b2 pins STATIC partition pruning (literal predicate on the
     // partition column); this pins the runtime complement: a join
