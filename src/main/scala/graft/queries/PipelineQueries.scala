@@ -206,8 +206,7 @@ object PipelineQueries {
   // oracle is gaps-and-islands with the same 4h break, keeping the last
   // session per user only when the final watermark (ms-floored max
   // event time - 1h) passed its idle deadline.
-  val st15SessionTimeout = withOracle(
-    "st15_session_timeout",
+  private val SessionTimeoutOracle =
     """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
       |wm AS (SELECT (max(us) // 1000) * 1000 - 3600000000 AS wm_us FROM e),
       |d AS (SELECT user_id, us,
@@ -228,8 +227,21 @@ object PipelineQueries {
       |SELECT g.user_id, g.session_start_us, g.session_last_us, g.n_events
       |FROM g JOIN last USING (user_id), wm
       |WHERE g.sid < last.max_sid
-      |   OR (g.session_last_us // 1000) * 1000 + 14400000000 < wm.wm_us""".stripMargin) {
+      |   OR (g.session_last_us // 1000) * 1000 + 14400000000 < wm.wm_us""".stripMargin
+
+  val st15SessionTimeout = withOracle(
+    "st15_session_timeout", SessionTimeoutOracle) {
     (s, d) => Streams.sessionTimeout(s, d)
+  }
+
+  // ---- st16: the SAME close-out on Spark 4's transformWithState ----
+  // Typed state handles + explicit per-key event-time TIMERS on a
+  // RocksDB state store — the arbitrary-stateful-processing successor
+  // API. Shares st15's oracle verbatim: two independent state-machine
+  // implementations must emit the identical set.
+  val st16SessionTimeoutTws = withOracle(
+    "st16_session_timeout_tws", SessionTimeoutOracle) {
+    (s, d) => Streams.sessionTimeoutTws(s, d)
   }
 
   // ---- st2: stateful streaming dedup ----
@@ -346,5 +358,6 @@ object PipelineQueries {
     Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
-      st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout)
+      st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
+      st16SessionTimeoutTws)
 }

@@ -486,6 +486,93 @@ object Streams {
     runToMemory(closed, "graft_stream_session_timeout", OutputMode.Append())
   }
 
+  /** The same watermark-clocked session close-out as [[sessionTimeout]],
+    * re-expressed on Spark 4's `transformWithState` — the arbitrary-
+    * stateful-processing successor to [[flatMapGroupsWithState]]: typed
+    * state handles created in `init`, EXPLICIT per-key timers
+    * (registered at the session's idle deadline, deleted and
+    * re-registered as later events extend it, so no stale firings), and
+    * a RocksDB-backed state store (the API requires it — also the
+    * production store a large deployment runs, changelog-checkpointed).
+    * Both APIs share one oracle: the emitted set must be identical.
+    */
+  private class SessionCloseProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TsEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def deadlineMs(s: SessionState): Long =
+      s.lastUs / 1000L + gapUs / 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.map(_.us).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+      val prevDeadline =
+        if (state.exists()) Some(deadlineMs(state.get())) else None
+      var cur = if (state.exists()) Some(state.get()) else None
+      sorted.foreach { us =>
+        cur match {
+          case Some(s) if us - s.lastUs >= gapUs =>
+            out += ClosedSession(key, s.startUs, s.lastUs, s.n)
+            cur = Some(SessionState(us, us, 1L))
+          case Some(s) =>
+            cur = Some(SessionState(s.startUs, us, s.n + 1L))
+          case None =>
+            cur = Some(SessionState(us, us, 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        val nd = deadlineMs(s)
+        if (!prevDeadline.contains(nd)) {
+          prevDeadline.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(nd)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // Timers are deleted on every deadline move, so a firing timer is
+      // always the CURRENT deadline: the session is idle-expired.
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(ClosedSession(key, s.startUs, s.lastUs, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionTimeout]] on the transformWithState API (see
+    * [[SessionCloseProcessor]]); identical emitted set by construction,
+    * verified against the same oracle as st15.
+    */
+  def sessionTimeoutTws(spark: SparkSession, sfDir: String,
+      gapUs: Long = 14400000000L): DataFrame = {
+    val ss = eventsSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val closed = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
+      orderedSplit = true)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+    runToMemory(closed, "graft_stream_session_tws", OutputMode.Append())
+  }
+
   /** CDC apply — the DLT `APPLY CHANGES INTO` shape. The event stream is
     * treated as a change feed keyed by user_id and SEQUENCED by
     * (ts, event_id); each micro-batch is MERGE-applied into a keyed
