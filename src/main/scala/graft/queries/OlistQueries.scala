@@ -286,9 +286,66 @@ object OlistQueries {
     s.table(tbl)
   }
 
+  /** g11 — SPATIAL grid-bin join over the geolocation dims: customers
+    * within 1 degree of a seller, the proximity query the reference's
+    * lat/lng columns exist to answer. A theta join on the distance
+    * predicate is O(C×S); the scalable plan grids the plane instead —
+    * each seller keys by its (floor(lat), floor(lng)) cell, each
+    * customer probes its cell plus the 8 neighbors (radius = cell size,
+    * so any within-radius pair shares a probed cell), the cell becomes
+    * an equi-join key, and the exact squared-degree predicate filters
+    * survivors. Work ∝ customers × local seller density, one shuffle;
+    * the j13/j19 bin trick lifted to two dimensions. The distance is
+    * the SQUARED-DEGREE metric (products and sums of doubles, same
+    * expression tree both engines — exact), not haversine: trig's last
+    * ulp is libm-dependent, and for a bounded-radius filter the metrics
+    * are monotone-equivalent.
+    */
+  val g11GeoJoin = withOracle(
+    "g11_geo_join",
+    OlistOracle.ctes +
+      """SELECT c.customer_natural_key, s.seller_natural_key,
+        |       (c.geolocation_lat - s.geolocation_lat)
+        |         * (c.geolocation_lat - s.geolocation_lat)
+        |       + (c.geolocation_lng - s.geolocation_lng)
+        |         * (c.geolocation_lng - s.geolocation_lng) AS d2
+        |FROM gold_dim_customers c JOIN gold_dim_sellers s
+        |  ON (c.geolocation_lat - s.geolocation_lat)
+        |       * (c.geolocation_lat - s.geolocation_lat)
+        |     + (c.geolocation_lng - s.geolocation_lng)
+        |       * (c.geolocation_lng - s.geolocation_lng) <= 1.0
+        | AND c.geolocation_lat IS NOT NULL AND s.geolocation_lat IS NOT NULL""".stripMargin) {
+    (s, d) =>
+      val g = new OlistGraph(s, d)
+      val c = g.dimCustomers
+        .filter(col("geolocation_lat").isNotNull)
+        .select(col("customer_natural_key"),
+          col("geolocation_lat").as("c_lat"),
+          col("geolocation_lng").as("c_lng"))
+      val sl = g.dimSellers
+        .filter(col("geolocation_lat").isNotNull)
+        .select(col("seller_natural_key"),
+          col("geolocation_lat").as("s_lat"),
+          col("geolocation_lng").as("s_lng"))
+        .withColumn("cell_lat", floor(col("s_lat")))
+        .withColumn("cell_lng", floor(col("s_lng")))
+      val probes = c
+        .withColumn("dlat", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dlng", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("cell_lat", floor(col("c_lat")) + col("dlat"))
+        .withColumn("cell_lng", floor(col("c_lng")) + col("dlng"))
+      val d2 = (col("c_lat") - col("s_lat")) * (col("c_lat") - col("s_lat")) +
+        (col("c_lng") - col("s_lng")) * (col("c_lng") - col("s_lng"))
+      probes
+        .join(sl, Seq("cell_lat", "cell_lng"))
+        .filter(d2 <= 1.0)
+        .select(col("customer_natural_key"), col("seller_natural_key"),
+          d2.as("d2"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
     g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
-    g10CategoryKpis,
+    g10CategoryKpis, g11GeoJoin,
     st6CsvBronze, u4IncrementalSilver)
 }
