@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.core.Tables
 import graft.multimodal.Multimodal
 import graft.streaming.Streams
@@ -85,6 +87,83 @@ object PipelineQueries {
       |FROM p""".stripMargin) { (s, d) =>
     Multimodal.extractFrames(s,
       Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+  }
+
+  // ---- m3: cross-modal consistency scoring (the CLIP-filter shape) ----
+  // Pair each document's TEXT-side embedding with its MEDIA-side pooled
+  // feature vector (frame 0 of the m2 pipeline) and score the pair by
+  // cosine agreement; the bottom-k lowest-agreement pairs are the
+  // mismatch candidates a multimodal curation pass drops. The cosine
+  // runs over an explicit 4-term chain (fixed add/mul order, sqrt is
+  // correctly-rounded IEEE — engine-exact doubles); the embedding side
+  // reads only the 4-component prefix the media vector is compared
+  // against. Scale: per-row codec + one equi-join on doc id + a
+  // TakeOrderedAndProject bottom-k — no shuffle beyond the join.
+  val m3CrossModal = withOracle(
+    "m3_cross_modal",
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(list_filter(string_split(text, ''),
+      |                                    c -> length(c) > 0),
+      |                        c -> CAST(ascii(c) AS BIGINT)) AS cps
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(least(n, 64) AS BIGINT) AS e, cps FROM b),
+      |p AS (
+      |  SELECT doc_id,
+      |         [CASE WHEN (j + 1) * e // 4 > j * e // 4
+      |               THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                      cps[CAST(j * e // 4 + 1 AS BIGINT)
+      |                          :CAST((j + 1) * e // 4 AS BIGINT)]),
+      |                      (a, b) -> a + b) AS DOUBLE)
+      |                    / CAST((j + 1) * e // 4 - j * e // 4 AS DOUBLE)
+      |               ELSE 0.0 END
+      |          FOR j IN [0, 1, 2, 3]] AS m
+      |  FROM g),
+      |j AS (
+      |  SELECT p.doc_id, p.m,
+      |         [CAST(emb.embedding[1] AS DOUBLE), CAST(emb.embedding[2] AS DOUBLE),
+      |          CAST(emb.embedding[3] AS DOUBLE), CAST(emb.embedding[4] AS DOUBLE)] AS v
+      |  FROM p JOIN embeddings emb ON p.doc_id = emb.vec_id),
+      |sc AS (
+      |  SELECT doc_id,
+      |         (((m[1] * v[1] + m[2] * v[2]) + m[3] * v[3]) + m[4] * v[4])
+      |           / (sqrt(((m[1] * m[1] + m[2] * m[2]) + m[3] * m[3]) + m[4] * m[4])
+      |              * sqrt(((v[1] * v[1] + v[2] * v[2]) + v[3] * v[3]) + v[4] * v[4]))
+      |           AS agreement
+      |  FROM j
+      |  WHERE sqrt(((m[1] * m[1] + m[2] * m[2]) + m[3] * m[3]) + m[4] * m[4]) > 0.0
+      |    AND sqrt(((v[1] * v[1] + v[2] * v[2]) + v[3] * v[3]) + v[4] * v[4]) > 0.0),
+      |bot AS (SELECT * FROM sc ORDER BY agreement, doc_id LIMIT 20)
+      |SELECT doc_id, agreement,
+      |       CAST(row_number() OVER (ORDER BY agreement, doc_id) AS BIGINT)
+      |         AS rnk
+      |FROM bot""".stripMargin) { (s, d) =>
+    def fsqrt(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.sqrt(c)
+    val frames = Multimodal.extractFrames(s,
+      Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+      .filter(col("frame_idx") === 0)
+      .select(col("doc_id"), col("p0"), col("p1"), col("p2"), col("p3"))
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("v0"),
+        element_at(col("embedding"), 2).cast("double").as("v1"),
+        element_at(col("embedding"), 3).cast("double").as("v2"),
+        element_at(col("embedding"), 4).cast("double").as("v3"))
+    val dot = ((col("p0") * col("v0") + col("p1") * col("v1"))
+      + col("p2") * col("v2")) + col("p3") * col("v3")
+    val nm = fsqrt(((col("p0") * col("p0") + col("p1") * col("p1"))
+      + col("p2") * col("p2")) + col("p3") * col("p3"))
+    val nv = fsqrt(((col("v0") * col("v0") + col("v1") * col("v1"))
+      + col("v2") * col("v2")) + col("v3") * col("v3"))
+    val sc = frames.join(emb, col("doc_id") === col("vec_id"))
+      .filter(nm > 0.0 && nv > 0.0)
+      .select(col("doc_id"), (dot / (nm * nv)).as("agreement"))
+    sc.orderBy(col("agreement"), col("doc_id")).limit(20)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("agreement"), col("doc_id"))).cast("long"))
   }
 
   // ---- st1: tumbling event-time window aggregate (complete mode) ----
@@ -355,7 +434,7 @@ object PipelineQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(m1MediaFeatures, m2FrameSample, st1HourlyAgg, st2StreamDedup,
+    Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
