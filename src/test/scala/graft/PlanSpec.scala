@@ -230,6 +230,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c8_corpus_pipeline: no nested loop; eval n-grams broadcast") {
+    // The end-to-end curation plan must stay join-disciplined at 100 TB:
+    // no cartesian/nested-loop anywhere, and the decontamination stage's
+    // eval shingle set reaches the train side as a BROADCAST (the train
+    // corpus is never shuffled by the n-gram join).
+    val plan = executedPlan("c8_corpus_pipeline")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus pipeline plans a cartesian product:\n$plan")
+    // The ONLY nested-loop join allowed is the 1-row corpus-totals
+    // scalar broadcast (the temperature-quota crossJoin); a second one
+    // would mean a data-sized join degraded. Count only the FINAL
+    // adaptive plan — the string repeats every node in its
+    // "Initial Plan" section.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"a data-sized join degraded to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the pipeline plan:\n$plan")
+  }
+
+  test("t14_bm25: the top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("t14_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"BM25 top-k executed as a global sort:\n$plan")
+  }
+
   test("CBO: ANALYZE column stats flip a filtered-dim join to broadcast") {
     // Without statistics the planner sizes a filtered dim by its FILE
     // bytes — the filter's selectivity is invisible, the dim misses the
