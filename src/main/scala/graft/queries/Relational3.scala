@@ -215,6 +215,59 @@ object Relational3 {
             .otherwise("kept").as("action"))
   }
 
+  // ---- U8: MERGE with WHEN NOT MATCHED BY SOURCE (full sync) ----
+  // The third MERGE arm u3/u5 don't exercise: the source is the
+  // COMPLETE desired state, and target rows absent from it are DELETED
+  // (`WHEN NOT MATCHED BY SOURCE THEN DELETE`) — the "make the table
+  // equal this snapshot" sync a dimension refresh runs. Matched rows
+  // update, source-only rows insert, target-only rows drop; the audit
+  // column records which arm fired. Same full-outer-join MERGE shape as
+  // u5, flipped retention rule: inner ∪ source-only survive.
+  val u8MergeSync = withOracle(
+    "u8_merge_sync",
+    """WITH target AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |source AS (
+      |  SELECT c_custkey, c_mktsegment || '_s' AS c_mktsegment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 7.00 AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |m AS (
+      |  SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+      |         coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+      |         s.c_mktsegment AS s_seg, s.bal AS s_bal
+      |  FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey)
+      |SELECT c_custkey, s_seg AS c_mktsegment, CAST(s_bal AS DOUBLE) AS bal,
+      |       CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN 'updated'
+      |            ELSE 'inserted' END AS action
+      |FROM m WHERE sk IS NOT NULL""".stripMargin) {
+    (s, d) =>
+      val c = Tables.customer(s, d)
+      val target = c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val source = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_s")).as("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)")
+            + lit("7.00").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("bal"))
+      target.alias("t")
+        .join(source.alias("s"), col("t.c_custkey") === col("s.c_custkey"),
+          "full_outer")
+        .select(
+          col("t.c_custkey").as("tk"), col("s.c_custkey").as("sk"),
+          coalesce(col("s.c_custkey"), col("t.c_custkey")).as("c_custkey"),
+          col("s.c_mktsegment").as("s_seg"), col("s.bal").as("s_bal"))
+        // NOT MATCHED BY SOURCE -> DELETE: only source-backed rows live.
+        .filter(col("sk").isNotNull)
+        .select(col("c_custkey"), col("s_seg").as("c_mktsegment"),
+          col("s_bal").cast("double").as("bal"),
+          when(col("tk").isNotNull && col("sk").isNotNull, "updated")
+            .otherwise("inserted").as("action"))
+  }
+
   // ---- Native session_window in batch ----
   // Spark's built-in session-window operator (the declarative form of
   // e2's hand-rolled gaps-and-islands): sessions merge while the next
@@ -452,6 +505,6 @@ object Relational3 {
 
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
-      w9SessionWindow, f8StringFuncs, w10ValuePick, e3Funnel,
+      u8MergeSync, w9SessionWindow, f8StringFuncs, w10ValuePick, e3Funnel,
       j19IntervalOverlap)
 }
