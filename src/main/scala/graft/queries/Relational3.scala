@@ -268,6 +268,37 @@ object Relational3 {
             .otherwise("inserted").as("action"))
   }
 
+  // ---- F10: ANSI-safe try_* arithmetic vocabulary ----
+  // Spark 4 runs ANSI mode, where overflow/bad-cast/out-of-range THROW;
+  // the try_* family is the per-row escape hatch that degrades each
+  // failure to NULL instead of killing a 100 TB job at the first dirty
+  // row: try_divide (zero divisor), try_multiply (long overflow),
+  // try_cast (malformed string), try_element_at (index out of range).
+  // The oracle replicates every NULL boundary with explicit CASE
+  // guards / native NULL semantics, so the outputs hash-match exactly.
+  val f10TryArithmetic = withOracle(
+    "f10_try_arithmetic",
+    """SELECT o_orderkey,
+      |       CASE WHEN (o_orderkey % 5) - 2 = 0 THEN NULL
+      |            ELSE CAST(o_totalprice AS DOUBLE)
+      |                 / CAST((o_orderkey % 5) - 2 AS DOUBLE) END AS d,
+      |       CASE WHEN o_orderkey > 1 THEN NULL
+      |            ELSE o_orderkey * 4611686018427387904 END AS m,
+      |       CAST(TRY_CAST(o_orderpriority AS INTEGER) AS BIGINT) AS c1,
+      |       CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS c2,
+      |       string_split(o_orderpriority, '-')[99] AS e
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      try_divide(col("o_totalprice").cast("double"),
+        ((col("o_orderkey") % 5) - 2).cast("double")).as("d"),
+      try_multiply(col("o_orderkey"), lit(4611686018427387904L)).as("m"),
+      expr("try_cast(o_orderpriority AS int)").cast("long").as("c1"),
+      expr("try_cast(substr(o_orderpriority, 1, 1) AS int)").cast("long")
+        .as("c2"),
+      try_element_at(split(col("o_orderpriority"), "-"), lit(99)).as("e"))
+  }
+
   // ---- Native session_window in batch ----
   // Spark's built-in session-window operator (the declarative form of
   // e2's hand-rolled gaps-and-islands): sessions merge while the next
@@ -505,6 +536,6 @@ object Relational3 {
 
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
-      u8MergeSync, w9SessionWindow, f8StringFuncs, w10ValuePick, e3Funnel,
-      j19IntervalOverlap)
+      u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
+      w10ValuePick, e3Funnel, j19IntervalOverlap)
 }

@@ -93,5 +93,101 @@ object SketchQueries {
       .select(col("o_orderpriority"), col("hll_est"), col("n_exact"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(hll1ApproxDistinct)
+  /** hll2 — sketch MERGEABILITY at the query level, the property that
+    * makes sketches the 100 TB path: the corpus splits into two
+    * partitions (orderkey parity), each builds its OWN register table
+    * independently, and the union is the register-wise MAX — no
+    * re-scan, no exact state. The query emits the merged estimate next
+    * to the single-pass estimate (hll1's construction) and the exact
+    * count; merged == single-pass is the algebraic invariant (max is
+    * associative/commutative), visible in the output and checked by the
+    * oracle's identical replication. At scale this is per-day /
+    * per-partition sketch rollup: store M registers per group per
+    * partition, answer any union with a max-merge.
+    */
+  val hll2SketchUnion = withOracle(
+    "hll2_sketch_union",
+    """WITH h0 AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         (o_custkey * 2654435761) % 2147483648 AS h1
+      |  FROM orders),
+      |hx AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         (xor(h1, h1 // 32768) * 1597334677) % 2147483648 AS h3
+      |  FROM h0),
+      |h AS (SELECT o_orderpriority, o_orderkey, xor(h3, h3 // 8192) AS hv
+      |      FROM hx),
+      |rA AS (
+      |  SELECT o_orderpriority, hv % 64 AS reg,
+      |         max(CASE WHEN hv // 64 = 0 THEN 26
+      |                  ELSE 26 - length(bin(hv // 64)) END) AS mx
+      |  FROM h WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+      |rB AS (
+      |  SELECT o_orderpriority, hv % 64 AS reg,
+      |         max(CASE WHEN hv // 64 = 0 THEN 26
+      |                  ELSE 26 - length(bin(hv // 64)) END) AS mx
+      |  FROM h WHERE o_orderkey % 2 <> 0 GROUP BY 1, 2),
+      |merged AS (
+      |  SELECT o_orderpriority, reg, max(mx) AS mx
+      |  FROM (SELECT * FROM rA UNION ALL SELECT * FROM rB)
+      |  GROUP BY 1, 2),
+      |single AS (
+      |  SELECT o_orderpriority, hv % 64 AS reg,
+      |         max(CASE WHEN hv // 64 = 0 THEN 26
+      |                  ELSE 26 - length(bin(hv // 64)) END) AS mx
+      |  FROM h GROUP BY 1, 2),
+      |em AS (
+      |  SELECT o_orderpriority,
+      |         CAST((0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+      |              / (sum(power(CAST(2.0 AS DOUBLE), -mx))
+      |                 + (64 - count(*)) * 1.0) AS DOUBLE) AS est_merged
+      |  FROM merged GROUP BY 1),
+      |es AS (
+      |  SELECT o_orderpriority,
+      |         CAST((0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+      |              / (sum(power(CAST(2.0 AS DOUBLE), -mx))
+      |                 + (64 - count(*)) * 1.0) AS DOUBLE) AS est_single
+      |  FROM single GROUP BY 1),
+      |ex AS (
+      |  SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact
+      |  FROM orders GROUP BY 1)
+      |SELECT em.o_orderpriority, em.est_merged, es.est_single,
+      |       em.est_merged = es.est_single AS merge_lossless,
+      |       CAST(ex.n_exact AS BIGINT) AS n_exact
+      |FROM em JOIN es USING (o_orderpriority)
+      |        JOIN ex USING (o_orderpriority)""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val h1 = (col("o_custkey") * lit(2654435761L)) % lit(2147483648L)
+    val h3 = (h1.bitwiseXOR(shiftright(h1, 15)) * lit(1597334677L)) %
+      lit(2147483648L)
+    val hv = h3.bitwiseXOR(shiftright(h3, 13))
+    val hashed = orders.select(col("o_orderpriority"), col("o_orderkey"),
+      hv.as("hv"))
+    val suffix = shiftright(col("hv"), 6)
+    def regsOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_orderpriority"), (col("hv") % M).as("reg"))
+      .agg(max(when(suffix === 0, 26)
+        .otherwise(lit(26) - length(bin(suffix)))).as("mx"))
+    def estimate(regs: org.apache.spark.sql.DataFrame, out: String) = regs
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(pow(lit(2.0), -col("mx"))).as("s"), count(lit(1)).as("nb"))
+      .select(col("o_orderpriority"),
+        (lit(0.7213 / (1.0 + 1.079 / M)) * M * M /
+          (col("s") + (lit(M) - col("nb")) * 1.0)).as(out))
+    val rA = regsOf(hashed.filter(col("o_orderkey") % 2 === 0))
+    val rB = regsOf(hashed.filter(col("o_orderkey") % 2 =!= 0))
+    val merged = rA.unionAll(rB)
+      .groupBy(col("o_orderpriority"), col("reg"))
+      .agg(max(col("mx")).as("mx"))
+    val em = estimate(merged, "est_merged")
+    val es = estimate(regsOf(hashed), "est_single")
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    em.join(es, "o_orderpriority").join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("est_merged"), col("est_single"),
+        (col("est_merged") === col("est_single")).as("merge_lossless"),
+        col("n_exact"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(hll1ApproxDistinct, hll2SketchUnion)
 }
