@@ -18,11 +18,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType. Read it as a long (legacy conf) and floor-divide to
-    * microseconds — the same truncation DuckDB applies when it reads the
-    * ns column into its µs timestamps, so oracle comparisons agree.
-    * Pure per-row expression: codegen'd, no perf impact at scale.
+  /** Normalizes `events.ts` to session-zoned TimestampType whatever the
+    * parquet physical type is. Generators have shipped it as TIMESTAMP(NANOS)
+    * (which Spark 4 refuses to map to TimestampType — read as long via the
+    * legacy conf, floor-divide to µs, matching DuckDB's ns→µs truncation)
+    * and as TIMESTAMP(MICROS) NTZ (cast; session tz is UTC so the micros
+    * value is preserved bit-for-bit). Pure per-row expression either way:
+    * codegen'd, no perf impact at scale.
     */
   private def eventsNorm(spark: SparkSession, sfDir: String): DataFrame = {
     // Set-if-needed, not set-always: repeated writes to session conf from
@@ -32,7 +34,14 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // nanos read as long under the legacy conf
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -120,8 +120,18 @@ object Streams {
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
-    throttled.parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = throttled.parquet(dir.toString)
+    // Same ts normalization as the batch reader (Tables.eventsNorm):
+    // nanos-as-long generations floor-divide to µs; MICROS NTZ generations
+    // cast (session tz is UTC, so the micros value is preserved).
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Run a finite (AvailableNow) stream into a memory sink, return it.
