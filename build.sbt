@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `sbt runMain` stdout ending at the program's own last line: the
+// bench driver parses the final stdout line as JSON, and sbt's
+// "[success] Total time: …" trailer was what it found instead
+// (BENCH_r0{3,4,5}.json all have "parsed": null).
+showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Without this, sbt's logger re-echoes the forked JVM's stdout with an
+// "[info] " prefix, which also defeats a strict JSON parse of the line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

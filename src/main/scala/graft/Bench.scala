@@ -44,7 +44,13 @@ object Bench {
     // tracks actual plan changes round over round.
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results = buildEntry +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (comma-separated name prefixes). The driver
+    // never sets it, so full-catalog behavior is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
+    val results = buildEntry +: selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (times.lastOption.forall(_ >= 0) && times.length < runs) {
         val t0 = System.nanoTime()
@@ -57,25 +63,56 @@ object Bench {
       }
       name -> (if (times.last < 0) times.last else times.min)
     }
-    // Times rounded to ms: full-precision doubles made the JSON line long
-    // enough that the driver's stdout tail window truncated it (r3:
-    // "parsed": null). Belt and braces, the same JSON is also written to a
-    // file the driver/judge can read untruncated.
+    // The driver records only the LAST 2000 chars of stdout and parses the
+    // final line as JSON. The full per-query map (146 names summing to
+    // >2100 chars alone) can never fit that window, so:
+    //   1. The FULL JSON goes to files: target/bench.json (plus
+    //      BENCH_LATEST.json in the repo root, which round snapshots
+    //      commit, and /tmp/graft_bench.json as an absolute-path fallback).
+    //   2. stdout ends with ONE COMPACT line, guaranteed under the window:
+    //      totals + every error + the slowest queries that fit + the count
+    //      and max time of the omitted (all-fast) remainder.
+    // `showSuccess := false` in build.sbt keeps sbt from appending a
+    // "[success]" trailer after this line.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-      System.err.println(s"[bench] json written to $outFile")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: $e") }
-    println(json)
+    def render(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","errors":$errors$extra,"queries":$qs}"""
+    }
+    val fullJson = render(results, ""","n":""" + results.length)
+    for (path <- Seq("target/bench.json", "BENCH_LATEST.json",
+                     sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))) {
+      try {
+        val p = java.nio.file.Paths.get(path).toAbsolutePath
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, fullJson + "\n")
+        System.err.println(s"[bench] full json written to $p")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e") }
+    }
+    // Compact line: keep every failed entry, then add passing entries
+    // slowest-first while the rendered line stays under the budget.
+    val budget = 1800
+    val failed = results.filter(_._2 < 0)
+    val passing = results.filter(_._2 >= 0).sortBy(-_._2)
+    var kept = failed ++ passing.take(1)
+    var i = 1
+    def extraFor(k: Seq[(String, Double)]): String = {
+      val omitted = results.filterNot(r => k.exists(_._1 == r._1))
+      val omax = if (omitted.isEmpty) 0.0 else omitted.map(r => math.abs(r._2)).max
+      s""","n":${results.length},"omitted":${omitted.length},"omitted_max_sec":${ms(omax)},"full":"target/bench.json BENCH_LATEST.json""""
+    }
+    while (i < passing.length &&
+           render(kept :+ passing(i), extraFor(kept :+ passing(i))).length < budget) {
+      kept = kept :+ passing(i); i += 1
+    }
+    val compact = render(kept, extraFor(kept))
     spark.stop()
+    println(compact)
   }
 }
