@@ -56,9 +56,12 @@ object OlistMaterialized {
     val dimOrders = s"olist_gold_dim_orders_$suffix"
     val dimDate = s"olist_gold_dim_date_$suffix"
     val fact = s"olist_gold_fact_order_items_$suffix"
-    def all: Seq[String] = Seq(
+    /** Incremental (snapshot-committed) tables — their data lives under
+      * versioned SnapshotCommit directories, not `<warehouse>/<name>`. */
+    def silvers: Seq[String] = Seq(
       silverOrders, silverItems, silverCustomers, silverProducts,
-      silverSellers, silverPayments, silverReviews, silverGeo,
+      silverSellers, silverPayments, silverReviews, silverGeo)
+    def all: Seq[String] = silvers ++ Seq(
       dimCustomers, dimSellers, dimProducts, dimOrders, dimDate, fact)
   }
 
@@ -99,9 +102,11 @@ object OlistMaterialized {
     * so a warm warehouse would re-register tables built by the old
     * logic). v2: silver audit columns (processed_/modified_timestamp).
     * v3: multi-key CLUSTER BY switched to the Z-order layout. v4:
-    * 4-key z-codes flip the sign bit (monotone signed ordering).
+    * 4-key z-codes flip the sign bit (monotone signed ordering). v5:
+    * silver tables commit through SnapshotCommit's versioned pointer
+    * directories instead of managed `<warehouse>/<name>` dirs.
     */
-  private val LayoutVersion = "v4"
+  private val LayoutVersion = "v5"
 
   def ensure(s: SparkSession, dir: String): Names = synchronized {
     val n = Names(sfx(dir))
@@ -118,17 +123,29 @@ object OlistMaterialized {
         val in = fs.open(marker)
         try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
       }.toOption
-    val locs = n.all.map(t => t -> new org.apache.hadoop.fs.Path(wh, t))
-    if (priorFp.contains(fp) && locs.forall { case (_, p) => fs.exists(p) }) {
-      locs.foreach { case (t, p) =>
-        if (!s.catalog.tableExists(t))
-          s.sql(s"CREATE TABLE $t USING parquet LOCATION '$p'")
+    val silver = n.silvers.toSet
+    val sc = graft.storage.SnapshotCommit
+    // Silver tables live under SnapshotCommit pointers; gold tables are
+    // managed dirs at <warehouse>/<name>.
+    def survives(t: String): Boolean =
+      if (silver(t)) sc.currentLocation(s, t).isDefined
+      else fs.exists(new org.apache.hadoop.fs.Path(wh, t))
+    if (priorFp.contains(fp) && n.all.forall(survives)) {
+      n.all.foreach { t =>
+        if (!s.catalog.tableExists(t)) {
+          if (silver(t)) sc.register(s, t)
+          else s.sql(s"CREATE TABLE $t USING parquet LOCATION " +
+            s"'${new org.apache.hadoop.fs.Path(wh, t)}'")
+        }
       }
     } else {
       if (fs.exists(marker)) fs.delete(marker, false)
       // Deterministic rebuild: drop any tables a previous JVM committed
-      // from a different generation of the source dir.
-      n.all.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      // from a different generation of the source dir (destroy clears a
+      // silver table's snapshot versions along with its registration).
+      n.all.foreach(t =>
+        if (silver(t)) sc.destroy(s, t)
+        else s.sql(s"DROP TABLE IF EXISTS $t"))
       pipeline(dir, n, fp).run(s)
       val out = fs.create(marker, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()

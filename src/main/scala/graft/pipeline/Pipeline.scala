@@ -334,11 +334,20 @@ class Pipeline {
             s"incremental table $name merges batch builds; streaming " +
               "sources use Table (checkpointed exactly-once append)")
           dropOrphanLocation(spark, name)
+          val sc = graft.storage.SnapshotCommit
           if (!spark.catalog.tableExists(name)) {
             // First load: the merge against an empty target is the batch
-            // itself — plain write, no staging pass.
-            clustered(staged, d.clusterBy)
-              .write.mode("overwrite").format("parquet").saveAsTable(name)
+            // itself. The session catalog is authoritative in-session —
+            // a surviving snapshot root with no catalog entry is a
+            // dropped/stale table, so it is destroyed, not merged into.
+            // (Cross-session continuation re-registers the pointer FIRST
+            // — see OlistMaterialized.ensure — and lands in the merge
+            // arm below.)
+            sc.destroy(spark, name)
+            sc.commit(spark, name) { dir =>
+              clustered(staged, d.clusterBy)
+                .write.mode("overwrite").parquet(dir)
+            }
           } else {
             // MERGE INTO semantics: incoming batch wins on key match
             // (whole-row SCD1 update), unmatched target rows survive.
@@ -346,16 +355,15 @@ class Pipeline {
             // batch's keys against the target WITH file provenance
             // (key-columns-only column-pruned scan) to find the files
             // that hold a matched key; phase 2 re-merges ONLY those
-            // files' rows with the batch; phase 3 carries every
-            // untouched file into the new snapshot BY RENAME (a
-            // metadata move, no IO) and swaps the directory under the
-            // stable table location. Write IO is proportional to
-            // touched files + batch, not table size. Without a
-            // transaction log the swap is not atomic — a crash between
-            // the delete and the final rename needs a pipeline refresh
-            // (the fingerprint markers force one); Delta's log is what
-            // removes that window.
-            val hconf = spark.sparkContext.hadoopConfiguration
+            // files' rows with the batch; phase 3 stages the next
+            // snapshot version = rewrite output + every untouched file
+            // carried by HARD LINK (a directory entry, no IO, live
+            // version undisturbed), and publishes it with
+            // SnapshotCommit's single pointer rename. Write IO is
+            // proportional to touched files + batch, not table size,
+            // and a crash at ANY point leaves the previous version
+            // fully readable — the durability the reference inherits
+            // from Delta's transaction log.
             def local(u: String) = new org.apache.hadoop.fs.Path(u)
               .toUri.getPath
             val target = spark.table(name)
@@ -374,33 +382,19 @@ class Pipeline {
                 .parquet(touched.toSeq.sorted: _*)
             val merged = staged.unionByName(
               touchedRows.join(batchKeys, keys, "left_anti"))
-            val snapshot = spark.conf.get("spark.sql.warehouse.dir") +
-              s"/_graft_staging/${name}_snapshot"
-            // 1. rewrite = touched rows + batch only (reads old files).
-            clustered(merged, d.clusterBy)
-              .write.mode("overwrite").parquet(snapshot)
-            // 2. carry untouched files by rename; prefix avoids part-
-            //    file name collisions with the rewrite's own output.
-            val snapPath = new org.apache.hadoop.fs.Path(snapshot)
-            val fs = snapPath.getFileSystem(hconf)
-            untouched.zipWithIndex.foreach { case (f, i) =>
-              val src = new org.apache.hadoop.fs.Path(f)
-              require(fs.rename(src, new org.apache.hadoop.fs.Path(
-                snapPath, s"carried-$i-${src.getName}")),
-                s"could not carry $f into the merge snapshot")
+            sc.commit(spark, name) { dir =>
+              // 1. rewrite = touched rows + batch only (reads old files).
+              clustered(merged, d.clusterBy)
+                .write.mode("overwrite").parquet(dir)
+              // 2. carry untouched files by link; prefix avoids part-
+              //    file name collisions with the rewrite's own output.
+              val snapPath = new org.apache.hadoop.fs.Path(dir)
+              untouched.zipWithIndex.foreach { case (f, i) =>
+                val src = new org.apache.hadoop.fs.Path(f)
+                sc.carry(spark, src, new org.apache.hadoop.fs.Path(
+                  snapPath, s"carried-$i-${src.getName}"))
+              }
             }
-            // 3. directory swap under the stable location (the CATALOG's
-            //    location, not a warehouse-conf reconstruction) + cache
-            //    drop.
-            val liveDir = new org.apache.hadoop.fs.Path(
-              spark.sql(s"DESCRIBE TABLE EXTENDED $name")
-                .filter(org.apache.spark.sql.functions
-                  .col("col_name") === "Location")
-                .select("data_type").head().getString(0))
-            fs.delete(liveDir, true)
-            require(fs.rename(snapPath, liveDir),
-              s"could not swap merge snapshot into $liveDir")
-            spark.sql(s"REFRESH TABLE $name")
           }
           deleteDir(spark, validateDir)
           spark.table(name)

@@ -230,6 +230,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental commit is atomic: a crash at every protocol point leaves old or new readable") {
+    import graft.storage.SnapshotCommit
+    val tbl = "inc_atomic"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def state(): Map[String, Double] = spark.table(tbl).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    incPipe(tbl, Seq(("o1", 10.0, "NEW"), ("o2", 20.0, "NEW"))).run(spark)
+    assert(state() === Map("o1" -> 10.0, "o2" -> 20.0))
+    // Crash AFTER the new snapshot is staged, BEFORE the pointer rename:
+    // the staged files are invisible garbage; every read resolves the
+    // OLD version.
+    SnapshotCommit.failpoint =
+      s => if (s == "staged") throw new RuntimeException("injected: pre-publish crash")
+    try intercept[RuntimeException](
+      incPipe(tbl, Seq(("o2", 25.0, "UPD"))).run(spark))
+    finally SnapshotCommit.failpoint = _ => ()
+    assert(state() === Map("o1" -> 10.0, "o2" -> 20.0),
+      "pre-publish crash must leave the old version intact")
+    assert(SnapshotCommit.register(spark, tbl) === (()),
+      "recovery replay must be a no-op") // pointer still on the old version
+    assert(state() === Map("o1" -> 10.0, "o2" -> 20.0))
+    // Crash AFTER the pointer rename, BEFORE catalog re-registration and
+    // pruning: the commit is durable — replaying the registration (what
+    // the next pipeline run does first) reads the NEW version, and the
+    // old version directory is still present (pruning never ran), so a
+    // reader mid-crash resolves a complete version either way.
+    SnapshotCommit.failpoint =
+      s => if (s == "committed") throw new RuntimeException("injected: post-publish crash")
+    try intercept[RuntimeException](
+      incPipe(tbl, Seq(("o2", 25.0, "UPD"))).run(spark))
+    finally SnapshotCommit.failpoint = _ => ()
+    SnapshotCommit.register(spark, tbl) // crash recovery: re-point catalog
+    assert(state() === Map("o1" -> 10.0, "o2" -> 25.0),
+      "post-publish crash must surface the committed new version")
+    // A normal merge after both crashes works and converges.
+    incPipe(tbl, Seq(("o3", 30.0, "NEW"))).run(spark)
+    assert(state() === Map("o1" -> 10.0, "o2" -> 25.0, "o3" -> 30.0))
+  }
+
   test("incremental fail expectation aborts BEFORE the snapshot swap") {
     spark.sql("DROP TABLE IF EXISTS inc_guarded")
     val nonneg = Seq(DQ.fail("nonneg", col("amount") >= 0))
