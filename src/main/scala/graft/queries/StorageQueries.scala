@@ -216,12 +216,13 @@ object StorageQueries {
       |WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 5 = 0)""".stripMargin) {
     (s, d) =>
       val tbl = s"orders_dv_${sfName(d)}"
-      // in-session rerun: drop; fresh JVM over a used warehouse: the
-      // catalog forgot the managed dirs — clear the orphan locations.
-      Seq(tbl, s"${tbl}__dv").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        graft.core.CatalogUtil.dropOrphanLocation(s, t)
-      }
+      // in-session rerun or fresh JVM over a used warehouse: drop the
+      // sidecar registration, clear every snapshot version, and clear
+      // the legacy managed dir the saveAsTable below re-creates.
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      Seq(tbl, s"${tbl}__dv").foreach(t =>
+        graft.core.CatalogUtil.dropOrphanLocation(s, t))
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"))
@@ -249,10 +250,10 @@ object StorageQueries {
       |WHERE NOT (o_orderkey % 7 = 0)""".stripMargin) {
     (s, d) =>
       val tbl = s"orders_tt_${sfName(d)}"
-      Seq(tbl, s"${tbl}__dv").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        graft.core.CatalogUtil.dropOrphanLocation(s, t)
-      }
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      Seq(tbl, s"${tbl}__dv").foreach(t =>
+        graft.core.CatalogUtil.dropOrphanLocation(s, t))
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"))
@@ -283,10 +284,10 @@ object StorageQueries {
       |  AND NOT (o_orderkey % 11 = 0)""".stripMargin) {
     (s, d) =>
       val tbl = s"orders_vac_${sfName(d)}"
-      Seq(tbl, s"${tbl}__dv").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        graft.core.CatalogUtil.dropOrphanLocation(s, t)
-      }
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      Seq(tbl, s"${tbl}__dv").foreach(t =>
+        graft.core.CatalogUtil.dropOrphanLocation(s, t))
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"))

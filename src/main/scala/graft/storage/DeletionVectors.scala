@@ -2,6 +2,7 @@ package graft.storage
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** Deletion-vector stand-in — the reference's tables declare
   * `delta.enableDeletionVectors = true` (`scripts/gold/
@@ -14,10 +15,10 @@ import org.apache.spark.sql.functions._
   * parquet:
   *
   *  - [[delete]] appends the matched rows' (file, pos) pairs to a
-  *    `<table>__dv` sidecar table, stamped with a monotonically
-  *    increasing DELETE VERSION. The DATA FILES ARE NOT TOUCHED
-  *    (StorageSpec pins their names and sizes across a delete);
-  *    repeated deletes accumulate.
+  *    `<table>__dv` sidecar, stamped with a monotonically increasing
+  *    DELETE VERSION. The DATA FILES ARE NOT TOUCHED (StorageSpec pins
+  *    their names, sizes and mtimes across a delete); repeated deletes
+  *    accumulate.
   *  - [[read]] subtracts the sidecar with a BROADCAST left-anti join on
   *    (file, pos) — deletes are bounded between compactions, so the
   *    subtraction is map-side, no shuffle of the table.
@@ -30,43 +31,131 @@ import org.apache.spark.sql.functions._
   *    TO VERSION AS OF v`): drop sidecar entries stamped > v — a
   *    sidecar-only rewrite, no data IO.
   *  - [[compact]] folds the vectors in: rewrites the surviving rows,
-  *    truncates the sidecar (Delta's `REORG TABLE ... APPLY PURGE`).
+  *    drops the sidecar (Delta's `REORG TABLE ... APPLY PURGE`).
   *    History before the compaction is no longer reachable — exactly
   *    Delta's VACUUM/REORG trade.
   *
-  * Scale: delete cost = one column-pruned scan + a sidecar append of
-  * matched coordinates; read overhead = a broadcast hash anti-join
-  * probe per row; restore touches only the sidecar. Single writer
-  * assumed (the Delta difference is durability bookkeeping — its log
-  * arbitrates concurrent writers and tracks DV files per version); the
-  * query-visible semantics are identical.
+  * ATOMICITY — every mutation is ONE [[SnapshotCommit]] publish. The
+  * sidecar lives INSIDE the snapshot directory (`<snapshot>/_dv/`,
+  * underscore-prefixed so table scans ignore it), so data files and
+  * their deletion vectors always commit TOGETHER: a crash at any point
+  * leaves the previous (data, sidecar) pair fully consistent — the same
+  * guarantee Delta's log gives a DV write. Data files move between
+  * versions by hard link (directory entries — names, sizes and mtimes
+  * preserved, no IO), and sidecar coordinates key on file BASENAME,
+  * which linking keeps stable across versions. The sidecar is also
+  * registered as the `<table>__dv` catalog table (re-pointed after each
+  * commit) so it stays directly queryable.
+  *
+  * Scale: delete cost = one column-pruned scan + a bounded sidecar
+  * rewrite of matched coordinates; read overhead = a broadcast hash
+  * anti-join probe per row; restore touches only the sidecar. Single
+  * writer assumed (the Delta difference is multi-writer arbitration —
+  * its log serializes concurrent commits); the query-visible semantics
+  * are identical.
   */
 object DeletionVectors {
 
   private def dvName(table: String) = s"${table}__dv"
 
+  /** Coordinates key on BASENAME: hard-link carries preserve it across
+    * snapshot versions, while the full path changes with each version
+    * directory. Basenames are unique within a table (Spark part files
+    * embed a job UUID; vacuum rewrites embed a fresh nonce). */
   private def withCoords(df: DataFrame): DataFrame = df
-    .withColumn("_dv_file", col("_metadata.file_path"))
+    .withColumn("_dv_file", substring_index(col("_metadata.file_path"), "/", -1))
     .withColumn("_dv_pos", col("_metadata.row_index"))
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The current snapshot's `_dv` directory, if the table is
+    * snapshot-committed. */
+  private def dvDir(spark: SparkSession, table: String): Option[Path] =
+    SnapshotCommit.currentLocation(spark, table).map(new Path(_, "_dv"))
+
+  /** Align the `<table>__dv` catalog table with the current snapshot's
+    * sidecar directory (or drop it when the current version carries no
+    * vectors). Idempotent; replays the registration tail of any
+    * interrupted commit. */
+  private def registerDv(spark: SparkSession, table: String): Unit =
+    dvDir(spark, table) match {
+      case Some(d) if fs(spark, d).exists(d) =>
+        SnapshotCommit.pointAt(spark, dvName(table), d)
+      case Some(_) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${dvName(table)}")
+      case None => ()
+    }
+
+  /** Hard-link every data file of the current version into a staged
+    * snapshot directory, names preserved. `except` filters by basename
+    * (vacuum skips the files it rewrote). */
+  private def linkDataFiles(spark: SparkSession, from: Path, to: Path,
+      except: Set[String] = Set.empty): Unit =
+    fs(spark, from).listStatus(from).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !except.contains(n))
+        SnapshotCommit.carry(spark, st.getPath, new Path(to, n))
+    }
+
+  /** Adopt a plain (managed/external) table into snapshot-commit form:
+    * version 1 = every current file carried by link. Metadata-only; the
+    * original directory is left untouched. */
+  private def ensureSnapshot(spark: SparkSession, table: String): Path =
+    SnapshotCommit.currentLocation(spark, table).getOrElse {
+      val files = spark.table(table).inputFiles
+      require(files.nonEmpty, s"$table has no files to adopt")
+      SnapshotCommit.commit(spark, table) { dir =>
+        val to = new Path(dir)
+        files.foreach { f =>
+          val src = new Path(new Path(f).toUri.getPath)
+          SnapshotCommit.carry(spark, src, new Path(to, src.getName))
+        }
+      }
+    }
+
+  /** The current sidecar frame ((f, p, v) rows), empty if none. */
+  private def sidecarDf(spark: SparkSession, table: String): Option[DataFrame] = {
+    registerDv(spark, table)
+    if (spark.catalog.tableExists(dvName(table)))
+      Some(spark.table(dvName(table)))
+    else None
+  }
 
   /** Latest delete version: 0 before any delete, else the highest
     * stamp in the sidecar (a 1-row aggregate over the bounded sidecar).
     */
   def version(spark: SparkSession, table: String): Long =
-    if (!spark.catalog.tableExists(dvName(table))) 0L
-    else spark.table(dvName(table))
-      .agg(coalesce(max(col("v")), lit(0L))).head().getLong(0)
+    sidecarDf(spark, table) match {
+      case None => 0L
+      case Some(sc) => sc.agg(coalesce(max(col("v")), lit(0L))).head().getLong(0)
+    }
 
-  /** Mark rows matching `pred` deleted: append their physical
-    * coordinates to the sidecar under the next delete version. No data
-    * file changes. Returns the new version.
+  /** Mark rows matching `pred` deleted: one atomic snapshot commit whose
+    * data files are links of the current version (byte-identical, same
+    * names) and whose sidecar adds the matched coordinates under the
+    * next delete version. Returns the new version.
     */
   def delete(spark: SparkSession, table: String, pred: Column): Long = {
+    ensureSnapshot(spark, table)
     val v = version(spark, table) + 1
-    withCoords(spark.table(table)).filter(pred)
+    val coords = withCoords(spark.table(table)).filter(pred)
       .select(col("_dv_file").as("f"), col("_dv_pos").as("p"),
         lit(v).as("v"))
-      .write.mode("append").format("parquet").saveAsTable(dvName(table))
+    val newSidecar = sidecarDf(spark, table) match {
+      case Some(sc) => sc.unionByName(coords)
+      case None => coords
+    }
+    val cur = SnapshotCommit.currentLocation(spark, table).get
+    SnapshotCommit.commit(spark, table) { dir =>
+      // Both writes read the CURRENT version (still live until the
+      // pointer rename): the sidecar union scans the old sidecar table
+      // and the matched rows' metadata, then the data files are linked.
+      newSidecar.write.parquet(s"$dir/_dv")
+      linkDataFiles(spark, cur, new Path(dir))
+    }
+    registerDv(spark, table)
     v
   }
 
@@ -81,32 +170,30 @@ object DeletionVectors {
     */
   def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
     val base = spark.table(table)
-    if (!spark.catalog.tableExists(dvName(table))) base
-    else withCoords(base)
-      .join(broadcast(
-          spark.table(dvName(table)).filter(col("v") <= v).select("f", "p")),
-        col("_dv_file") === col("f") && col("_dv_pos") === col("p"),
-        "left_anti")
-      .drop("_dv_file", "_dv_pos")
-  }
-
-  /** RESTORE TABLE ... TO VERSION AS OF `v`: drop every sidecar entry
-    * stamped after `v`. Sidecar-only rewrite — the data files were
-    * never touched, so rolling back deletes is metadata work.
-    */
-  def restore(spark: SparkSession, table: String, v: Long): Unit = {
-    val dv = dvName(table)
-    if (spark.catalog.tableExists(dv)) {
-      val staging = spark.conf.get("spark.sql.warehouse.dir") +
-        s"/_graft_staging/${table}_dv_restore"
-      spark.table(dv).filter(col("v") <= v)
-        .write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging)
-        .write.mode("overwrite").format("parquet").saveAsTable(dv)
-      val p = new org.apache.hadoop.fs.Path(staging)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    sidecarDf(spark, table) match {
+      case None => base
+      case Some(sc) => withCoords(base)
+        .join(broadcast(sc.filter(col("v") <= v).select("f", "p")),
+          col("_dv_file") === col("f") && col("_dv_pos") === col("p"),
+          "left_anti")
+        .drop("_dv_file", "_dv_pos")
     }
   }
+
+  /** RESTORE TABLE ... TO VERSION AS OF `v`: one atomic commit with the
+    * data files linked unchanged and every sidecar entry stamped after
+    * `v` dropped — rolling back deletes is metadata work.
+    */
+  def restore(spark: SparkSession, table: String, v: Long): Unit =
+    sidecarDf(spark, table).foreach { sc =>
+      val filtered = sc.filter(col("v") <= v)
+      val cur = SnapshotCommit.currentLocation(spark, table).get
+      SnapshotCommit.commit(spark, table) { dir =>
+        filtered.write.parquet(s"$dir/_dv")
+        linkDataFiles(spark, cur, new Path(dir))
+      }
+      registerDv(spark, table)
+    }
 
   /** VACUUM with a retention floor: fold every delete stamped `<= cutoff`
     * INTO the data files and drop those sidecar entries — Delta's
@@ -123,16 +210,17 @@ object DeletionVectors {
     * old position) among the file's survivors, computed from a
     * coordinates-only column-pruned scan. The rewrite itself is
     * proportional to the AFFECTED files (those holding a folded row) —
-    * untouched files keep their coordinates and are not rewritten, so
-    * vacuum cost tracks delete locality, not table size.
+    * untouched files are carried by link, so vacuum cost tracks delete
+    * locality, not table size.
     *
     * Write layout: survivors are hash-partitioned by source file and
     * written `partitionBy` a per-file group id, each group sorted by old
     * position — one task owns a group, so each group directory holds
     * exactly one part file whose row order (hence `row_index`) is the
     * ascending old-position order the rebase map predicts. The group
-    * files are then renamed into the live directory (file content never
-    * contains the group id — partition columns live in the path).
+    * files, the carried links AND the rebased sidecar then publish as
+    * ONE snapshot commit — data and vectors can never be observed out
+    * of step.
     *
     * A `(_floor, -1, cutoff)` sentinel row is appended to the sidecar:
     * its synthetic coordinates match no data row (harmless to reads) but
@@ -140,10 +228,7 @@ object DeletionVectors {
     * so later deletes can never reuse a historical version number.
     */
   def vacuum(spark: SparkSession, table: String, cutoff: Long): Unit = {
-    val dv = dvName(table)
-    if (!spark.catalog.tableExists(dv)) return
-    import org.apache.spark.sql.expressions.Window
-    val sidecar = spark.table(dv)
+    val sidecar = sidecarDf(spark, table).getOrElse(return)
     val folded = sidecar.filter(col("v") <= cutoff && col("p") >= 0)
       .select("f", "p").distinct().cache()
     val affected = folded.select("f").distinct()
@@ -151,6 +236,7 @@ object DeletionVectors {
     if (affected.isEmpty) { folded.unpersist(); return }
 
     val hconf = spark.sparkContext.hadoopConfiguration
+    val cur = SnapshotCommit.currentLocation(spark, table).get
     val schema = spark.table(table).schema
     val dataCols = schema.fieldNames.toSeq
 
@@ -159,24 +245,23 @@ object DeletionVectors {
     val gfIdx = affected.zipWithIndex.toSeq
     val gfMap = spark.createDataFrame(gfIdx).toDF("_mf", "_gf")
     val affectedRows = spark.read.schema(schema)
-      .parquet(affected.map(u => new org.apache.hadoop.fs.Path(u)
-        .toUri.getPath): _*)
-      .withColumn("_f", col("_metadata.file_path"))
+      .parquet(affected.map(n => new Path(cur, n).toUri.getPath): _*)
+      .withColumn("_f", substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("_p", col("_metadata.row_index"))
     val survivors = affectedRows
       .join(broadcast(folded),
         col("_f") === col("f") && col("_p") === col("p"), "left_anti")
     val rebase = survivors.select(col("_f"), col("_p"))
       .withColumn("_np",
-        (row_number().over(Window.partitionBy(col("_f")).orderBy(col("_p")))
-          - 1).cast("long"))
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_f")).orderBy(col("_p"))) - 1).cast("long"))
 
     // One part file per affected source file, rows in old-position order.
     val staging = spark.conf.get("spark.sql.warehouse.dir") +
       s"/_graft_staging/${table}_dv_vacuum"
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagingPath.getFileSystem(hconf)
-    fs.delete(stagingPath, true)
+    val stagingPath = new Path(staging)
+    val sfs = stagingPath.getFileSystem(hconf)
+    sfs.delete(stagingPath, true)
     survivors
       .join(broadcast(gfMap), col("_f") === col("_mf"))
       .repartition(col("_gf"))
@@ -184,41 +269,35 @@ object DeletionVectors {
       .select(dataCols.map(col) :+ col("_gf"): _*)
       .write.partitionBy("_gf").parquet(staging)
 
-    // Rebased sidecar for surviving versions, pointing at the new files.
-    // The new `f` strings are derived by replacing the BASENAME of the
-    // old sidecar strings (which are whatever representation
-    // `_metadata.file_path` produced), never reconstructed from the
-    // catalog location — a scheme/slash-count difference between the
-    // two representations would silently break every future readAt join.
-    // A file whose every row was folded leaves no staging group — it is
-    // simply deleted, and (having no survivors) can carry no rebased
-    // sidecar entry either.
-    val newFileOf: Map[Int, org.apache.hadoop.fs.Path] = gfIdx.flatMap {
-      case (_, i) =>
-        val dir = new org.apache.hadoop.fs.Path(stagingPath, s"_gf=$i")
-        if (!fs.exists(dir)) None
-        else {
-          val parts = fs.listStatus(dir)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-          require(parts.length == 1,
-            s"expected one part file per vacuum group, got ${parts.length} in $dir")
-          Some(i -> parts.head.getPath)
-        }
+    // New basenames for the rewritten groups. A file whose every row was
+    // folded leaves no staging group — it is simply not carried, and
+    // (having no survivors) can carry no rebased sidecar entry either.
+    val newFileOf: Map[Int, Path] = gfIdx.flatMap { case (_, i) =>
+      val dir = new Path(stagingPath, s"_gf=$i")
+      if (!sfs.exists(dir)) None
+      else {
+        val parts = sfs.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"expected one part file per vacuum group, got ${parts.length} in $dir")
+        Some(i -> parts.head.getPath)
+      }
     }.toMap
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val liveNameOf: Map[String, String] = gfIdx.collect {
+    val newNameOf: Map[String, String] = gfIdx.collect {
       case (f, i) if newFileOf.contains(i) =>
-        val base = s"vacuum-$nonce-$i-${newFileOf(i).getName}"
-        f -> (f.substring(0, f.lastIndexOf('/') + 1) + base)
+        f -> s"vacuum-$nonce-$i-${newFileOf(i).getName}"
     }.toMap
-    val liveNameMap = spark.createDataFrame(liveNameOf.toSeq)
+
+    // Rebased sidecar for surviving versions, keyed by the new basenames.
+    val newNameMap = spark.createDataFrame(newNameOf.toSeq)
       .toDF("_rf", "_newf")
     val affectedSet = spark.createDataFrame(gfIdx).toDF("_af", "_i")
     val keptEntries = sidecar.filter(col("v") > cutoff && col("p") >= 0)
     val rebasedAffected = keptEntries
       .join(broadcast(affectedSet), col("f") === col("_af"))
       .join(rebase, col("f") === col("_f") && col("p") === col("_p"))
-      .join(broadcast(liveNameMap), col("f") === col("_rf"))
+      .join(broadcast(newNameMap), col("f") === col("_rf"))
       .select(col("_newf").as("f"), col("_np").as("p"), col("v"))
     val untouchedEntries = keptEntries
       .join(broadcast(affectedSet), col("f") === col("_af"), "left_anti")
@@ -229,45 +308,35 @@ object DeletionVectors {
     val newSidecar = untouchedEntries.unionByName(rebasedAffected)
       .unionByName(floor)
 
-    val sideStaging = spark.conf.get("spark.sql.warehouse.dir") +
-      s"/_graft_staging/${table}_dv_vacuum_sidecar"
-    newSidecar.write.mode("overwrite").parquet(sideStaging)
-    folded.unpersist()
-
-    // Swap: drop folded files, move rewritten groups in, refresh both
-    // tables. (Same non-atomicity note as the file-level MERGE — the
-    // transaction log is what Delta adds over this.)
-    affected.foreach { f =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(f).toUri.getPath), false)
-    }
-    gfIdx.foreach { case (f, i) =>
-      if (newFileOf.contains(i)) {
-        require(fs.rename(newFileOf(i), new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(liveNameOf(f)).toUri.getPath)),
-          s"could not move vacuum group $i next to $f")
+    // ONE atomic publish: rebased sidecar + rewritten groups + carried
+    // links. The sidecar write executes first (it reads the old files
+    // and old sidecar, both live until the pointer rename); the staged
+    // group files then move in by rename (staging is private to this
+    // call, so renaming them cannot disturb any reader).
+    SnapshotCommit.commit(spark, table) { dir =>
+      newSidecar.write.parquet(s"$dir/_dv")
+      folded.unpersist()
+      val to = new Path(dir)
+      gfIdx.foreach { case (f, i) =>
+        if (newFileOf.contains(i))
+          require(sfs.rename(newFileOf(i), new Path(to, newNameOf(f))),
+            s"could not move vacuum group $i into the staged snapshot")
       }
+      linkDataFiles(spark, cur, to, except = affected.toSet)
     }
-    fs.delete(stagingPath, true)
-    spark.read.parquet(sideStaging)
-      .write.mode("overwrite").format("parquet").saveAsTable(dv)
-    val sp = new org.apache.hadoop.fs.Path(sideStaging)
-    sp.getFileSystem(hconf).delete(sp, true)
+    sfs.delete(stagingPath, true)
+    registerDv(spark, table)
     spark.sql(s"REFRESH TABLE $table")
-    spark.sql(s"REFRESH TABLE $dv")
   }
 
-  /** Fold the vectors into the files: rewrite survivors, drop the
-    * sidecar (REORG ... APPLY PURGE). */
+  /** Fold the vectors into the files: one commit that rewrites the
+    * survivors and carries no sidecar (REORG ... APPLY PURGE). */
   def compact(spark: SparkSession, table: String): Unit = {
     val survivors = read(spark, table)
-    val staging = spark.conf.get("spark.sql.warehouse.dir") +
-      s"/_graft_staging/${table}_dv_compact"
-    survivors.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    ensureSnapshot(spark, table)
+    SnapshotCommit.commit(spark, table) { dir =>
+      survivors.write.parquet(dir)
+    }
     spark.sql(s"DROP TABLE IF EXISTS ${dvName(table)}")
-    val p = new org.apache.hadoop.fs.Path(staging)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 }

@@ -111,16 +111,20 @@ object SnapshotCommit {
     * interrupted after its pointer rename.
     */
   def register(spark: SparkSession, table: String): Unit =
-    currentLocation(spark, table).foreach { loc =>
-      if (!spark.catalog.tableExists(table))
-        spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$loc'")
-      else {
-        val cat = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))
-        if (new Path(cat.location).toUri.getPath != loc.toUri.getPath) {
-          spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
-          spark.sql(s"REFRESH TABLE $table")
-        }
+    currentLocation(spark, table).foreach(pointAt(spark, table, _))
+
+  /** Create `table` at `loc`, or re-point a registration whose catalog
+    * location differs. Also used for sidecar tables that live INSIDE a
+    * snapshot (DeletionVectors' `_dv`). */
+  def pointAt(spark: SparkSession, table: String, loc: Path): Unit =
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$loc'")
+    else {
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      if (new Path(cat.location).toUri.getPath != loc.toUri.getPath) {
+        spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
+        spark.sql(s"REFRESH TABLE $table")
       }
     }
 
@@ -160,13 +164,15 @@ object SnapshotCommit {
     */
   def carry(spark: SparkSession, src: Path, dst: Path): Unit = {
     val fs = fsOf(spark, dst)
+    if (dst.getParent != null) fs.mkdirs(dst.getParent)
     val linked = fs.getScheme == "file" &&
       (try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
           java.nio.file.Paths.get(src.toUri.getPath))
         true
-      } catch { case _: Throwable => false })
+      } catch { case e: Throwable =>
+        System.err.println(s"[snapshot] link $src -> $dst failed: $e"); false })
     if (!linked)
       org.apache.hadoop.fs.FileUtil.copy(
         fsOf(spark, src), src, fs, dst, false,
