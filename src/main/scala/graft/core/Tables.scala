@@ -32,7 +32,18 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Normalize the generator's `ts` column to session-tz TIMESTAMP —
+    * the ONE place that knows the generator's physical encodings, shared
+    * by the batch reader above and the streaming reader
+    * (graft.streaming.Streams.eventsStream) so the two paths can never
+    * silently diverge on a new generation. Fails fast on an encoding it
+    * does not recognize instead of letting an un-normalized column reach
+    * distant query sites.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
@@ -40,7 +51,10 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw // MICROS adjusted-to-UTC: already right
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other — teach " +
+          "Tables.normalizeTs the new generator encoding")
     }
   }
 

@@ -97,18 +97,30 @@ object CsvSource {
     * when the sink provides a checkpointLocation), each parsed all-string
     * and typed via try_cast in the plan.
     */
-  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    rescueProject(
-      spark.readStream
-        .option("header", "true")
-        .option("delimiter", ",")
-        .option("ignoreLeadingWhiteSpace", "true")
-        .option("ignoreTrailingWhiteSpace", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", StructuralColumn)
-        .schema(rawSchema(schema))
-        .csv(path),
-      schema)
+  /** @param maxFilesPerTrigger bound on files ingested per micro-batch
+    *   (0 = unbounded), mirroring Auto Loader's
+    *   `cloudFiles.maxFilesPerTrigger`: at large directory counts an
+    *   unbounded AvailableNow start ingests the whole backlog in one
+    *   batch — one giant task wave, one checkpoint, restart-from-zero on
+    *   failure. Bounding the trigger keeps batches (and their
+    *   checkpointed progress) proportional to the knob, not the backlog.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream
+      .option("header", "true")
+      .option("delimiter", ",")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", StructuralColumn)
+      .schema(rawSchema(schema))
+    val throttled =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    rescueProject(throttled.csv(path), schema)
+  }
 
   /** The directory's files grouped by their EXACT header column
     * sequence (insertion-ordered; files name-sorted). Driver-side: one
@@ -226,7 +238,7 @@ object CsvSource {
     * restarts.
     */
   def readStreamEvolving(spark: SparkSession, path: String,
-      schemaLocation: String): DataFrame = {
+      schemaLocation: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = loadLatestSchema(spark, schemaLocation) match {
       case Some((_, s)) => s
       case None =>
@@ -235,7 +247,7 @@ object CsvSource {
         persistSchema(spark, schemaLocation, 0, inferred)
         inferred
     }
-    readStream(spark, path, schema)
+    readStream(spark, path, schema, maxFilesPerTrigger)
   }
 
   def readEvolving(spark: SparkSession, path: String, schemaLocation: String,

@@ -121,17 +121,9 @@ object Streams {
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
     val stream = throttled.parquet(dir.toString)
-    // Same ts normalization as the batch reader (Tables.eventsNorm):
-    // nanos-as-long generations floor-divide to µs; MICROS NTZ generations
-    // cast (session tz is UTC, so the micros value is preserved).
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        stream.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => stream
-    }
+    // Shared ts normalization with the batch reader — one dispatch for
+    // both paths, so a new generator encoding can never diverge them.
+    graft.core.Tables.normalizeTs(stream)
   }
 
   /** Run a finite (AvailableNow) stream into a memory sink, return it.

@@ -351,6 +351,37 @@ class PipelineSpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("maxFilesPerTrigger bounds the files ingested per micro-batch") {
+    import java.nio.file.Files
+    import graft.ingest.CsvSource
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_csv_mfpt")
+    val data = base.resolve("data"); Files.createDirectories(data)
+    val schemas = base.resolve("schemas").toString
+    (1 to 4).foreach(i =>
+      Files.writeString(data.resolve(s"f$i.csv"), s"a,b\n$i,x$i\n"))
+    def batchSizes(maxFiles: Int): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = CsvSource.readStreamEvolving(
+          spark, data.toString, schemas, maxFilesPerTrigger = maxFiles)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes += b.count(); () }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_mfpt_ckpt").toString)
+        .start()
+      q.awaitTermination()
+      sizes.toSeq
+    }
+    // Unbounded: the whole 4-file backlog lands in one batch. Bounded to
+    // one file per trigger: four single-row batches — progress (and the
+    // checkpoint) advances per file, Auto Loader's
+    // cloudFiles.maxFilesPerTrigger contract.
+    assert(batchSizes(0) === Seq(4L))
+    assert(batchSizes(1) === Seq(1L, 1L, 1L, 1L))
+  }
+
   test("silver tables carry the reference's audit columns (injected clock)") {
     import org.apache.spark.sql.functions.{col, date_format}
     val n = graft.olist.OlistMaterialized.ensure(spark, Sf0001)
