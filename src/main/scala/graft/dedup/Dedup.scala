@@ -185,22 +185,46 @@ object Dedup {
     * one row per shingle and its wide aggregate fell out of whole-stage
     * codegen).
     */
+  /** @param maxBucket skew guard: a band bucket larger than this is
+    *   SKIPPED, not expanded. An adversarial (or degenerate: boilerplate
+    *   header, template spam) key that floods one bucket with D docs
+    *   would otherwise expand O(D^2) candidate pairs — the melt case at
+    *   100 TB, where one hot key turns the candidate join quadratic.
+    *   Recall cost is negligible by the banding math: a TRUE near-dup
+    *   pair at s >= threshold agrees per band with probability s^rows
+    *   (~0.66 at s=0.8, 4 rows), so it pairs in many of the 32 bands and
+    *   is lost only if EVERY agreeing band's bucket is flooded past the
+    *   cap — while the flood itself only forms when thousands of docs
+    *   share a band key they do NOT owe to mutual similarity. DedupSpec
+    *   plants exactly that flood and pins both the bound and the recall.
+    */
   def minhashPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int, threshold: Double,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 1024): DataFrame = {
     val sh = shingled(df, textCol, idCol, n)
+    verifyPairs(
+      minhashCandidatePairs(df, textCol, idCol, n, numHashes, bands,
+        maxBucket),
+      sh, threshold)
+  }
+
+  /** The banding candidate stage of [[minhashPairs]], exposed so tests
+    * can pin the candidate-pair count under adversarial bucket skew. */
+  private[graft] def minhashCandidatePairs(df: DataFrame, textCol: Column,
+      idCol: Column, n: Int, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     val bandKeys = df.select(idCol.as("doc_id"),
         graft.text.TextFunctions.minhashBandKeys(textCol, n, numHashes, bands)
           .as("bks"))
       .filter(col("bks").isNotNull)
       .select(col("doc_id"), posexplode(col("bks")))
       .toDF("doc_id", "band", "bkey")
-    val cands = bandKeys.groupBy(col("band"), col("bkey"))
+    bandKeys.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("doc_id")).as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(size(col("members")).between(2, maxBucket))
       .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
-    verifyPairs(cands, sh, threshold)
   }
 
   /** SimHash near-dup pairs (hybrid with an exact path for short docs).

@@ -77,6 +77,75 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
 
+  test("minhash bucket cap bounds adversarial band-key floods without losing true pairs") {
+    // Build a flooded bucket the way an adversary (or template spam)
+    // would: every decoy doc is one unique token plus a long shared run,
+    // so its distinct shingle set is TWO shingles — the shared
+    // (magic,magic,magic) and a unique boundary. Whenever the shared
+    // shingle's 4 permutation hashes happen to be the band minima, every
+    // decoy emits the SAME band key: one bucket holding the whole decoy
+    // population, none of which are mutual near-dups (pairwise Jaccard
+    // ~ 1/3). The magic token is found by probing two docs with
+    // different unique tokens for a shared band key — deterministic,
+    // because the permutation constants are fixed.
+    def doc(unique: String, magic: String): String =
+      unique + (" " + magic) * 30
+    val probeTokens = (0 until 120).map(i => s"tok$i")
+    val probes = probeTokens.flatMap(t =>
+      Seq((t, 1, doc("ua", t)), (t, 2, doc("ub", t))))
+      .toDF("tok", "side", "text")
+      .select(col("tok"), col("side"),
+        posexplode(graft.text.TextFunctions.minhashBandKeys(
+          col("text"), 3, 128, 32)))
+      .toDF("tok", "side", "band", "bkey")
+    val magic = probes.groupBy("tok", "band", "bkey")
+      .agg(countDistinct("side").as("sides"))
+      .filter(col("sides") === 2)
+      .select("tok").as[String].collect().headOption
+      .getOrElse(fail("no band-dominating token among 120 probes — " +
+        "hash constants changed?"))
+    // 400 decoys flood the dominated band(s); 3 true near-dups (>= 0.8
+    // Jaccard on a long shared tail, small head edits) sit in the SAME
+    // flooded bucket via the magic run, plus pair in other bands through
+    // their shared tail.
+    val tail = (0 until 60).map(i => s"w$i").mkString(" ")
+    val dups = Seq(
+      9001L -> s"alpha $tail ${doc("da", magic)}",
+      9002L -> s"beta $tail ${doc("db", magic)}",
+      9003L -> s"gamma $tail ${doc("dc", magic)}")
+    def corpus(decoys: Int) =
+      ((0 until decoys).map(i => (i.toLong, doc(s"u$i", magic)))
+        ++ dups.map { case (id, t) => (id, t) })
+        .toDF("doc_id", "text")
+    def cands(decoys: Int, cap: Int): Long =
+      Dedup.minhashCandidatePairs(corpus(decoys), col("text"),
+        col("doc_id"), 3, 128, 32, maxBucket = cap).count()
+    // Uncapped, the flood is QUADRATIC in the decoy population — the
+    // melt a single hot key causes at scale.
+    val un400 = cands(400, Int.MaxValue)
+    val un800 = cands(800, Int.MaxValue)
+    assert(un400 > 20000L, s"flood did not form (got $un400 pairs)")
+    assert(un800 > 3 * un400,
+      s"uncapped flood should grow ~quadratically ($un400 -> $un800)")
+    // Capped, every surviving bucket expands at most C(cap,2) pairs:
+    // the total is a small fraction of the flood and grows at most
+    // LINEARLY when the flood doubles (more buckets cross the cap and
+    // drop out; none expands more).
+    val cap400 = cands(400, 64)
+    val cap800 = cands(800, 64)
+    assert(cap400 < un400 / 4,
+      s"bucket cap did not bound the flood ($cap400 of $un400)")
+    assert(cap800 <= 2 * cap400 + 100,
+      s"capped candidates grew super-linearly ($cap400 -> $cap800)")
+    // Recall: the true near-dup pairs still verify exactly — they pair
+    // through non-flooded bands — and no decoy pair survives the exact
+    // verification.
+    val verified = Dedup.minhashPairs(corpus(400), col("text"),
+      col("doc_id"), 3, 0.8, maxBucket = 64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified === Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L)))
+  }
+
   test("bloomDecontaminate flags a superset of the exact sweep, zero misses") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val train = d.filter(col("doc_id") % 7 =!= 0)
