@@ -276,24 +276,43 @@ object Relational3 {
   // try_cast (malformed string), try_element_at (index out of range).
   // The oracle replicates every NULL boundary with explicit CASE
   // guards / native NULL semantics, so the outputs hash-match exactly.
+  //
+  // Failure rows are ~1-2% BY DESIGN: TryEval catches a per-row
+  // exception on each failure (Math.multiplyExact / Cast both construct
+  // a stack-traced Throwable), so a try_* column where EVERY row fails
+  // runs tens of times slower than the happy path — the sf0.1→sf1.0
+  // scaling sweep caught this entry at 56 s with all-rows-fail terms.
+  // Dirty data is rare by nature; the vocabulary is exercised on BOTH
+  // paths either way.
   val f10TryArithmetic = withOracle(
     "f10_try_arithmetic",
     """SELECT o_orderkey,
-      |       CASE WHEN (o_orderkey % 5) - 2 = 0 THEN NULL
+      |       CASE WHEN (o_orderkey % 101) - 2 = 0 THEN NULL
       |            ELSE CAST(o_totalprice AS DOUBLE)
-      |                 / CAST((o_orderkey % 5) - 2 AS DOUBLE) END AS d,
-      |       CASE WHEN o_orderkey > 1 THEN NULL
-      |            ELSE o_orderkey * 4611686018427387904 END AS m,
-      |       CAST(TRY_CAST(o_orderpriority AS INTEGER) AS BIGINT) AS c1,
+      |                 / CAST((o_orderkey % 101) - 2 AS DOUBLE) END AS d,
+      |       CASE WHEN o_orderkey % 100 = 0 THEN NULL
+      |            ELSE o_orderkey * 4 END AS m,
+      |       CAST(CASE WHEN o_orderkey % 100 = 0 THEN NULL
+      |            ELSE TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+      |            END AS BIGINT) AS c1,
       |       CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS c2,
       |       string_split(o_orderpriority, '-')[99] AS e
       |FROM orders""".stripMargin) { (s, d) =>
     Tables.orders(s, d).select(
       col("o_orderkey"),
+      // zero divisor on ~1% of rows ((key % 101) == 2)
       try_divide(col("o_totalprice").cast("double"),
-        ((col("o_orderkey") % 5) - 2).cast("double")).as("d"),
-      try_multiply(col("o_orderkey"), lit(4611686018427387904L)).as("m"),
-      expr("try_cast(o_orderpriority AS int)").cast("long").as("c1"),
+        ((col("o_orderkey") % 101) - 2).cast("double")).as("d"),
+      // overflow on ~1% of rows (Long.MaxValue * 4), plain multiply else
+      try_multiply(
+        when(col("o_orderkey") % 100 === 0, lit(Long.MaxValue))
+          .otherwise(col("o_orderkey")),
+        lit(4L)).as("m"),
+      // malformed cast on ~1% of rows ("5-LOW" is not an int; the first
+      // digit is), clean digit cast on the rest
+      expr("""try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority
+                            ELSE substr(o_orderpriority, 1, 1) END AS int)""")
+        .cast("long").as("c1"),
       expr("try_cast(substr(o_orderpriority, 1, 1) AS int)").cast("long")
         .as("c2"),
       try_element_at(split(col("o_orderpriority"), "-"), lit(99)).as("e"))
