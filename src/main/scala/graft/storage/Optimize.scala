@@ -54,18 +54,19 @@ object Optimize {
     val partitions = math.max(1,
       math.ceil(totalBytes.toDouble / target).toInt)
 
-    val staging = spark.conf.get("spark.sql.warehouse.dir") +
-      s"/_graft_staging/${table}_optimize"
-    spark.table(table).coalesce(partitions)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", recordsPerFile)
-      .parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", recordsPerFile)
-      .format("parquet").saveAsTable(table)
-    val p = new org.apache.hadoop.fs.Path(staging)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // ONE write, atomically published: the compacted layout stages into
+    // the next SnapshotCommit version (reading the still-live current
+    // files) and goes live with the single pointer rename — half the IO
+    // of the old stage-then-rewrite, and a crash at any point leaves the
+    // previous layout fully readable. Tables not yet under snapshot
+    // management are adopted in place (their current catalog location
+    // keeps serving reads until the commit lands).
+    val compacted = spark.table(table).coalesce(partitions)
+    SnapshotCommit.commit(spark, table) { dir =>
+      compacted.write
+        .option("maxRecordsPerFile", recordsPerFile)
+        .parquet(dir)
+    }
     (sizes.length, spark.table(table).inputFiles.length)
   }
 }
