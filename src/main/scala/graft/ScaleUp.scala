@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   *    customer), so join selectivities are replica-invariant;
   *  - nation/region are fixed dimensions and copy through unchanged —
   *    exactly how real growth behaves (10× the orders, same 25 nations);
-  *  - document TEXT gets a per-replica token rename (`tok` → `tok_r<k>`,
-  *    a 1:1 vocabulary map): within-replica shingle sets and similarity
-  *    structure are preserved EXACTLY, while cross-replica token sets
-  *    are disjoint — without this every doc would gain K-1 exact clones
+  *  - document TEXT gets a per-replica token rename (`<tok>` →
+  *    `<tok>zr<k>`, a 1:1 suffix map; replica 0 keeps the source text
+  *    verbatim): within-replica shingle sets and similarity structure
+  *    are preserved EXACTLY, while cross-replica token sets are
+  *    disjoint — without this every doc would gain K-1 exact clones
   *    and pair-producing dedup operators would blow up O(K^2), which is
   *    a different (and unrealistic: dedup output, not input, would
-  *    dominate) workload than "10× more documents";
+  *    dominate) workload than "10× more documents". Disjointness
+  *    assumes no SOURCE token already ends in `zr<k>` (replica k's
+  *    rename of its prefix would then collide with it) — benign on the
+  *    generated corpus, whose vocabulary carries no such suffixes;
   *  - embeddings replicate value-identical under offset ids (10× corpus
   *    probed by the same query/centroid rows — ANN bucket occupancy
   *    grows linearly, the scale behavior under test);

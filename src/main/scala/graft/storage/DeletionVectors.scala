@@ -101,11 +101,31 @@ object DeletionVectors {
 
   /** Adopt a plain (managed/external) table into snapshot-commit form:
     * version 1 = every current file carried by link. Metadata-only; the
-    * original directory is left untouched. */
+    * original directory is left untouched.
+    *
+    * Unpartitioned tables only, enforced: adoption flattens
+    * `inputFiles` into one directory, and a hive-partitioned table's
+    * partition-column VALUES live in its directory names, not the file
+    * bytes — a flat carry would silently drop them (or nest-collide).
+    * Misuse fails fast here instead of corrupting data.
+    */
   private def ensureSnapshot(spark: SparkSession, table: String): Path =
     SnapshotCommit.currentLocation(spark, table).getOrElse {
+      if (spark.catalog.tableExists(table)) {
+        val meta = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+        meta.foreach(m => require(m.partitionColumnNames.isEmpty,
+          s"cannot adopt partitioned table $table into snapshot commits: " +
+            s"partition columns ${m.partitionColumnNames.mkString(", ")} " +
+            "live in directory paths that a flat file carry would lose"))
+      }
       val files = spark.table(table).inputFiles
       require(files.nonEmpty, s"$table has no files to adopt")
+      require(files.map(f => new Path(f).getParent.toUri.getPath).distinct
+        .sizeIs == 1,
+        s"cannot adopt $table: its files span multiple directories " +
+          "(partitioned or bucketed-by-path layout); adoption carries a " +
+          "single flat directory")
       SnapshotCommit.commit(spark, table) { dir =>
         val to = new Path(dir)
         files.foreach { f =>

@@ -35,6 +35,18 @@ object Optimize {
   /** Compact `table` so files land near the target size (bytes). With
     * no explicit size, the table's `delta.targetFileSize` property is
     * consulted, then a 128 MiB default. Returns (files before, after).
+    *
+    * A live deletion-vector sidecar is FOLDED IN, not resurrected: the
+    * rewrite reads [[DeletionVectors.read]] (the live view — soft-
+    * deleted rows subtracted) and the new version carries no sidecar,
+    * so OPTIMIZE on a DV table behaves like Delta's `REORG ... APPLY
+    * PURGE` — pending deletes become physical, and delete-version
+    * history before the compaction stops being separable (the same
+    * trade [[DeletionVectors.compact]] documents). The reference
+    * declares `delta.enableDeletionVectors` and `delta.targetFileSize`
+    * on the same gold tables, so the two stand-ins must compose; the
+    * previous behavior (compacting `spark.table` raw) would have
+    * silently resurrected every soft-deleted row.
     */
   def compact(spark: SparkSession, table: String,
       targetFileSize: Option[Long] = None): (Int, Int) = {
@@ -48,7 +60,11 @@ object Optimize {
 
     val sizes = tableFiles(spark, table)
     val totalBytes = sizes.sum
-    val rows = spark.table(table).count()
+    // The live view: identical to spark.table when no vectors exist.
+    val hadVectors = DeletionVectors.version(spark, table) > 0
+    val live = if (hadVectors) DeletionVectors.read(spark, table)
+               else spark.table(table)
+    val rows = live.count()
     val bytesPerRow = math.max(1.0, totalBytes.toDouble / math.max(1L, rows))
     val recordsPerFile = math.max(1L, (target / bytesPerRow).toLong)
     val partitions = math.max(1,
@@ -56,17 +72,19 @@ object Optimize {
 
     // ONE write, atomically published: the compacted layout stages into
     // the next SnapshotCommit version (reading the still-live current
-    // files) and goes live with the single pointer rename — half the IO
-    // of the old stage-then-rewrite, and a crash at any point leaves the
-    // previous layout fully readable. Tables not yet under snapshot
-    // management are adopted in place (their current catalog location
-    // keeps serving reads until the commit lands).
-    val compacted = spark.table(table).coalesce(partitions)
+    // files — and, for a DV table, the still-live sidecar) and goes
+    // live with the single pointer rename — half the IO of the old
+    // stage-then-rewrite, and a crash at any point leaves the previous
+    // (data, sidecar) pair fully readable. Tables not yet under
+    // snapshot management are adopted in place (their current catalog
+    // location keeps serving reads until the commit lands).
+    val compacted = live.coalesce(partitions)
     SnapshotCommit.commit(spark, table) { dir =>
       compacted.write
         .option("maxRecordsPerFile", recordsPerFile)
         .parquet(dir)
     }
+    if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
     (sizes.length, spark.table(table).inputFiles.length)
   }
 }

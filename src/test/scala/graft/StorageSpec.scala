@@ -198,6 +198,33 @@ class StorageSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).collect()(0) === checksum)
   }
 
+  test("optimize on a DV table folds the vectors in instead of resurrecting deletes") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, Optimize}
+    val tbl = "opt_dv_spec_tbl"
+    Seq(tbl, s"${tbl}__dv").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.storage.SnapshotCommit.destroy(spark, tbl)
+    spark.range(0, 5000)
+      .select(col("id"), lpad(col("id").cast("string"), 64, "x").as("pad"))
+      .repartition(8)
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    DeletionVectors.delete(spark, tbl, col("id") % 5 === 0)
+    val liveBefore = DeletionVectors.read(spark, tbl)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(liveBefore.size === 4000)
+    val (nb, na) = Optimize.compact(spark, tbl)
+    assert(nb === 8 && na < nb)
+    // The reference declares enableDeletionVectors and targetFileSize on
+    // the SAME tables: compaction must preserve DV semantics. Deleted
+    // rows stay deleted (now physically), the sidecar is purged, and
+    // both the raw table and the DV view agree.
+    assert(!spark.catalog.tableExists(s"${tbl}__dv"),
+      "sidecar survived the compaction")
+    assert(spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+      === liveBefore, "optimize resurrected or lost soft-deleted rows")
+    assert(DeletionVectors.read(spark, tbl).count() === 4000)
+  }
+
   test("zorder layout: every clustered key prunes, not just the leading one") {
     import org.apache.spark.sql.functions._
     // The multi-key CLUSTER BY claim (fact_order_items.sql:9 clusters on
