@@ -335,6 +335,12 @@ class Pipeline {
               "sources use Table (checkpointed exactly-once append)")
           dropOrphanLocation(spark, name)
           val sc = graft.storage.SnapshotCommit
+          // Replay the registration tail of any interrupted commit FIRST
+          // (register is idempotent): a crash between a prior commit's
+          // pointer claim and its catalog re-registration must not leave
+          // this merge reading — and re-committing from — the stale
+          // pre-crash version.
+          sc.register(spark, name)
           if (!spark.catalog.tableExists(name)) {
             // First load: the merge against an empty target is the batch
             // itself. The session catalog is authoritative in-session —
@@ -359,30 +365,37 @@ class Pipeline {
             // snapshot version = rewrite output + every untouched file
             // carried by HARD LINK (a directory entry, no IO, live
             // version undisturbed), and publishes it with
-            // SnapshotCommit's single pointer rename. Write IO is
+            // SnapshotCommit's atomic pointer claim. Write IO is
             // proportional to touched files + batch, not table size,
             // and a crash at ANY point leaves the previous version
             // fully readable — the durability the reference inherits
             // from Delta's transaction log.
-            def local(u: String) = new org.apache.hadoop.fs.Path(u)
-              .toUri.getPath
-            val target = spark.table(name)
-            val liveFiles = target.inputFiles.map(local).toSet
-            val batchKeys = staged.select(keys.map(staged.col): _*).distinct()
-            val touched = target
-              .withColumn("_graft_file",
-                org.apache.spark.sql.functions.input_file_name())
-              .join(batchKeys, keys, "left_semi")
-              .select("_graft_file").distinct()
-              .collect().map(r => local(r.getString(0))).toSet
-            val untouched = (liveFiles -- touched).toSeq.sorted
-            val touchedRows =
-              if (touched.isEmpty) target.limit(0)
-              else spark.read.schema(target.schema)
-                .parquet(touched.toSeq.sorted: _*)
-            val merged = staged.unionByName(
-              touchedRows.join(batchKeys, keys, "left_anti"))
+            //
+            // EVERY phase runs INSIDE the commit closure, deriving from
+            // spark.table at invocation time: losing the optimistic
+            // version claim to a concurrent merge re-invokes the closure
+            // after the catalog is re-pointed at the winner's version,
+            // so the retry rebases the SAME batch onto the new base —
+            // no lost update in either direction.
             sc.commit(spark, name) { dir =>
+              def local(u: String) = new org.apache.hadoop.fs.Path(u)
+                .toUri.getPath
+              val target = spark.table(name)
+              val liveFiles = target.inputFiles.map(local).toSet
+              val batchKeys = staged.select(keys.map(staged.col): _*).distinct()
+              val touched = target
+                .withColumn("_graft_file",
+                  org.apache.spark.sql.functions.input_file_name())
+                .join(batchKeys, keys, "left_semi")
+                .select("_graft_file").distinct()
+                .collect().map(r => local(r.getString(0))).toSet
+              val untouched = (liveFiles -- touched).toSeq.sorted
+              val touchedRows =
+                if (touched.isEmpty) target.limit(0)
+                else spark.read.schema(target.schema)
+                  .parquet(touched.toSeq.sorted: _*)
+              val merged = staged.unionByName(
+                touchedRows.join(batchKeys, keys, "left_anti"))
               // 1. rewrite = touched rows + batch only (reads old files).
               clustered(merged, d.clusterBy)
                 .write.mode("overwrite").parquet(dir)

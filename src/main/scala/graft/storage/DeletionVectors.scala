@@ -127,8 +127,10 @@ object DeletionVectors {
           "(partitioned or bucketed-by-path layout); adoption carries a " +
           "single flat directory")
       SnapshotCommit.commit(spark, table) { dir =>
+        // Re-derived per attempt (commit may re-invoke after a lost
+        // claim; the file list must reflect the then-current catalog).
         val to = new Path(dir)
-        files.foreach { f =>
+        spark.table(table).inputFiles.foreach { f =>
           val src = new Path(new Path(f).toUri.getPath)
           SnapshotCommit.carry(spark, src, new Path(to, src.getName))
         }
@@ -159,24 +161,30 @@ object DeletionVectors {
     */
   def delete(spark: SparkSession, table: String, pred: Column): Long = {
     ensureSnapshot(spark, table)
-    val v = version(spark, table) + 1
-    val coords = withCoords(spark.table(table)).filter(pred)
-      .select(col("_dv_file").as("f"), col("_dv_pos").as("p"),
-        lit(v).as("v"))
-    val newSidecar = sidecarDf(spark, table) match {
-      case Some(sc) => sc.unionByName(coords)
-      case None => coords
-    }
-    val cur = SnapshotCommit.currentLocation(spark, table).get
+    var committed = 0L
     SnapshotCommit.commit(spark, table) { dir =>
-      // Both writes read the CURRENT version (still live until the
-      // pointer rename): the sidecar union scans the old sidecar table
-      // and the matched rows' metadata, then the data files are linked.
+      // Derived INSIDE the closure, per attempt: two concurrent deletes
+      // race the optimistic version claim; the loser re-invokes here
+      // against the winner's (version, sidecar) pair, so its delete
+      // stamp and sidecar union rebase instead of clobbering. Both
+      // writes read the CURRENT version (still live until the pointer
+      // claim): the sidecar union scans the old sidecar table and the
+      // matched rows' metadata, then the data files are linked.
+      val v = version(spark, table) + 1
+      val coords = withCoords(spark.table(table)).filter(pred)
+        .select(col("_dv_file").as("f"), col("_dv_pos").as("p"),
+          lit(v).as("v"))
+      val newSidecar = sidecarDf(spark, table) match {
+        case Some(sc) => sc.unionByName(coords)
+        case None => coords
+      }
       newSidecar.write.parquet(s"$dir/_dv")
+      val cur = SnapshotCommit.currentLocation(spark, table).get
       linkDataFiles(spark, cur, new Path(dir))
+      committed = v
     }
     registerDv(spark, table)
-    v
+    committed
   }
 
   /** The live view: table rows minus the whole deletion vector. */
@@ -205,11 +213,14 @@ object DeletionVectors {
     * `v` dropped — rolling back deletes is metadata work.
     */
   def restore(spark: SparkSession, table: String, v: Long): Unit =
-    sidecarDf(spark, table).foreach { sc =>
-      val filtered = sc.filter(col("v") <= v)
-      val cur = SnapshotCommit.currentLocation(spark, table).get
+    sidecarDf(spark, table).foreach { _ =>
       SnapshotCommit.commit(spark, table) { dir =>
+        // Re-derived per attempt (see the commit write-closure contract).
+        val filtered = sidecarDf(spark, table)
+          .map(_.filter(col("v") <= v))
+          .getOrElse(sys.error(s"$table sidecar vanished during restore"))
         filtered.write.parquet(s"$dir/_dv")
+        val cur = SnapshotCommit.currentLocation(spark, table).get
         linkDataFiles(spark, cur, new Path(dir))
       }
       registerDv(spark, table)
@@ -333,7 +344,12 @@ object DeletionVectors {
     // and old sidecar, both live until the pointer rename); the staged
     // group files then move in by rename (staging is private to this
     // call, so renaming them cannot disturb any reader).
-    SnapshotCommit.commit(spark, table) { dir =>
+    // maxAttempts = 1: the rewritten groups and rebase map derive from
+    // the PRE-commit sidecar state and cannot rebase onto a concurrent
+    // writer's version — a lost claim must surface as a conflict
+    // (ConcurrentCommitException), exactly as a conflicting Delta
+    // maintenance transaction aborts.
+    SnapshotCommit.commit(spark, table, maxAttempts = 1) { dir =>
       newSidecar.write.parquet(s"$dir/_dv")
       folded.unpersist()
       val to = new Path(dir)
@@ -352,10 +368,12 @@ object DeletionVectors {
   /** Fold the vectors into the files: one commit that rewrites the
     * survivors and carries no sidecar (REORG ... APPLY PURGE). */
   def compact(spark: SparkSession, table: String): Unit = {
-    val survivors = read(spark, table)
     ensureSnapshot(spark, table)
     SnapshotCommit.commit(spark, table) { dir =>
-      survivors.write.parquet(dir)
+      // Re-derived per attempt: the live view subtracts the then-current
+      // sidecar, so a retry after a concurrent delete folds THAT delete
+      // in too instead of resurrecting its rows.
+      read(spark, table).write.parquet(dir)
     }
     spark.sql(s"DROP TABLE IF EXISTS ${dvName(table)}")
   }

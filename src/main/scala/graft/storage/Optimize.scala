@@ -78,9 +78,14 @@ object Optimize {
     // (data, sidecar) pair fully readable. Tables not yet under
     // snapshot management are adopted in place (their current catalog
     // location keeps serving reads until the commit lands).
-    val compacted = live.coalesce(partitions)
     SnapshotCommit.commit(spark, table) { dir =>
-      compacted.write
+      // The live view is re-derived per attempt: a lost optimistic claim
+      // re-invokes this closure against the concurrent winner's version,
+      // so the compaction rewrites THAT state (the sizing estimates
+      // above are heuristics and may stay one version stale).
+      val liveNow = if (DeletionVectors.version(spark, table) > 0)
+        DeletionVectors.read(spark, table) else spark.table(table)
+      liveNow.coalesce(partitions).write
         .option("maxRecordsPerFile", recordsPerFile)
         .parquet(dir)
     }

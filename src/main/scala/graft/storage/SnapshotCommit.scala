@@ -3,6 +3,14 @@ package graft.storage
 import org.apache.spark.sql.SparkSession
 import org.apache.hadoop.fs.{FileSystem, Path}
 
+/** Thrown when a commit loses the optimistic race and its writer cannot
+  * rebase (maxAttempts exhausted, or a maintenance op that stages state
+  * derived before the conflicting commit). The Delta analogue is a
+  * ConcurrentModificationException from a conflicting transaction.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 /** Manifest-pointer table commits — the minimal slice of a Delta/Iceberg
   * transaction log that closes the non-atomic snapshot-swap window.
   *
@@ -14,20 +22,48 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * This utility removes that window:
   *
   *  - every version of a table lives in its own immutable directory
-  *    `<warehouse>/_graft_snapshots/<table>/v<N>/`;
+  *    under `<warehouse>/_graft_snapshots/<table>/` — staged as a
+  *    writer-private `.stage-<uuid>/`, renamed to `v<N>/` once its
+  *    commit wins (resolution accepts both names, so the rename is
+  *    cosmetic, not load-bearing);
   *  - publishing version N is ONE atomic filesystem operation: a
-  *    create-rename of the pointer file `_commits/<N>` (written first to
-  *    a dot-tmp name, then renamed into place — rename within a
-  *    directory is atomic on POSIX and HDFS, and the target name is
-  *    never reused, so it can never clobber);
+  *    no-clobber rename of a content-bearing temp file to the pointer
+  *    name `_commits/<N>` (content = the snapshot directory's name).
+  *    The target name is claimed exclusively — rename fails if the
+  *    pointer already exists — so two writers can never both publish
+  *    the same version;
   *  - readers resolve the CURRENT version as the highest-numbered
-  *    pointer file whose snapshot directory exists. A crash before the
-  *    rename leaves the old pointer current (staged files are invisible
-  *    garbage, reclaimed by the next commit); a crash after it leaves
-  *    the new version current (catalog registration and pruning are
-  *    replayed by the next [[register]]/[[commit]]). At every instant a
-  *    reader sees exactly the old or the new version — never a
-  *    half-swapped directory.
+  *    pointer whose named snapshot directory exists. A crash before the
+  *    pointer claim leaves the old pointer current (the private staging
+  *    directory is invisible garbage, reclaimed later); a crash after
+  *    it leaves the new version current (directory finalization,
+  *    catalog registration and pruning are replayed by the next
+  *    [[register]]/[[commit]]). At every instant a reader sees exactly
+  *    the old or the new version — never a half-swapped directory.
+  *
+  * MULTI-WRITER ARBITRATION (optimistic concurrency, the property the
+  * reference inherits from Delta's log): [[commit]] stages against the
+  * current version, then atomically claims `current + 1`. If the claim
+  * is lost — another commit published first — the staged work is
+  * discarded, the catalog is re-pointed at the winner's version, and
+  * the write closure is RE-INVOKED so it restages (rebases) onto the
+  * new base; bounded by `maxAttempts`, after which
+  * [[ConcurrentCommitException]] surfaces the conflict. Two layers
+  * enforce the claim's exclusivity: writers in one JVM serialize the
+  * resolve-and-claim step through a per-table lock (the same
+  * single-driver arbitration delta-io's S3 LogStore uses), and writers
+  * in different processes fall back to the store's no-clobber rename
+  * (atomic on HDFS; object stores without it need an external lock
+  * service, exactly as Delta-on-S3 does).
+  *
+  * THE WRITE CLOSURE CONTRACT: `write` may run more than once. It must
+  * derive everything it stages from the CURRENT committed state (read
+  * `spark.table`/[[currentLocation]] inside the closure, not captured
+  * frames from before the commit call) — [[commit]] re-registers the
+  * catalog before every invocation precisely so a re-run sees the new
+  * base. Writers that cannot re-derive (e.g. vacuum, which pre-stages
+  * rewritten files) pass `maxAttempts = 1` and surface conflicts
+  * instead of retrying.
   *
   * Snapshots share unchanged data files by HARD LINK ([[carry]]): a
   * file-level merge carries the untouched files of version N into
@@ -37,19 +73,36 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * carry falls back to a copy; a production port would reference files
   * in place from a manifest instead, which is pure metadata.)
   *
-  * Single writer per table assumed, as documented for the merge path —
-  * what Delta's log ADDS over this is multi-writer arbitration (optimistic
-  * concurrency over the same commit names) and per-commit metadata.
+  * Version retention: pruning keeps the current AND previous versions
+  * (the previous version's files may still be under a concurrent
+  * reader, or the base of a concurrent writer about to lose its claim
+  * and rebase) — the same "recently superseded files linger until
+  * VACUUM" economics as Delta's default retention, at link cost.
   */
 object SnapshotCommit {
 
   /** Test-only failure injection: invoked with "staged" after the new
-    * snapshot directory is fully written but BEFORE the pointer rename,
-    * and "committed" after the rename but before catalog registration
-    * and pruning. PipelineSpec kills the protocol at both points and
-    * proves every read still resolves a complete version.
+    * snapshot directory is fully written but BEFORE the pointer claim,
+    * and "committed" after the claim but before directory finalization,
+    * catalog registration and pruning. PipelineSpec kills the protocol
+    * at both points and proves every read still resolves a complete
+    * version; the concurrency spec uses "staged" as a rendezvous to
+    * force two writers into the same claim.
     */
   private[graft] var failpoint: String => Unit = _ => ()
+
+  /** Per-table claim serialization for writers sharing this JVM. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Staging directories owned by live commits in this JVM — protected
+    * from garbage collection regardless of age. */
+  private val activeStages =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Age (ms) below which an unreferenced staging directory is presumed
+    * to belong to a live writer in ANOTHER process and is left alone. */
+  private val StageGraceMs = 60L * 60 * 1000
 
   def rootDir(spark: SparkSession, table: String): Path =
     new Path(spark.conf.get("spark.sql.warehouse.dir"),
@@ -63,6 +116,26 @@ object SnapshotCommit {
   private def versionOf(name: String): Option[Long] =
     if (name.forall(_.isDigit) && name.nonEmpty) Some(name.toLong) else None
 
+  /** The directory a published version's pointer names, if it exists:
+    * the finalized `v<N>` when present, else the staging directory the
+    * pointer's content records (a commit whose finalization rename has
+    * not happened yet — crash recovery, or the instant before
+    * [[register]] replays it).
+    */
+  private[graft] def resolveDir(spark: SparkSession, table: String,
+      v: Long): Option[Path] = {
+    val root = rootDir(spark, table)
+    val fs = fsOf(spark, root)
+    val vd = new Path(root, s"v$v")
+    if (fs.exists(vd)) Some(vd)
+    else scala.util.Try {
+      val in = fs.open(new Path(commitsPath(root), v.toString))
+      val name =
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      new Path(root, name)
+    }.toOption.filter(fs.exists)
+  }
+
   /** Highest published version whose snapshot directory exists. */
   def currentVersion(spark: SparkSession, table: String): Option[Long] = {
     val root = rootDir(spark, table)
@@ -72,46 +145,131 @@ object SnapshotCommit {
     else fs.listStatus(c).toSeq
       .flatMap(st => versionOf(st.getPath.getName))
       .sorted(Ordering[Long].reverse)
-      .find(v => fs.exists(new Path(root, s"v$v")))
+      .find(v => resolveDir(spark, table, v).isDefined)
   }
 
   /** The current snapshot directory, if any version has been published. */
   def currentLocation(spark: SparkSession, table: String): Option[Path] =
-    currentVersion(spark, table).map(v => new Path(rootDir(spark, table), s"v$v"))
+    currentVersion(spark, table).flatMap(resolveDir(spark, table, _))
 
-  /** Stage a new snapshot via `write` (handed the staging directory,
-    * which it must fully populate), then publish it with the single
-    * pointer rename, re-point the catalog, and prune superseded
-    * versions. Returns the published location.
+  /** Atomically claim pointer `v` with `dirName` as content. Exclusive:
+    * returns false (never clobbers) if another writer claimed `v`
+    * first. Local filesystems go through java.nio's no-replace move;
+    * HDFS's rename is natively atomic and fails on an existing
+    * destination.
     */
-  def commit(spark: SparkSession, table: String)(
-      write: String => Unit): Path = {
-    val root = rootDir(spark, table)
-    val fs = fsOf(spark, root)
-    fs.mkdirs(commitsPath(root))
-    val v = currentVersion(spark, table).getOrElse(0L) + 1
-    val snap = new Path(root, s"v$v")
-    if (fs.exists(snap)) fs.delete(snap, true) // crashed prior attempt
-    write(snap.toString)
-    failpoint("staged")
-    val tmp = new Path(commitsPath(root), s".$v.tmp")
+  private def claimPointer(fs: FileSystem, root: Path, v: Long,
+      dirName: String): Boolean = {
+    val c = commitsPath(root)
+    fs.mkdirs(c)
+    val tmp = new Path(c,
+      s".$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"v$v".getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new Path(commitsPath(root), v.toString)),
-      s"could not publish snapshot v$v of $table")
-    failpoint("committed")
-    register(spark, table)
-    prune(spark, table, keep = v)
-    snap
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(c, v.toString)
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(dst.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!won) fs.delete(tmp, false)
+    won
   }
 
-  /** Align the session catalog with the published pointer: create the
-    * external table at the current location, or re-point a stale
-    * registration. Safe to call any time; replays the tail of a commit
-    * interrupted after its pointer rename.
+  /** Stage a new snapshot via `write` (handed a writer-private staging
+    * directory, which it must fully populate), then publish it with the
+    * single pointer claim, re-point the catalog, and prune superseded
+    * versions. On a lost claim the write is re-invoked against the
+    * winner's version (see the write-closure contract in the object
+    * scaladoc) up to `maxAttempts` times. Returns the published
+    * location.
+    */
+  def commit(spark: SparkSession, table: String, maxAttempts: Int = 5)(
+      write: String => Unit): Path = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val root = rootDir(spark, table)
+    val fs = fsOf(spark, root)
+    fs.mkdirs(root)
+    val lock = tableLocks.computeIfAbsent(root.toString, _ => new Object)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // Every (re)invocation sees the current committed state: replay
+      // the registration tail of any interrupted commit, then stage.
+      register(spark, table)
+      val base = currentVersion(spark, table).getOrElse(0L)
+      val stageName = s".stage-${java.util.UUID.randomUUID().toString}"
+      val stage = new Path(root, stageName)
+      activeStages.add(stage.toString)
+      var won = false
+      try {
+        write(stage.toString)
+        failpoint("staged")
+        val v = base + 1
+        won = lock.synchronized {
+          // Both checks inside the lock: the base must not have moved
+          // (our staged content derives from it), and the pointer claim
+          // itself must be exclusive (cross-process writers arbitrate
+          // through the store's no-clobber rename).
+          currentVersion(spark, table).getOrElse(0L) == base &&
+            claimPointer(fs, root, v, stageName)
+        }
+        if (sys.env.contains("GRAFT_COMMIT_DEBUG"))
+          System.err.println(s"[commit-debug] $table attempt=$attempt " +
+            s"base=$base v=$v won=$won thread=${Thread.currentThread().getName}")
+        if (won) {
+          failpoint("committed")
+          val published = finalizeDir(spark, table, v)
+          register(spark, table)
+          prune(spark, table, keep = v)
+          return published
+        }
+      } finally {
+        activeStages.remove(stage.toString)
+        if (!won) fs.delete(stage, true) // lost race or crashed: discard
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"commit of $table lost the version claim $maxAttempts time(s) " +
+        "to concurrent writers; rebase-and-retry budget exhausted")
+  }
+
+  /** Rename a freshly-claimed version's staging directory to its stable
+    * `v<N>` name. Idempotent and crash-replayable: if the rename never
+    * happened (crash after the pointer claim), the pointer's content
+    * still resolves the staging name, and the next register()/commit()
+    * finishes the rename here.
+    */
+  private def finalizeDir(spark: SparkSession, table: String,
+      v: Long): Path = {
+    val root = rootDir(spark, table)
+    val fs = fsOf(spark, root)
+    val vd = new Path(root, s"v$v")
+    if (!fs.exists(vd))
+      resolveDir(spark, table, v).foreach { staged =>
+        if (staged != vd) fs.rename(staged, vd)
+      }
+    if (fs.exists(vd)) vd
+    else resolveDir(spark, table, v).getOrElse(
+      sys.error(s"published version v$v of $table has no directory"))
+  }
+
+  /** Align the session catalog with the published pointer: finish any
+    * interrupted finalization rename, then create the external table at
+    * the current location or re-point a stale registration. Safe to
+    * call any time; replays the tail of a commit interrupted after its
+    * pointer claim.
     */
   def register(spark: SparkSession, table: String): Unit =
-    currentLocation(spark, table).foreach(pointAt(spark, table, _))
+    currentVersion(spark, table).foreach { v =>
+      pointAt(spark, table, finalizeDir(spark, table, v))
+    }
 
   /** Create `table` at `loc`, or re-point a registration whose catalog
     * location differs. Also used for sidecar tables that live INSIDE a
@@ -122,29 +280,62 @@ object SnapshotCommit {
     else {
       val cat = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
-      if (new Path(cat.location).toUri.getPath != loc.toUri.getPath) {
+      if (new Path(cat.location).toUri.getPath != loc.toUri.getPath)
         spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
-        spark.sql(s"REFRESH TABLE $table")
-      }
+      // REFRESH even when the location already matches: a concurrent
+      // winner's (ALTER, REFRESH) pair is not atomic, so a rebasing
+      // loser can observe the NEW location (and skip the ALTER) while
+      // the session's relation cache still holds the listing its own
+      // previous attempt resolved against the OLD location — its rebase
+      // would then silently merge onto stale files. An unconditional
+      // refresh after the location check closes that window (measured:
+      // it was a real 1-in-3 lost-update flake under the concurrency
+      // spec's forced rendezvous).
+      spark.sql(s"REFRESH TABLE $table")
     }
 
-  /** Delete snapshot directories and pointer files below `keep`. Shared
-    * (linked) data files survive through the newer version's directory
-    * entries. Crash-safe: interrupted pruning just leaves garbage that
-    * the next prune removes.
+  /** Delete snapshot directories and pointer files superseded by
+    * `keep`, RETAINING the previous version (concurrent readers may
+    * still hold it; a concurrent writer may be staging against it and
+    * about to rebase). Unreferenced staging directories are collected
+    * once they are neither owned by a live commit in this JVM nor
+    * younger than the cross-process grace window. Crash-safe:
+    * interrupted pruning just leaves garbage that the next prune
+    * removes.
     */
   private def prune(spark: SparkSession, table: String, keep: Long): Unit = {
     val root = rootDir(spark, table)
     val fs = fsOf(spark, root)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("v") && versionOf(n.drop(1)).exists(_ < keep))
-        fs.delete(st.getPath, true)
-    }
+    val cutoff = keep - 1 // retain keep and keep-1
+    if (!fs.exists(root)) return
     val c = commitsPath(root)
+    // Directory names still referenced by retained pointers (a crashed
+    // finalization can leave a retained version under its staging name).
+    val referenced: Set[String] =
+      if (!fs.exists(c)) Set.empty
+      else fs.listStatus(c).toSeq
+        .flatMap(st => versionOf(st.getPath.getName))
+        .filter(_ >= cutoff)
+        .flatMap(v => resolveDir(spark, table, v).map(_.getName))
+        .toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        if (n.startsWith("v"))
+          versionOf(n.drop(1)).exists(v => v < cutoff && !referenced(n))
+        else if (n.startsWith(".stage-"))
+          !referenced(n) && !activeStages.contains(st.getPath.toString) &&
+            now - st.getModificationTime > StageGraceMs
+        else false
+      if (stale) fs.delete(st.getPath, true)
+    }
     if (fs.exists(c)) fs.listStatus(c).foreach { st =>
-      if (versionOf(st.getPath.getName).exists(_ < keep))
-        fs.delete(st.getPath, false)
+      val n = st.getPath.getName
+      if (versionOf(n).exists(_ < cutoff)) fs.delete(st.getPath, false)
+      else if (n.startsWith(".") && n.endsWith(".tmp") &&
+          now - st.getModificationTime > StageGraceMs)
+        fs.delete(st.getPath, false) // lost-claim temp from a dead writer
     }
   }
 

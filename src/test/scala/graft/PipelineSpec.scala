@@ -269,6 +269,51 @@ class PipelineSpec extends SparkSpec {
     assert(state() === Map("o1" -> 10.0, "o2" -> 25.0, "o3" -> 30.0))
   }
 
+  test("concurrent incremental merges serialize: loser rebases, no lost update") {
+    import java.util.concurrent.{CyclicBarrier, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.storage.SnapshotCommit
+    val tbl = "inc_concurrent"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    SnapshotCommit.destroy(spark, tbl)
+    incPipe(tbl, Seq(("o1", 1.0, "A"), ("o2", 2.0, "A"))).run(spark)
+    // Rendezvous at the "staged" failpoint: both writers finish staging
+    // against the SAME base version before either claims the pointer —
+    // the worst-case interleaving, forced deterministically. The loser's
+    // retry (3rd staged event) must not wait: nobody else is coming.
+    val gate = new CyclicBarrier(2)
+    val stagedEvents = new AtomicInteger(0)
+    SnapshotCommit.failpoint = s =>
+      if (s == "staged" && stagedEvents.incrementAndGet() <= 2) {
+        gate.await(30, TimeUnit.SECONDS); ()
+      }
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val a = Future(incPipe(tbl,
+        Seq(("o1", 11.0, "B"), ("o3", 3.0, "B"))).run(spark))
+      val b = Future(incPipe(tbl,
+        Seq(("o2", 22.0, "C"), ("o4", 4.0, "C"))).run(spark))
+      Await.result(Future.sequence(Seq(a, b)), Duration.Inf)
+      pool.shutdown()
+    } finally SnapshotCommit.failpoint = _ => ()
+    // No lost update in either direction: both batches' upserts landed,
+    // and rows absent from both batches survived.
+    val out = spark.table(tbl).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out === Map(
+      "o1" -> ((11.0, "B")), "o2" -> ((22.0, "C")),
+      "o3" -> ((3.0, "B")), "o4" -> ((4.0, "C"))))
+    // The two commits landed SERIALIZED as v2 then v3 (base was v1), and
+    // exactly one writer had to restage: 2 first attempts + 1 rebase.
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(3L))
+    assert(stagedEvents.get() === 3,
+      s"expected exactly one rebased attempt, saw ${stagedEvents.get()} staged events")
+  }
+
   test("incremental fail expectation aborts BEFORE the snapshot swap") {
     spark.sql("DROP TABLE IF EXISTS inc_guarded")
     val nonneg = Seq(DQ.fail("nonneg", col("amount") >= 0))
