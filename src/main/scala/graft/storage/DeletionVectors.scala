@@ -87,16 +87,16 @@ object DeletionVectors {
       case None => ()
     }
 
-  /** Hard-link every data file of the current version into a staged
-    * snapshot directory, names preserved. `except` filters by basename
-    * (vacuum skips the files it rewrote). */
+  /** Carry every data file of the current version into a staged
+    * snapshot directory, names preserved — hard links in link mode,
+    * metadata refs in manifest mode (SnapshotCommit.carry decides).
+    * `except` filters by logical basename (vacuum skips the files it
+    * rewrote). */
   private def linkDataFiles(spark: SparkSession, from: Path, to: Path,
       except: Set[String] = Set.empty): Unit =
-    fs(spark, from).listStatus(from).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-          !except.contains(n))
-        SnapshotCommit.carry(spark, st.getPath, new Path(to, n))
+    SnapshotCommit.listData(spark, from).foreach { case (n, phys) =>
+      if (!except.contains(n))
+        SnapshotCommit.carry(spark, phys, new Path(to, n))
     }
 
   /** Adopt a plain (managed/external) table into snapshot-commit form:
@@ -171,7 +171,7 @@ object DeletionVectors {
       // claim): the sidecar union scans the old sidecar table and the
       // matched rows' metadata, then the data files are linked.
       val v = version(spark, table) + 1
-      val coords = withCoords(spark.table(table)).filter(pred)
+      val coords = withCoords(SnapshotCommit.readData(spark, table)).filter(pred)
         .select(col("_dv_file").as("f"), col("_dv_pos").as("p"),
           lit(v).as("v"))
       val newSidecar = sidecarDf(spark, table) match {
@@ -197,7 +197,7 @@ object DeletionVectors {
     * without snapshot copies.
     */
   def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
-    val base = spark.table(table)
+    val base = SnapshotCommit.readData(spark, table)
     sidecarDf(spark, table) match {
       case None => base
       case Some(sc) => withCoords(base)
@@ -268,15 +268,19 @@ object DeletionVectors {
 
     val hconf = spark.sparkContext.hadoopConfiguration
     val cur = SnapshotCommit.currentLocation(spark, table).get
-    val schema = spark.table(table).schema
+    val schema = SnapshotCommit.readData(spark, table).schema
     val dataCols = schema.fieldNames.toSeq
 
     // Rebase map from a coordinates-only scan: survivor (f, p) ->
     // new position = rank among the file's survivors by old position.
+    // Sidecar coordinates key on logical basenames; the current
+    // version's listing resolves each to its physical path (identical
+    // in link mode, a ref target in manifest mode).
+    val physOf = SnapshotCommit.listData(spark, cur).toMap
     val gfIdx = affected.zipWithIndex.toSeq
     val gfMap = spark.createDataFrame(gfIdx).toDF("_mf", "_gf")
     val affectedRows = spark.read.schema(schema)
-      .parquet(affected.map(n => new Path(cur, n).toUri.getPath): _*)
+      .parquet(affected.map(n => physOf(n).toUri.getPath): _*)
       .withColumn("_f", substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("_p", col("_metadata.row_index"))
     val survivors = affectedRows

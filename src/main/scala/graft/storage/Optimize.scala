@@ -23,7 +23,7 @@ object Optimize {
   val TargetFileSizeProp = "delta.targetFileSize"
 
   private def tableFiles(spark: SparkSession, table: String) = {
-    val files = spark.table(table).inputFiles
+    val files = SnapshotCommit.readData(spark, table).inputFiles
     require(files.nonEmpty, s"$table has no files to compact")
     val hconf = spark.sparkContext.hadoopConfiguration
     files.toSeq.map { f =>
@@ -51,8 +51,10 @@ object Optimize {
   def compact(spark: SparkSession, table: String,
       targetFileSize: Option[Long] = None): (Int, Int) = {
     val target = targetFileSize.orElse {
-      spark.sql(s"SHOW TBLPROPERTIES $table")
-        .collect()
+      // Try: a manifest-mode table resolves through a temp view, which
+      // has no TBLPROPERTIES — fall through to the default.
+      scala.util.Try(spark.sql(s"SHOW TBLPROPERTIES $table").collect())
+        .getOrElse(Array.empty[org.apache.spark.sql.Row]).toSeq
         .find(_.getString(0) == TargetFileSizeProp)
         .flatMap(r => scala.util.Try(r.getString(1).toLong).toOption)
     }.getOrElse(128L * 1024 * 1024)
@@ -63,7 +65,7 @@ object Optimize {
     // The live view: identical to spark.table when no vectors exist.
     val hadVectors = DeletionVectors.version(spark, table) > 0
     val live = if (hadVectors) DeletionVectors.read(spark, table)
-               else spark.table(table)
+               else SnapshotCommit.readData(spark, table)
     val rows = live.count()
     val bytesPerRow = math.max(1.0, totalBytes.toDouble / math.max(1L, rows))
     val recordsPerFile = math.max(1L, (target / bytesPerRow).toLong)
@@ -84,12 +86,13 @@ object Optimize {
       // so the compaction rewrites THAT state (the sizing estimates
       // above are heuristics and may stay one version stale).
       val liveNow = if (DeletionVectors.version(spark, table) > 0)
-        DeletionVectors.read(spark, table) else spark.table(table)
+        DeletionVectors.read(spark, table)
+        else SnapshotCommit.readData(spark, table)
       liveNow.coalesce(partitions).write
         .option("maxRecordsPerFile", recordsPerFile)
         .parquet(dir)
     }
     if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
-    (sizes.length, spark.table(table).inputFiles.length)
+    (sizes.length, SnapshotCommit.readData(spark, table).inputFiles.length)
   }
 }

@@ -65,13 +65,29 @@ final class ConcurrentCommitException(msg: String)
   * rewritten files) pass `maxAttempts = 1` and surface conflicts
   * instead of retrying.
   *
-  * Snapshots share unchanged data files by HARD LINK ([[carry]]): a
-  * file-level merge carries the untouched files of version N into
-  * version N+1 as directory entries, not copies, so version cost is
-  * proportional to rewritten bytes — the same economics as Delta's
-  * log entries referencing unchanged files. (On a non-POSIX store the
-  * carry falls back to a copy; a production port would reference files
-  * in place from a manifest instead, which is pure metadata.)
+  * CARRY MODES — how unchanged files travel between versions:
+  *
+  *  - link (default): hard link on a POSIX filesystem (a directory
+  *    entry, no IO), copy elsewhere. Version cost proportional to
+  *    rewritten bytes locally, but O(table) by copy on an object store.
+  *  - manifest (`spark.graft.snapshot.manifest = true`): [[carry]]
+  *    writes a tiny `<name>.graftref` file recording the PHYSICAL path
+  *    of the unchanged file, which stays in place in its original
+  *    version directory — carry cost is a few bytes of metadata
+  *    REGARDLESS of filesystem, the Delta/Iceberg economics (log
+  *    entries referencing files in place) and the right mode for
+  *    S3/ADLS, where the reference actually runs. Resolution
+  *    ([[listData]]/[[readData]]) follows refs to physical paths;
+  *    [[register]] maps the table name to a temp view over the
+  *    resolved file set (a path-scoped catalog table cannot span
+  *    version directories); pruning becomes reference-counting GC —
+  *    a superseded version's files are deleted only when no retained
+  *    manifest references them. Refs always point at DATA files, never
+  *    at other refs (carry resolves one hop at write time), so chains
+  *    stay O(1) deep no matter how many versions carry a file forward.
+  *    The mode is a table-lifetime choice; physical basenames never
+  *    change under it, which is also what keeps DeletionVectors'
+  *    (file, row) coordinates stable across carries.
   *
   * Version retention: pruning keeps the current AND previous versions
   * (the previous version's files may still be under a concurrent
@@ -103,6 +119,15 @@ object SnapshotCommit {
   /** Age (ms) below which an unreferenced staging directory is presumed
     * to belong to a live writer in ANOTHER process and is left alone. */
   private val StageGraceMs = 60L * 60 * 1000
+
+  /** Suffix of a manifest-mode carry reference: the file's content is
+    * the physical path of the data file it stands for. */
+  val RefSuffix = ".graftref"
+
+  /** Manifest carry mode — see the object scaladoc. Read per operation;
+    * must stay constant over a table's lifetime. */
+  private[graft] def manifestMode(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.snapshot.manifest").contains("true")
 
   def rootDir(spark: SparkSession, table: String): Path =
     new Path(spark.conf.get("spark.sql.warehouse.dir"),
@@ -151,6 +176,46 @@ object SnapshotCommit {
   /** The current snapshot directory, if any version has been published. */
   def currentLocation(spark: SparkSession, table: String): Option[Path] =
     currentVersion(spark, table).flatMap(resolveDir(spark, table, _))
+
+  /** The (logical name, physical path) data files of a snapshot
+    * directory: plain data files map to themselves; `<name>.graftref`
+    * entries resolve to the physical path they record. Underscore- and
+    * dot-prefixed entries (sidecars, staging temps) are not data.
+    */
+  def listData(spark: SparkSession, dir: Path): Seq[(String, Path)] = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) None
+      else if (n.endsWith(RefSuffix)) {
+        val in = fs.open(st.getPath)
+        val target =
+          try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        Some(n.dropRight(RefSuffix.length) -> new Path(target))
+      } else Some(n -> st.getPath)
+    }
+  }
+
+  /** The current version's data files, refs resolved. */
+  def dataFiles(spark: SparkSession, table: String): Seq[(String, Path)] =
+    currentLocation(spark, table)
+      .map(listData(spark, _)).getOrElse(Seq.empty)
+
+  /** The committed table as a DataFrame, mode-aware: the catalog table
+    * in link mode (its location IS the version directory), the
+    * manifest-resolved physical file set in manifest mode (where the
+    * version's files span directories and a path-scoped catalog table
+    * cannot see them). Writers that need `_metadata`/`input_file_name`
+    * provenance read through this instead of `spark.table`.
+    */
+  def readData(spark: SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    if (manifestMode(spark) && currentLocation(spark, table).isDefined) {
+      val paths = dataFiles(spark, table).map(_._2.toString)
+      require(paths.nonEmpty, s"$table resolves to no data files")
+      spark.read.parquet(paths: _*)
+    } else spark.table(table) // incl. not-yet-adopted tables in manifest mode
 
   /** Atomically claim pointer `v` with `dirName` as content. Exclusive:
     * returns false (never clobbers) if another writer claimed `v`
@@ -268,7 +333,17 @@ object SnapshotCommit {
     */
   def register(spark: SparkSession, table: String): Unit =
     currentVersion(spark, table).foreach { v =>
-      pointAt(spark, table, finalizeDir(spark, table, v))
+      val d = finalizeDir(spark, table, v)
+      if (manifestMode(spark)) {
+        // A manifest version's files span directories, which a
+        // path-scoped catalog table cannot express — the table name
+        // maps to a (re-created, hence always-fresh) temp view over the
+        // resolved physical file set instead; spark.table(name) works
+        // unchanged downstream.
+        val paths = listData(spark, d).map(_._2.toString)
+        (if (paths.nonEmpty) spark.read.parquet(paths: _*)
+         else spark.emptyDataFrame).createOrReplaceTempView(table)
+      } else pointAt(spark, table, d)
     }
 
   /** Create `table` at `loc`, or re-point a registration whose catalog
@@ -309,15 +384,33 @@ object SnapshotCommit {
     val cutoff = keep - 1 // retain keep and keep-1
     if (!fs.exists(root)) return
     val c = commitsPath(root)
-    // Directory names still referenced by retained pointers (a crashed
-    // finalization can leave a retained version under its staging name).
-    val referenced: Set[String] =
-      if (!fs.exists(c)) Set.empty
+    val retainedVersions: Seq[Long] =
+      if (!fs.exists(c)) Seq.empty
       else fs.listStatus(c).toSeq
         .flatMap(st => versionOf(st.getPath.getName))
         .filter(_ >= cutoff)
-        .flatMap(v => resolveDir(spark, table, v).map(_.getName))
+    // Directory names still referenced by retained pointers (a crashed
+    // finalization can leave a retained version under its staging name).
+    val referenced: Set[String] = retainedVersions
+      .flatMap(v => resolveDir(spark, table, v).map(_.getName)).toSet
+    // Manifest mode prunes by REFERENCE COUNT: a stale version's
+    // directory may physically hold files that retained manifests still
+    // point at — only unreferenced files are deleted, and the directory
+    // survives (shrunken) while anything in it is still live.
+    val referencedPhys: Set[String] =
+      if (!manifestMode(spark)) Set.empty
+      else retainedVersions
+        .flatMap(v => resolveDir(spark, table, v).toSeq
+          .flatMap(d => listData(spark, d).map(_._2.toUri.getPath)))
         .toSet
+    def gcDir(dir: Path): Unit = {
+      fs.listStatus(dir).foreach { s =>
+        if (s.isDirectory) gcDir(s.getPath)
+        else if (!referencedPhys.contains(s.getPath.toUri.getPath))
+          fs.delete(s.getPath, false)
+      }
+      if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+    }
     val now = System.currentTimeMillis()
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
@@ -328,7 +421,10 @@ object SnapshotCommit {
           !referenced(n) && !activeStages.contains(st.getPath.toString) &&
             now - st.getModificationTime > StageGraceMs
         else false
-      if (stale) fs.delete(st.getPath, true)
+      if (stale) {
+        if (manifestMode(spark)) gcDir(st.getPath)
+        else fs.delete(st.getPath, true)
+      }
     }
     if (fs.exists(c)) fs.listStatus(c).foreach { st =>
       val n = st.getPath.getName
@@ -342,6 +438,7 @@ object SnapshotCommit {
   /** Drop the table and delete every version — the clean-slate used when
     * a pipeline (re)builds from scratch. */
   def destroy(spark: SparkSession, table: String): Unit = {
+    spark.catalog.dropTempView(table) // manifest-mode registration
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val root = rootDir(spark, table)
     val fs = fsOf(spark, root)
@@ -349,13 +446,31 @@ object SnapshotCommit {
   }
 
   /** Carry an unchanged file into a staged snapshot WITHOUT disturbing
-    * the live version: hard link on a local filesystem (a directory
-    * entry, no IO), copy elsewhere. Never a rename — the source must
-    * stay readable until the new version is published.
+    * the live version. Link mode: hard link on a local filesystem (a
+    * directory entry, no IO), copy elsewhere; never a rename — the
+    * source must stay readable until the new version is published.
+    * Manifest mode: write a `<dst-name>.graftref` whose content is the
+    * PHYSICAL source path — pure metadata on any store; the source file
+    * never moves, and if `src` is itself a ref its target is recorded
+    * instead, so chains stay one hop deep.
     */
   def carry(spark: SparkSession, src: Path, dst: Path): Unit = {
     val fs = fsOf(spark, dst)
     if (dst.getParent != null) fs.mkdirs(dst.getParent)
+    if (manifestMode(spark)) {
+      val phys =
+        if (!src.getName.endsWith(RefSuffix)) src
+        else {
+          val in = fsOf(spark, src).open(src)
+          val t =
+            try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+          new Path(t)
+        }
+      val ref = new Path(dst.getParent, dst.getName + RefSuffix)
+      val out = fs.create(ref, true)
+      try out.write(phys.toString.getBytes("UTF-8")) finally out.close()
+      return
+    }
     val linked = fs.getScheme == "file" &&
       (try {
         java.nio.file.Files.createLink(

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dataset, Materialize, Pipeline}
+import graft.storage.{DeletionVectors, Optimize, SnapshotCommit}
+
+/** Manifest carry mode (`spark.graft.snapshot.manifest = true`): version
+  * N+1 references version N's unchanged files IN PLACE through
+  * `.graftref` metadata files instead of hard links — the object-store
+  * shape, where a link is impossible and a copy would be O(table). The
+  * claims pinned here: carry cost is pure metadata (ref files are a few
+  * bytes; physical files never move), resolution spans version
+  * directories transparently (`spark.table` keeps working through the
+  * re-registered view), the whole DV lifecycle (delete / time travel /
+  * restore / vacuum / optimize) runs unchanged on top, crash replay
+  * holds, and reference-counting GC never collects a file a retained
+  * manifest still points at.
+  */
+class ManifestSnapshotSpec extends SparkSpec {
+
+  private def withManifestMode[T](f: => T): T = {
+    spark.conf.set("spark.graft.snapshot.manifest", "true")
+    try f finally spark.conf.unset("spark.graft.snapshot.manifest")
+  }
+
+  private def hfs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def incPipe(name: String, src: org.apache.spark.sql.DataFrame,
+      cluster: Seq[String] = Nil): Pipeline =
+    new Pipeline().register(Dataset(name, Nil, (_, _) => src,
+      materialize = Materialize.Incremental(Seq("k")),
+      clusterBy = cluster))
+
+  test("incremental merge carries unchanged files as pure metadata refs") {
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try withManifestMode {
+      val tbl = "man_inc_tbl"
+      SnapshotCommit.destroy(spark, tbl)
+      incPipe(tbl, spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 10).as("v")),
+        cluster = Seq("k")).run(spark)
+      val v1 = SnapshotCommit.currentLocation(spark, tbl).get
+      val v1Files = SnapshotCommit.listData(spark, v1)
+      assert(v1Files.size >= 2, s"first load landed in ${v1Files.size} file")
+      // merge updates the low range, inserts new keys
+      incPipe(tbl, spark.range(0, 10)
+        .select(col("id").as("k"), lit(-1L).as("v"))
+        .unionByName(spark.range(100, 105)
+          .select(col("id").as("k"), lit(7L).as("v"))),
+        cluster = Seq("k")).run(spark)
+      val after = spark.table(tbl)
+      assert(after.count() === 105)
+      assert(after.filter(col("k") < 10 && col("v") =!= -1L).count() === 0)
+      assert(after.filter(col("k").between(10, 99)
+        && col("v") =!= col("k") * 10).count() === 0)
+      val cur = SnapshotCommit.currentLocation(spark, tbl).get
+      val fs = hfs(cur)
+      val refs = fs.listStatus(cur)
+        .filter(_.getPath.getName.endsWith(SnapshotCommit.RefSuffix))
+      assert(refs.nonEmpty, "no metadata refs in the merged version")
+      // THE claim: carry cost is metadata, not data. Every ref is a few
+      // bytes, and every referenced physical file lives OUTSIDE the new
+      // version's directory, untouched in the version that wrote it.
+      refs.foreach(r => assert(r.getLen < 512,
+        s"ref ${r.getPath.getName} is ${r.getLen} bytes — not metadata"))
+      val resolved = SnapshotCommit.listData(spark, cur)
+      val carried = resolved.filter(_._2.getParent.toUri.getPath
+        != cur.toUri.getPath)
+      assert(carried.nonEmpty, "no file resolved outside the current dir")
+      carried.foreach { case (_, phys) =>
+        assert(fs.exists(phys), s"referenced file $phys missing") }
+      // v1's physical files that the current manifest references were
+      // NOT collected by the post-commit prune.
+      assert(carried.exists(_._2.getParent.toUri.getPath
+        == v1.toUri.getPath), "no carried file traces back to v1")
+    } finally saved match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
+  test("DV lifecycle on manifest carries: delete, time travel, restore, vacuum") {
+    withManifestMode {
+      val tbl = "man_dv_tbl"
+      Seq(tbl, s"${tbl}__dv").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      SnapshotCommit.destroy(spark, tbl)
+      spark.range(0, 1000).select(col("id"), (col("id") * 3).as("payload"))
+        .repartitionByRange(4, col("id"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      val origDir = new org.apache.hadoop.fs.Path(
+        spark.table(tbl).inputFiles.head).getParent
+      def origListing(): Set[(String, Long)] = {
+        val fs = hfs(origDir)
+        fs.listStatus(origDir).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+      }
+      val before = origListing()
+      // v1 is range-LOCAL (only the lower files hold matches) so the
+      // vacuum below must rewrite some files and carry the rest by ref.
+      val del1 = col("id") % 10 === 0 && col("id") < 500
+      val v1 = DeletionVectors.delete(spark, tbl, del1)
+      val v2 = DeletionVectors.delete(spark, tbl, col("id") >= 900)
+      assert((v1, v2) === (1L, 2L))
+      // Adoption + both deletes reference the ORIGINAL files in place:
+      // zero data bytes moved, names and mtimes untouched.
+      assert(origListing() === before, "a manifest delete moved data files")
+      val cur = SnapshotCommit.currentLocation(spark, tbl).get
+      val fs = hfs(cur)
+      val dataCopies = fs.listStatus(cur).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      assert(dataCopies.isEmpty,
+        s"current version holds data copies: ${dataCopies.map(_.getPath.getName).mkString(",")}")
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("id").collect().map(_.getLong(0)).toSet
+      val all = (0L until 1000L).toSet
+      def d1(i: Long) = i % 10 == 0 && i < 500
+      assert(ids(DeletionVectors.read(spark, tbl))
+        === all.filterNot(i => d1(i) || i >= 900))
+      assert(ids(DeletionVectors.readAt(spark, tbl, v1))
+        === all.filterNot(d1))
+      assert(ids(DeletionVectors.readAt(spark, tbl, 0)) === all)
+      // restore rolls back metadata-only
+      DeletionVectors.restore(spark, tbl, v1)
+      assert(ids(DeletionVectors.read(spark, tbl)) === all.filterNot(d1))
+      assert(origListing() === before, "restore touched data files")
+      // vacuum folds v1 physically: affected files rewritten as REAL
+      // files in the new version, everything else still a ref; newer
+      // deletes stay separable.
+      val v3 = DeletionVectors.delete(spark, tbl, col("id") % 7 === 0)
+      val liveBefore = ids(DeletionVectors.read(spark, tbl))
+      DeletionVectors.vacuum(spark, tbl, cutoff = v1)
+      assert(ids(DeletionVectors.read(spark, tbl)) === liveBefore,
+        "vacuum changed the live view")
+      assert(ids(DeletionVectors.readAt(spark, tbl, v1))
+        === all.filterNot(d1), "floor state lost")
+      val curV = SnapshotCommit.currentLocation(spark, tbl).get
+      val rewritten = hfs(curV).listStatus(curV).filter(s =>
+        s.isFile && s.getPath.getName.startsWith("vacuum-"))
+      assert(rewritten.nonEmpty, "vacuum wrote no rewritten groups")
+      assert(hfs(curV).listStatus(curV)
+        .exists(_.getPath.getName.endsWith(SnapshotCommit.RefSuffix)),
+        "vacuum copied untouched files instead of carrying refs")
+      val v4 = DeletionVectors.delete(spark, tbl, col("id") === 1)
+      assert(v4 === v3 + 1, "version chain broke across vacuum")
+      assert(ids(DeletionVectors.read(spark, tbl)) === (liveBefore - 1L))
+    }
+  }
+
+  test("optimize on manifest mode folds DVs and compacts into real files") {
+    withManifestMode {
+      val tbl = "man_opt_tbl"
+      Seq(tbl, s"${tbl}__dv").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      SnapshotCommit.destroy(spark, tbl)
+      spark.range(0, 5000)
+        .select(col("id"), lpad(col("id").cast("string"), 64, "x").as("pad"))
+        .repartition(8)
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      DeletionVectors.delete(spark, tbl, col("id") % 5 === 0)
+      val (nb, na) = Optimize.compact(spark, tbl)
+      assert(nb === 8 && na < nb)
+      assert(!spark.catalog.tableExists(s"${tbl}__dv"))
+      assert(spark.table(tbl).count() === 4000)
+      assert(spark.table(tbl).filter(col("id") % 5 === 0).count() === 0)
+    }
+  }
+
+  test("manifest commits replay across crashes like link commits") {
+    withManifestMode {
+      val tbl = "man_crash_tbl"
+      SnapshotCommit.destroy(spark, tbl)
+      def state(): Map[Long, Long] = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      incPipe(tbl, spark.range(0, 50)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))).run(spark)
+      assert(state().sizeIs == 50)
+      SnapshotCommit.failpoint =
+        s => if (s == "staged") throw new RuntimeException("injected")
+      try intercept[RuntimeException](incPipe(tbl, spark.range(0, 5)
+        .select(col("id").as("k"), lit(-1L).as("v"))).run(spark))
+      finally SnapshotCommit.failpoint = _ => ()
+      assert(state()(3L) === 6L, "pre-publish crash must keep the old version")
+      SnapshotCommit.failpoint =
+        s => if (s == "committed") throw new RuntimeException("injected")
+      try intercept[RuntimeException](incPipe(tbl, spark.range(0, 5)
+        .select(col("id").as("k"), lit(-1L).as("v"))).run(spark))
+      finally SnapshotCommit.failpoint = _ => ()
+      SnapshotCommit.register(spark, tbl) // replay: view over the new version
+      assert(state()(3L) === -1L,
+        "post-publish crash must surface the committed version after replay")
+      incPipe(tbl, spark.range(50, 55)
+        .select(col("id").as("k"), lit(9L).as("v"))).run(spark)
+      assert(state().sizeIs == 55)
+    }
+  }
+}
