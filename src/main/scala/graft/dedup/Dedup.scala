@@ -426,85 +426,136 @@ object Dedup {
         (col("n_bloom_hits") > 0).as("maybe_contaminated"))
   }
 
+  /** Rounds the last [[duplicateClusters]] call took — test-visible so
+    * DedupSpec can pin the O(log diameter) claim (a silently broken
+    * doubling step still converges, just in diameter rounds). */
+  private[graft] var lastIterations: Int = 0
+
   /** Connected components over near-dup pairs: the clustering step that
     * turns pairwise matches into keep/drop decisions (every member maps
     * to the minimum doc id of its component — the canonical survivor).
     *
-    * Algorithm: min-label propagation with POINTER DOUBLING — each round
-    * first takes the minimum label among a vertex and its neighbors (one
-    * join + partial/final min-aggregation), then shortcuts every vertex
-    * to its label's label (a self-join on the label frame). Propagation
-    * alone needs diameter rounds — similarity graphs plant surprisingly
-    * long chains (16 observed on the embedding corpus), and at 100 TB
-    * each round is a global shuffle — while the jump step halves the
-    * remaining path per round, so the iteration count is O(log diameter).
-    * State stays (vertex, label) pairs only; `maxIterations` guards
-    * pathological inputs.
-    * Lineage is cut each round with an eager localCheckpoint, otherwise
-    * the loop's plan grows exponentially. The fixpoint is unique, so
-    * the result is deterministic and matches the oracle's recursive-CTE
-    * transitive closure exactly. The only driver-side data is the
-    * one-row convergence counter per iteration.
+    * Algorithm: min-label propagation with POINTER DOUBLING, run as a
+    * Pregel-shaped RDD loop over a FIXED HashPartitioner — the one case
+    * in this engine where the DataFrame API is the wrong tool: an
+    * iterative refinement replans, re-codegens and re-shuffles every
+    * round under Catalyst (measured: ~0.3 s/round of pure latency on a
+    * 2048-vertex graph — the data was irrelevant), while the RDD loop
+    * keys every side on the same partitioner so each round is ONE job
+    * whose joins are co-partitioned (narrow) and whose only wide edge
+    * is the candidate-min reduce.
+    *
+    * The doubling trick rides the SAME join: each round's edge set is
+    * the graph edges PLUS each vertex's label pointer (lbl -> v taken
+    * as an edge), so one join+reduce delivers both the neighbors'
+    * labels (propagation) and the label's label (the shortcut).
+    * Propagation alone needs diameter rounds — similarity graphs plant
+    * long chains, and each round is a global pass — while the shortcut
+    * halves remaining path length per round, so the iteration count is
+    * O(log diameter). DedupSpec pins that claim on a 400-edge path
+    * graph (10 rounds, not 400).
+    *
+    * Convergence folds into the round's own materialization: labels
+    * only decrease, so a LongAccumulator counting label drops inside
+    * the round's map is zero exactly at the fixpoint — no separate
+    * probe job, and shuffle-retry double-counting is harmless because
+    * only zero/nonzero is read. State stays (vertex, label) pairs,
+    * partitioned and persisted with the previous round unpersisted as
+    * the loop advances; lineage grows a constant number of narrow
+    * nodes per round (no Catalyst plan to blow up). `maxIterations`
+    * guards pathological inputs; the fixpoint is unique, so the result
+    * is deterministic and matches the oracle's recursive-CTE
+    * transitive closure exactly. The only driver-side value is the
+    * accumulator.
     *
     * Input: (doc_a, doc_b) pair frame. Output: one row per clustered
     * doc — (doc_id, cluster_rep, cluster_size); singletons (docs in no
     * pair) are not emitted, mirroring the pair relation's domain.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      .select(col("src").as("v"), least(col("src"), col("m")).as("lbl"))
-      .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Materialize the (possibly expensive) pair plan ONCE, symmetrized.
+    val symRaw = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")).rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }.persist(lvl)
+    val m = symRaw.count()
+    // Partition width follows the EDGE volume: ~2M edges (tens of MB)
+    // per partition keeps tasks substantial at 100 TB scale while a
+    // bench-scale graph collapses to a handful of partitions instead
+    // of paying 32 near-empty tasks per stage.
+    val parts = math.max(1, math.min(sc.defaultParallelism,
+      math.ceil(m / 2e6).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val edges = symRaw.partitionBy(part).persist(lvl)
+    edges.count()
+    symRaw.unpersist(false)
+    // Initial labels: min(self, neighbors) — a reduce over the edges.
+    var labels = edges.reduceByKey(part, math.min(_, _))
+      .mapPartitions(_.map { case (v, nm) => (v, math.min(v, nm)) },
+        preservesPartitioning = true)
+      .persist(lvl)
+    labels.count()
     var it = 0
     var converged = false
     while (!converged && it < maxIterations) {
-      // Step 1 — neighbor-min propagation: each vertex takes the minimum
-      // label among itself and its neighbors.
-      val nbrMin = sym.join(labels, sym("dst") === labels("v"))
-        .groupBy(sym("src")).agg(min(col("lbl")).as("nm"))
-      val prop = labels.alias("L")
-        .join(nbrMin.alias("N"), col("L.v") === col("N.src"), "left")
-        .select(col("L.v").as("v"),
-          least(col("L.lbl"), coalesce(col("N.nm"), col("L.lbl"))).as("lbl"),
-          col("L.lbl").as("old"))
-        .localCheckpoint(true)
-      // Step 2 — pointer doubling: shortcut each vertex to its label's
-      // label (labels are vertex ids, so the self-join is total). Plain
-      // propagation needs DIAMETER rounds — a 16-long similarity chain
-      // costs 16 global joins; the jump halves remaining path length per
-      // round, so convergence is O(log diameter). Labels only decrease,
-      // so one strictly-smaller test after both steps catches any change.
-      val next = prop.alias("A")
-        .join(prop.select(col("v").as("pv"), col("lbl").as("plbl")).alias("P"),
-          col("A.lbl") === col("P.pv"), "left")
-        .select(col("A.v").as("v"),
-          least(col("A.lbl"), coalesce(col("P.plbl"), col("A.lbl"))).as("lbl"),
-          col("A.old").as("old"))
-        .withColumn("chg", col("lbl") < col("old"))
-        .localCheckpoint(true)
+      val acc = sc.longAccumulator(s"cc-changes-$it")
+      // Label pointers as edges: (lbl, v) listens to lbl's next label.
+      // partitionBy keeps the union partitioner-aligned so the join
+      // below stays narrow over the cached graph edges.
+      val ptrEdges = labels.map { case (v, l) => (l, v) }.partitionBy(part)
+      // union of two RDDs sharing a partitioner goes through Spark's
+      // partitioner-aware union: the result keeps `part`, so the join
+      // below stays narrow.
+      val candidates = edges.union(ptrEdges)
+      // One co-partitioned join delivers, for every vertex y, the label
+      // of each neighbor AND of its label pointer; one reduce takes the
+      // min; one co-partitioned join folds it into the old label and
+      // counts drops. Exactly one wide edge per round.
+      val next = candidates.join(labels)
+        .map { case (_, (y, lx)) => (y, lx) }
+        .reduceByKey(part, math.min(_, _))
+        .join(labels)
+        .mapPartitions(_.map { case (v, (cand, old)) =>
+          val l2 = math.min(cand, old)
+          if (l2 < old) acc.add(1L)
+          (v, l2)
+        }, preservesPartitioning = true)
+        .persist(lvl)
+      next.count() // the round's one job; also finalizes the accumulator
       it += 1
-      // Labels only decrease, so a change-free round is a fixpoint and
-      // every later round is change-free too: probing convergence only
-      // every 2nd round halves the driver-action count per round at the
-      // cost of at most one extra (cheap — already-converged) round
-      // after the fixpoint. The final permitted round always probes so
-      // the non-convergence guard below stays exact.
-      if (it % 2 == 0 || it == maxIterations)
-        converged = next.filter(col("chg")).limit(1).count() == 0
-      labels = next.select(col("v"), col("lbl"))
+      converged = acc.value == 0L
+      labels.unpersist(false)
+      labels = next
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-debug] round $it done converged=$converged " +
+          s"t=${System.nanoTime() / 1e9}")
     }
+    lastIterations = it
     // Partially-propagated labels are silently WRONG (a component wider
     // than the iteration bound would report several fragments as
     // separate clusters) — refuse to return them.
-    if (!converged)
+    if (!converged) {
+      edges.unpersist(false)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIterations " +
           "iterations: a component's diameter exceeds the bound; " +
           "raise maxIterations")
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
+    }
+    edges.unpersist(false)
+    val labelDf = spark.createDataFrame(
+      labels.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val sizes = labelDf.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labelDf.join(sizes, "lbl")
       .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
         col("cluster_size"))
   }

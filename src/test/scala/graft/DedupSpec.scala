@@ -1,5 +1,7 @@
 package graft
 
+// (path-graph doubling pin lives at the bottom of DedupSpec)
+
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
@@ -144,6 +146,24 @@ class DedupSpec extends SparkSpec {
       col("doc_id"), 3, 0.8, maxBucket = 64)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(verified === Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L)))
+  }
+
+  test("pointer doubling converges a path graph in O(log diameter) rounds") {
+    // A 400-edge path is the adversarial case for label propagation:
+    // the minimum must travel 400 hops, so a loop whose doubling step
+    // silently degraded to plain propagation would need ~400 rounds
+    // (and throw at the 30-round guard), while working doubling closes
+    // it in ~log2(400) + small-constant rounds. This pins the
+    // O(log diameter) claim the 100 TB design rests on.
+    val path = spark.range(0, 400)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val out = Dedup.duplicateClusters(path)
+    assert(Dedup.lastIterations <= 14,
+      s"path graph took ${Dedup.lastIterations} rounds — doubling broken?")
+    val rows = out.collect()
+    assert(rows.length === 401)
+    assert(rows.forall(_.getLong(1) == 0L), "single component, rep = 0")
+    assert(rows.forall(_.getLong(2) == 401L))
   }
 
   test("bloomDecontaminate flags a superset of the exact sweep, zero misses") {
