@@ -50,6 +50,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
+    val timesByName =
+      scala.collection.mutable.Map.empty[String, Seq[Double]]
     val results = buildEntry +: selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (times.lastOption.forall(_ >= 0) && times.length < runs) {
@@ -61,7 +63,18 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         times += (if (ok) dt else -dt)   // stop repeating on first failure
       }
+      timesByName(name) = times.toSeq
       name -> (if (times.last < 0) times.last else times.min)
+    }
+    // Per-query SPREAD (max/min over the measured runs): separates
+    // load-noise from plan regressions in the recorded full JSON — an
+    // entry whose min matches last round but whose spread is 3 was a
+    // busy machine, not a plan change. Full-JSON only (the compact
+    // stdout line has a byte budget).
+    val spreads = results.collect {
+      case (k, v) if v >= 0 && timesByName.get(k).exists(_.sizeIs > 1) =>
+        val ts = timesByName(k)
+        k -> ts.max / math.max(1e-9, ts.min)
     }
     // The driver records only the LAST 2000 chars of stdout and parses the
     // final line as JSON. The full per-query map (146 names summing to
@@ -75,16 +88,23 @@ object Bench {
     // `showSuccess := false` in build.sbt keeps sbt from appending a
     // "[success]" trailer after this line.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val errNames = results.collect { case (k, v) if v < 0 => k }
+    def errJson(names: Seq[String]) =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    def render(entries: Seq[(String, Double)], extra: String): String = {
+    def render(entries: Seq[(String, Double)], errors: String,
+        extra: String): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","errors":$errors$extra,"queries":$qs}"""
     }
-    val fullJson = render(results, ""","n":""" + results.length)
+    val spreadJson = spreads.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v) }
+      .mkString("{", ",", "}")
+    val fullJson = render(results, errJson(errNames),
+      s""","n":${results.length},"spread":$spreadJson""")
     for (path <- Seq("target/bench.json", "BENCH_LATEST.json",
                      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))) {
       try {
@@ -95,23 +115,35 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $path: $e") }
     }
-    // Compact line: keep every failed entry, then add passing entries
-    // slowest-first while the rendered line stays under the budget.
+    // Compact line: failed entries live ONLY in the (budget-capped)
+    // errors array — repeating them in the queries map would let a
+    // many-failure run blow past the driver's 2000-char stdout tail
+    // and yield parsed:null, the exact failure this line exists to
+    // avoid. Passing entries are added slowest-first while the
+    // rendered line stays under the budget; everything always lands in
+    // the full-JSON files regardless.
     val budget = 1800
-    val failed = results.filter(_._2 < 0)
+    val errShown = errNames.take(40)
+    val errCompact = errJson(errShown)
+    val errOmitted =
+      if (errNames.sizeIs > errShown.size)
+        s""","errors_omitted":${errNames.size - errShown.size}"""
+      else ""
     val passing = results.filter(_._2 >= 0).sortBy(-_._2)
-    var kept = failed ++ passing.take(1)
+    var kept = passing.take(1)
     var i = 1
     def extraFor(k: Seq[(String, Double)]): String = {
-      val omitted = results.filterNot(r => k.exists(_._1 == r._1))
+      val omitted = results.filter(_._2 >= 0)
+        .filterNot(r => k.exists(_._1 == r._1))
       val omax = if (omitted.isEmpty) 0.0 else omitted.map(r => math.abs(r._2)).max
-      s""","n":${results.length},"omitted":${omitted.length},"omitted_max_sec":${ms(omax)},"full":"target/bench.json BENCH_LATEST.json""""
+      s"""$errOmitted,"n":${results.length},"omitted":${omitted.length},"omitted_max_sec":${ms(omax)},"full":"target/bench.json BENCH_LATEST.json""""
     }
     while (i < passing.length &&
-           render(kept :+ passing(i), extraFor(kept :+ passing(i))).length < budget) {
+           render(kept :+ passing(i), errCompact,
+             extraFor(kept :+ passing(i))).length < budget) {
       kept = kept :+ passing(i); i += 1
     }
-    val compact = render(kept, extraFor(kept))
+    val compact = render(kept, errCompact, extraFor(kept))
     spark.stop()
     println(compact)
   }
