@@ -168,6 +168,47 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("concurrent merges under manifest carries: loser rebases through the view") {
+    import java.util.concurrent.{CyclicBarrier, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    withManifestMode {
+      val tbl = "man_conc_tbl"
+      SnapshotCommit.destroy(spark, tbl)
+      incPipe(tbl, spark.range(0, 20)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))).run(spark)
+      val gate = new CyclicBarrier(2)
+      val staged = new AtomicInteger(0)
+      SnapshotCommit.failpoint = s =>
+        if (s == "staged" && staged.incrementAndGet() <= 2) {
+          gate.await(30, TimeUnit.SECONDS); ()
+        }
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val a = Future(incPipe(tbl, spark.range(0, 5)
+          .select(col("id").as("k"), lit(-1L).as("v"))).run(spark))
+        val b = Future(incPipe(tbl, spark.range(20, 25)
+          .select(col("id").as("k"), lit(7L).as("v"))).run(spark))
+        Await.result(Future.sequence(Seq(a, b)), Duration.Inf)
+        pool.shutdown()
+      } finally SnapshotCommit.failpoint = _ => ()
+      // The loser's rebase resolved the winner's version THROUGH THE
+      // MANIFEST (re-created temp view + ref-resolved physical paths):
+      // both upserts present, untouched keys intact, serialized v3.
+      val out = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.sizeIs == 25)
+      assert((0L until 5L).forall(out(_) == -1L))
+      assert((20L until 25L).forall(out(_) == 7L))
+      assert((5L until 20L).forall(k => out(k) == k * 2))
+      assert(SnapshotCommit.currentVersion(spark, tbl) === Some(3L))
+      assert(staged.get() === 3)
+    }
+  }
+
   test("manifest commits replay across crashes like link commits") {
     withManifestMode {
       val tbl = "man_crash_tbl"

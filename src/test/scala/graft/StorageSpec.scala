@@ -198,6 +198,52 @@ class StorageSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).collect()(0) === checksum)
   }
 
+  test("concurrent DV deletes serialize: loser rebases its stamp and sidecar union") {
+    import java.util.concurrent.{CyclicBarrier, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "dv_conc_spec_tbl"
+    Seq(tbl, s"${tbl}__dv").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    SnapshotCommit.destroy(spark, tbl)
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    // Serial first delete: adopts the table and anchors version 1.
+    assert(DeletionVectors.delete(spark, tbl, col("id") < 10) === 1L)
+    // Two deletes race the SAME claim: both stage a sidecar stamped
+    // v=2 against the same base; the loser must re-derive (stamp 3,
+    // union over the winner's sidecar), not clobber.
+    val gate = new CyclicBarrier(2)
+    val staged = new AtomicInteger(0)
+    SnapshotCommit.failpoint = s =>
+      if (s == "staged" && staged.incrementAndGet() <= 2) {
+        gate.await(30, TimeUnit.SECONDS); ()
+      }
+    val out = try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val a = Future(DeletionVectors.delete(spark, tbl, col("id") >= 990))
+      val b = Future(DeletionVectors.delete(spark, tbl,
+        col("id").between(500, 509)))
+      val r = Await.result(Future.sequence(Seq(a, b)), Duration.Inf)
+      pool.shutdown(); r
+    } finally SnapshotCommit.failpoint = _ => ()
+    assert(out.toSet === Set(2L, 3L),
+      s"concurrent deletes did not serialize their stamps: $out")
+    assert(staged.get() === 3, "expected exactly one rebased attempt")
+    assert(DeletionVectors.version(spark, tbl) === 3L)
+    // All three deletes are live — no vector was lost to the race.
+    val live = DeletionVectors.read(spark, tbl)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(live === (0L until 1000L).toSet
+      .filterNot(i => i < 10 || i >= 990 || (i >= 500 && i <= 509)))
+    // And time travel still separates them in commit order.
+    assert(DeletionVectors.readAt(spark, tbl, 1).count() === 990)
+  }
+
   test("optimize on a DV table folds the vectors in instead of resurrecting deletes") {
     import org.apache.spark.sql.functions._
     import graft.storage.{DeletionVectors, Optimize}
