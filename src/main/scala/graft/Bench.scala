@@ -70,7 +70,12 @@ object Bench {
     // load-noise from plan regressions in the recorded full JSON — an
     // entry whose min matches last round but whose spread is 3 was a
     // busy machine, not a plan change. Full-JSON only (the compact
-    // stdout line has a byte budget).
+    // stdout line has a byte budget). Reading the field: in the r7
+    // snapshot every spread>2 entry under 1 s min is codegen/JIT
+    // warm-up on a near-instant plan (first run compiles, later runs
+    // don't), not variance worth chasing; the only >1 s entries with
+    // spread>2 — b3 (per-run table rebuild IO) and d2 (declared exact
+    // baseline) — carry their own scaladoc notes.
     val spreads = results.collect {
       case (k, v) if v >= 0 && timesByName.get(k).exists(_.sizeIs > 1) =>
         val ts = timesByName(k)

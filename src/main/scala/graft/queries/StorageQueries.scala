@@ -206,7 +206,11 @@ object StorageQueries {
     * (file, row_index) coordinates to a sidecar, the read subtracts
     * them with a broadcast anti-join, and the data files are never
     * rewritten (StorageSpec pins names+sizes). Rebuilt per run so the
-    * accumulated-vector state is deterministic.
+    * accumulated-vector state is deterministic. Bench note: that
+    * rebuild (parquet saveAsTable + two snapshot commits) is filesystem
+    * IO, not plan work — under load its wall time swings with fsync
+    * latency (r7 spread ~2.2), which the per-query `spread` field in
+    * the bench JSON exists to flag.
     */
   val b3DeletionVectors = withOracle(
     "b3_deletion_vectors",
