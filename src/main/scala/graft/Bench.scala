@@ -110,8 +110,20 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson = render(results, errJson(errNames),
       s""","n":${results.length},"spread":$spreadJson""")
-    for (path <- Seq("target/bench.json", "BENCH_LATEST.json",
-                     sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))) {
+    // A prefix-filtered run is a LOCAL-ITERATION artifact: it must never
+    // overwrite the committed full-catalog snapshot (BENCH_LATEST.json) —
+    // round 7's end-of-round commit did exactly that, replacing the
+    // 146-entry catalog with a 14-entry subset and corrupting the
+    // round-over-round evidence chain. Filtered runs land in
+    // target/bench-partial.json only.
+    val outPaths =
+      if (only.isDefined)
+        Seq("target/bench-partial.json",
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_partial.json"))
+      else
+        Seq("target/bench.json", "BENCH_LATEST.json",
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
+    for (path <- outPaths) {
       try {
         val p = java.nio.file.Paths.get(path).toAbsolutePath
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -141,7 +153,7 @@ object Bench {
       val omitted = results.filter(_._2 >= 0)
         .filterNot(r => k.exists(_._1 == r._1))
       val omax = if (omitted.isEmpty) 0.0 else omitted.map(r => math.abs(r._2)).max
-      s"""$errOmitted,"n":${results.length},"omitted":${omitted.length},"omitted_max_sec":${ms(omax)},"full":"target/bench.json BENCH_LATEST.json""""
+      s"""$errOmitted,"n":${results.length},"omitted":${omitted.length},"omitted_max_sec":${ms(omax)},"full":"${outPaths.mkString(" ")}""""
     }
     while (i < passing.length &&
            render(kept :+ passing(i), errCompact,

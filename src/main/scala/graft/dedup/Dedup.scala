@@ -493,7 +493,10 @@ object Dedup {
     val part = new org.apache.spark.HashPartitioner(parts)
     val edges = symRaw.partitionBy(part).persist(lvl)
     edges.count()
-    symRaw.unpersist(false)
+    // Blocking: symRaw duplicates the edge bytes; freeing it before the
+    // loop starts (not whenever the async removal lands) keeps exactly
+    // one copy of the graph in the block manager during the rounds.
+    symRaw.unpersist(true)
     // Initial labels: min(self, neighbors) — a reduce over the edges.
     var labels = edges.reduceByKey(part, math.min(_, _))
       .mapPartitions(_.map { case (v, nm) => (v, math.min(v, nm)) },
@@ -546,7 +549,17 @@ object Dedup {
           "iterations: a component's diameter exceeds the bound; " +
           "raise maxIterations")
     }
-    edges.unpersist(false)
+    // Blocking: edges is the big block-manager tenant (2 entries per
+    // input pair). The caller's downstream plan reads only `labels`, so
+    // eagerly evicting edges here — rather than letting the async
+    // removal race the next catalog entry — is what keeps a bench sweep
+    // (or a multi-tenant cluster) from carrying dead graph blocks into
+    // the queries that follow. `labels` itself must stay persisted: the
+    // returned frame reads it, and its lineage (cut per round only by
+    // persistence) would otherwise recompute the whole loop; it is
+    // small — one (vertex, label) pair per clustered doc — and the
+    // ContextCleaner reclaims it when the result frame is dropped.
+    edges.unpersist(true)
     val labelDf = spark.createDataFrame(
       labels.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
       org.apache.spark.sql.types.StructType(Seq(

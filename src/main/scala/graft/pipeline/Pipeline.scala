@@ -413,17 +413,24 @@ class Pipeline {
           spark.table(name)
       }
     if (d.tableProperties.nonEmpty && d.materialize != Materialize.View) {
+      // Authoritative copy: the snapshot-root `_properties` sidecar
+      // survives catalog mode changes (a manifest-mode temp view cannot
+      // carry TBLPROPERTIES) — Optimize reads `delta.targetFileSize`
+      // from here in either mode.
+      graft.storage.SnapshotCommit.setProperties(spark, name,
+        d.tableProperties)
       val props = d.tableProperties
         .map { case (k, v) =>
           s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'" }
         .mkString(", ")
-      // Manifest-mode incremental tables resolve through a temp view,
-      // which cannot carry TBLPROPERTIES — informational metadata only,
-      // so note and continue rather than fail the build.
+      // Catalog copy where the catalog can hold one (SHOW TBLPROPERTIES
+      // discoverability); temp views reject the ALTER — the sidecar
+      // already has it, so note and continue.
       try spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES ($props)")
       catch { case e: org.apache.spark.sql.AnalysisException =>
         System.err.println(
-          s"[pipeline] $name: tableProperties not recorded (${e.getMessage})")
+          s"[pipeline] $name: catalog tableProperties not recorded " +
+            s"(${e.getMessage}); snapshot-root sidecar holds them")
       }
     }
     out

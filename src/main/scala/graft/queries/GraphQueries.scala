@@ -30,6 +30,21 @@ import graft.core.Tables
   * rounds you'd also checkpoint the rank frame per round exactly as
   * dedup/Dedup.scala's connected components does; at a fixed 3 rounds
   * the rank lineage stays linear and needs no cut.
+  *
+  * Two deliberate trades of this pattern:
+  *  - CLEANUP IS GC-DRIVEN: the returned frame references the three
+  *    checkpointed RDDs, so they cannot be unpersisted inside this
+  *    builder; their blocks are reclaimed by the ContextCleaner once
+  *    the caller drops the result. Each invocation materializes a
+  *    fresh set (~edge-list-sized), so a harness that holds many
+  *    results live should expect that storage-memory tenancy.
+  *  - localCheckpoint uses NON-RELIABLE executor-local storage: a lost
+  *    executor makes the truncated lineage unrecoverable, and dynamic
+  *    allocation can trigger exactly that — at cluster scale prefer
+  *    reliable `checkpoint()` (to the cluster FS) or pin executors, the
+  *    caveat Spark's own localCheckpoint scaladoc carries. local[n]
+  *    (this harness) has no executor loss, so the cheap variant is
+  *    correct here.
   */
 object GraphQueries {
 

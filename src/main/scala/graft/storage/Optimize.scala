@@ -51,8 +51,14 @@ object Optimize {
   def compact(spark: SparkSession, table: String,
       targetFileSize: Option[Long] = None): (Int, Int) = {
     val target = targetFileSize.orElse {
-      // Try: a manifest-mode table resolves through a temp view, which
-      // has no TBLPROPERTIES — fall through to the default.
+      // The snapshot-root `_properties` sidecar is authoritative — it
+      // survives manifest mode, where the table resolves through a temp
+      // view that cannot carry TBLPROPERTIES.
+      SnapshotCommit.properties(spark, table).get(TargetFileSizeProp)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+    }.orElse {
+      // Catalog TBLPROPERTIES for tables declared outside the pipeline
+      // (Try: temp views reject SHOW TBLPROPERTIES).
       scala.util.Try(spark.sql(s"SHOW TBLPROPERTIES $table").collect())
         .getOrElse(Array.empty[org.apache.spark.sql.Row]).toSeq
         .find(_.getString(0) == TargetFileSizeProp)

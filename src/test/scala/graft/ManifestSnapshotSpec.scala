@@ -168,6 +168,39 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("declared delta.targetFileSize survives manifest mode and steers optimize") {
+    withManifestMode {
+      val tbl = "man_props_tbl"
+      SnapshotCommit.destroy(spark, tbl)
+      // Incompressible 64-hex values so the table carries real bytes
+      // (~300 KB raw) and a small declared target forces a visible split.
+      val src = spark.range(0, 5000).select(col("id").as("k"),
+        sha2(col("id").cast("string"), 256).as("v"))
+      new Pipeline().register(Dataset(tbl, Nil, (_, _) => src,
+        materialize = Materialize.Incremental(Seq("k")),
+        tableProperties = Map(
+          Optimize.TargetFileSizeProp -> (16 * 1024).toString,
+          "quality" -> "gold"))).run(spark)
+      // The catalog entry is a temp view (no TBLPROPERTIES), but the
+      // snapshot-root sidecar holds the declaration.
+      assert(SnapshotCommit.properties(spark, tbl) ===
+        Map(Optimize.TargetFileSizeProp -> "16384", "quality" -> "gold"))
+      // No explicit size: compact must consult the sidecar — under the
+      // pre-sidecar behavior (silent 128 MiB fallback) everything
+      // collapses into ONE file; the declared 16 KiB target splits the
+      // ~300 KB of data into many.
+      val (_, na) = Optimize.compact(spark, tbl)
+      assert(na >= 4,
+        s"compacted to $na file(s) — the declared 16 KiB target was ignored")
+      assert(spark.table(tbl).count() === 5000)
+      // Property declarations merge like SET TBLPROPERTIES and survive
+      // further versions.
+      SnapshotCommit.setProperties(spark, tbl, Map("quality" -> "platinum"))
+      assert(SnapshotCommit.properties(spark, tbl) ===
+        Map(Optimize.TargetFileSizeProp -> "16384", "quality" -> "platinum"))
+    }
+  }
+
   test("concurrent merges under manifest carries: loser rebases through the view") {
     import java.util.concurrent.{CyclicBarrier, TimeUnit}
     import java.util.concurrent.atomic.AtomicInteger

@@ -269,11 +269,14 @@ class PipelineSpec extends SparkSpec {
     assert(state() === Map("o1" -> 10.0, "o2" -> 25.0, "o3" -> 30.0))
   }
 
-  test("concurrent incremental merges serialize: loser rebases, no lost update") {
+  /** The forced-rendezvous merge race, parameterized by table name so it
+    * can run under EITHER [[graft.storage.CommitLock]] implementation:
+    * both writers stage against the same base before either claims, the
+    * loser must rebase, no update may be lost. */
+  private def concurrentMergeCase(tbl: String): Unit = {
     import java.util.concurrent.{CyclicBarrier, TimeUnit}
     import java.util.concurrent.atomic.AtomicInteger
     import graft.storage.SnapshotCommit
-    val tbl = "inc_concurrent"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     SnapshotCommit.destroy(spark, tbl)
     incPipe(tbl, Seq(("o1", 1.0, "A"), ("o2", 2.0, "A"))).run(spark)
@@ -312,6 +315,21 @@ class PipelineSpec extends SparkSpec {
     assert(SnapshotCommit.currentVersion(spark, tbl) === Some(3L))
     assert(stagedEvents.get() === 3,
       s"expected exactly one rebased attempt, saw ${stagedEvents.get()} staged events")
+  }
+
+  test("concurrent incremental merges serialize: loser rebases, no lost update") {
+    concurrentMergeCase("inc_concurrent")
+  }
+
+  test("concurrent merges under FileLockCommitLock: the lock-service seam " +
+      "carries the same exclusivity") {
+    import graft.storage.{FileLockCommitLock, SnapshotCommit}
+    // Same worst-case interleaving, arbitrated through the external-
+    // lock-service implementation instead of rename atomicity — the
+    // claim path a rename-less object store would install.
+    val prev = SnapshotCommit.setCommitLock(FileLockCommitLock)
+    try concurrentMergeCase("inc_concurrent_filelock")
+    finally SnapshotCommit.setCommitLock(prev)
   }
 
   test("incremental fail expectation aborts BEFORE the snapshot swap") {

@@ -198,6 +198,39 @@ class StorageSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).collect()(0) === checksum)
   }
 
+  test("register fast path: destroy + rebuild at v1 must not serve the old " +
+      "incarnation") {
+    // register() memoizes (session, version) to skip the relation-cache
+    // refresh on the uncontended path. The aliasing hazard: destroy a
+    // table, rebuild it — versions restart at 1, same (session, table,
+    // version) key as the dead incarnation. A stale memo here would skip
+    // the refresh and serve the OLD files. destroy() must clear it.
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_reincarnate_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).select(col("id"), lit("first").as("gen"))
+        .write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, tbl)
+    SnapshotCommit.register(spark, tbl) // memoized second pass, same v1
+    assert(spark.table(tbl).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("first"))
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 7).select(col("id"), lit("second").as("gen"))
+        .write.parquet(dir)
+    }
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(1L),
+      "rebuilt table should restart at v1 — the aliasing case under test")
+    SnapshotCommit.register(spark, tbl)
+    val out = spark.table(tbl)
+    assert(out.count() === 7)
+    assert(out.select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("second"))
+  }
+
   test("concurrent DV deletes serialize: loser rebases its stamp and sidecar union") {
     import java.util.concurrent.{CyclicBarrier, TimeUnit}
     import java.util.concurrent.atomic.AtomicInteger
