@@ -343,12 +343,13 @@ class Pipeline {
           sc.register(spark, name)
           if (!spark.catalog.tableExists(name)) {
             // First load: the merge against an empty target is the batch
-            // itself. The session catalog is authoritative in-session —
-            // a surviving snapshot root with no catalog entry is a
-            // dropped/stale table, so it is destroyed, not merged into.
-            // (Cross-session continuation re-registers the pointer FIRST
-            // — see OlistMaterialized.ensure — and lands in the merge
-            // arm below.)
+            // itself. Reached only when the register() above found NO
+            // committed version — a root WITH versions is resurrected
+            // into the catalog there (external-table semantics: a bare
+            // catalog DROP does not delete snapshot state; removal is
+            // SnapshotCommit.destroy) and lands in the merge arm below.
+            // The destroy here clears a version-less root (e.g. a
+            // crashed, never-published first load) before restaging.
             sc.destroy(spark, name)
             sc.commit(spark, name) { dir =>
               clustered(staged, d.clusterBy)
@@ -380,33 +381,45 @@ class Pipeline {
             sc.commit(spark, name) { dir =>
               def local(u: String) = new org.apache.hadoop.fs.Path(u)
                 .toUri.getPath
-              val target = sc.readData(spark, name)
-              val liveFiles = target.inputFiles.map(local).toSet
-              val batchKeys = staged.select(keys.map(staged.col): _*).distinct()
-              val touched = target
-                .withColumn("_graft_file",
-                  org.apache.spark.sql.functions.input_file_name())
-                .join(batchKeys, keys, "left_semi")
-                .select("_graft_file").distinct()
-                .collect().map(r => local(r.getString(0))).toSet
-              val untouched = (liveFiles -- touched).toSeq.sorted
-              val touchedRows =
-                if (touched.isEmpty) target.limit(0)
-                else spark.read.schema(target.schema)
-                  .parquet(touched.toSeq.sorted: _*)
-              val merged = staged.unionByName(
-                touchedRows.join(batchKeys, keys, "left_anti"))
-              // 1. rewrite = touched rows + batch only (reads old files).
-              clustered(merged, d.clusterBy)
-                .write.mode("overwrite").parquet(dir)
-              // 2. carry untouched files by link; prefix avoids part-
-              //    file name collisions with the rewrite's own output.
-              val snapPath = new org.apache.hadoop.fs.Path(dir)
-              untouched.zipWithIndex.foreach { case (f, i) =>
-                val src = new org.apache.hadoop.fs.Path(f)
-                sc.carry(spark, src, new org.apache.hadoop.fs.Path(
-                  snapPath, s"carried-$i-${src.getName}"))
-              }
+              // MATERIALIZE the merge source once per attempt — the same
+              // source-materialization Delta's MERGE performs: the batch
+              // feeds BOTH the touched-file probe and the rewrite, so a
+              // re-derivation between the two jobs wastes a source scan
+              // and, for a non-deterministic source, could disagree with
+              // its own key set (a key probed but absent from the
+              // rewrite would silently drop the target row it displaced
+              // from the carried files).
+              val batch = staged.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val target = sc.readData(spark, name)
+                val liveFiles = target.inputFiles.map(local).toSet
+                val batchKeys = batch.select(keys.map(batch.col): _*).distinct()
+                val touched = target
+                  .withColumn("_graft_file",
+                    org.apache.spark.sql.functions.input_file_name())
+                  .join(batchKeys, keys, "left_semi")
+                  .select("_graft_file").distinct()
+                  .collect().map(r => local(r.getString(0))).toSet
+                val untouched = (liveFiles -- touched).toSeq.sorted
+                val touchedRows =
+                  if (touched.isEmpty) target.limit(0)
+                  else spark.read.schema(target.schema)
+                    .parquet(touched.toSeq.sorted: _*)
+                val merged = batch.unionByName(
+                  touchedRows.join(batchKeys, keys, "left_anti"))
+                // 1. rewrite = touched rows + batch only (reads old files).
+                clustered(merged, d.clusterBy)
+                  .write.mode("overwrite").parquet(dir)
+                // 2. carry untouched files by link; prefix avoids part-
+                //    file name collisions with the rewrite's own output.
+                val snapPath = new org.apache.hadoop.fs.Path(dir)
+                untouched.zipWithIndex.foreach { case (f, i) =>
+                  val src = new org.apache.hadoop.fs.Path(f)
+                  sc.carry(spark, src, new org.apache.hadoop.fs.Path(
+                    snapPath, s"carried-$i-${src.getName}"))
+                }
+              } finally batch.unpersist(false)
             }
           }
           deleteDir(spark, validateDir)

@@ -270,7 +270,13 @@ object OlistQueries {
         |SELECT * FROM b1
         |WHERE order_id NOT IN (SELECT order_id FROM b2)""".stripMargin) { (s, d) =>
     val tbl = s"olist_silver_orders_inc_${OlistMaterialized.sfx(d)}"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // destroy(), not DROP TABLE: snapshot tables are external-table-
+    // shaped — the merge arm deliberately resurrects a surviving
+    // snapshot root (crash/cross-session recovery), so a bare catalog
+    // DROP would turn batch 1 into a full merge against the PREVIOUS
+    // invocation's leftover state instead of the first load this
+    // entry is specified (and benchmarked) as.
+    graft.storage.SnapshotCommit.destroy(s, tbl)
     def refresh(src: org.apache.spark.sql.DataFrame): Unit = {
       new Pipeline()
         .register(Dataset(tbl, Nil, (_, _) => src,

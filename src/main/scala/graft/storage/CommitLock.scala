@@ -97,9 +97,19 @@ object FileLockCommitLock extends CommitLock {
         try {
           if (fs.exists(dst)) false
           else {
-            val out = fs.create(dst, false)
+            // Temp-then-rename even under the lock: a crash mid-write of
+            // the pointer itself must never leave a PARTIAL pointer at
+            // the claimed name — it would block every later claimant of
+            // this version while resolving to nothing. The rename needs
+            // no atomicity guarantee here (the lock already serializes
+            // the check-then-act); it only needs all-or-nothing
+            // visibility of the content, which write-temp + rename gives
+            // on any store.
+            val tmp = new Path(dst.getParent,
+              s".${dst.getName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            val out = fs.create(tmp, true)
             try out.write(content.getBytes("UTF-8")) finally out.close()
-            true
+            fs.rename(tmp, dst)
           }
         } finally lock.release()
       } finally ch.close()

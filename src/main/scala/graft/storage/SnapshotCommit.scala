@@ -249,20 +249,39 @@ object SnapshotCommit {
   /** Install the claim arbitration for this JVM (e.g.
     * [[FileLockCommitLock]], or a DynamoDB/ZooKeeper-backed lock on
     * S3-semantics stores). Returns the previously installed lock so
-    * tests can restore it. */
+    * tests can restore it. Deployments that would rather not call code
+    * set `spark.graft.commit.lock` to the implementation's class name
+    * (object or no-arg class) instead — the conf, when present, wins. */
   def setCommitLock(l: CommitLock): CommitLock = {
     val prev = commitLock; commitLock = l; prev
   }
 
+  /** Conf-resolved [[CommitLock]] instances, one per class name. */
+  private val lockCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitLock]()
+
+  private def resolveLock(spark: SparkSession): CommitLock =
+    spark.conf.getOption("spark.graft.commit.lock") match {
+      case None => commitLock
+      case Some(cn) => lockCache.computeIfAbsent(cn, { n =>
+        // Scala object (MODULE$) or a class with a no-arg constructor.
+        val loaded =
+          try Class.forName(n + "$").getField("MODULE$").get(null)
+          catch { case _: ClassNotFoundException | _: NoSuchFieldException =>
+            Class.forName(n).getDeclaredConstructor().newInstance() }
+        loaded.asInstanceOf[CommitLock]
+      })
+    }
+
   /** Atomically claim pointer `v` with `dirName` as content. Exclusive:
     * returns false (never clobbers) if another writer claimed `v`
-    * first. Arbitration delegates to the installed [[CommitLock]].
+    * first. Arbitration delegates to the configured [[CommitLock]].
     */
-  private def claimPointer(fs: FileSystem, root: Path, v: Long,
-      dirName: String): Boolean = {
+  private def claimPointer(spark: SparkSession, fs: FileSystem, root: Path,
+      v: Long, dirName: String): Boolean = {
     val c = commitsPath(root)
     fs.mkdirs(c)
-    commitLock.claim(fs, new Path(c, v.toString), dirName)
+    resolveLock(spark).claim(fs, new Path(c, v.toString), dirName)
   }
 
   /** Stage a new snapshot via `write` (handed a writer-private staging
@@ -283,6 +302,9 @@ object SnapshotCommit {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
+      val debug = sys.env.contains("GRAFT_COMMIT_DEBUG")
+      def t() = System.nanoTime()
+      val t0 = t()
       // Every (re)invocation sees the current committed state: replay
       // the registration tail of any interrupted commit, then stage.
       register(spark, table)
@@ -292,7 +314,9 @@ object SnapshotCommit {
       activeStages.add(stage.toString)
       var won = false
       try {
+        val t1 = t()
         write(stage.toString)
+        val t2 = t()
         failpoint("staged")
         val v = base + 1
         won = lock.synchronized {
@@ -301,16 +325,23 @@ object SnapshotCommit {
           // itself must be exclusive (cross-process writers arbitrate
           // through the store's no-clobber rename).
           currentVersion(spark, table).getOrElse(0L) == base &&
-            claimPointer(fs, root, v, stageName)
+            claimPointer(spark, fs, root, v, stageName)
         }
-        if (sys.env.contains("GRAFT_COMMIT_DEBUG"))
+        if (debug)
           System.err.println(s"[commit-debug] $table attempt=$attempt " +
             s"base=$base v=$v won=$won thread=${Thread.currentThread().getName}")
         if (won) {
           failpoint("committed")
           val published = finalizeDir(spark, table, v)
+          val t3 = t()
           register(spark, table)
+          val t4 = t()
           prune(spark, table, keep = v)
+          if (debug)
+            System.err.println(f"[commit-debug] $table phases(ms) " +
+              f"register=${(t1 - t0) / 1e6}%.1f write=${(t2 - t1) / 1e6}%.1f " +
+              f"claim+fin=${(t3 - t2) / 1e6}%.1f reregister=${(t4 - t3) / 1e6}%.1f " +
+              f"prune=${(t() - t4) / 1e6}%.1f")
           return published
         }
       } finally {
@@ -356,8 +387,11 @@ object SnapshotCommit {
       // refreshing for) exactly this version, and the catalog entry is
       // still the one it installed — nothing to replay, nothing stale.
       val memo = registeredVersions.get(key)
-      if (memo != null && memo.longValue == v &&
-          registrationIntact(spark, table, v)) return
+      val fast = memo != null && memo.longValue == v &&
+        registrationIntact(spark, table, v)
+      if (sys.env.contains("GRAFT_COMMIT_DEBUG"))
+        System.err.println(s"[register-debug] $table v=$v memo=$memo fast=$fast")
+      if (fast) return
       val d = finalizeDir(spark, table, v)
       if (manifestMode(spark)) {
         // A manifest version's files span directories, which a

@@ -332,6 +332,14 @@ class PipelineSpec extends SparkSpec {
     finally SnapshotCommit.setCommitLock(prev)
   }
 
+  test("commit lock is conf-selectable: spark.graft.commit.lock installs " +
+      "the named class") {
+    spark.conf.set("spark.graft.commit.lock",
+      "graft.storage.FileLockCommitLock")
+    try concurrentMergeCase("inc_concurrent_conf_lock")
+    finally spark.conf.unset("spark.graft.commit.lock")
+  }
+
   test("incremental fail expectation aborts BEFORE the snapshot swap") {
     spark.sql("DROP TABLE IF EXISTS inc_guarded")
     val nonneg = Seq(DQ.fail("nonneg", col("amount") >= 0))
