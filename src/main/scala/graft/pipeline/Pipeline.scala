@@ -381,16 +381,24 @@ class Pipeline {
             sc.commit(spark, name) { dir =>
               def local(u: String) = new org.apache.hadoop.fs.Path(u)
                 .toUri.getPath
-              // MATERIALIZE the merge source once per attempt — the same
-              // source-materialization Delta's MERGE performs: the batch
-              // feeds BOTH the touched-file probe and the rewrite, so a
-              // re-derivation between the two jobs wastes a source scan
-              // and, for a non-deterministic source, could disagree with
-              // its own key set (a key probed but absent from the
+              // MATERIALIZE a NON-DETERMINISTIC merge source once per
+              // attempt — the same conditional source-materialization
+              // Delta's MERGE performs: the batch feeds BOTH the
+              // touched-file probe and the rewrite as two separate jobs,
+              // and a source that evaluates differently between them
+              // (rand()-derived columns, sampled inputs) could disagree
+              // with its own key set — a key probed but absent from the
               // rewrite would silently drop the target row it displaced
-              // from the carried files).
-              val batch = staged.persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              // from the carried files. A deterministic source (the
+              // overwhelmingly common case) re-derives identically and
+              // skips the persist: the extra materialization pass is
+              // pure cost at scale (u4 at sf1.0 measured +~30% under an
+              // unconditional persist).
+              val mustMaterialize = Pipeline.nonDeterministic(staged)
+              val batch =
+                if (mustMaterialize) staged.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                else staged
               try {
                 val target = sc.readData(spark, name)
                 val liveFiles = target.inputFiles.map(local).toSet
@@ -419,7 +427,7 @@ class Pipeline {
                   sc.carry(spark, src, new org.apache.hadoop.fs.Path(
                     snapPath, s"carried-$i-${src.getName}"))
                 }
-              } finally batch.unpersist(false)
+              } finally if (mustMaterialize) batch.unpersist(false)
             }
           }
           deleteDir(spark, validateDir)
@@ -447,5 +455,23 @@ class Pipeline {
       }
     }
     out
+  }
+}
+
+object Pipeline {
+  /** Does any expression in the frame's analyzed plan evaluate
+    * non-deterministically (rand/uuid/sampling/shuffle-order-dependent
+    * ops)? Drives the merge arm's conditional source materialization:
+    * such a frame can disagree with itself across the probe and rewrite
+    * jobs, so it must be evaluated once and cached; a deterministic
+    * frame re-derives identically and skips the persist cost.
+    */
+  private[graft] def nonDeterministic(
+      df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def scan(p: LogicalPlan): Boolean =
+      p.expressions.exists(e => e.exists(!_.deterministic)) ||
+        p.children.exists(scan)
+    scan(df.queryExecution.analyzed)
   }
 }

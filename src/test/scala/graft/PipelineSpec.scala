@@ -332,6 +332,18 @@ class PipelineSpec extends SparkSpec {
     finally SnapshotCommit.setCommitLock(prev)
   }
 
+  test("merge source materialization fires only for non-deterministic " +
+      "sources") {
+    val det = spark.range(5).toDF("k")
+    assert(!Pipeline.nonDeterministic(det),
+      "a deterministic source must not pay the materialization persist")
+    assert(Pipeline.nonDeterministic(det.withColumn("r", rand())),
+      "a rand()-derived source must be materialized once per attempt")
+    assert(Pipeline.nonDeterministic(
+      det.withColumn("r", rand()).select(col("k"))),
+      "non-determinism below the projection still taints the frame")
+  }
+
   test("commit lock is conf-selectable: spark.graft.commit.lock installs " +
       "the named class") {
     spark.conf.set("spark.graft.commit.lock",
