@@ -307,8 +307,12 @@ object SnapshotCommit {
       val t0 = t()
       // Every (re)invocation sees the current committed state: replay
       // the registration tail of any interrupted commit, then stage.
-      register(spark, table)
-      val base = currentVersion(spark, table).getOrElse(0L)
+      // THE BASE IS WHAT REGISTER ALIGNED TO — never a fresh pointer
+      // listing, which can already be one version ahead of the catalog
+      // state the closure derives from (see the register scaladoc; the
+      // CrossProcessSpec rendezvous turns that skew into a lost update
+      // deterministically enough to fail 1-in-3 runs).
+      val base = register(spark, table).getOrElse(0L)
       val stageName = s".stage-${java.util.UUID.randomUUID().toString}"
       val stage = new Path(root, stageName)
       activeStages.add(stage.toString)
@@ -379,9 +383,20 @@ object SnapshotCommit {
     * the current location or re-point a stale registration. Safe to
     * call any time; replays the tail of a commit interrupted after its
     * pointer claim.
+    *
+    * RETURNS THE VERSION THE CATALOG NOW REFLECTS (None if nothing is
+    * published) — and callers that stage work against the registered
+    * state MUST use this value as their commit base. Re-listing the
+    * pointers afterwards is the cross-process lost-update bug the
+    * CrossProcessSpec rendezvous caught: a concurrent commit can land
+    * between this call's listing and the re-list, so the re-listed
+    * "current" is one ahead of what the catalog (and therefore the
+    * write closure) actually derives from — the claim's base check then
+    * validates the newer version and publishes stale-derived content
+    * over the concurrent writer's commit.
     */
-  def register(spark: SparkSession, table: String): Unit =
-    currentVersion(spark, table).foreach { v =>
+  def register(spark: SparkSession, table: String): Option[Long] =
+    currentVersion(spark, table).map { v =>
       val key = regKey(spark, rootDir(spark, table))
       // Fast path: this session already finished registering (and
       // refreshing for) exactly this version, and the catalog entry is
@@ -391,7 +406,7 @@ object SnapshotCommit {
         registrationIntact(spark, table, v)
       if (sys.env.contains("GRAFT_COMMIT_DEBUG"))
         System.err.println(s"[register-debug] $table v=$v memo=$memo fast=$fast")
-      if (fast) return
+      if (fast) return Some(v)
       val d = finalizeDir(spark, table, v)
       if (manifestMode(spark)) {
         // A manifest version's files span directories, which a
@@ -405,6 +420,7 @@ object SnapshotCommit {
       } else pointAt(spark, table, d)
       // AFTER the refresh/rebuild — see the registeredVersions scaladoc.
       registeredVersions.put(key, v)
+      v
     }
 
   /** Is the catalog entry for `table` still the one a completed

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-process half of the CROSS-PROCESS commit race
+  * (PipelineSpec "two separate JVM processes..."): a standalone main so
+  * the test can spawn real second/third JVMs — separate
+  * `tableLocks`, separate relation caches, separate catalogs — and
+  * prove [[graft.storage.SnapshotCommit]]'s claim arbitration holds
+  * where the in-JVM monitor cannot reach. Everything in-process tests
+  * share (the per-table lock object, the memoized register state) is
+  * absent between two JVMs by construction, so the only thing
+  * serializing the writers is the [[graft.storage.CommitLock]] under
+  * test.
+  *
+  * Protocol: args = warehouse dir, table, writer id, commit count,
+  * barrier dir, lock class. The process builds its own local session
+  * against the SHARED warehouse, drops `ready-<id>` into the barrier
+  * dir, spins until `go` appears (so both writers enter their commit
+  * loops together instead of serializing behind JVM startup), then
+  * runs `n` append-one-row commits, each deriving from the CURRENT
+  * committed state inside the write closure (the rebase contract — a
+  * lost claim re-invokes it against the winner's version). Exits 0
+  * only if every commit landed.
+  */
+object CrossProcessCommitter {
+  def main(args: Array[String]): Unit = {
+    val Array(warehouse, table, writerId, nStr, barrierDir, lockClass) = args
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.commit.lock", lockClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(barrierDir))
+    Files.writeString(Paths.get(barrierDir, s"ready-$writerId"), "")
+    val deadline = System.currentTimeMillis() + 120000
+    while (!Files.exists(Paths.get(barrierDir, "go"))) {
+      if (System.currentTimeMillis() > deadline)
+        sys.error("barrier: no go signal within 120s")
+      Thread.sleep(50)
+    }
+    // FORCE a cross-process conflict instead of hoping scheduling
+    // provides one: on each writer's FIRST staged snapshot (failpoint
+    // fires after staging, before the claim), drop a marker and wait
+    // for the peer's — both writers then hold fully staged work derived
+    // from the SAME base version, so exactly one must lose the claim
+    // and rebase. The total staged-event count across both processes
+    // (written below for the spec to assert on) is therefore >= 2n+1.
+    val peer = if (writerId == "A") "B" else "A"
+    var stagedCount = 0
+    graft.storage.SnapshotCommit.failpoint = s => if (s == "staged") {
+      stagedCount += 1
+      if (stagedCount == 1) {
+        Files.writeString(Paths.get(barrierDir, s"staged-$writerId"), "")
+        val d2 = System.currentTimeMillis() + 60000
+        while (!Files.exists(Paths.get(barrierDir, s"staged-$peer"))) {
+          if (System.currentTimeMillis() > d2)
+            sys.error(s"rendezvous: peer $peer never staged")
+          Thread.sleep(20)
+        }
+      }
+    }
+    import org.apache.spark.sql.functions._
+    for (i <- 1 to n) {
+      // High retry budget: with two writers hammering the same table,
+      // losing several consecutive claims is expected, not exceptional.
+      graft.storage.SnapshotCommit.commit(spark, table, maxAttempts = 50) {
+        dir =>
+          val mine = spark.range(1, 2)
+            .select(lit(writerId).as("writer"), lit(i).as("seq"))
+          val all =
+            if (spark.catalog.tableExists(table))
+              graft.storage.SnapshotCommit.readData(spark, table)
+                .unionByName(mine)
+            else mine
+          all.coalesce(1).write.parquet(dir)
+      }
+    }
+    Files.writeString(Paths.get(barrierDir, s"staged-count-$writerId"),
+      stagedCount.toString)
+    spark.stop()
+  }
+}

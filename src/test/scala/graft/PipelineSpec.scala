@@ -248,8 +248,8 @@ class PipelineSpec extends SparkSpec {
     finally SnapshotCommit.failpoint = _ => ()
     assert(state() === Map("o1" -> 10.0, "o2" -> 20.0),
       "pre-publish crash must leave the old version intact")
-    assert(SnapshotCommit.register(spark, tbl) === (()),
-      "recovery replay must be a no-op") // pointer still on the old version
+    assert(SnapshotCommit.register(spark, tbl) === Some(1L),
+      "recovery replay must re-align to the OLD version") // pointer unmoved
     assert(state() === Map("o1" -> 10.0, "o2" -> 20.0))
     // Crash AFTER the pointer rename, BEFORE catalog re-registration and
     // pruning: the commit is durable — replaying the registration (what
