@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
   */
 object CrossProcessCommitter {
   def main(args: Array[String]): Unit = {
-    val Array(warehouse, table, writerId, nStr, barrierDir, lockClass) = args
+    val Array(warehouse, table, writerId, nStr, barrierDir, lockClass,
+      manifest) = args
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -33,6 +34,7 @@ object CrossProcessCommitter {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.commit.lock", lockClass)
+      .config("spark.graft.snapshot.manifest", manifest)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import java.nio.file.{Files, Paths}
@@ -66,19 +68,28 @@ object CrossProcessCommitter {
       }
     }
     import org.apache.spark.sql.functions._
+    val sc = graft.storage.SnapshotCommit
     for (i <- 1 to n) {
       // High retry budget: with two writers hammering the same table,
       // losing several consecutive claims is expected, not exceptional.
-      graft.storage.SnapshotCommit.commit(spark, table, maxAttempts = 50) {
-        dir =>
-          val mine = spark.range(1, 2)
-            .select(lit(writerId).as("writer"), lit(i).as("seq"))
-          val all =
-            if (spark.catalog.tableExists(table))
-              graft.storage.SnapshotCommit.readData(spark, table)
-                .unionByName(mine)
-            else mine
-          all.coalesce(1).write.parquet(dir)
+      // FILE-LEVEL append, the merge arm's shape: the new row lands as
+      // its own file and every existing file CARRIES (hard link in link
+      // mode, .graftref metadata in manifest mode) — so the race also
+      // exercises carry resolution and, in manifest mode, the
+      // reference-counting prune under real cross-process interleaving.
+      // dataFiles re-lists the pointer, so it can transiently see one
+      // version AHEAD of the registered base; that attempt then fails
+      // the claim's base check and rebases — wasted work, never a wrong
+      // publish.
+      sc.commit(spark, table, maxAttempts = 50) { dir =>
+        val existing = sc.dataFiles(spark, table)
+        spark.range(1, 2)
+          .select(lit(writerId).as("writer"), lit(i).as("seq"))
+          .coalesce(1).write.parquet(dir)
+        val d = new org.apache.hadoop.fs.Path(dir)
+        existing.zipWithIndex.foreach { case ((nm, phys), k) =>
+          sc.carry(spark, phys, new org.apache.hadoop.fs.Path(d, s"c$k-$nm"))
+        }
       }
     }
     Files.writeString(Paths.get(barrierDir, s"staged-count-$writerId"),

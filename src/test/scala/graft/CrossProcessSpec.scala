@@ -37,9 +37,7 @@ class CrossProcessSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("two JVM processes race commits on one table: no lost update, " +
-      "version chain exactly serialized") {
-    val tbl = "xproc_commit_tbl"
+  private def raceTwoProcesses(tbl: String, manifest: Boolean): Unit = {
     SnapshotCommit.destroy(spark, tbl)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val barrier =
@@ -54,7 +52,8 @@ class CrossProcessSpec extends SparkSpec {
           "-Xmx2g", "-Dspark.ui.enabled=false",
           "-Dspark.sql.session.timeZone=UTC",
           "-cp", cp, "graft.CrossProcessCommitter",
-          warehouse, tbl, id, n.toString, barrier, lock)): _*)
+          warehouse, tbl, id, n.toString, barrier, lock,
+          manifest.toString)): _*)
       pb.environment().put("GRAFT_COMMIT_DEBUG", "1")
       pb.redirectErrorStream(true)
       pb.redirectOutput(Paths.get(barrier, s"out-$id").toFile)
@@ -86,17 +85,37 @@ class CrossProcessSpec extends SparkSpec {
     // Ground truth read from THIS (third) JVM: register replays any
     // tail work, then the committed state must hold every (writer, seq)
     // from both processes exactly once.
-    SnapshotCommit.register(spark, tbl)
-    val rows = spark.table(tbl).collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSet
-    val expected =
-      (for (w <- Seq("A", "B"); i <- 1 to n) yield (w, i)).toSet
-    assert(rows === expected,
-      s"lost/duplicated update: ${expected.diff(rows)} missing, " +
-        s"${rows.diff(expected)} unexpected")
-    // 2n commits serialized with no gaps: version chain length is the
-    // writers' combined commit count.
-    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n))
+    if (manifest)
+      spark.conf.set("spark.graft.snapshot.manifest", "true")
+    try {
+      SnapshotCommit.register(spark, tbl)
+      val rows = spark.table(tbl).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val expected =
+        (for (w <- Seq("A", "B"); i <- 1 to n) yield (w, i)).toSet
+      assert(rows === expected,
+        s"lost/duplicated update: ${expected.diff(rows)} missing, " +
+          s"${rows.diff(expected)} unexpected")
+      // 2n commits serialized with no gaps: version chain length is the
+      // writers' combined commit count.
+      assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n))
+      if (manifest) {
+        // The carries really were metadata: the final version holds refs
+        // whose physical files live in EARLIER version directories and
+        // survived every interleaved reference-counting prune.
+        val cur = SnapshotCommit.currentLocation(spark, tbl).get
+        val resolved = SnapshotCommit.listData(spark, cur)
+        val carried = resolved.filter(
+          _._2.getParent.toUri.getPath != cur.toUri.getPath)
+        assert(carried.nonEmpty, "no cross-version refs in the final state")
+        val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        carried.foreach { case (nm, phys) =>
+          assert(fs.exists(phys),
+            s"ref $nm points at pruned file $phys — refcount GC broke " +
+              "under cross-process contention") }
+      }
+    } finally if (manifest)
+      spark.conf.unset("spark.graft.snapshot.manifest")
     // The conflict actually happened: the first-commit stage rendezvous
     // forces both writers to stage against the same base, so the loser
     // restaged at least once — total staged events must exceed the 2n
@@ -106,5 +125,15 @@ class CrossProcessSpec extends SparkSpec {
       .sum
     assert(stagedTotal >= 2 * n + 1,
       s"writers never actually conflicted (staged $stagedTotal times)")
+  }
+
+  test("two JVM processes race commits on one table: no lost update, " +
+      "version chain exactly serialized") {
+    raceTwoProcesses("xproc_commit_tbl", manifest = false)
+  }
+
+  test("the same cross-process race on manifest carries: refs resolve, " +
+      "refcount GC collects nothing live") {
+    raceTwoProcesses("xproc_commit_manifest_tbl", manifest = true)
   }
 }
