@@ -132,6 +132,74 @@ class CrossProcessSpec extends SparkSpec {
     raceTwoProcesses("xproc_commit_tbl", manifest = false)
   }
 
+  test("kill -9 of a writer with fully staged work: table stays readable, " +
+      "the next writer commits over the corpse") {
+    val tbl = "xproc_kill_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    // Seed v1 from this JVM so the victim's staged work is a real
+    // version-2 candidate, not a first load.
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 3).selectExpr("'seed' as writer", "cast(id as int) as seq")
+        .coalesce(1).write.parquet(dir)
+    }
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val barrier = Files.createTempDirectory("graft_xproc_kill").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // One child, n=1: it stages, drops its staged-A marker, then blocks
+    // waiting for a peer that never comes — a process frozen at the
+    // most dangerous instant (work fully staged, claim not yet made).
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.CrossProcessCommitter",
+        warehouse, tbl, "A", "1", barrier,
+        "graft.storage.FileLockCommitLock", "false")): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(Paths.get(barrier, "out-A").toFile)
+    val victim = pb.start()
+    try {
+      Files.writeString(Paths.get(barrier, "ready-B"), "") // fake peer ready
+      val deadline = System.currentTimeMillis() + 120000
+      while (!Files.exists(Paths.get(barrier, "ready-A"))) {
+        assert(System.currentTimeMillis() < deadline, "victim never started")
+        Thread.sleep(100)
+      }
+      Files.writeString(Paths.get(barrier, "go"), "")
+      while (!Files.exists(Paths.get(barrier, "staged-A"))) {
+        assert(System.currentTimeMillis() < deadline, "victim never staged")
+        assert(victim.isAlive, "victim died before staging")
+        Thread.sleep(100)
+      }
+      // SIGKILL: no shutdown hooks, no finally blocks — the staged
+      // directory and any lock-file state are simply abandoned.
+      victim.destroyForcibly()
+      victim.waitFor(30, TimeUnit.SECONDS)
+    } finally { victim.destroyForcibly(); () }
+    // The corpse's staging directory must be invisible to readers...
+    SnapshotCommit.register(spark, tbl)
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(1L),
+      "a never-claimed stage must not surface as a version")
+    assert(spark.table(tbl).count() === 3)
+    // ...and must not block the next writer (in particular, the OS file
+    // lock died with the process — FileLock is not a lease).
+    spark.conf.set("spark.graft.commit.lock",
+      "graft.storage.FileLockCommitLock")
+    try SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 1).selectExpr("'B' as writer", "99 as seq")
+        .coalesce(1).write.parquet(dir)
+      val d = new org.apache.hadoop.fs.Path(dir)
+      SnapshotCommit.dataFiles(spark, tbl).zipWithIndex.foreach {
+        case ((nm, phys), k) =>
+          SnapshotCommit.carry(spark, phys,
+            new org.apache.hadoop.fs.Path(d, s"c$k-$nm"))
+      }
+    } finally spark.conf.unset("spark.graft.commit.lock")
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L))
+    assert(spark.table(tbl).count() === 4)
+  }
+
   test("the same cross-process race on manifest carries: refs resolve, " +
       "refcount GC collects nothing live") {
     raceTwoProcesses("xproc_commit_manifest_tbl", manifest = true)
