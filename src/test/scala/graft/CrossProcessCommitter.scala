@@ -40,10 +40,10 @@ object CrossProcessCommitter {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(barrierDir))
     Files.writeString(Paths.get(barrierDir, s"ready-$writerId"), "")
-    val deadline = System.currentTimeMillis() + 120000
+    val deadline = System.currentTimeMillis() + 300000
     while (!Files.exists(Paths.get(barrierDir, "go"))) {
       if (System.currentTimeMillis() > deadline)
-        sys.error("barrier: no go signal within 120s")
+        sys.error("barrier: no go signal within 300s")
       Thread.sleep(50)
     }
     // FORCE a cross-process conflict instead of hoping scheduling
@@ -59,7 +59,7 @@ object CrossProcessCommitter {
       stagedCount += 1
       if (stagedCount == 1) {
         Files.writeString(Paths.get(barrierDir, s"staged-$writerId"), "")
-        val d2 = System.currentTimeMillis() + 60000
+        val d2 = System.currentTimeMillis() + 240000
         while (!Files.exists(Paths.get(barrierDir, s"staged-$peer"))) {
           if (System.currentTimeMillis() > d2)
             sys.error(s"rendezvous: peer $peer never staged")

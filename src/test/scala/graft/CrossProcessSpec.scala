@@ -61,24 +61,39 @@ class CrossProcessSpec extends SparkSpec {
     }
     val a = launch("A")
     val b = launch("B")
+    // On any launch/race failure, surface the children's captured output —
+    // without it a timeout on a loaded box is undiagnosable.
+    def childLogs(): String = Seq("A", "B").map { id =>
+      val p = Paths.get(barrier, s"out-$id")
+      val txt = if (Files.exists(p)) Files.readString(p) else "<no output>"
+      s"--- out-$id (tail) ---\n${txt.takeRight(2000)}"
+    }.mkString("\n")
     try {
       // Hold both at the barrier until BOTH sessions are up, then
       // release together — otherwise JVM startup skew serializes the
-      // writers and the race never happens.
-      val deadline = System.currentTimeMillis() + 120000
+      // writers and the race never happens. Generous deadline: this box
+      // has multi-minute external slow windows that can stretch a ~15s
+      // JVM+session startup several-fold.
+      val deadline = System.currentTimeMillis() + 300000
       while (!(Files.exists(Paths.get(barrier, "ready-A")) &&
                Files.exists(Paths.get(barrier, "ready-B")))) {
         assert(System.currentTimeMillis() < deadline,
-          "children did not reach the barrier within 120s")
-        assert(a.isAlive || a.exitValue() == 0, "writer A died pre-barrier")
-        assert(b.isAlive || b.exitValue() == 0, "writer B died pre-barrier")
+          s"children did not reach the barrier within 300s\n${childLogs()}")
+        assert(a.isAlive || a.exitValue() == 0,
+          s"writer A died pre-barrier\n${childLogs()}")
+        assert(b.isAlive || b.exitValue() == 0,
+          s"writer B died pre-barrier\n${childLogs()}")
         Thread.sleep(100)
       }
       Files.writeString(Paths.get(barrier, "go"), "")
-      assert(a.waitFor(240, TimeUnit.SECONDS), "writer A timed out")
-      assert(b.waitFor(240, TimeUnit.SECONDS), "writer B timed out")
-      assert(a.exitValue() === 0, s"writer A exited ${a.exitValue()}")
-      assert(b.exitValue() === 0, s"writer B exited ${b.exitValue()}")
+      assert(a.waitFor(300, TimeUnit.SECONDS),
+        s"writer A timed out\n${childLogs()}")
+      assert(b.waitFor(300, TimeUnit.SECONDS),
+        s"writer B timed out\n${childLogs()}")
+      assert(a.exitValue() === 0,
+        s"writer A exited ${a.exitValue()}\n${childLogs()}")
+      assert(b.exitValue() === 0,
+        s"writer B exited ${b.exitValue()}\n${childLogs()}")
     } finally {
       a.destroyForcibly(); b.destroyForcibly(); ()
     }
@@ -161,7 +176,7 @@ class CrossProcessSpec extends SparkSpec {
     val victim = pb.start()
     try {
       Files.writeString(Paths.get(barrier, "ready-B"), "") // fake peer ready
-      val deadline = System.currentTimeMillis() + 120000
+      val deadline = System.currentTimeMillis() + 300000
       while (!Files.exists(Paths.get(barrier, "ready-A"))) {
         assert(System.currentTimeMillis() < deadline, "victim never started")
         Thread.sleep(100)
