@@ -327,7 +327,8 @@ object SnapshotCommit {
           // Both checks inside the lock: the base must not have moved
           // (our staged content derives from it), and the pointer claim
           // itself must be exclusive (cross-process writers arbitrate
-          // through the store's no-clobber rename).
+          // through the installed CommitLock — no-clobber rename by
+          // default, a lock service on rename-less stores).
           currentVersion(spark, table).getOrElse(0L) == base &&
             claimPointer(spark, fs, root, v, stageName)
         }
