@@ -50,9 +50,25 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
+    // Opt-in tenancy isolation: evict every cached/persisted relation
+    // between entries. The DEFAULT (off) matches all prior rounds'
+    // shared-session sweep — entries that persist state (d6/d7 labels,
+    // pr1 checkpoints, DV caches) tax their successors exactly as a
+    // long-lived production session would, and the numbers stay
+    // round-over-round comparable. Turning it on answers the triage
+    // question "is this entry slow, or is it paying the sweep's
+    // accumulated storage memory?" without a hand-built isolated run
+    // (the r8 sf1.0 sweep measured j3 at 22.7 s in-sweep vs 10.3 s
+    // isolated — that gap is what this knob exposes).
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     val timesByName =
       scala.collection.mutable.Map.empty[String, Seq[Double]]
     val results = buildEntry +: selected.map { case (name, fn) =>
+      if (isolate) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
+      }
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (times.lastOption.forall(_ >= 0) && times.length < runs) {
         val t0 = System.nanoTime()
