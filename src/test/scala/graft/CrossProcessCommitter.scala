@@ -25,8 +25,13 @@ import org.apache.spark.sql.SparkSession
   */
 object CrossProcessCommitter {
   def main(args: Array[String]): Unit = {
+    // mode: "append" (default) = one new row per commit, files carried;
+    // "dv" = one DeletionVectors.delete per commit (writer A deletes
+    // id%20 residues 0..n-1, writer B residues 10..10+n-1), exercising
+    // the DV closure's own derive logic (version stamps, sidecar
+    // union, data-file links) under real cross-process interleaving.
     val Array(warehouse, table, writerId, nStr, barrierDir, lockClass,
-      manifest) = args
+      manifest, mode) = args
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -69,6 +74,33 @@ object CrossProcessCommitter {
     }
     import org.apache.spark.sql.functions._
     val sc = graft.storage.SnapshotCommit
+    if (mode == "dv") {
+      val offset = if (writerId == "A") 0 else 10
+      for (i <- 1 to n) {
+        // DeletionVectors.delete commits with the default bounded retry
+        // budget (5); under forced contention a writer can legitimately
+        // exhaust it and surface ConcurrentCommitException — re-issuing
+        // the delete is the caller-level recovery the exception asks
+        // for (nothing was committed), so retry here, bounded.
+        var done = false
+        var tries = 0
+        while (!done) {
+          tries += 1
+          try {
+            graft.storage.DeletionVectors.delete(spark, table,
+              col("id") % 20 === lit(offset + i - 1))
+            done = true
+          } catch {
+            case e: graft.storage.ConcurrentCommitException =>
+              if (tries >= 5) throw e
+          }
+        }
+      }
+      Files.writeString(Paths.get(barrierDir, s"staged-count-$writerId"),
+        stagedCount.toString)
+      spark.stop()
+      return
+    }
     for (i <- 1 to n) {
       // High retry budget: with two writers hammering the same table,
       // losing several consecutive claims is expected, not exceptional.

@@ -37,8 +37,9 @@ class CrossProcessSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def raceTwoProcesses(tbl: String, manifest: Boolean): Unit = {
-    SnapshotCommit.destroy(spark, tbl)
+  private def raceTwoProcesses(tbl: String, manifest: Boolean,
+      mode: String = "append"): Unit = {
+    if (mode == "append") SnapshotCommit.destroy(spark, tbl)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val barrier =
       Files.createTempDirectory("graft_xproc_barrier").toString
@@ -53,7 +54,7 @@ class CrossProcessSpec extends SparkSpec {
           "-Dspark.sql.session.timeZone=UTC",
           "-cp", cp, "graft.CrossProcessCommitter",
           warehouse, tbl, id, n.toString, barrier, lock,
-          manifest.toString)): _*)
+          manifest.toString, mode)): _*)
       pb.environment().put("GRAFT_COMMIT_DEBUG", "1")
       pb.redirectErrorStream(true)
       pb.redirectOutput(Paths.get(barrier, s"out-$id").toFile)
@@ -104,16 +105,31 @@ class CrossProcessSpec extends SparkSpec {
       spark.conf.set("spark.graft.snapshot.manifest", "true")
     try {
       SnapshotCommit.register(spark, tbl)
-      val rows = spark.table(tbl).collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSet
-      val expected =
-        (for (w <- Seq("A", "B"); i <- 1 to n) yield (w, i)).toSet
-      assert(rows === expected,
-        s"lost/duplicated update: ${expected.diff(rows)} missing, " +
-          s"${rows.diff(expected)} unexpected")
-      // 2n commits serialized with no gaps: version chain length is the
-      // writers' combined commit count.
-      assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n))
+      if (mode == "dv") {
+        // 2n interleaved deletes over a seeded v1: every writer's
+        // residue class gone, everything else alive, delete versions
+        // and snapshot versions both exactly serialized.
+        import org.apache.spark.sql.functions.col
+        val live = graft.storage.DeletionVectors.read(spark, tbl)
+        assert(live.count() === 1000L - 2 * n * 50)
+        val deadResidues = (0 until n) ++ (10 until 10 + n)
+        deadResidues.foreach(r =>
+          assert(live.filter(col("id") % 20 === r).count() === 0,
+            s"residue $r survived a committed delete — lost DV update"))
+        assert(graft.storage.DeletionVectors.version(spark, tbl) === 2L * n)
+        assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n + 1))
+      } else {
+        val rows = spark.table(tbl).collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+        val expected =
+          (for (w <- Seq("A", "B"); i <- 1 to n) yield (w, i)).toSet
+        assert(rows === expected,
+          s"lost/duplicated update: ${expected.diff(rows)} missing, " +
+            s"${rows.diff(expected)} unexpected")
+        // 2n commits serialized with no gaps: version chain length is the
+        // writers' combined commit count.
+        assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n))
+      }
       if (manifest) {
         // The carries really were metadata: the final version holds refs
         // whose physical files live in EARLIER version directories and
@@ -147,6 +163,20 @@ class CrossProcessSpec extends SparkSpec {
     raceTwoProcesses("xproc_commit_tbl", manifest = false)
   }
 
+  test("two JVM processes race deletion-vector deletes: every residue " +
+      "class lands, stamps and versions serialize") {
+    val tbl = "xproc_dv_tbl"
+    Seq(tbl, s"${tbl}__dv").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    SnapshotCommit.destroy(spark, tbl)
+    // Seed v1: 1000 rows in two files, adopted into snapshot form so
+    // both children's first delete races against the same real version.
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 1000).toDF("id").repartition(2).write.parquet(dir)
+    }
+    raceTwoProcesses(tbl, manifest = false, mode = "dv")
+  }
+
   test("kill -9 of a writer with fully staged work: table stays readable, " +
       "the next writer commits over the corpse") {
     val tbl = "xproc_kill_tbl"
@@ -170,15 +200,24 @@ class CrossProcessSpec extends SparkSpec {
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.CrossProcessCommitter",
         warehouse, tbl, "A", "1", barrier,
-        "graft.storage.FileLockCommitLock", "false")): _*)
+        "graft.storage.FileLockCommitLock", "false", "append")): _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(Paths.get(barrier, "out-A").toFile)
     val victim = pb.start()
     try {
       Files.writeString(Paths.get(barrier, "ready-B"), "") // fake peer ready
       val deadline = System.currentTimeMillis() + 300000
+      def victimLog(): String = {
+        val p = Paths.get(barrier, "out-A")
+        if (Files.exists(p)) Files.readString(p).takeRight(2000)
+        else "<no output>"
+      }
       while (!Files.exists(Paths.get(barrier, "ready-A"))) {
-        assert(System.currentTimeMillis() < deadline, "victim never started")
+        assert(System.currentTimeMillis() < deadline,
+          s"victim never started\n${victimLog()}")
+        if (!victim.isAlive)
+          fail(s"victim died before the barrier (exit " +
+            s"${victim.exitValue()})\n${victimLog()}")
         Thread.sleep(100)
       }
       Files.writeString(Paths.get(barrier, "go"), "")
