@@ -63,12 +63,26 @@ object Bench {
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     val timesByName =
       scala.collection.mutable.Map.empty[String, Seq[Double]]
+    // Per-entry TENANCY: MB of persisted blocks (cached RDDs/frames left
+    // by EARLIER entries) in the block manager when this entry starts.
+    // In the default shared-session sweep an entry's time includes the
+    // cost of squeezing past that residue — exactly as in a long-lived
+    // production session — so the full JSON carries the residue size
+    // per entry, making "slow because the plan changed" vs "slow
+    // because the sweep's storage memory was full" triageable from the
+    // committed artifact alone (the question the r8 pr1/d7 regressions
+    // took an isolated re-run to answer).
+    val tenancyMB = scala.collection.mutable.Map.empty[String, Double]
+    def persistedMB(): Double =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum / 1e6
     val results = buildEntry +: selected.map { case (name, fn) =>
       if (isolate) {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(true))
       }
+      tenancyMB(name) = persistedMB()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (times.lastOption.forall(_ >= 0) && times.length < runs) {
         val t0 = System.nanoTime()
@@ -124,8 +138,12 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
+    val tenancyJson = tenancyMB.toSeq.sortBy(_._1)
+      .collect { case (k, v) if v >= 0.1 =>
+        "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v) }
+      .mkString("{", ",", "}")
     val fullJson = render(results, errJson(errNames),
-      s""","n":${results.length},"spread":$spreadJson""")
+      s""","n":${results.length},"spread":$spreadJson,"tenancy_mb":$tenancyJson""")
     // A prefix-filtered run is a LOCAL-ITERATION artifact: it must never
     // overwrite the committed full-catalog snapshot (BENCH_LATEST.json) —
     // round 7's end-of-round commit did exactly that, replacing the

@@ -434,10 +434,12 @@ class Pipeline {
           spark.table(name)
       }
     if (d.tableProperties.nonEmpty && d.materialize != Materialize.View) {
-      // Authoritative copy: the snapshot-root `_properties` sidecar
-      // survives catalog mode changes (a manifest-mode temp view cannot
-      // carry TBLPROPERTIES) — Optimize reads `delta.targetFileSize`
-      // from here in either mode.
+      // Durable copy: the snapshot-root `_properties` sidecar survives
+      // catalog mode changes (a manifest-mode temp view cannot carry
+      // TBLPROPERTIES). Precedence in consumers (Optimize) is catalog
+      // first — a user's direct ALTER TABLE SET TBLPROPERTIES wins,
+      // matching Delta — with the sidecar as the manifest-mode
+      // fallback.
       graft.storage.SnapshotCommit.setProperties(spark, name,
         d.tableProperties)
       val props = d.tableProperties
@@ -459,19 +461,53 @@ class Pipeline {
 }
 
 object Pipeline {
-  /** Does any expression in the frame's analyzed plan evaluate
-    * non-deterministically (rand/uuid/sampling/shuffle-order-dependent
-    * ops)? Drives the merge arm's conditional source materialization:
-    * such a frame can disagree with itself across the probe and rewrite
-    * jobs, so it must be evaluated once and cached; a deterministic
-    * frame re-derives identically and skips the persist cost.
+  /** Can the frame disagree with itself across two evaluations? Drives
+    * the merge arm's conditional source materialization (Delta's MERGE
+    * materializeSource trigger set): such a frame must be evaluated
+    * once and cached or the probe and rewrite jobs can see different
+    * rows — silent target-row loss; a deterministic frame re-derives
+    * identically and skips the persist cost. Three sources of
+    * nondeterminism, all scanned:
+    *
+    *  1. expression-level (rand/uuid/monotonically_increasing_id/...)
+    *     anywhere in the analyzed plan;
+    *  2. the plans INSIDE subquery expressions — `Expression.exists`
+    *     walks expression children only, never a SubqueryExpression's
+    *     LogicalPlan, so a scalar subquery over a sampled source would
+    *     otherwise pass as deterministic;
+    *  3. plan-level: Sample nodes, and a limit whose input has no
+    *     enforcing Sort beneath it (which rows survive the limit then
+    *     depends on task scheduling). A sorted limit — Sort visible
+    *     through Project/Filter/other limits — stays deterministic,
+    *     so the reference's `LIMIT 1000` date sequence does not pay
+    *     the persist. Ties in the sort key technically remain
+    *     scheduling-dependent; treating sorted limits as deterministic
+    *     mirrors Delta's trigger set.
     */
   private[graft] def nonDeterministic(
       df: org.apache.spark.sql.DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    def scan(p: LogicalPlan): Boolean =
-      p.expressions.exists(e => e.exists(!_.deterministic)) ||
-        p.children.exists(scan)
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def sortedBelow(p: LogicalPlan): Boolean = p match {
+      case _: Sort => true
+      case _: Project | _: Filter | _: LocalLimit | _: GlobalLimit |
+           _: SubqueryAlias =>
+        p.children.exists(sortedBelow)
+      case _ => false
+    }
+    def scan(p: LogicalPlan): Boolean = {
+      val exprND = p.expressions.exists(_.exists {
+        case s: SubqueryExpression => scan(s.plan)
+        case e => !e.deterministic
+      })
+      val planND = p match {
+        case _: Sample => true
+        case l: LocalLimit => !sortedBelow(l.child)
+        case g: GlobalLimit => !sortedBelow(g.child)
+        case _ => false
+      }
+      exprND || planND || p.children.exists(scan)
+    }
     scan(df.queryExecution.analyzed)
   }
 }

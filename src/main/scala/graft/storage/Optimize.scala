@@ -51,18 +51,20 @@ object Optimize {
   def compact(spark: SparkSession, table: String,
       targetFileSize: Option[Long] = None): (Int, Int) = {
     val target = targetFileSize.orElse {
-      // The snapshot-root `_properties` sidecar is authoritative — it
-      // survives manifest mode, where the table resolves through a temp
-      // view that cannot carry TBLPROPERTIES.
-      SnapshotCommit.properties(spark, table).get(TargetFileSizeProp)
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
-    }.orElse {
-      // Catalog TBLPROPERTIES for tables declared outside the pipeline
-      // (Try: temp views reject SHOW TBLPROPERTIES).
+      // Catalog TBLPROPERTIES are AUTHORITATIVE when the catalog can
+      // hold them (Delta semantics: a user's direct ALTER TABLE SET
+      // TBLPROPERTIES must win over whatever the pipeline's sidecar
+      // last recorded). Try: temp views reject SHOW TBLPROPERTIES.
       scala.util.Try(spark.sql(s"SHOW TBLPROPERTIES $table").collect())
         .getOrElse(Array.empty[org.apache.spark.sql.Row]).toSeq
         .find(_.getString(0) == TargetFileSizeProp)
         .flatMap(r => scala.util.Try(r.getString(1).toLong).toOption)
+    }.orElse {
+      // The snapshot-root `_properties` sidecar — the fallback that
+      // survives manifest mode, where the table resolves through a temp
+      // view that cannot carry TBLPROPERTIES.
+      SnapshotCommit.properties(spark, table).get(TargetFileSizeProp)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
     }.getOrElse(128L * 1024 * 1024)
     require(target > 0, s"bad target file size: $target")
 

@@ -111,27 +111,11 @@ object SnapshotCommit {
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** (session, table) -> version for which this session last COMPLETED
-    * a registration — ALTER/temp-view rebuild and, crucially, the
-    * relation-cache REFRESH. Lets [[register]] skip the refresh on the
-    * uncontended fast path (the r7 commit machinery taxed every
-    * register with an unconditional `REFRESH TABLE`, +18–33% on the
-    * storage benches and u4): version directories are immutable, so a
-    * completed registration for version v stays valid until the pointer
-    * moves. ORDERING IS THE CORRECTNESS ARGUMENT — the memo is written
-    * only AFTER the refresh completes, so a concurrent rebasing writer
-    * that reads memo==v is guaranteed the session relation cache was
-    * invalidated after the ALTER landed (the 1-in-3 lost-update flake
-    * the unconditional refresh originally fixed stays fixed; the
-    * forced-rendezvous concurrency spec still pins it). Entries are
-    * dropped by [[destroy]] so a rebuilt table starting over at v1
-    * cannot alias a stale memo.
-    */
-  private val registeredVersions =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  private def regKey(spark: SparkSession, root: Path): String =
-    s"${System.identityHashCode(spark.sessionState)}:$root"
+  /** Slow-path registrations completed since JVM start — a test probe
+    * (specs assert a clone hits the fast path by pinning this counter),
+    * not part of the protocol. */
+  private[graft] val slowRegisters =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** Staging directories owned by live commits in this JVM — protected
     * from garbage collection regardless of age. */
@@ -398,16 +382,21 @@ object SnapshotCommit {
     */
   def register(spark: SparkSession, table: String): Option[Long] =
     currentVersion(spark, table).map { v =>
-      val key = regKey(spark, rootDir(spark, table))
-      // Fast path: this session already finished registering (and
-      // refreshing for) exactly this version, and the catalog entry is
-      // still the one it installed — nothing to replay, nothing stale.
-      val memo = registeredVersions.get(key)
-      val fast = memo != null && memo.longValue == v &&
-        registrationIntact(spark, table, v)
+      // Fast path: this session is demonstrably aligned with v — the
+      // catalog (or temp view) points at v's directory AND nothing the
+      // session has cached contradicts it. The check inspects the
+      // ACTUAL staleness hazard the slow path's REFRESH exists to
+      // clear, so it is safe for any session — including a
+      // newSession() clone that never touched the table (empty
+      // relation cache, shared external catalog): the r8 design
+      // memoized (sessionState-identity, version) instead, which (a)
+      // could collide across sessions, (b) leaked entries for dead
+      // sessions, and (c) sent every clone down the slow path.
+      val fast = registrationFresh(spark, table, v)
       if (sys.env.contains("GRAFT_COMMIT_DEBUG"))
-        System.err.println(s"[register-debug] $table v=$v memo=$memo fast=$fast")
+        System.err.println(s"[register-debug] $table v=$v fast=$fast")
       if (fast) return Some(v)
+      slowRegisters.incrementAndGet()
       val d = finalizeDir(spark, table, v)
       if (manifestMode(spark)) {
         // A manifest version's files span directories, which a
@@ -419,33 +408,97 @@ object SnapshotCommit {
         (if (paths.nonEmpty) spark.read.parquet(paths: _*)
          else spark.emptyDataFrame).createOrReplaceTempView(table)
       } else pointAt(spark, table, d)
-      // AFTER the refresh/rebuild — see the registeredVersions scaladoc.
-      registeredVersions.put(key, v)
       v
     }
 
-  /** Is the catalog entry for `table` still the one a completed
-    * registration for version `v` installed? In-memory catalog lookups
-    * only (no file listing, no refresh) — the cheap validity check
-    * behind [[register]]'s fast path, guarding against out-of-band
-    * drops/re-points between registrations. */
-  private def registrationIntact(spark: SparkSession, table: String,
-      v: Long): Boolean =
+  /** Is THIS session fully aligned with version `v` of `table` — i.e.
+    * would the slow path's ALTER + `REFRESH TABLE` be a no-op for it?
+    * Three checks, all in-memory/metadata-only:
+    *
+    *  1. link mode: the catalog entry exists and its location is v's
+    *     directory (metadata lookup wrapped in Try — a same-name temp
+    *     view shadowing the table makes `tableExists` pass but the
+    *     metadata lookup throw; that is a broken registration, answer
+    *     false and let the slow path repair it);
+    *  2. link mode: the session's RELATION CACHE either holds no entry
+    *     for the table (nothing stale — the next resolution builds
+    *     fresh from the catalog entry just verified) or holds one
+    *     rooted at exactly v's directory. This is the direct form of
+    *     the lost-update protection the r7 unconditional refresh
+    *     bought: a rebasing writer that observed a concurrent winner's
+    *     ALTER before the winner's REFRESH still carries the OLD
+    *     location in its cache — the probe sees the mismatch and sends
+    *     it down the slow path. (Like the refresh it replaces, the
+    *     probe does not re-validate `df.persist`ed query results over
+    *     the table — CacheManager entries are the caller's to manage.)
+    *  3. manifest mode: the session's temp view exists and its plan's
+    *     root paths are exactly v's resolved file set (version file
+    *     sets are immutable, so set equality IS version equality; the
+    *     r8 memo checked mere view existence, which let one session
+    *     serve its stale view after another session published v+1).
+    */
+  private[graft] def registrationFresh(spark: SparkSession, table: String,
+      v: Long): Boolean = {
+    def rootPaths(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        ): Seq[String] =
+      plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Seq("#non-fs-relation") // unexpected shape: stale
+          }
+      }.flatten
     if (manifestMode(spark))
-      spark.catalog.tableExists(table) // the temp view it created
+      spark.sessionState.catalog.getTempView(table).exists { view =>
+        resolveDir(spark, table, v).exists { d =>
+          rootPaths(view).toSet ==
+            listData(spark, d).map(_._2.toUri.getPath).toSet
+        }
+      }
     else spark.catalog.tableExists(table) && {
-      val loc = new Path(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
-        .toUri.getPath
-      // Accept either name the version resolves under (finalized v<N>
-      // or its pre-finalization staging name).
-      resolveDir(spark, table, v).exists(_.toUri.getPath == loc)
+      val cat = spark.sessionState.catalog
+      // A same-name temp view (left by a manifest-mode registration
+      // before the conf flipped back) SHADOWS the catalog table for
+      // every spark.table read — never fresh; the slow path's pointAt
+      // drops it. The metadata lookup stays Try-wrapped for any other
+      // way the registration can be half-broken.
+      val meta =
+        if (cat.getTempView(table).isDefined) None
+        else scala.util.Try(cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))).toOption
+      meta.exists { m =>
+        // Accept either name the version resolves under (finalized v<N>
+        // or its pre-finalization staging name).
+        val loc = new Path(m.location).toUri.getPath
+        resolveDir(spark, table, v).exists(_.toUri.getPath == loc) && {
+          // Key construction mirrors FindDataSourceTable.readDataSourceTable
+          // (QualifiedTableName(identifier.catalog, database, table)) —
+          // the rule that populates the cache; the cross-session
+          // staleness test pins that this key finds real entries.
+          val key = org.apache.spark.sql.catalyst.QualifiedTableName(
+            m.identifier.catalog.getOrElse("spark_catalog"),
+            m.identifier.database.getOrElse(cat.getCurrentDatabase),
+            m.identifier.table)
+          cat.getCachedTable(key) match {
+            case null => true
+            case cached => rootPaths(cached) == Seq(loc)
+          }
+        }
+      }
     }
+  }
 
   /** Create `table` at `loc`, or re-point a registration whose catalog
     * location differs. Also used for sidecar tables that live INSIDE a
     * snapshot (DeletionVectors' `_dv`). */
-  def pointAt(spark: SparkSession, table: String, loc: Path): Unit =
+  def pointAt(spark: SparkSession, table: String, loc: Path): Unit = {
+    // A stale same-name TEMP VIEW (left by a manifest-mode registration
+    // before the conf was flipped back) would shadow the catalog table
+    // for every spark.table read and make the metadata lookup below
+    // throw — remove it; in link mode this name belongs to the catalog.
+    if (spark.sessionState.catalog.getTempView(table).isDefined)
+      spark.catalog.dropTempView(table)
     if (!spark.catalog.tableExists(table))
       spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$loc'")
     else {
@@ -464,6 +517,7 @@ object SnapshotCommit {
       // spec's forced rendezvous).
       spark.sql(s"REFRESH TABLE $table")
     }
+  }
 
   /** Delete snapshot directories and pointer files superseded by
     * `keep`, RETAINING the previous version (concurrent readers may
@@ -516,9 +570,12 @@ object SnapshotCommit {
         else if (n.startsWith(".stage-"))
           !referenced(n) && !activeStages.contains(st.getPath.toString) &&
             now - st.getModificationTime > StageGraceMs
+        else if (n.startsWith("._properties.") && n.endsWith(".tmp"))
+          // A setProperties temp abandoned by a crash pre-rename.
+          now - st.getModificationTime > StageGraceMs
         else false
       if (stale) {
-        if (manifestMode(spark)) gcDir(st.getPath)
+        if (manifestMode(spark) && st.isDirectory) gcDir(st.getPath)
         else fs.delete(st.getPath, true)
       }
     }
@@ -548,16 +605,35 @@ object SnapshotCommit {
 
   /** Record `props` (merged over existing) in the snapshot-root
     * sidecar. Creates the root if the table is not yet snapshot-managed
-    * so declarations made before first adoption are not lost. */
+    * so declarations made before first adoption are not lost.
+    *
+    * The read-merge-write is serialized through the per-table JVM lock
+    * and published like the pointer path: written to a temp file, then
+    * atomically renamed OVER `_properties` (FileContext OVERWRITE
+    * rename) — a crash mid-write leaves the previous sidecar intact,
+    * never a truncated one, and two in-JVM writers cannot lose each
+    * other's keys. Cross-PROCESS concurrent setProperties remains
+    * last-writer-wins on the whole file (the same exposure a real
+    * catalog's ALTER ... SET TBLPROPERTIES race has). */
   def setProperties(spark: SparkSession, table: String,
       props: Map[String, String]): Unit = if (props.nonEmpty) {
-    val p = propsPath(spark, table)
-    val fs = fsOf(spark, p)
-    val merged = new java.util.Properties()
-    (properties(spark, table) ++ props).foreach {
-      case (k, v) => merged.setProperty(k, v) }
-    val out = fs.create(p, true)
-    try merged.store(out, null) finally out.close()
+    val root = rootDir(spark, table)
+    val lock = tableLocks.computeIfAbsent(root.toString, _ => new Object)
+    lock.synchronized {
+      val p = propsPath(spark, table)
+      val fs = fsOf(spark, p)
+      fs.mkdirs(root)
+      val merged = new java.util.Properties()
+      (properties(spark, table) ++ props).foreach {
+        case (k, v) => merged.setProperty(k, v) }
+      val tmp = new Path(root,
+        s"._properties.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try merged.store(out, null) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** The table's sidecar properties, empty if none recorded. */
@@ -580,9 +656,6 @@ object SnapshotCommit {
     spark.catalog.dropTempView(table) // manifest-mode registration
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val root = rootDir(spark, table)
-    // Every session's memo for this table (a rebuilt table restarts at
-    // v1 and must never alias a prior incarnation's completed v1).
-    registeredVersions.keySet.removeIf(_.endsWith(s":$root"))
     val fs = fsOf(spark, root)
     if (fs.exists(root)) fs.delete(root, true)
   }

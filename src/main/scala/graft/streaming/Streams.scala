@@ -49,6 +49,20 @@ object Streams {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // Bench sweep knob: SPARK_GRAFT_STATE_PROVIDER=rocksdb runs every
+    // stateful entry under RocksDBStateStoreProvider (the 100 TB
+    // provider — see MIGRATION.md) so its cost vs the HDFS-backed
+    // default is a measured number, not a claim. Safe to flip per run:
+    // each entry builds a FRESH checkpoint (memory-sink temp dirs), so
+    // the per-checkpoint provider choice never mixes state formats.
+    // Any other value is taken as a provider class name verbatim.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      val cls =
+        if (p == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else p
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     ss
   }
 

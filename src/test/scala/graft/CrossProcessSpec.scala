@@ -258,4 +258,102 @@ class CrossProcessSpec extends SparkSpec {
       "refcount GC collects nothing live") {
     raceTwoProcesses("xproc_commit_manifest_tbl", manifest = true)
   }
+
+  test("SIGKILL'd mid-stream, restarted from another JVM on the same " +
+      "checkpoint: exactly-once output, no duplicate, no loss") {
+    // The Auto Loader crash-restart story: process A runs a checkpointed
+    // CSV → parquet streaming ingest (maxFilesPerTrigger=1 so the
+    // backlog is a sequence of committed micro-batches) and is SIGKILL'd
+    // after its first batch commits but long before the backlog drains —
+    // mid-batch, with possibly-written-but-uncommitted sink files and an
+    // offset log ahead of the commit log. Process B restarts the SAME
+    // checkpoint cold and must drain the rest exactly once. Ground truth
+    // read from THIS (third) JVM through the sink's _spark_metadata
+    // commit log — the read path that hides the corpse's orphans.
+    val base = Files.createTempDirectory("graft_xproc_stream")
+    val data = base.resolve("data"); Files.createDirectories(data)
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    val barrier = base.resolve("barrier").toString
+    val nFiles = 8; val rowsPerFile = 500
+    for (f <- 0 until nFiles) {
+      val rows = (0 until rowsPerFile).map { i =>
+        val id = f * rowsPerFile + i; s"$id,p$id"
+      }
+      Files.writeString(data.resolve(f"file$f%02d.csv"),
+        "id,payload\n" + rows.mkString("\n") + "\n")
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def launch(id: String): Process = {
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", cp, "graft.CrossProcessStreamer",
+          data.toString, ckpt, out, barrier, id)): _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(Paths.get(barrier, s"out-$id").toFile)
+      pb.start()
+    }
+    def log(id: String): String = {
+      val p = Paths.get(barrier, s"out-$id")
+      if (Files.exists(p)) Files.readString(p).takeRight(2000)
+      else "<no output>"
+    }
+    val deadline = System.currentTimeMillis() + 300000
+    Files.createDirectories(Paths.get(barrier))
+    val victim = launch("A")
+    try {
+      while (!Files.exists(Paths.get(barrier, "ready-A"))) {
+        assert(System.currentTimeMillis() < deadline,
+          s"victim never became ready\n${log("A")}")
+        assert(victim.isAlive, s"victim died pre-barrier\n${log("A")}")
+        Thread.sleep(100)
+      }
+      Files.writeString(Paths.get(barrier, "go"), "")
+      // Wait for the FIRST committed batch, then SIGKILL immediately —
+      // with ~0.5s per batch and 8 batches the kill lands inside the
+      // stream, typically mid-batch-1/2. No shutdown hooks run.
+      while (!Files.exists(Paths.get(barrier, "progress-A-0"))) {
+        assert(System.currentTimeMillis() < deadline,
+          s"victim never committed a batch\n${log("A")}")
+        assert(victim.isAlive, s"victim died before batch 0\n${log("A")}")
+        Thread.sleep(20)
+      }
+      val drainedBeforeKill = Files.exists(Paths.get(barrier, "done-A"))
+      victim.destroyForcibly()
+      victim.waitFor(30, TimeUnit.SECONDS)
+      assert(!drainedBeforeKill,
+        "victim drained the whole backlog before the kill — the restart " +
+          "would have nothing to recover; widen the drag or add files")
+      // Restart on the same checkpoint from a SECOND fresh JVM.
+      val restarter = launch("B")
+      try {
+        Files.writeString(Paths.get(barrier, "go"), "") // already present
+        assert(restarter.waitFor(300, TimeUnit.SECONDS),
+          s"restarter timed out\n${log("B")}")
+        assert(restarter.exitValue() === 0,
+          s"restarter exited ${restarter.exitValue()}\n${log("B")}")
+      } finally { restarter.destroyForcibly(); () }
+    } finally { victim.destroyForcibly(); () }
+    // Exactly-once: every id exactly once, read through _spark_metadata.
+    val ids = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = (0L until (nFiles * rowsPerFile).toLong)
+    assert(ids.length === expected.length,
+      s"row count ${ids.length} != ${expected.length} — " +
+        (if (ids.length > expected.length) "duplicated rows across the restart"
+         else "lost rows across the restart"))
+    assert(ids.toSet === expected.toSet, "id set drifted across the restart")
+    // The recovery genuinely spanned processes: B must have committed at
+    // least one batch (the backlog was not drained pre-kill).
+    val bProgress = Files.list(Paths.get(barrier)).iterator()
+    var bBatches = 0
+    while (bProgress.hasNext) {
+      if (bProgress.next().getFileName.toString.startsWith("progress-B-"))
+        bBatches += 1
+    }
+    assert(bBatches >= 1, "restarter committed no batches — nothing raced")
+  }
 }

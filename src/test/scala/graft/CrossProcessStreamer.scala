@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types._
+
+/** Child-process half of the cross-process STREAMING-CHECKPOINT restart
+  * race (CrossProcessSpec "SIGKILL'd mid-stream..."): a standalone main
+  * so the test can run a real checkpointed file-source → file-sink
+  * streaming query in one JVM, SIGKILL that JVM mid-batch, and restart
+  * the SAME checkpoint from a second JVM — the Auto Loader
+  * crash-restart story (`scripts/bronze/bronze_ingestion.py:25,30`:
+  * `option("checkpointLocation", ...)` is the reference's whole
+  * recovery contract). Exactly-once must hold across the corpse: the
+  * offset log replays uncommitted batches, and the parquet sink's
+  * `_spark_metadata` commit log hides any part files the victim wrote
+  * for a batch it never committed.
+  *
+  * Protocol: args = dataDir (CSV input), ckptDir, outDir, barrierDir,
+  * writer id. The process drops `ready-<id>`, spins until `go`, then
+  * runs the query with Trigger.AvailableNow and maxFilesPerTrigger=1 so
+  * the backlog becomes a SEQUENCE of committed micro-batches. A
+  * StreamingQueryListener drops `progress-<id>-<batchId>` markers as
+  * batches complete — the parent uses them to time its SIGKILL inside
+  * the batch stream, not before the first or after the last. A
+  * per-row ~1ms drag (busy-wait expression) stretches each batch so the
+  * kill window is wide. Writes `done-<id>` and exits 0 only when the
+  * backlog is drained.
+  */
+object CrossProcessStreamer {
+  def main(args: Array[String]): Unit = {
+    val Array(dataDir, ckptDir, outDir, barrierDir, id) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(barrierDir))
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        Files.writeString(
+          Paths.get(barrierDir, s"progress-$id-${e.progress.batchId}"),
+          e.progress.numInputRows.toString)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    Files.writeString(Paths.get(barrierDir, s"ready-$id"), "")
+    val deadline = System.currentTimeMillis() + 300000
+    while (!Files.exists(Paths.get(barrierDir, "go"))) {
+      if (System.currentTimeMillis() > deadline)
+        sys.error("barrier: no go signal within 300s")
+      Thread.sleep(50)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType)))
+    // Per-row drag (~1ms) so each micro-batch is a wide-open kill
+    // window; a test-harness UDF, never the product path.
+    val drag = org.apache.spark.sql.functions.udf { (id: Long) =>
+      Thread.sleep(1); id
+    }
+    val src = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(dataDir)
+      .withColumn("id", drag(org.apache.spark.sql.functions.col("id")))
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Files.writeString(Paths.get(barrierDir, s"done-$id"), "")
+    spark.stop()
+  }
+}

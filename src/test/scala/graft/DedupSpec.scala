@@ -148,6 +148,40 @@ class DedupSpec extends SparkSpec {
     assert(verified === Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L)))
   }
 
+  test("minhash candidate volume scales at most linearly across a data " +
+      "decade (the d3 stage-count invariant)") {
+    // d3's decade timing ratio has sat at 10.2x-10.6x for 10x data two
+    // rounds running. This pins WHY it is linear from the stage counts
+    // themselves, not a timing inference: per doc, the sketch emits a
+    // FIXED 32 band keys, and the bucketed pair expansion (cap 1024)
+    // produces candidates proportional to docs x mean-bucket-fanout —
+    // so the candidates-per-doc RATE must not grow with corpus size.
+    // Exact d3 parameters (n=3, 128 hashes, 32 bands, maxBucket=1024).
+    def stages(dir: String): (Long, Long, Long) = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = d.count()
+      val bandKeys = docs * 32 // per-row native sketch: fixed fan-out
+      val cands = Dedup.minhashCandidatePairs(d, col("text"),
+        col("doc_id"), 3, 128, 32, 1024).count()
+      (docs, bandKeys, cands)
+    }
+    // documents carries 500 rows at sf0.001/sf0.01 and 5000 at sf0.1 —
+    // the committed testdata's one clean 10x decade for this table.
+    val (docsS, keysS, candsS) = stages(Sf0001)
+    val (docsL, keysL, candsL) = stages("/root/testdata/sf0.1")
+    info(f"sf0.001: docs=$docsS bandKeys=$keysS candidates=$candsS " +
+      f"(${candsS.toDouble / docsS}%.3f/doc)")
+    info(f"sf0.1:   docs=$docsL bandKeys=$keysL candidates=$candsL " +
+      f"(${candsL.toDouble / docsL}%.3f/doc)")
+    val scale = docsL.toDouble / docsS
+    assert(scale >= 5.0, "test data shape changed; decade assumption broken")
+    // Candidates may not grow faster than the doc count (50% slack for
+    // the planted-duplicate density differing slightly between scales).
+    assert(candsL <= candsS * scale * 1.5,
+      s"candidate pairs grew SUPER-linearly across the decade: " +
+        s"$candsS -> $candsL at ${scale}x docs")
+  }
+
   test("pointer doubling converges a path graph in O(log diameter) rounds") {
     // A 400-edge path is the adversarial case for label propagation:
     // the minimum must travel 400 hops, so a loop whose doubling step

@@ -342,6 +342,27 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.nonDeterministic(
       det.withColumn("r", rand()).select(col("k"))),
       "non-determinism below the projection still taints the frame")
+    // Subquery plans: Expression.exists never descends into a
+    // SubqueryExpression's LogicalPlan, so a sampled/random scalar
+    // subquery used to pass as deterministic and skip materialization.
+    spark.range(100).toDF("v").createOrReplaceTempView("nd_probe_src")
+    assert(Pipeline.nonDeterministic(spark.sql(
+      "SELECT k, (SELECT max(v) FROM nd_probe_src WHERE rand() > 0.5) m " +
+        "FROM range(5) t(k)")),
+      "non-determinism inside a scalar subquery must taint the frame")
+    assert(!Pipeline.nonDeterministic(spark.sql(
+      "SELECT k, (SELECT max(v) FROM nd_probe_src) m FROM range(5) t(k)")),
+      "a deterministic scalar subquery must not force the persist")
+    // Plan-level: which rows survive an unsorted limit or a sample
+    // depends on scheduling, even though no expression is marked
+    // non-deterministic.
+    assert(Pipeline.nonDeterministic(det.limit(3)),
+      "a limit over unordered input is scheduling-dependent")
+    assert(!Pipeline.nonDeterministic(
+      det.orderBy(col("k")).limit(3).select(col("k"))),
+      "a sort-enforced limit re-derives identically")
+    assert(Pipeline.nonDeterministic(det.sample(0.5)),
+      "a sampled source must be materialized once per attempt")
   }
 
   test("commit lock is conf-selectable: spark.graft.commit.lock installs " +

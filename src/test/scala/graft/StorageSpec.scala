@@ -200,11 +200,11 @@ class StorageSpec extends SparkSpec {
 
   test("register fast path: destroy + rebuild at v1 must not serve the old " +
       "incarnation") {
-    // register() memoizes (session, version) to skip the relation-cache
-    // refresh on the uncontended path. The aliasing hazard: destroy a
-    // table, rebuild it — versions restart at 1, same (session, table,
-    // version) key as the dead incarnation. A stale memo here would skip
-    // the refresh and serve the OLD files. destroy() must clear it.
+    // register()'s fast path probes the session's relation cache
+    // instead of refreshing. The aliasing hazard: destroy a table,
+    // rebuild it — versions restart at 1 under the SAME v1 path as the
+    // dead incarnation. A probe that misread a surviving cache entry
+    // as fresh would serve the OLD files.
     import org.apache.spark.sql.functions._
     import graft.storage.SnapshotCommit
     val tbl = "snap_reincarnate_tbl"
@@ -229,6 +229,99 @@ class StorageSpec extends SparkSpec {
     assert(out.count() === 7)
     assert(out.select("gen").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("second"))
+  }
+
+  test("register fast path across sessions: a fresh clone skips the slow " +
+      "path, a clone holding a stale relation cache does not") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_clone_fresh_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).select(col("id"), lit("v1").as("gen"))
+        .write.parquet(dir)
+    }
+    // A newSession() clone that never touched the table: empty relation
+    // cache + shared external catalog entry => nothing stale, fast path
+    // (the r8 sessionState-identity memo sent every clone down the slow
+    // path; the identity hash could also collide between live sessions).
+    val clone = spark.newSession()
+    val slow0 = SnapshotCommit.slowRegisters.get()
+    assert(SnapshotCommit.register(clone, tbl) === Some(1L))
+    assert(SnapshotCommit.slowRegisters.get() === slow0,
+      "a cold clone re-registered — the clone fast path regressed")
+    assert(clone.table(tbl).count() === 10)
+    // The clone has now CACHED the v1 relation. Publish v2 from the
+    // parent session (its ALTER lands in the shared external catalog,
+    // its REFRESH only clears the parent's cache): the clone's probe
+    // must detect its own stale cache and take the slow path — this is
+    // the cross-session lost-update hazard the probe exists to close,
+    // and it only fails loudly if the probe's cache-key construction
+    // actually finds the entry (pinning the key format against Spark
+    // internals drift).
+    assert(SnapshotCommit.registrationFresh(clone, tbl, 1L),
+      "clone should be fresh at v1 after reading it")
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 7).select(col("id"), lit("v2").as("gen"))
+        .write.parquet(dir)
+    }
+    assert(!SnapshotCommit.registrationFresh(clone, tbl, 2L),
+      "clone's stale v1 relation cache went undetected — either the " +
+        "probe's cache key misses real entries or staleness is ignored")
+    val slow1 = SnapshotCommit.slowRegisters.get()
+    assert(SnapshotCommit.register(clone, tbl) === Some(2L))
+    assert(SnapshotCommit.slowRegisters.get() === slow1 + 1,
+      "stale clone should have re-registered")
+    assert(clone.table(tbl).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("v2"))
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("a stale same-name temp view cannot wedge registration: register " +
+      "drops it and re-points the catalog table") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_shadow_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 5).toDF("id").write.parquet(dir)
+    }
+    // The ADVICE scenario: a manifest-mode registration left a temp view
+    // under this name, then the conf flipped back to link mode. The view
+    // shadows the catalog table (tableExists says true, metadata lookup
+    // throws) — register must recover, not surface NoSuchTableException.
+    spark.range(0, 99).toDF("wrong").createOrReplaceTempView(tbl)
+    assert(SnapshotCommit.register(spark, tbl) === Some(1L))
+    assert(spark.table(tbl).columns.toSeq === Seq("id"),
+      "the shadowing temp view was served instead of the catalog table")
+    assert(spark.table(tbl).count() === 5)
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("setProperties is atomic and loses no concurrent keys") {
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_props_race_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    // 2 threads x 20 distinct keys, all merging into one sidecar: the
+    // read-merge-write is serialized through the table lock and each
+    // publish is a temp-file + atomic OVERWRITE rename, so every key
+    // must survive and no truncated/temp artifacts may remain.
+    val threads = (0 until 2).map { t =>
+      new Thread(() => (0 until 20).foreach { i =>
+        SnapshotCommit.setProperties(spark, tbl, Map(s"k$t.$i" -> s"$t$i"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val props = SnapshotCommit.properties(spark, tbl)
+    for (t <- 0 until 2; i <- 0 until 20)
+      assert(props.get(s"k$t.$i") === Some(s"$t$i"),
+        s"key k$t.$i lost in the concurrent merge")
+    val root = SnapshotCommit.rootDir(spark, tbl)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(root)
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp artifacts leaked: ${leftovers.toSeq}")
+    SnapshotCommit.destroy(spark, tbl)
   }
 
   test("concurrent DV deletes serialize: loser rebases its stamp and sidecar union") {
