@@ -21,28 +21,36 @@ import graft.core.Tables
   * frame joins edges on src; both sides hash-partition on the node id so
   * one partitioning is reused across rounds, and rounds are a fixed
   * small constant (3). The edge list, degree-annotated edges and node
-  * set are persisted: they appear once per round in the unrolled plan,
-  * and without materialize-once Catalyst re-derives the
+  * set are lazily localCheckpoint-ed: they appear once per round in the
+  * unrolled plan, and without the lineage cut Catalyst re-derives the
   * orders⋈lineitem distinct (the expensive part) up to 8× — exchange
   * reuse does not fire across the differently-aliased round subtrees.
-  * At 100 TB with many rounds you'd also cut the rank frame's lineage
-  * per round exactly as dedup/Dedup.scala's connected components does;
-  * at a fixed 3 rounds the rank lineage stays linear and needs no cut.
+  * The checkpoint is lazy (materializes inside the measured action, no
+  * cross-run cache) and fresh per invocation. At 100 TB with many
+  * rounds you'd also checkpoint the rank frame per round exactly as
+  * dedup/Dedup.scala's connected components does; at a fixed 3 rounds
+  * the rank lineage stays linear and needs no cut.
   *
-  * CLEANUP IS EAGER, NOT GC-DRIVEN: the FINAL rank frame (one small row
-  * per node) is eagerly localCheckpoint-ed, which severs its dependence
-  * on the three edge-sized intermediates — those are then unpersisted
-  * BLOCKING before the builder returns. A bench sweep or long-lived
-  * session therefore carries only the node-sized result forward, not
-  * ~3 edge lists per invocation (the r8 sweeps measured that residue
-  * taxing whichever entries ran next — the pr1/d7 "tenancy tax").
-  * localCheckpoint uses NON-RELIABLE executor-local storage: a lost
-  * executor makes the truncated lineage unrecoverable, and dynamic
-  * allocation can trigger exactly that — at cluster scale prefer
-  * reliable `checkpoint()` (to the cluster FS) or pin executors, the
-  * caveat Spark's own localCheckpoint scaladoc carries. local[n]
-  * (this harness) has no executor loss, so the cheap variant is
-  * correct here.
+  * Two deliberate trades of this pattern, both MEASURED in round 9:
+  *  - CLEANUP IS GC-DRIVEN: the returned frame references the three
+  *    checkpointed RDDs, so they cannot be unpersisted inside this
+  *    builder; the ContextCleaner reclaims them once the caller drops
+  *    the result — and Bench's per-entry tenancy probe shows it DOES
+  *    (persisted-block residue before subsequent entries is ~0 MB in
+  *    the full shared sweep). An r9 attempt to make cleanup eager —
+  *    `.persist()` intermediates + eagerly checkpointing the final
+  *    frame + blocking unpersists — cost pr1 2.7 s → 5.9 s isolated
+  *    (InMemoryRelation's columnar encode/decode on every round's
+  *    reuse vs localCheckpoint's raw partition blocks) and was
+  *    reverted: raw-block checkpoints with GC cleanup are BOTH faster
+  *    and residue-free here.
+  *  - localCheckpoint uses NON-RELIABLE executor-local storage: a lost
+  *    executor makes the truncated lineage unrecoverable, and dynamic
+  *    allocation can trigger exactly that — at cluster scale prefer
+  *    reliable `checkpoint()` (to the cluster FS) or pin executors, the
+  *    caveat Spark's own localCheckpoint scaladoc carries. local[n]
+  *    (this harness) has no executor loss, so the cheap variant is
+  *    correct here.
   */
 object GraphQueries {
 
@@ -97,13 +105,13 @@ object GraphQueries {
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
         .unionAll(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        .persist() // compute the distinct pairs once, reuse every round
+        .localCheckpoint(false) // lazy: cut lineage, compute pairs once
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val nodes = deg.select(col("src").as("node"))
-        .persist() // reused by every round's left join + p0
+        .localCheckpoint(false) // reused by every round's left join + p0
       val nn = nodes.agg(count(lit(1)).as("n")) // 1-row broadcast scalar
       val edgesDeg = edges.join(deg, "src") // (src, dst, outdeg)
-        .persist() // reused by every round's contribution join
+        .localCheckpoint(false) // reused by every round's contribution join
       var pr: DataFrame = nodes.crossJoin(nn)
         .select(col("node"), expr(s"$Scale div n").as("pr"))
       for (_ <- 1 to Rounds) {
@@ -119,13 +127,7 @@ object GraphQueries {
             (expr(s"$Teleport div n")
               + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
       }
-      // Eager checkpoint of the node-sized RESULT severs it from the
-      // edge-sized intermediates, which are then evicted BLOCKING — see
-      // the object scaladoc (the r8 tenancy-tax fix).
-      val out = pr.select(col("node"), col("pr").as("pr_scaled"))
-        .localCheckpoint(true)
-      edges.unpersist(true); nodes.unpersist(true); edgesDeg.unpersist(true)
-      out
+      pr.select(col("node"), col("pr").as("pr_scaled"))
   }
 
   val specs: Seq[QuerySpec] = Seq(pr1PageRank)

@@ -242,6 +242,48 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("manifest registration staleness is detected ACROSS sessions: a " +
+      "clone's old temp view never serves a superseded version") {
+    // A manifest-mode table registers as a PER-SESSION temp view over the
+    // resolved file set. The hazard: session B registered v1, session A
+    // publishes v2 — B's view still points at v1's files and
+    // `tableExists` alone would call it fresh. registrationFresh must
+    // compare the view's root paths against the CURRENT version's file
+    // set and force B down the rebuild path.
+    withManifestMode {
+      val tbl = "man_xsession_tbl"
+      SnapshotCommit.destroy(spark, tbl)
+      SnapshotCommit.commit(spark, tbl) { dir =>
+        spark.range(0, 4).select(col("id"), lit("v1").as("gen"))
+          .coalesce(1).write.parquet(dir)
+      }
+      val clone = spark.newSession()
+      clone.conf.set("spark.graft.snapshot.manifest", "true")
+      assert(SnapshotCommit.register(clone, tbl) === Some(1L))
+      assert(clone.table(tbl).count() === 4)
+      assert(SnapshotCommit.registrationFresh(clone, tbl, 1L),
+        "clone should be fresh at v1 right after registering it")
+      // v2 from the parent: one new file, v1's file carried as a ref.
+      SnapshotCommit.commit(spark, tbl) { dir =>
+        spark.range(4, 6).select(col("id"), lit("v2").as("gen"))
+          .coalesce(1).write.parquet(dir)
+        val d = new org.apache.hadoop.fs.Path(dir)
+        SnapshotCommit.dataFiles(spark, tbl).zipWithIndex.foreach {
+          case ((nm, phys), k) =>
+            SnapshotCommit.carry(spark, phys,
+              new org.apache.hadoop.fs.Path(d, s"c$k-$nm"))
+        }
+      }
+      assert(!SnapshotCommit.registrationFresh(clone, tbl, 2L),
+        "clone's v1 temp view passed as fresh for v2 — mere existence " +
+          "is not version equality")
+      assert(SnapshotCommit.register(clone, tbl) === Some(2L))
+      assert(clone.table(tbl).count() === 6)
+      assert(clone.table(tbl).filter(col("gen") === "v2").count() === 2)
+      SnapshotCommit.destroy(spark, tbl)
+    }
+  }
+
   test("manifest commits replay across crashes like link commits") {
     withManifestMode {
       val tbl = "man_crash_tbl"
