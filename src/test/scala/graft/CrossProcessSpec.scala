@@ -259,27 +259,27 @@ class CrossProcessSpec extends SparkSpec {
     raceTwoProcesses("xproc_commit_manifest_tbl", manifest = true)
   }
 
-  test("SIGKILL'd mid-stream, restarted from another JVM on the same " +
-      "checkpoint: exactly-once output, no duplicate, no loss") {
-    // The Auto Loader crash-restart story: process A runs a checkpointed
-    // CSV → parquet streaming ingest (maxFilesPerTrigger=1 so the
-    // backlog is a sequence of committed micro-batches) and is SIGKILL'd
-    // after its first batch commits but long before the backlog drains —
-    // mid-batch, with possibly-written-but-uncommitted sink files and an
-    // offset log ahead of the commit log. Process B restarts the SAME
-    // checkpoint cold and must drain the rest exactly once. Ground truth
-    // read from THIS (third) JVM through the sink's _spark_metadata
-    // commit log — the read path that hides the corpse's orphans.
-    val base = Files.createTempDirectory("graft_xproc_stream")
+  /** The Auto Loader crash-restart story: process A runs a checkpointed
+    * CSV → parquet streaming query (maxFilesPerTrigger=1 so the backlog
+    * is a sequence of committed micro-batches) and is SIGKILL'd after
+    * its first batch commits but long before the backlog drains —
+    * mid-batch, with possibly-written-but-uncommitted sink files and an
+    * offset log ahead of the commit log. Process B restarts the SAME
+    * checkpoint cold and must drain the rest exactly once. Ground truth
+    * read from THIS (third) JVM through the sink's _spark_metadata
+    * commit log — the read path that hides the corpse's orphans.
+    * `rowsFor(f)` supplies file f's (id, payload) rows; `expectedIds` is
+    * the exact multiset-free id set the final output must equal.
+    */
+  private def streamRestartCase(mode: String, nFiles: Int,
+      rowsFor: Int => Seq[Long], expectedIds: Set[Long]): Unit = {
+    val base = Files.createTempDirectory(s"graft_xproc_stream_$mode")
     val data = base.resolve("data"); Files.createDirectories(data)
     val ckpt = base.resolve("ckpt").toString
     val out = base.resolve("out").toString
     val barrier = base.resolve("barrier").toString
-    val nFiles = 8; val rowsPerFile = 500
     for (f <- 0 until nFiles) {
-      val rows = (0 until rowsPerFile).map { i =>
-        val id = f * rowsPerFile + i; s"$id,p$id"
-      }
+      val rows = rowsFor(f).map(id => s"$id,p$id")
       Files.writeString(data.resolve(f"file$f%02d.csv"),
         "id,payload\n" + rows.mkString("\n") + "\n")
     }
@@ -291,7 +291,7 @@ class CrossProcessSpec extends SparkSpec {
           "-Xmx2g", "-Dspark.ui.enabled=false",
           "-Dspark.sql.session.timeZone=UTC",
           "-cp", cp, "graft.CrossProcessStreamer",
-          data.toString, ckpt, out, barrier, id)): _*)
+          data.toString, ckpt, out, barrier, id, mode)): _*)
       pb.redirectErrorStream(true)
       pb.redirectOutput(Paths.get(barrier, s"out-$id").toFile)
       pb.start()
@@ -337,15 +337,15 @@ class CrossProcessSpec extends SparkSpec {
           s"restarter exited ${restarter.exitValue()}\n${log("B")}")
       } finally { restarter.destroyForcibly(); () }
     } finally { victim.destroyForcibly(); () }
-    // Exactly-once: every id exactly once, read through _spark_metadata.
+    // Exactly-once: every expected id exactly once, read through
+    // _spark_metadata.
     val ids = spark.read.parquet(out).select("id")
       .collect().map(_.getLong(0)).toSeq
-    val expected = (0L until (nFiles * rowsPerFile).toLong)
-    assert(ids.length === expected.length,
-      s"row count ${ids.length} != ${expected.length} — " +
-        (if (ids.length > expected.length) "duplicated rows across the restart"
+    assert(ids.length === expectedIds.size,
+      s"row count ${ids.length} != ${expectedIds.size} — " +
+        (if (ids.length > expectedIds.size) "duplicated rows across the restart"
          else "lost rows across the restart"))
-    assert(ids.toSet === expected.toSet, "id set drifted across the restart")
+    assert(ids.toSet === expectedIds, "id set drifted across the restart")
     // The recovery genuinely spanned processes: B must have committed at
     // least one batch (the backlog was not drained pre-kill).
     val bProgress = Files.list(Paths.get(barrier)).iterator()
@@ -355,5 +355,36 @@ class CrossProcessSpec extends SparkSpec {
         bBatches += 1
     }
     assert(bBatches >= 1, "restarter committed no batches — nothing raced")
+  }
+
+  test("SIGKILL'd mid-stream, restarted from another JVM on the same " +
+      "checkpoint: exactly-once output, no duplicate, no loss") {
+    val nFiles = 8; val rowsPerFile = 500
+    streamRestartCase("ingest", nFiles,
+      f => (0 until rowsPerFile).map(i => (f * rowsPerFile + i).toLong),
+      (0L until (nFiles * rowsPerFile).toLong).toSet)
+  }
+
+  test("stateful dedup under RocksDB across the SIGKILL restart: the " +
+      "restarted JVM recovers the victim's state, duplicates stay dead") {
+    // Every id arrives TWICE — file f carries 250 fresh ids plus the 250
+    // ids file f-1 introduced — so micro-batch k's duplicates arrive in
+    // batch k+1, and the ids deduped BEFORE the kill recur AFTER it.
+    // Correct output now requires more than offset/sink-log replay: the
+    // restarted JVM must load the victim's RocksDB state store from the
+    // checkpoint (dropDuplicates state). A surviving duplicate = state
+    // lost; a missing id = batch dropped. This is the reference's
+    // bronze/silver streaming dedup under its crash-restart contract, on
+    // the provider a 100 TB deployment runs.
+    val nFiles = 8; val fresh = 250
+    streamRestartCase("dedup-rocksdb", nFiles,
+      f => {
+        val mine = (0 until fresh).map(i => (f * fresh + i).toLong)
+        val dupsOfPrev =
+          if (f == 0) Seq.empty[Long]
+          else (0 until fresh).map(i => ((f - 1) * fresh + i).toLong)
+        mine ++ dupsOfPrev
+      },
+      (0L until (nFiles * fresh).toLong).toSet)
   }
 }

@@ -17,24 +17,38 @@ import org.apache.spark.sql.types._
   * for a batch it never committed.
   *
   * Protocol: args = dataDir (CSV input), ckptDir, outDir, barrierDir,
-  * writer id. The process drops `ready-<id>`, spins until `go`, then
-  * runs the query with Trigger.AvailableNow and maxFilesPerTrigger=1 so
-  * the backlog becomes a SEQUENCE of committed micro-batches. A
+  * writer id, mode. The process drops `ready-<id>`, spins until `go`,
+  * then runs the query with Trigger.AvailableNow and maxFilesPerTrigger=1
+  * so the backlog becomes a SEQUENCE of committed micro-batches. A
   * StreamingQueryListener drops `progress-<id>-<batchId>` markers as
   * batches complete — the parent uses them to time its SIGKILL inside
   * the batch stream, not before the first or after the last. A
   * per-row ~1ms drag (busy-wait expression) stretches each batch so the
   * kill window is wide. Writes `done-<id>` and exits 0 only when the
   * backlog is drained.
+  *
+  * mode "ingest" = stateless pass-through (exactly-once rests on the
+  * offset log + sink commit log alone). mode "dedup-rocksdb" =
+  * `dropDuplicates("id")` under the RocksDB state-store provider: the
+  * input carries every id TWICE, spread across files, so correct output
+  * additionally requires the restarted JVM to RECOVER the victim's
+  * RocksDB state from the checkpoint — a duplicate id surviving means
+  * state was lost, a missing id means a batch was dropped. This is the
+  * reference's bronze dedup (`scripts/silver/silver_products.py:119`)
+  * under its Auto Loader crash-restart contract, on the provider a
+  * 100 TB deployment runs.
   */
 object CrossProcessStreamer {
   def main(args: Array[String]): Unit = {
-    val Array(dataDir, ckptDir, outDir, barrierDir, id) = args
-    val spark = SparkSession.builder()
+    val Array(dataDir, ckptDir, outDir, barrierDir, id, mode) = args
+    val builder = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (mode == "dedup-rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(barrierDir))
@@ -63,10 +77,11 @@ object CrossProcessStreamer {
     val drag = org.apache.spark.sql.functions.udf { (id: Long) =>
       Thread.sleep(1); id
     }
-    val src = spark.readStream.schema(schema).option("header", "true")
+    val raw = spark.readStream.schema(schema).option("header", "true")
       .option("maxFilesPerTrigger", "1")
       .csv(dataDir)
       .withColumn("id", drag(org.apache.spark.sql.functions.col("id")))
+    val src = if (mode == "dedup-rocksdb") raw.dropDuplicates("id") else raw
     val q = src.writeStream
       .format("parquet")
       .option("path", outDir)
