@@ -489,7 +489,10 @@ object Pipeline {
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     import org.apache.spark.sql.catalyst.plans.logical._
     def sortedBelow(p: LogicalPlan): Boolean = p match {
-      case _: Sort => true
+      // Only a GLOBAL sort totally orders the limit's input;
+      // sortWithinPartitions (Sort with global=false) leaves partition
+      // order scheduling-dependent and enforces nothing.
+      case s: Sort => s.global || sortedBelow(s.child)
       case _: Project | _: Filter | _: LocalLimit | _: GlobalLimit |
            _: SubqueryAlias =>
         p.children.exists(sortedBelow)
@@ -504,6 +507,12 @@ object Pipeline {
         case _: Sample => true
         case l: LocalLimit => !sortedBelow(l.child)
         case g: GlobalLimit => !sortedBelow(g.child)
+        // dropDuplicates on a key SUBSET keeps an arbitrary survivor
+        // per key (scheduling-dependent); full-row distinct is set
+        // semantics and stays deterministic.
+        case d: Deduplicate =>
+          !d.child.outputSet.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(d.keys))
         case _ => false
       }
       exprND || planND || p.children.exists(scan)

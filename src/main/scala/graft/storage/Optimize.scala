@@ -55,6 +55,13 @@ object Optimize {
       // hold them (Delta semantics: a user's direct ALTER TABLE SET
       // TBLPROPERTIES must win over whatever the pipeline's sidecar
       // last recorded). Try: temp views reject SHOW TBLPROPERTIES.
+      // Residual of keeping two copies: if the pipeline's own catalog
+      // ALTER fails (it logs and continues — e.g. a transient view
+      // shadow, since removed by pointAt) while a LATER SHOW succeeds,
+      // the catalog can serve a value one declaration behind the
+      // sidecar. Re-running the pipeline (which re-issues the ALTER)
+      // reconverges them; declarations through SnapshotCommit
+      // .setProperties alone never diverge.
       scala.util.Try(spark.sql(s"SHOW TBLPROPERTIES $table").collect())
         .getOrElse(Array.empty[org.apache.spark.sql.Row]).toSeq
         .find(_.getString(0) == TargetFileSizeProp)

@@ -117,6 +117,30 @@ object SnapshotCommit {
   private[graft] val slowRegisters =
     new java.util.concurrent.atomic.AtomicLong()
 
+  /** root -> (version, resolved physical paths) for the LATEST version
+    * this JVM resolved — a pure cache: a published version's file set
+    * is immutable, so the entry can never go stale for its version, and
+    * keeping only the latest per root bounds the map (pruned versions'
+    * entries are overwritten, a destroyed root's entry is dropped by
+    * [[destroy]]). Saves the manifest fast path a directory listing
+    * plus one open+read per carried `.graftref` on EVERY register —
+    * O(carried files) of store IO that would otherwise re-introduce
+    * exactly the per-register tax the fast path exists to remove. */
+  private val resolvedSets =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
+  private def resolvedFileSet(spark: SparkSession, table: String, v: Long,
+      d: Path): Set[String] = {
+    val root = rootDir(spark, table).toString
+    resolvedSets.get(root) match {
+      case (`v`, s) => s
+      case _ =>
+        val s = listData(spark, d).map(_._2.toUri.getPath).toSet
+        resolvedSets.put(root, (v, s))
+        s
+    }
+  }
+
   /** Staging directories owned by live commits in this JVM — protected
     * from garbage collection regardless of age. */
   private val activeStages =
@@ -452,8 +476,7 @@ object SnapshotCommit {
     if (manifestMode(spark))
       spark.sessionState.catalog.getTempView(table).exists { view =>
         resolveDir(spark, table, v).exists { d =>
-          rootPaths(view).toSet ==
-            listData(spark, d).map(_._2.toUri.getPath).toSet
+          rootPaths(view).toSet == resolvedFileSet(spark, table, v, d)
         }
       }
     else spark.catalog.tableExists(table) && {
@@ -482,7 +505,20 @@ object SnapshotCommit {
             m.identifier.table)
           cat.getCachedTable(key) match {
             case null => true
-            case cached => rootPaths(cached) == Seq(loc)
+            case cached =>
+              // Path equality alone cannot tell INCARNATIONS apart: a
+              // destroyed-and-rebuilt table restarts at v1 under the
+              // IDENTICAL .../v1 path, so a sibling session's cache
+              // entry from the dead incarnation would pass a pure path
+              // check and serve deleted files. The catalog entry is
+              // recreated on rebuild, so its createTime identifies the
+              // incarnation — the cached relation must carry the SAME
+              // catalog identity, not just the same path.
+              rootPaths(cached) == Seq(loc) &&
+                cached.collectFirst {
+                  case lr: org.apache.spark.sql.execution.datasources
+                      .LogicalRelation => lr.catalogTable
+                }.flatten.exists(_.createTime == m.createTime)
           }
         }
       }
@@ -656,6 +692,7 @@ object SnapshotCommit {
     spark.catalog.dropTempView(table) // manifest-mode registration
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val root = rootDir(spark, table)
+    resolvedSets.remove(root.toString) // rebuilt tables restart at v1
     val fs = fsOf(spark, root)
     if (fs.exists(root)) fs.delete(root, true)
   }

@@ -273,6 +273,28 @@ class CrossProcessSpec extends SparkSpec {
     */
   private def streamRestartCase(mode: String, nFiles: Int,
       rowsFor: Int => Seq[Long], expectedIds: Set[Long]): Unit = {
+    // The kill must land while the backlog is still undrained or there
+    // is nothing for the restarter to recover. That is a RACE against
+    // the victim's own progress (a loaded box can delay the parent's
+    // poll past the drain), so an attempt whose victim finished before
+    // the SIGKILL resolved is discarded and re-run — up to 3 tries —
+    // rather than failing spuriously; the ~0.5 s/batch drag makes an
+    // early drain rare in the first place.
+    val attempts = 3
+    val raced = (1 to attempts).exists { a =>
+      val ok = streamRestartAttempt(mode, nFiles, rowsFor, expectedIds)
+      if (!ok) info(s"attempt $a: victim drained before the kill — retrying")
+      ok
+    }
+    assert(raced, s"victim drained the backlog before the kill in all " +
+      s"$attempts attempts; widen the drag or add files")
+  }
+
+  /** One kill-restart cycle. Returns false (attempt void, retry) iff the
+    * victim finished the whole backlog before the SIGKILL landed; all
+    * correctness assertions throw as usual. */
+  private def streamRestartAttempt(mode: String, nFiles: Int,
+      rowsFor: Int => Seq[Long], expectedIds: Set[Long]): Boolean = {
     val base = Files.createTempDirectory(s"graft_xproc_stream_$mode")
     val data = base.resolve("data"); Files.createDirectories(data)
     val ckpt = base.resolve("ckpt").toString
@@ -321,12 +343,11 @@ class CrossProcessSpec extends SparkSpec {
         assert(victim.isAlive, s"victim died before batch 0\n${log("A")}")
         Thread.sleep(20)
       }
-      val drainedBeforeKill = Files.exists(Paths.get(barrier, "done-A"))
       victim.destroyForcibly()
       victim.waitFor(30, TimeUnit.SECONDS)
-      assert(!drainedBeforeKill,
-        "victim drained the whole backlog before the kill — the restart " +
-          "would have nothing to recover; widen the drag or add files")
+      // Sampled AFTER the kill resolved: if done-A exists now, the
+      // victim won the race and this attempt proves nothing — void it.
+      if (Files.exists(Paths.get(barrier, "done-A"))) return false
       // Restart on the same checkpoint from a SECOND fresh JVM.
       val restarter = launch("B")
       try {
@@ -355,6 +376,7 @@ class CrossProcessSpec extends SparkSpec {
         bBatches += 1
     }
     assert(bBatches >= 1, "restarter committed no batches — nothing raced")
+    true
   }
 
   test("SIGKILL'd mid-stream, restarted from another JVM on the same " +

@@ -363,6 +363,18 @@ class PipelineSpec extends SparkSpec {
       "a sort-enforced limit re-derives identically")
     assert(Pipeline.nonDeterministic(det.sample(0.5)),
       "a sampled source must be materialized once per attempt")
+    // A partition-local sort enforces no total order — a limit above it
+    // is still scheduling-dependent.
+    assert(Pipeline.nonDeterministic(
+      det.sortWithinPartitions(col("k")).limit(3)),
+      "sortWithinPartitions + limit must not pass as deterministic")
+    // dropDuplicates on a key subset keeps an arbitrary survivor per
+    // key; full-row distinct is set semantics.
+    val kv = spark.range(5).toDF("k").withColumn("v", col("k") * 2)
+    assert(Pipeline.nonDeterministic(kv.dropDuplicates("k")),
+      "key-subset dropDuplicates keeps an arbitrary row per key")
+    assert(!Pipeline.nonDeterministic(kv.distinct()),
+      "full-row distinct re-derives identically")
   }
 
   test("commit lock is conf-selectable: spark.graft.commit.lock installs " +

@@ -231,6 +231,42 @@ class StorageSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("second"))
   }
 
+  test("register fast path: a SIBLING session's cache from a dead " +
+      "incarnation is rejected even though the rebuilt v1 path is identical") {
+    // The cross-session variant of the reincarnation hazard: clone B
+    // caches incarnation 1's relation; A destroys and rebuilds — the new
+    // v1 lands under the IDENTICAL path with different files, and only
+    // A's session cache was invalidated by the DROP. A path-equality
+    // probe would wave B's stale entry through; the probe must compare
+    // the catalog entry's identity (createTime), which rebuilding
+    // refreshes.
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_xsession_reincarnate_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).select(col("id"), lit("one").as("gen"))
+        .coalesce(1).write.parquet(dir)
+    }
+    val clone = spark.newSession()
+    assert(clone.table(tbl).count() === 10) // clone caches incarnation 1
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 6).select(col("id"), lit("two").as("gen"))
+        .coalesce(1).write.parquet(dir)
+    }
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(1L),
+      "rebuilt table should restart at v1 under the same path")
+    assert(!SnapshotCommit.registrationFresh(clone, tbl, 1L),
+      "the dead incarnation's cache entry passed the probe — " +
+        "incarnations are indistinguishable by path alone")
+    assert(SnapshotCommit.register(clone, tbl) === Some(1L))
+    assert(clone.table(tbl).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("two"))
+    assert(clone.table(tbl).count() === 6)
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("register fast path across sessions: a fresh clone skips the slow " +
       "path, a clone holding a stale relation cache does not") {
     import org.apache.spark.sql.functions._
