@@ -145,8 +145,12 @@ object DeletionVectors {
     else None
   }
 
-  /** Latest delete version: 0 before any delete, else the highest
-    * stamp in the sidecar (a 1-row aggregate over the bounded sidecar).
+  /** The table's delete-version HIGH-WATER MARK: 0 before any delete,
+    * else the highest stamp in the sidecar — including sentinel rows, so
+    * the mark is monotone across restore (which drops data entries but
+    * keeps sentinels) and across vacuum (whose `_floor` sentinel covers
+    * the folded history). `version() + 1` is therefore always a
+    * NEVER-USED number (a 1-row aggregate over the bounded sidecar).
     */
   def version(spark: SparkSession, table: String): Long =
     sidecarDf(spark, table) match {
@@ -174,10 +178,18 @@ object DeletionVectors {
       val coords = withCoords(SnapshotCommit.readData(spark, table)).filter(pred)
         .select(col("_dv_file").as("f"), col("_dv_pos").as("p"),
           lit(v).as("v"))
-      val newSidecar = sidecarDf(spark, table) match {
+      // The (_hwm, -1, v) sentinel CONSUMES the version number even when
+      // the predicate matches zero rows: without it the sidecar's max
+      // would not advance and the NEXT delete would reuse the v this
+      // call already returned — a later readAt(v) would then subtract
+      // that other delete's rows, silently changing what the returned
+      // anchor means. Synthetic coordinates (p = -1) match no data row.
+      val stamp = spark.createDataFrame(Seq(("_hwm", -1L, v)))
+        .toDF("f", "p", "v")
+      val newSidecar = (sidecarDf(spark, table) match {
         case Some(sc) => sc.unionByName(coords)
         case None => coords
-      }
+      }).unionByName(stamp)
       newSidecar.write.parquet(s"$dir/_dv")
       val cur = SnapshotCommit.currentLocation(spark, table).get
       linkDataFiles(spark, cur, new Path(dir))
@@ -200,24 +212,54 @@ object DeletionVectors {
     val base = SnapshotCommit.readData(spark, table)
     sidecarDf(spark, table) match {
       case None => base
+      // The sidecar's key columns are RENAMED before the join: a user
+      // table legitimately carrying a column named `f` or `p` would
+      // otherwise make the join condition ambiguous and every DV read
+      // throw AMBIGUOUS_REFERENCE. (`_dv_`-prefixed names remain
+      // reserved, as withCoords already requires.)
       case Some(sc) => withCoords(base)
-        .join(broadcast(sc.filter(col("v") <= v).select("f", "p")),
-          col("_dv_file") === col("f") && col("_dv_pos") === col("p"),
+        .join(broadcast(sc.filter(col("v") <= v)
+            .select(col("f").as("_dv_f"), col("p").as("_dv_p"))),
+          col("_dv_file") === col("_dv_f") &&
+            col("_dv_pos") === col("_dv_p"),
           "left_anti")
         .drop("_dv_file", "_dv_pos")
     }
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF `v`: one atomic commit with the
-    * data files linked unchanged and every sidecar entry stamped after
-    * `v` dropped — rolling back deletes is metadata work.
+    * data files linked unchanged and every DATA sidecar entry stamped
+    * after `v` dropped — rolling back deletes is metadata work.
+    * Sentinels survive the rollback, so [[version]] (the high-water
+    * mark) does not move backwards and later deletes never reuse a
+    * historical version number. Restoring below a vacuum's floor
+    * throws: those states are physically unreconstructible.
     */
   def restore(spark: SparkSession, table: String, v: Long): Unit =
-    sidecarDf(spark, table).foreach { _ =>
+    sidecarDf(spark, table).foreach { sc0 =>
+      // Below a vacuum's floor the rows are PHYSICALLY gone (folded into
+      // rewritten files) — no metadata operation can bring them back, so
+      // restoring there must error, exactly as Delta's RESTORE does when
+      // the target version's files were vacuumed; silently committing
+      // would publish a state missing every row deleted at or below the
+      // floor while claiming to BE the pre-delete state.
+      val floor = sc0.filter(col("f") === "_floor")
+        .agg(coalesce(max(col("v")), lit(0L))).head().getLong(0)
+      require(v >= floor,
+        s"cannot restore $table to delete version $v: vacuum folded " +
+          s"versions <= $floor into the data files; states below the " +
+          "floor are no longer reconstructible")
       SnapshotCommit.commit(spark, table) { dir =>
         // Re-derived per attempt (see the commit write-closure contract).
+        // SENTINEL rows (p < 0: the vacuum floor and the _hwm version
+        // stamps) are kept REGARDLESS of their stamp — they carry the
+        // table's high-water mark, so the next delete continues the
+        // version chain above every number history has ever used
+        // instead of re-issuing one (version-number reuse would
+        // retroactively change what an already-returned readAt anchor
+        // means).
         val filtered = sidecarDf(spark, table)
-          .map(_.filter(col("v") <= v))
+          .map(_.filter(col("v") <= v || col("p") < 0))
           .getOrElse(sys.error(s"$table sidecar vanished during restore"))
         filtered.write.parquet(s"$dir/_dv")
         val cur = SnapshotCommit.currentLocation(spark, table).get
@@ -260,9 +302,13 @@ object DeletionVectors {
     */
   def vacuum(spark: SparkSession, table: String, cutoff: Long): Unit = {
     val sidecar = sidecarDf(spark, table).getOrElse(return)
+    // Renamed keys (same reason as readAt): the survivor anti-join below
+    // mixes these with the USER table's columns, where a column named
+    // `f` or `p` would make the condition ambiguous.
     val folded = sidecar.filter(col("v") <= cutoff && col("p") >= 0)
-      .select("f", "p").distinct().cache()
-    val affected = folded.select("f").distinct()
+      .select(col("f").as("_fold_f"), col("p").as("_fold_p"))
+      .distinct().cache()
+    val affected = folded.select("_fold_f").distinct()
       .collect().map(_.getString(0)).sorted
     if (affected.isEmpty) { folded.unpersist(); return }
 
@@ -285,7 +331,8 @@ object DeletionVectors {
       .withColumn("_p", col("_metadata.row_index"))
     val survivors = affectedRows
       .join(broadcast(folded),
-        col("_f") === col("f") && col("_p") === col("p"), "left_anti")
+        col("_f") === col("_fold_f") && col("_p") === col("_fold_p"),
+        "left_anti")
     val rebase = survivors.select(col("_f"), col("_p"))
       .withColumn("_np",
         (row_number().over(org.apache.spark.sql.expressions.Window
@@ -353,9 +400,13 @@ object DeletionVectors {
     // writer's version — a lost claim must surface as a conflict
     // (ConcurrentCommitException), exactly as a conflicting Delta
     // maintenance transaction aborts.
-    SnapshotCommit.commit(spark, table, maxAttempts = 1) { dir =>
+    // Cleanup in finally: a LOST claim is a documented outcome here
+    // (maxAttempts = 1 surfaces ConcurrentCommitException instead of
+    // rebasing), and without the finally the staged rewrite — a full
+    // copy of every affected file — would sit in _graft_staging until
+    // the next vacuum of this table happened to reclaim it.
+    try SnapshotCommit.commit(spark, table, maxAttempts = 1) { dir =>
       newSidecar.write.parquet(s"$dir/_dv")
-      folded.unpersist()
       val to = new Path(dir)
       gfIdx.foreach { case (f, i) =>
         if (newFileOf.contains(i))
@@ -363,8 +414,10 @@ object DeletionVectors {
             s"could not move vacuum group $i into the staged snapshot")
       }
       linkDataFiles(spark, cur, to, except = affected.toSet)
+    } finally {
+      folded.unpersist()
+      sfs.delete(stagingPath, true)
     }
-    sfs.delete(stagingPath, true)
     registerDv(spark, table)
     spark.sql(s"REFRESH TABLE $table")
   }

@@ -117,26 +117,38 @@ object SnapshotCommit {
   private[graft] val slowRegisters =
     new java.util.concurrent.atomic.AtomicLong()
 
-  /** root -> (version, resolved physical paths) for the LATEST version
-    * this JVM resolved — a pure cache: a published version's file set
-    * is immutable, so the entry can never go stale for its version, and
-    * keeping only the latest per root bounds the map (pruned versions'
-    * entries are overwritten, a destroyed root's entry is dropped by
-    * [[destroy]]). Saves the manifest fast path a directory listing
-    * plus one open+read per carried `.graftref` on EVERY register —
-    * O(carried files) of store IO that would otherwise re-introduce
-    * exactly the per-register tax the fast path exists to remove. */
+  /** root -> (version, version-dir mtime, resolved physical paths) for
+    * the LATEST version this JVM resolved — a pure cache: a published
+    * version's file set is immutable, so the entry can never go stale
+    * for its (version, directory) pair, and keeping only the latest per
+    * root bounds the map (pruned versions' entries are overwritten, a
+    * destroyed root's entry is dropped by [[destroy]]). Saves the
+    * manifest fast path a directory listing plus one open+read per
+    * carried `.graftref` on EVERY register — O(carried files) of store
+    * IO that would otherwise re-introduce exactly the per-register tax
+    * the fast path exists to remove. THE MTIME IS THE INCARNATION
+    * CHECK: a table destroyed and rebuilt BY ANOTHER PROCESS can land
+    * on the same version NUMBER under the same path, which this JVM's
+    * [[destroy]] hook never sees — but the rebuilt version directory is
+    * a new directory with a new mtime, so the stale set misses and the
+    * fresh listing (whose file set then differs from the stale temp
+    * view's) forces the slow path. One getFileStatus per fast-path
+    * call, no listing. */
   private val resolvedSets =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
 
   private def resolvedFileSet(spark: SparkSession, table: String, v: Long,
       d: Path): Set[String] = {
     val root = rootDir(spark, table).toString
+    // -1 (stat failed: directory pruned/destroyed under us) bypasses the
+    // cache entirely — stored entries always carry a real mtime.
+    val mtime = scala.util.Try(
+      fsOf(spark, d).getFileStatus(d).getModificationTime).getOrElse(-1L)
     resolvedSets.get(root) match {
-      case (`v`, s) => s
+      case (`v`, `mtime`, s) if mtime >= 0 => s
       case _ =>
         val s = listData(spark, d).map(_._2.toUri.getPath).toSet
-        resolvedSets.put(root, (v, s))
+        if (mtime >= 0) resolvedSets.put(root, (v, mtime, s))
         s
     }
   }
@@ -361,6 +373,30 @@ object SnapshotCommit {
         activeStages.remove(stage.toString)
         if (!won) fs.delete(stage, true) // lost race or crashed: discard
       }
+      // A lost claim is USUALLY a concurrent winner — but it can also be
+      // a DANGLING pointer: one claimed by a writer whose staging
+      // directory was GC'd before finalization (e.g. prune's stage
+      // grace expiring under a stalled cross-process writer). Such a
+      // pointer names a directory that no longer exists and nothing can
+      // ever recreate (finalization only renames the recorded staging
+      // dir), so currentVersion skips it forever while every new commit
+      // re-derives the same base and re-loses the same claim — the
+      // table would be permanently unwritable. Reap it: a pointer at
+      // base+1 that resolves to NO directory and is older than the
+      // stage grace window is dead by construction (the rename window
+      // between staging name and v<N> leaves one of the two resolvable
+      // at every instant, and the age bound puts us far outside it).
+      if (!won) {
+        val orphan = new Path(commitsPath(root), (base + 1).toString)
+        if (fs.exists(orphan) &&
+            resolveDir(spark, table, base + 1).isEmpty &&
+            System.currentTimeMillis() -
+              fs.getFileStatus(orphan).getModificationTime > StageGraceMs) {
+          System.err.println(s"[snapshot] reaping dangling pointer " +
+            s"v${base + 1} of $table (no directory, past grace)")
+          fs.delete(orphan, false)
+        }
+      }
     }
     throw new ConcurrentCommitException(
       s"commit of $table lost the version claim $maxAttempts time(s) " +
@@ -462,43 +498,71 @@ object SnapshotCommit {
     *     serve its stale view after another session published v+1).
     */
   private[graft] def registrationFresh(spark: SparkSession, table: String,
-      v: Long): Boolean = {
-    def rootPaths(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-        ): Seq[String] =
-      plan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toUri.getPath)
-            case _ => Seq("#non-fs-relation") // unexpected shape: stale
-          }
-      }.flatten
+      v: Long): Boolean =
     if (manifestMode(spark))
       spark.sessionState.catalog.getTempView(table).exists { view =>
         resolveDir(spark, table, v).exists { d =>
           rootPaths(view).toSet == resolvedFileSet(spark, table, v, d)
         }
       }
-    else spark.catalog.tableExists(table) && {
-      val cat = spark.sessionState.catalog
+    else
       // A same-name temp view (left by a manifest-mode registration
       // before the conf flipped back) SHADOWS the catalog table for
       // every spark.table read — never fresh; the slow path's pointAt
-      // drops it. The metadata lookup stays Try-wrapped for any other
-      // way the registration can be half-broken.
-      val meta =
-        if (cat.getTempView(table).isDefined) None
-        else scala.util.Try(cat.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))).toOption
+      // drops it. resolveDir accepts either name the version lives
+      // under (finalized v<N> or its pre-finalization staging name).
+      spark.sessionState.catalog.getTempView(table).isEmpty &&
+        resolveDir(spark, table, v)
+          .exists(d => catalogAligned(spark, table, d))
+
+  /** The file-source root paths a cached relation plan resolves to —
+    * the thing a missed REFRESH would leave stale. */
+  private def rootPaths(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+      ): Seq[String] =
+    plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq("#non-fs-relation") // unexpected shape: stale
+        }
+    }.flatten
+
+  /** Is the session fully consistent with `table` living at `loc` —
+    * would ALTER + REFRESH be a no-op? True iff the catalog entry
+    * exists with exactly that location (metadata lookup Try-wrapped:
+    * any half-broken registration answers false and lets the caller
+    * repair) AND the session's RELATION CACHE either holds no entry
+    * (nothing stale — the next resolution builds fresh from the
+    * verified catalog entry) or holds one rooted at exactly `loc` AND
+    * carrying the current catalog entry's createTime. The createTime
+    * guard tells INCARNATIONS apart: a destroyed-and-rebuilt table
+    * restarts at v1 under the IDENTICAL path, so a sibling session's
+    * cache entry from the dead incarnation passes a pure path check
+    * and would serve deleted files; rebuilding recreates the catalog
+    * entry with a fresh createTime. The probe is the direct form of
+    * the lost-update protection an unconditional REFRESH bought (a
+    * rebasing writer that observed a concurrent winner's ALTER before
+    * the winner's REFRESH still carries the OLD location in its cache
+    * — the probe sees the mismatch). Like the refresh it replaces, it
+    * does not re-validate `df.persist`ed query results over the table
+    * — CacheManager entries are the caller's to manage.
+    */
+  private def catalogAligned(spark: SparkSession, table: String,
+      loc: Path): Boolean =
+    spark.catalog.tableExists(table) && {
+      val cat = spark.sessionState.catalog
+      val meta = scala.util.Try(cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))).toOption
       meta.exists { m =>
-        // Accept either name the version resolves under (finalized v<N>
-        // or its pre-finalization staging name).
-        val loc = new Path(m.location).toUri.getPath
-        resolveDir(spark, table, v).exists(_.toUri.getPath == loc) && {
-          // Key construction mirrors FindDataSourceTable.readDataSourceTable
-          // (QualifiedTableName(identifier.catalog, database, table)) —
-          // the rule that populates the cache; the cross-session
-          // staleness test pins that this key finds real entries.
+        val mLoc = new Path(m.location).toUri.getPath
+        mLoc == loc.toUri.getPath && {
+          // Key construction mirrors FindDataSourceTable
+          // .readDataSourceTable (QualifiedTableName(identifier.catalog,
+          // database, table)) — the rule that populates the cache; the
+          // cross-session staleness test pins that this key finds real
+          // entries.
           val key = org.apache.spark.sql.catalyst.QualifiedTableName(
             m.identifier.catalog.getOrElse("spark_catalog"),
             m.identifier.database.getOrElse(cat.getCurrentDatabase),
@@ -506,15 +570,7 @@ object SnapshotCommit {
           cat.getCachedTable(key) match {
             case null => true
             case cached =>
-              // Path equality alone cannot tell INCARNATIONS apart: a
-              // destroyed-and-rebuilt table restarts at v1 under the
-              // IDENTICAL .../v1 path, so a sibling session's cache
-              // entry from the dead incarnation would pass a pure path
-              // check and serve deleted files. The catalog entry is
-              // recreated on rebuild, so its createTime identifies the
-              // incarnation — the cached relation must carry the SAME
-              // catalog identity, not just the same path.
-              rootPaths(cached) == Seq(loc) &&
+              rootPaths(cached) == Seq(mLoc) &&
                 cached.collectFirst {
                   case lr: org.apache.spark.sql.execution.datasources
                       .LogicalRelation => lr.catalogTable
@@ -523,11 +579,11 @@ object SnapshotCommit {
         }
       }
     }
-  }
 
   /** Create `table` at `loc`, or re-point a registration whose catalog
     * location differs. Also used for sidecar tables that live INSIDE a
-    * snapshot (DeletionVectors' `_dv`). */
+    * snapshot (DeletionVectors' `_dv` — whose READ path calls this per
+    * query, which is why the aligned fast path below matters). */
   def pointAt(spark: SparkSession, table: String, loc: Path): Unit = {
     // A stale same-name TEMP VIEW (left by a manifest-mode registration
     // before the conf was flipped back) would shadow the catalog table
@@ -536,8 +592,13 @@ object SnapshotCommit {
     if (spark.sessionState.catalog.getTempView(table).isDefined)
       spark.catalog.dropTempView(table)
     if (!spark.catalog.tableExists(table))
-      spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$loc'")
-    else {
+      // IF NOT EXISTS: two threads can race the tableExists probe on an
+      // unregistered table (e.g. concurrent first DV reads of one
+      // sidecar); the loser must fall through, not throw
+      // TableAlreadyExists out of a read.
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
+        s"LOCATION '$loc'")
+    else if (!catalogAligned(spark, table, loc)) {
       val cat = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       if (new Path(cat.location).toUri.getPath != loc.toUri.getPath)
@@ -547,10 +608,13 @@ object SnapshotCommit {
       // loser can observe the NEW location (and skip the ALTER) while
       // the session's relation cache still holds the listing its own
       // previous attempt resolved against the OLD location — its rebase
-      // would then silently merge onto stale files. An unconditional
-      // refresh after the location check closes that window (measured:
-      // it was a real 1-in-3 lost-update flake under the concurrency
-      // spec's forced rendezvous).
+      // would then silently merge onto stale files (measured: a real
+      // 1-in-3 lost-update flake under the concurrency spec's forced
+      // rendezvous). catalogAligned inspects exactly that cache entry,
+      // so the aligned fast path above skips this branch ONLY when
+      // nothing stale can exist — turning the per-read REFRESH tax on
+      // steady-state DV reads into a metadata-only probe while keeping
+      // the rendezvous protection.
       spark.sql(s"REFRESH TABLE $table")
     }
   }

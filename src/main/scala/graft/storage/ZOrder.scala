@@ -32,7 +32,14 @@ object ZOrder {
     *    UNIFORM — a raw byte prefix concentrates hex chars into a narrow
     *    ASCII band, starving the rank's high bits and the interleave
     *    with them); other strings fall back to the first two bytes,
-    *    exact prefix order.
+    *    exact prefix order. HOMOGENEITY CAVEAT: the two branches share
+    *    one 0..65535 scale but are only order-consistent WITHIN a
+    *    branch — a column MIXING hex-prefixed and non-hex values (e.g.
+    *    "ffff…" ranks 65535 > "g0…"'s 26416 despite sorting lower) gets
+    *    a scattered layout whose per-file min/max stats stay wide, so
+    *    pruning on that key degrades (never correctness — the z-value
+    *    orders writes only). Cluster keys should be branch-homogeneous;
+    *    the reference's are (32-char hex surrogates throughout).
     *  - Integral/floating/date types: min-max scaled into [0, 65535]
     *    from the supplied bounds (one agg pass, computed in [[layout]]).
     */

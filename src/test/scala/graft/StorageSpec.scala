@@ -153,13 +153,29 @@ class StorageSpec extends SparkSpec {
     DeletionVectors.restore(spark, tbl, v1)
     assert(ids(DeletionVectors.read(spark, tbl))
       === all.filterNot(_ % 10 == 0))
-    assert(DeletionVectors.version(spark, tbl) === v1)
+    // The HIGH-WATER MARK survives the rollback: version numbers are
+    // never reused, so the caller who bookmarked readAt(tbl, v2) before
+    // the restore can never see a DIFFERENT delete's rows under that
+    // anchor (it now reads as the restored v1 state — v2's history was
+    // erased, not reassigned).
+    assert(DeletionVectors.version(spark, tbl) === v2)
     assert(listing() === before, "time travel or restore touched data files")
-    // deleting after a restore continues the version chain from v1
+    // deleting after a restore CONTINUES ABOVE every number history has
+    // ever used — monotonic, like Delta's version chain.
     val v3 = DeletionVectors.delete(spark, tbl, col("id") < 50)
-    assert(v3 === 2L)
+    assert(v3 === 3L)
     assert(ids(DeletionVectors.read(spark, tbl))
       === all.filterNot(i => i % 10 == 0 || i < 50))
+    assert(ids(DeletionVectors.readAt(spark, tbl, 2L))
+      === all.filterNot(_ % 10 == 0),
+      "the erased v2 anchor must read as the restored state, never " +
+        "as a later delete's rows")
+    // Below a vacuum floor the rows are physically gone — restore there
+    // must refuse, not silently publish a wrong state.
+    DeletionVectors.vacuum(spark, tbl, cutoff = 1L)
+    intercept[IllegalArgumentException] {
+      DeletionVectors.restore(spark, tbl, 0L)
+    }
   }
 
   test("optimize bin-packs small files toward the target size") {
