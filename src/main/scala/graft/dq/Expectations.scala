@@ -73,8 +73,16 @@ object Expectations {
           System.err.println(s"[dq] warn: '$rule' has $viol violating rows")
       }
     }
+    applyDrops(df, rules)
+  }
+
+  /** The drop-expectation filter fold, SINGLE-SOURCED: Pipeline applies
+    * drops plan-level (in flight, batch and streaming alike) while
+    * enforce applies them after the warn/fail aggregate — both must
+    * share one null-handling semantic (violating OR null-predicate rows
+    * drop), so both call here. */
+  def applyDrops(df: DataFrame, rules: Seq[Expectation]): DataFrame =
     rules.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
       acc.filter(coalesce(r.predicate, lit(false)))
     }
-  }
 }

@@ -33,11 +33,19 @@ object CsvSource {
   val RescueColumn = "_rescued_data"
   private val StructuralColumn = "_malformed_raw"
 
-  private def base(r: org.apache.spark.sql.DataFrameReader) = r
-    .option("header", "true")
-    .option("delimiter", ",")
-    .option("ignoreLeadingWhiteSpace", "true")
-    .option("ignoreTrailingWhiteSpace", "true")
+  /** One option set for BOTH batch and streaming readers (the two
+    * reader types don't share an interface, so without this map the
+    * streaming path hand-copied the options — a future addition to one
+    * would silently not apply to the other and batch/stream parses of
+    * the same file would diverge). */
+  private val ReaderOptions = Map(
+    "header" -> "true",
+    "delimiter" -> ",",
+    "ignoreLeadingWhiteSpace" -> "true",
+    "ignoreTrailingWhiteSpace" -> "true")
+
+  private def base(r: org.apache.spark.sql.DataFrameReader) =
+    r.options(ReaderOptions)
 
   private def rawSchema(schema: StructType): StructType = StructType(
     schema.fields.map(f => StructField(f.name, StringType, nullable = true))
@@ -52,8 +60,13 @@ object CsvSource {
     */
   private def rescueProject(raw: DataFrame, schema: StructType,
       extras: Seq[String] = Nil): DataFrame = {
+    // Backticked references throughout: a bare col("user.id") parses
+    // the dot as struct-field access and fails resolution, while the
+    // try_cast expr below already quotes — the two halves of one
+    // function must accept the same names.
+    def rawCol(name: String): Column = col(s"`$name`")
     def typed(f: StructField): Column =
-      if (f.dataType == StringType) col(f.name)
+      if (f.dataType == StringType) rawCol(f.name)
       else expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
 
     // JSON map of {column -> raw value} for values that failed to cast
@@ -61,10 +74,11 @@ object CsvSource {
     // column's values wholesale.
     val failedEntries = schema.fields.filter(_.dataType != StringType).map { f =>
       lit(f.name) -> when(
-        col(f.name).isNotNull && col(f.name) =!= "" && typed(f).isNull,
-        col(f.name))
+        rawCol(f.name).isNotNull && rawCol(f.name) =!= "" && typed(f).isNull,
+        rawCol(f.name))
     } ++ extras.map { name =>
-      lit(name) -> when(col(name).isNotNull && col(name) =!= "", col(name))
+      lit(name) -> when(rawCol(name).isNotNull && rawCol(name) =!= "",
+        rawCol(name))
     }
     val failedMap = map_filter(
       map(failedEntries.flatMap { case (k, v) => Seq(k, v) }: _*),
@@ -108,10 +122,7 @@ object CsvSource {
   def readStream(spark: SparkSession, path: String, schema: StructType,
       maxFilesPerTrigger: Int = 0): DataFrame = {
     val reader = spark.readStream
-      .option("header", "true")
-      .option("delimiter", ",")
-      .option("ignoreLeadingWhiteSpace", "true")
-      .option("ignoreTrailingWhiteSpace", "true")
+      .options(ReaderOptions)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", StructuralColumn)
       .schema(rawSchema(schema))
@@ -132,8 +143,12 @@ object CsvSource {
       path: String): Seq[(Seq[String], Seq[String])] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Same file set Spark's CSV reader consumes: every data file except
+    // `_`/`.`-prefixed metadata — NOT just lowercase `*.csv` (a
+    // `data.CSV` or extension-less file that read() parses fine must
+    // not silently vanish from the conforming path).
     val files = fs.listStatus(p).filter(_.isFile).map(_.getPath)
-      .filter(_.getName.endsWith(".csv"))
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
       .sortBy(_.getName)
     val groups =
       scala.collection.mutable.LinkedHashMap.empty[Seq[String], Vector[String]]
@@ -144,12 +159,43 @@ object CsvSource {
           new java.io.InputStreamReader(in, "UTF-8"))
         val line = br.readLine()
         if (line != null && line.nonEmpty) {
-          val header = line.split(",", -1).toSeq.map(_.trim)
+          val header = splitHeader(line)
           groups(header) = groups.getOrElse(header, Vector.empty) :+ f.toString
         }
       } finally in.close()
     }
     groups.toSeq
+  }
+
+  /** RFC-4180-style split of ONE header line: the delimiter separates
+    * only outside double quotes, doubled quotes inside a quoted field
+    * unescape to one, surrounding quotes are stripped — matching the
+    * column names the Spark CSV parser yields for the same header (a
+    * naive split(",") kept the quotes and broke on quoted delimiters,
+    * mis-grouping the file and folding the real column into the rescue
+    * JSON as nulls). */
+  private def splitHeader(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQuotes) {
+        if (ch == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            cur += '"'; i += 1
+          } else inQuotes = false
+        } else cur += ch
+      } else ch match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.toSeq
   }
 
   /** Parse the directory as header-homogeneous file GROUPS — each group
@@ -163,7 +209,12 @@ object CsvSource {
   private def readConforming(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val known = schema.fieldNames.toSet
-    headerGroups(spark, path).map { case (header, files) =>
+    val groups = headerGroups(spark, path)
+    // No groups (empty directory, or every file headerless/empty): the
+    // declared-schema rescue read handles whatever Spark can see —
+    // reduce on an empty Seq would throw instead of returning the data.
+    if (groups.isEmpty) return read(spark, path, schema)
+    groups.map { case (header, files) =>
       val rawS = StructType(
         header.map(StructField(_, StringType, nullable = true))
           :+ StructField(StructuralColumn, StringType, nullable = true))

@@ -3,7 +3,6 @@ package graft.pipeline
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.dq.{Action, Expectation, Expectations}
@@ -118,7 +117,11 @@ class Pipeline {
     val indeg = mutable.LinkedHashMap.from(datasets.map { case (n, d) =>
       d.deps.foreach(dep => require(datasets.contains(dep),
         s"dataset $n depends on unregistered $dep"))
-      n -> d.deps.size
+      // DISTINCT: deps may repeat (a registerAll factory over a list
+      // with duplicates); the completion loop below decrements once per
+      // dependent dataset, so counting repeats would strand the node at
+      // indegree > 0 and report a spurious cycle.
+      n -> d.deps.distinct.size
     })
     val order = mutable.ArrayBuffer.empty[String]
     val ready = mutable.Queue.from(indeg.collect { case (n, 0) => n })
@@ -175,9 +178,7 @@ class Pipeline {
     * a staged copy of the build (one build pass, abort-before-commit).
     */
   private def applyDrops(df: DataFrame, exps: Seq[Expectation]): DataFrame =
-    exps.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
-      acc.filter(coalesce(r.predicate, lit(false)))
-    }
+    Expectations.applyDrops(df, exps) // single-sourced semantics
 
   /** Validate a batch build destined for a table WITHOUT running the
     * build twice: materialize it once to a staging dir, enforce warn/fail
@@ -302,10 +303,14 @@ class Pipeline {
             .option("checkpointLocation", checkpointDir(spark, name))
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              Expectations.enforce(batch, warnFail)
               val fs = commits.getFileSystem(hconf)
               val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
               if (!fs.exists(marker)) {
+                // Enforcement INSIDE the marker check: a crash-replayed,
+                // already-committed batch was already validated and
+                // counted — re-enforcing would re-run the aggregate and
+                // double-log its warns for data the table already holds.
+                Expectations.enforce(batch, warnFail)
                 clustered(batch, d.clusterBy)
                   .write.mode("append").format("parquet").saveAsTable(name)
                 fs.mkdirs(marker)
@@ -314,6 +319,16 @@ class Pipeline {
             }
             .start()
           q.awaitTermination()
+          // An AvailableNow start over a source directory with NO files
+          // terminates without running a single batch: foreachBatch
+          // never fires, saveAsTable never runs, and the contract — an
+          // (empty) streaming table — would instead surface as
+          // TABLE_OR_VIEW_NOT_FOUND for this and every downstream
+          // dataset. Create the empty table from the stream's schema.
+          if (!spark.catalog.tableExists(name))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              df.schema).write.format("parquet").saveAsTable(name)
           spark.table(name)
         case Materialize.Table =>
           dropOrphanLocation(spark, name)

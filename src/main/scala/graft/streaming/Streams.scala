@@ -77,7 +77,12 @@ object Streams {
     // splitFiles > 0 instead materializes that many parquet files (a
     // write-once copy) so maxFilesPerTrigger can spread AvailableNow
     // over several micro-batches.
-    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    // Sanitization is LOSSY ("/a/b" and "/a_b" collide) — the appended
+    // hash of the raw path makes the scratch key injective, so two
+    // distinct sf dirs can never silently share (and cross-serve) a
+    // symlink or split cache.
+    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
+      "-" + graft.core.Scratch.sha8(sfDir)
     val dir =
       if (splitFiles > 0) {
         // Scratch.key like every write-once copy: regenerated data busts
@@ -97,7 +102,16 @@ object Streams {
           s"${sane}_split$splitFiles${if (orderedSplit) "ord" else ""}",
           graft.core.Scratch.key(spark, sfDir,
             schema.json + (if (orderedSplit) "|mtime-total-order" else "")),
-          "events/_SUCCESS") { gen =>
+          // An ordered generation is complete only once the mtimes are
+          // STAMPED, not when the parquet write lands — parquet drops
+          // its _SUCCESS before the stamping loop runs, so using it as
+          // the marker let a crash in that window permanently cache an
+          // UNORDERED generation (marker present, ties everywhere) that
+          // every later run would consume in arbitrary order. The
+          // ordered marker is touched by the closure as its LAST step;
+          // its `_` prefix keeps it invisible to the file source.
+          if (orderedSplit) "events/_graft_ordered"
+          else "events/_SUCCESS") { gen =>
           val src = spark.read.parquet(s"$sfDir/events.parquet")
           val parts =
             if (orderedSplit) src.repartitionByRange(splitFiles, col("ts"))
@@ -118,6 +132,9 @@ object Streams {
                   java.nio.file.attribute.FileTime.fromMillis(
                     base + (i + 1) * 2000L))
             }
+            val done = out.resolve("_graft_ordered")
+            if (!java.nio.file.Files.exists(done))
+              java.nio.file.Files.createFile(done)
           }
         }.resolve("events")
       } else {

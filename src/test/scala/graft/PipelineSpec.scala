@@ -436,6 +436,78 @@ class PipelineSpec extends SparkSpec {
       .col(CsvSource.RescueColumn).isNotNull).count() === 0)
   }
 
+  test("csv conforming path: quoted headers, uppercase extensions and " +
+      "empty directories all behave like the plain reader") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import graft.ingest.CsvSource
+    val base = Files.createTempDirectory("graft_csv_conform_spec")
+    val data = base.resolve("data"); Files.createDirectories(data)
+    val schemas = base.resolve("schemas").toString
+    // First contact persists the contract from an unquoted header.
+    Files.writeString(data.resolve("b1.csv"), "a,b\n1,x\n")
+    CsvSource.readEvolving(spark, data.toString, schemas)
+    // A QUOTED header (RFC-4180: same columns the Spark parser sees)
+    // and an UPPERCASE extension — the naive split/extension filter
+    // used to mis-group the first (quotes kept -> column read as drift,
+    // values nulled into the rescue JSON) and drop the second entirely.
+    Files.writeString(data.resolve("b2.csv"), "\"a\",\"b\"\n2,y\n")
+    Files.writeString(data.resolve("b3.CSV"), "a,b\n3,z\n")
+    val out = CsvSource.readEvolving(spark, data.toString, schemas)
+    val rows = out.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet ===
+      Set((1, "x"), (2, "y"), (3, "z")),
+      "quoted-header or uppercase-extension files were dropped/mangled")
+    assert(rows.forall(_._3 == null), "nothing here should rescue")
+    // Empty directory: the conforming path must return an empty frame
+    // with the contract schema, not crash on empty.reduce.
+    val empty = base.resolve("empty"); Files.createDirectories(empty)
+    val sch = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val e = CsvSource.readEvolving(spark, empty.toString, schemas)
+    assert(e.count() === 0)
+    // A schema with a DOT in a column name resolves through the rescue
+    // plan (both the try_cast and the failure-detection halves).
+    val dotData = base.resolve("dot"); Files.createDirectories(dotData)
+    Files.writeString(dotData.resolve("d.csv"), "user.id,v\n7,ok\nbad,ok\n")
+    val dotS = StructType(Seq(StructField("user.id", IntegerType),
+      StructField("v", StringType)))
+    val d = CsvSource.read(spark, dotData.toString, dotS).collect()
+      .map(r => (Option(r.get(0)), r.getString(2))).toSet
+    assert(d === Set((Some(7), null), (None, """{"user.id":"bad"}""")),
+      "dot-named column broke the rescue plan")
+  }
+
+  test("topoOrder tolerates duplicated deps; an empty streaming source " +
+      "still materializes an (empty) table") {
+    import java.nio.file.Files
+    // Duplicate deps used to strand the node at indegree 1 and report a
+    // spurious cycle.
+    val p = new Pipeline()
+      .register(Dataset("a", Nil, (s, _) => s.range(1).toDF("x")))
+      .register(Dataset("b", Seq("a", "a"),
+        (_, up) => up("a")))
+    assert(p.topoOrder === Seq("a", "b"))
+    // A streaming Table over a source directory with no files: the
+    // AvailableNow query terminates without a batch; the contract is an
+    // empty TABLE, not TABLE_OR_VIEW_NOT_FOUND for every downstream.
+    val emptyDir = Files.createTempDirectory("graft_empty_stream_src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val tbl = "empty_stream_spec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p2 = new Pipeline().register(Dataset(tbl, Nil,
+      (s, _) => s.readStream.schema(schema).option("header", "true")
+        .csv(emptyDir.toString),
+      materialize = Materialize.Table))
+    val out = p2.run(spark)
+    assert(out(tbl).count() === 0)
+    assert(spark.table(tbl).schema.fieldNames.toSeq === Seq("k"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("streaming csv under the persisted schema contract (Auto Loader shape)") {
     import java.nio.file.Files
     import graft.ingest.CsvSource
