@@ -84,6 +84,13 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int, threshold: Double, maxDf: Int = 64): DataFrame = {
+    // DELIBERATELY NOT persisted, though sh appears under the counting
+    // subtree AND both sides of verifyPairs: columnar-caching the wide
+    // shingle arrays costs more than recomputing them with the native
+    // per-row ShingleSet (measured r9 at sf0.1: persist() moved d2
+    // 2.58 -> 3.09 s — the same InMemoryRelation encode/decode loss the
+    // pr1 eager-cache experiment measured). Recompute-over-cache is the
+    // right trade wherever the producer is a JIT'd per-row kernel.
     val sh = shingled(df, textCol, idCol, n)
     val post = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
@@ -247,7 +254,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int, threshold: Double, blocks: Int = 8,
       maxHamming: Int = 12, minShinglesForSketch: Int = 64,
-      maxDf: Int = 64): DataFrame = {
+      maxDf: Int = 64, maxBucket: Int = 1024): DataFrame = {
     val bits = 64 / blocks
     val sh = shingled(df, textCol, idCol, n)
       .withColumn("short", size(col("shingles")) < minShinglesForSketch)
@@ -303,9 +310,15 @@ object Dedup {
           shiftrightunsigned(col("simhash"), c * bits)
             .bitwiseAND(lit((1L << bits) - 1)).as("ckey"))): _*)).as("ck"))
       .select(col("doc_id"), col("ck.blk"), col("ck.ckey"))
+    // Same skew guard as minhashPairs' maxBucket: a chunk value shared
+    // by D correlated docs (template/boilerplate spam) would otherwise
+    // expand O(D^2) pairs in one bucket — the melt case at 100 TB. A
+    // true near-dup pair sits within Hamming maxHamming, so it shares
+    // several of the 8 chunks and is lost only if EVERY shared chunk's
+    // bucket floods past the cap.
     val rawCands = chunkKeys.groupBy(col("blk"), col("ckey"))
       .agg(collect_list(col("doc_id")).as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(size(col("members")).between(2, maxBucket))
       .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
     val codes = sim.select(col("doc_id"), col("simhash"))
@@ -429,7 +442,7 @@ object Dedup {
   /** Rounds the last [[duplicateClusters]] call took — test-visible so
     * DedupSpec can pin the O(log diameter) claim (a silently broken
     * doubling step still converges, just in diameter rounds). */
-  private[graft] var lastIterations: Int = 0
+  @volatile private[graft] var lastIterations: Int = 0 // diagnostic: last COMPLETED call's rounds
 
   /** Connected components over near-dup pairs: the clustering step that
     * turns pairwise matches into keep/drop decisions (every member maps
@@ -544,6 +557,7 @@ object Dedup {
     // separate clusters) — refuse to return them.
     if (!converged) {
       edges.unpersist(false)
+      labels.unpersist(false) // nothing returns it; don't leak the blocks
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIterations " +
           "iterations: a component's diameter exceeds the bound; " +

@@ -28,12 +28,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle's list_reduce fold, at JIT-loop speed.
   *
   * Null ELEMENTS are not supported (embedding vectors are dense); null
-  * INPUT arrays propagate null per BinaryExpression's default.
+  * INPUT arrays propagate null per BinaryExpression's default. Arrays of
+  * DIFFERENT lengths yield NULL — the same answer the composed
+  * `aggregate(zip_with(...))` form and the oracle's list_reduce give
+  * (zip_with pads the short side with null, nulling the fold): a ragged
+  * embedding must surface as a visible NULL, never as a silently
+  * truncated partial sum.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on ragged inputs
   override def prettyName: String = "graft_dot"
 
   private def elemIsDouble(e: Expression): Boolean =
@@ -44,7 +50,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -64,10 +71,14 @@ case class DotProduct(left: Expression, right: Expression)
       val ga = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
       val gb = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $ga * $gb; }
-         |${ev.value} = $acc;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $ga * $gb; }
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -483,6 +494,11 @@ case class SrpCode(child: Expression, nBits: Int, dim: Int)
 private[functions] object PqKernel {
   def distTable(v: ArrayData, elemDouble: Boolean, cb: Array[Double],
       m: Int, k0: Int, subDim: Int): Array[Double] = {
+    // BOUNDED reads: a vector shorter than m*subDim reads as 0-padded
+    // instead of past the array — UnsafeArrayData's index assert is
+    // compiled out in production, so an unguarded getFloat would return
+    // GARBAGE bytes (nondeterministic codes), not throw.
+    val n = v.numElements()
     val out = new Array[Double](m * k0)
     var mi = 0
     while (mi < m) {
@@ -493,7 +509,8 @@ private[functions] object PqKernel {
         var acc = 0.0
         var i = 0
         while (i < subDim) {
-          val x = if (elemDouble) v.getDouble(off + i)
+          val x = if (off + i >= n) 0.0
+                  else if (elemDouble) v.getDouble(off + i)
                   else v.getFloat(off + i).toDouble
           val d = x - cb(cOff + i)
           acc += d * d

@@ -70,10 +70,17 @@ object VectorFunctions {
     * Each per-bit dot is the native kernel against a constant-folded
     * literal hyperplane array.
     */
-  def lshCode(v: Column, nBits: Int, dim: Int): Column =
-    (0 until nBits).map { j =>
+  def lshCode(v: Column, nBits: Int, dim: Int): Column = {
+    val code = (0 until nBits).map { j =>
       when(dotN(hyperplane(j, dim), v) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+    // NULL in, NULL out — matching the native SrpCode (null-intolerant
+    // per UnaryExpression): without this, a null embedding would fold
+    // every when(...) to its otherwise(0) and land in bucket 0 here
+    // while the native form drops it, so the two "bit-identical" forms
+    // would disagree on exactly the rows with no vector.
+    when(v.isNull, lit(null).cast("long")).otherwise(code)
+  }
 
   /** Native single-evaluator form of [[lshCode]] (bit-identical; parity-
     * tested): the composed form's 64-dot-kernel expression tree costs

@@ -23,11 +23,27 @@ object TextFunctions {
   /** 2^31 - 1 (Mersenne prime) — keeps acc*31+c within Long range. */
   val HashMod = 2147483647L
 
-  /** Whitespace tokens; trims first and drops empty tokens so that
-    * leading/trailing/repeated whitespace never yields phantom tokens.
+  /** SPACE-delimited tokens (ASCII 0x20 runs only — NOT general
+    * whitespace); trims first and drops empty tokens so leading/
+    * trailing/repeated spaces never yield phantom tokens. The space-only
+    * contract is deliberate and load-bearing: the four native sketch
+    * expressions (ShingleSet/MinHashBandKeys/SimHashCode/
+    * MinShingleHash) and every DuckDB oracle implement the identical
+    * split, and all must move in lockstep if it ever widens. Corpora
+    * with structural newlines/tabs should pass through
+    * [[normalizeWhitespace]] upstream — otherwise a "a\nb" reads as one
+    * token here, which every operator then at least agrees on.
     */
   def tokens(c: Column): Column =
     filter(split(trim(c), " +"), t => length(t) > 0)
+
+  /** Collapse every whitespace run (space, tab, newline, CR, unicode
+    * spaces via \s) to one ASCII space — the normalization pass that
+    * makes the space-only token contract above safe for raw multi-line
+    * documents. Apply at ingest, before any token-derived operator.
+    */
+  def normalizeWhitespace(c: Column): Column =
+    regexp_replace(c, "\\s+", " ")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -25,6 +25,36 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(d === 2.0)
   }
 
+  test("dotN yields NULL on ragged inputs, matching the HOF fold and " +
+      "the oracle — never a truncated partial sum") {
+    import spark.implicits._
+    val r = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0)))
+      .toDF("a", "b")
+      .select(dotN(col("a"), col("b")).as("nat"),
+        dot(col("a"), col("b")).as("ref"))
+      .collect()(0)
+    assert(r.isNullAt(0), "ragged dotN must be NULL, not a partial sum")
+    assert(r.isNullAt(1), "the HOF reference answers NULL here too")
+  }
+
+  test("pqCodeN on a short vector is deterministic 0-padded, never " +
+      "garbage from out-of-bounds reads") {
+    import spark.implicits._
+    import graft.similarity.VectorFunctions.pqCodeN
+    // Codebook for m=2 subspaces, k=2 centroids, subDim=2: centroid
+    // (m,0) = [0,0], (m,1) = [10,10]. A 2-element vector covers only
+    // subspace 0; subspace 1 must read as [0,0] -> centroid 0.
+    val flat = Seq(0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 10.0, 10.0)
+    val out = Seq(Tuple1(Array(9.0f, 9.0f)), Tuple1(Array(9.0f, 9.0f)))
+      .toDF("embedding")
+      .select(pqCodeN(col("embedding"), flat, 2, 2, 2).as("c"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(out(0) === Seq(1, 0),
+      "short vector: covered subspace picks its centroid, missing " +
+        "subspace reads as zeros")
+    assert(out(0) === out(1), "short-vector codes must be deterministic")
+  }
+
   test("rollingHash native equals the HOF fold on real documents") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val diff = docs.select(

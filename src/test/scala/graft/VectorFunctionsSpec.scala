@@ -68,6 +68,22 @@ class VectorFunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("composed and native lsh codes agree on NULL embeddings: both " +
+      "NULL, never bucket 0") {
+    import spark.implicits._
+    val r = Seq(Tuple1(null: Array[Float]), Tuple1(Array.fill(64)(1.0f)))
+      .toDF("embedding")
+      .select(lshCode(col("embedding"), 16, 64).as("composed"),
+        lshCodeN(col("embedding"), 16, 64).as("native"))
+      .collect()
+    val nullRow = r.find(x => x.isNullAt(1)).get
+    assert(nullRow.isNullAt(0),
+      "composed lshCode put a null embedding in bucket 0 while the " +
+        "native form dropped it — the two forms must agree")
+    val liveRow = r.find(x => !x.isNullAt(1)).get
+    assert(liveRow.getLong(0) === liveRow.getLong(1))
+  }
+
   test("hamming counts differing bits") {
     val h = Seq((5L, 6L)).toDF("x", "y")
       .select(hamming(col("x"), col("y"))).collect()(0).getInt(0)
