@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/the test harness: Tables.normalizeTs casts the
+      // events NTZ timestamps through the SESSION zone — an unset zone
+      // on a non-UTC host would silently shift every event-time bucket
+      // the streaming entries measure.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,18 +39,24 @@ object Expectations {
   def drop(name: String, predicate: Column): Expectation =
     Expectation(name, predicate, Action.Drop)
 
-  /** One row per rule: (rule, action, violations, total) — single-pass. */
+  /** One row per rule: (rule, action, violations, total) — single-pass.
+    * Counters are keyed POSITIONALLY (`__viol_<index>`), never by rule
+    * name: a name containing `.` would parse as struct access on the
+    * col() round-trip, and two rules sharing a name would be ambiguous.
+    * sum() over ZERO rows is NULL, so each counter coalesces to 0 — an
+    * empty frame reports 0 violations instead of NPE-ing enforce().
+    */
   def report(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
-    val counters = rules.map { r =>
-      sum(when(!coalesce(r.predicate, lit(false)), 1L).otherwise(0L))
-        .as(s"__viol_${r.name}")
+    val counters = rules.zipWithIndex.map { case (r, i) =>
+      coalesce(sum(when(!coalesce(r.predicate, lit(false)), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__viol_$i")
     } :+ count(lit(1)).as("__total")
     val one = df.agg(counters.head, counters.tail: _*)
     // Unpivot the single counter row into (rule, action, violations, total).
-    val stacked = rules.map { r =>
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"),
         lit(r.action.toString.toLowerCase).as("action"),
-        col(s"__viol_${r.name}").as("violations"),
+        col(s"__viol_$i").as("violations"),
         col("__total").as("total"))
     }
     one.select(explode(array(stacked: _*)).as("e")).select("e.*")

@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   *   - the day sequence comes from `sequence(d0, d0 + n days)` + `explode`
   *     (generated from a 1-row aggregate — the 1000-row explode is trivial;
   *     for very large ranges swap in `spark.range(n)`);
-  *   - `date_key` = `datediff(date_actual, d0)` — identical to the rank
-  *     ordered by date (dense, 0-based over consecutive days) but a pure
-  *     per-row expression: no global sort, no single partition.
+  *   - `date_key` = `datediff(date_actual, d0)` — dense over consecutive
+  *     days like the rank, but a pure per-row expression: no global
+  *     sort, no single partition. BASE CAVEAT: this key is 0-BASED
+  *     (datediff of the first day is 0) where the reference's
+  *     `ROW_NUMBER()` — and [[graft.olist]]'s reference-faithful
+  *     `dim_date` — are 1-BASED; the w2/j3 entries and their oracles
+  *     use DateDim keys consistently on both sides, but DateDim keys
+  *     must never be joined against reference-derived or olist
+  *     `date_key` values without the +1 shift.
   *
   * The reference's LIMIT-1000 cap is preserved (maxDays = 999): purchases
   * beyond day 999 intentionally drop from the fact via the inner date join
-  * (`fact_order_items.sql:103-104`), and our fact keeps that quirk.
+  * (`fact_order_items.sql:103-104`), and our fact keeps that quirk. The
+  * cap here binds at min(data span, maxDays) — a span shorter than the
+  * cap generates only the observed days, not the full 1000-day calendar.
   */
 object DateDim {
 

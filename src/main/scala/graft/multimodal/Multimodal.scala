@@ -113,12 +113,18 @@ object Multimodal {
     * metadata — the ingest step that in production reads object-store
     * blobs alongside the row.
     */
-  def attachMedia(docs: DataFrame): DataFrame =
+  def attachMedia(docs: DataFrame): DataFrame = {
+    // NULL text coalesces to an empty payload: a null would propagate
+    // into media/n_bytes, break MediaRecord's primitive Long fields at
+    // encode time, and NPE inside the codec's executor task — an empty
+    // media row (0 blocks, 0 bytes) is the defined answer instead.
+    val txt = coalesce(col("text"), lit(""))
     docs.select(
       col("doc_id"),
       lit("fake/raw").as("fmt"),
-      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
-      encode(col("text"), "UTF-8").as("media"))
+      octet_length(encode(txt, "UTF-8")).cast("long").as("n_bytes"),
+      encode(txt, "UTF-8").as("media"))
+  }
 
   /** Partition-batched feature extraction over the media Dataset. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {

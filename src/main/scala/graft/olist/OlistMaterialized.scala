@@ -34,11 +34,15 @@ import graft.pipeline.{Dataset, Materialize, Pipeline}
   */
 object OlistMaterialized {
 
-  /** Catalog-safe suffix for a scale dir — full sanitized path, so two
-    * dirs can never alias one table set. */
+  /** Catalog-safe suffix for a scale dir. Sanitization alone is LOSSY
+    * ("/data/sf.1" and "/data/sf-1" both collapse to "data_sf_1", and
+    * the in-JVM memo would then serve one dir's committed tables for
+    * the other) — the appended hash of the RAW path makes the suffix
+    * injective, so two dirs can never alias one table set. */
   def sfx(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]+", "_").toLowerCase
-      .stripPrefix("_").stripSuffix("_")
+      .stripPrefix("_").stripSuffix("_") +
+      "_" + graft.core.Scratch.sha8(dir)
 
   /** Committed table names for one scale dir. */
   final case class Names(suffix: String) {

@@ -250,7 +250,14 @@ class Pipeline {
   private def materializeOne(spark: SparkSession, d: Dataset,
       upstream: Map[String, DataFrame]): DataFrame = {
     val name = d.name
-    val df = applyDrops(d.build(spark, upstream), d.expectations)
+    // DLT COUNTING SEMANTICS: every expectation — warn, fail AND drop —
+    // is evaluated against the dataset's INPUT rows. Drops filter what
+    // lands in the table (`df`), but warn/fail always aggregate over
+    // the PRE-drop build (`built`): a row violating both a drop rule
+    // and a fail rule must still abort the update, and warn counts must
+    // not silently shrink because another rule dropped the rows first.
+    val built = d.build(spark, upstream)
+    val df = applyDrops(built, d.expectations)
     val warnFail = d.expectations.filter(_.action != Action.Drop)
     // Batch builds bound for a table check warn/fail either directly on
     // the build plan (cheap builds) or against a STAGED copy (expensive
@@ -262,8 +269,13 @@ class Pipeline {
       if (warnFail.nonEmpty && !df.isStreaming &&
         d.materialize != Materialize.View) {
         if (d.validateStaged)
-          stageAndValidate(spark, df, warnFail, validateDir)
-        else { Expectations.enforce(df, warnFail); df }
+          // Stage the PRE-drop build once (one build pass), validate
+          // there, commit the staged copy with drops applied — a cheap
+          // filter over the staged parquet scan.
+          applyDrops(
+            stageAndValidate(spark, built, warnFail, validateDir),
+            d.expectations)
+        else { Expectations.enforce(built, warnFail); df }
       } else df
     val out = d.materialize match {
         case Materialize.View =>
@@ -271,7 +283,7 @@ class Pipeline {
           // is the build frame itself (one aggregate pass at registration,
           // the DLT @dlt.view + expectations shape).
           if (warnFail.nonEmpty && !df.isStreaming)
-            Expectations.enforce(df, warnFail)
+            Expectations.enforce(built, warnFail) // input rows, pre-drop
           df
         case Materialize.Table if df.isStreaming =>
           dropOrphanLocation(spark, name)
@@ -299,7 +311,10 @@ class Pipeline {
             val cfs = commits.getFileSystem(hconf)
             if (cfs.exists(commits)) cfs.delete(commits, true)
           }
-          val q = df.writeStream
+          // Stream the PRE-drop plan; drops apply per batch inside
+          // foreachBatch AFTER enforcement, so the counting semantics
+          // match the batch paths (see `built` above).
+          val q = built.writeStream
             .option("checkpointLocation", checkpointDir(spark, name))
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -311,7 +326,7 @@ class Pipeline {
                 // counted — re-enforcing would re-run the aggregate and
                 // double-log its warns for data the table already holds.
                 Expectations.enforce(batch, warnFail)
-                clustered(batch, d.clusterBy)
+                clustered(applyDrops(batch, d.expectations), d.clusterBy)
                   .write.mode("append").format("parquet").saveAsTable(name)
                 fs.mkdirs(marker)
               }

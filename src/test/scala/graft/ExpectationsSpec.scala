@@ -35,4 +35,44 @@ class ExpectationsSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect()
     assert(rep(0)._3 === 1L)
   }
+
+  test("empty frame reports 0 violations instead of NPE (sum over zero " +
+      "rows is NULL)") {
+    val empty = df.filter(col("x") > 1000)
+    val rep = DQ.report(empty, Seq(DQ.fail("positive", col("x") > 0)))
+      .as[(String, String, Long, Long)].collect()
+    assert(rep(0)._3 === 0L && rep(0)._4 === 0L)
+    // enforce must pass an empty frame, not abort the refresh on it.
+    assert(DQ.enforce(empty,
+      Seq(DQ.fail("positive", col("x") > 0))).count() === 0)
+  }
+
+  test("dotted and duplicated rule names survive the report round-trip") {
+    val rep = DQ.report(df, Seq(
+      DQ.warn("orders.valid_id", col("x") > 0),
+      DQ.warn("orders.valid_id", col("x") < 100)))
+      .as[(String, String, Long, Long)].collect()
+    assert(rep.length === 2, "both same-named rules must report")
+    assert(rep.forall(_._1 == "orders.valid_id"))
+  }
+
+  test("pipeline counts every expectation on INPUT rows: a row dropped " +
+      "by one rule still aborts a fail rule it violates (DLT semantics)") {
+    import graft.pipeline.{Dataset, Materialize, Pipeline}
+    val tbl = "dq_predrop_spec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // x = -1 violates BOTH the drop rule (x > 0) and the fail rule
+    // (x != -1). Post-drop enforcement would filter it first and the
+    // fail rule would never see it; DLT evaluates each expectation
+    // against the input, so the update must abort.
+    val p = new Pipeline().register(Dataset(tbl, Nil,
+      (s, _) => { import s.implicits._
+        Seq(1, 2, -1).toDF("x") },
+      expectations = Seq(
+        DQ.drop("positive", col("x") > 0),
+        DQ.fail("never_minus_one", col("x") =!= -1)),
+      materialize = Materialize.MaterializedView))
+    intercept[ExpectationViolation] { p.run(spark) }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
