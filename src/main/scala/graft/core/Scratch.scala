@@ -26,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
 
+  /** Injective, catalog- and filesystem-safe key for a DATA DIRECTORY:
+    * sanitized basename + hash of the full path. Basenames alone
+    * collide across parents (/runA/sf0.1 vs /runB/sf0.1 would thrash
+    * any write-once cache or table set keyed by them); the hash makes
+    * the key unique per actual directory. [A-Za-z0-9_] only, so the
+    * key is legal inside table identifiers too. */
+  def pathKey(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + sha8(dir)
+
   def sha8(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -37,14 +37,8 @@ object CurationPipeline {
 
   import QuerySpec._
 
-  private val RollHash =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |  list_transform(list_filter(string_split(text, ''), c -> length(c) > 0),
-      |                 c -> CAST(ascii(c) AS BIGINT))),
-      |  (a, b) -> (a * 31 + b) % 2147483647)""".stripMargin
-
-  private val Cat13 =
-    (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+  private val RollHash = QuerySpec.OracleSql.rollHash("text")
+  private val Cat13 = QuerySpec.OracleSql.cat13
 
   val c8CorpusPipeline = withOracle(
     "c8_corpus_pipeline",
@@ -158,13 +152,7 @@ object CurationPipeline {
       .filter(!col("is_contaminated")).select(col("doc_id"))
     val clean = unique.join(keep, "doc_id")
     val counts = clean.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val weights = counts
-      .withColumn("wt", floor(sqrt(col("n_docs").cast("double"))))
-    val totals = weights.agg(sum(col("n_docs")).as("total"),
-      sum(col("wt")).as("wsum"))
-    val quotas = weights.crossJoin(broadcast(totals))
-      .withColumn("quota", expr("((total div 2) * wt) div wsum"))
-      .select(col("source"), col("n_docs"), col("quota"))
+    val quotas = QuerySpec.temperatureQuotas(counts) // shared with c5
     val sampled = clean
       .join(broadcast(quotas), "source")
       .filter(pmod(col("h"), col("n_docs")) < col("quota"))

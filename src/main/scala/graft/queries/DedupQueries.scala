@@ -208,8 +208,7 @@ object DedupQueries {
   // it shares ANY 13-gram with eval (planted near-dup clusters that
   // straddle the split are exactly what this catches). The oracle
   // recomputes the same shingle sets brute-force in DuckDB.
-  private val cat13 =
-    (0 until 13).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+  private val cat13 = QuerySpec.OracleSql.cat13
 
   val d8Decontaminate = withOracle(
     "d8_decontaminate",
@@ -251,11 +250,7 @@ object DedupQueries {
   // positives exactly: bit p set <=> position p occurs among the eval
   // probes, so set-membership on positions mirrors the bitset
   // bit-for-bit.
-  private val hashSql = (e: String) =>
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(list_filter(string_split($e, ''), c -> length(c) > 0),
-       |                 c -> CAST(ascii(c) AS BIGINT))),
-       |  (a, b) -> (a * 31 + b) % 2147483647)""".stripMargin
+  private val hashSql = (e: String) => QuerySpec.OracleSql.rollHash(e)
 
   val d9BloomDecontaminate = withOracle(
     "d9_bloom_decontaminate",

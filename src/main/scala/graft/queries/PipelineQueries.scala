@@ -145,7 +145,7 @@ object PipelineQueries {
       Multimodal.attachMedia(Tables.documents(s, d))).toDF()
       .filter(col("frame_idx") === 0)
       .select(col("doc_id"), col("p0"), col("p1"), col("p2"), col("p3"))
-    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val emb = Tables.embeddings(s, d) // the one loader that knows encodings
       .select(col("vec_id"),
         element_at(col("embedding"), 1).cast("double").as("v0"),
         element_at(col("embedding"), 2).cast("double").as("v1"),

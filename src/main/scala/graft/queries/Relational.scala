@@ -244,23 +244,28 @@ object Relational {
 
   // ---- W1 + P6: window row_number dedup (rn = 1) ----
   // Reference: dim_customers.sql:25-41 (one geolocation row per zip).
-  // Tie-break is total (linenumber unique within order) => deterministic.
+  // Tie-break: (linenumber, partkey) is NOT unique within an order in
+  // this data (Relational2's w3 documents the minimal total order as
+  // (linenumber, partkey, suppkey)) — l_suppkey completes the total
+  // order on BOTH sides, so the rn=1 pick is engine-deterministic even
+  // if the projection ever grows a distinguishing column. Today tied
+  // rows project identically, so adding the tiebreak changes no output.
   val w1WindowDedup = withOracle(
     "w1_window_dedup",
     """SELECT l_orderkey, l_linenumber, l_partkey
       |FROM (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
       |             row_number() OVER (PARTITION BY l_orderkey
-      |                                ORDER BY l_linenumber, l_partkey) AS rn
+      |                                ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
       |      FROM lineitem)
       |WHERE rn = 1""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_partkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-        col("l_partkey"))
+        col("l_partkey"), col("l_suppkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "l_suppkey")
   }
 
   // ---- J1: broadcast left join against a small dimension chain ----

@@ -30,7 +30,7 @@ object SourceQueries {
   val s1CsvIngest = withOracle(
     "s1_csv_ingest",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
-    val sfName = new java.io.File(d).getName
+    val sfName = graft.core.Scratch.pathKey(d)
     // Scratch keyed by source fingerprint + written schema (Scratch.key):
     // regenerated data OR a changed derivation busts the cache. The
     // _SUCCESS marker (not bare existence) gates the rebuild — an
@@ -81,7 +81,7 @@ object SourceQueries {
   val s4JsonRoundtrip = withOracle(
     "s4_json_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
-    val sfName = new java.io.File(d).getName
+    val sfName = graft.core.Scratch.pathKey(d)
     val dir = graft.core.Scratch.ensure("/tmp/graft_json", sfName,
       graft.core.Scratch.key(s, d, DocSchema.json), "documents/_SUCCESS") {
       gen =>
@@ -98,7 +98,7 @@ object SourceQueries {
   val s5OrcRoundtrip = withOracle(
     "s5_orc_roundtrip",
     "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
-    val sfName = new java.io.File(d).getName
+    val sfName = graft.core.Scratch.pathKey(d)
     val dir = graft.core.Scratch.ensure("/tmp/graft_orc", sfName,
       graft.core.Scratch.key(s, d, DocSchema.json), "documents/_SUCCESS") {
       gen =>
@@ -157,7 +157,7 @@ object SourceQueries {
       |       CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents""".stripMargin) { (s, d) =>
     import graft.text.TextFunctions.rollingHash
-    val sfName = new java.io.File(d).getName
+    val sfName = graft.core.Scratch.pathKey(d)
     val dir = graft.core.Scratch.ensure("/tmp/graft_text", sfName,
       graft.core.Scratch.key(s, d, "text-lines-v1"), "documents/_SUCCESS") {
       gen =>
@@ -230,7 +230,7 @@ object SourceQueries {
       |       CASE WHEN doc_id >= 250
       |            THEN '{"source":"' || source || '"}' END AS _rescued_data
       |FROM documents""".stripMargin) { (s, d) =>
-    val sfName = new java.io.File(d).getName
+    val sfName = graft.core.Scratch.pathKey(d)
     val gen = graft.core.Scratch.ensure("/tmp/graft_csv_evo", sfName,
       graft.core.Scratch.key(s, d, "csv-evolution-v1"), "_SEEDED") { g =>
       val docs = Tables.documents(s, d)

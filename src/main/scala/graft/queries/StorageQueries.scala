@@ -19,8 +19,9 @@ object StorageQueries {
 
   import QuerySpec._
 
-  private def sfName(d: String) =
-    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+  // Injective per directory (basename alone collides across parents —
+  // the committed tables would then alias); legal in identifiers.
+  private def sfName(d: String) = graft.core.Scratch.pathKey(d)
 
   /** Write-once guard: materialize a bucketed/partitioned table ONCE per
     * generation of the source data, not once per process. The in-memory

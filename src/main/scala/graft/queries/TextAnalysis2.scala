@@ -429,11 +429,7 @@ object TextAnalysis2 {
       |WHERE h.hash % q.n_docs < q.quota""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val w = n.withColumn("wt", floor(sqrt(col("n_docs").cast("double"))))
-    val tot = w.agg(sum(col("n_docs")).as("total"), sum(col("wt")).as("wsum"))
-    val quotas = w.crossJoin(broadcast(tot))
-      .withColumn("quota", expr("((total div 2) * wt) div wsum"))
-      .select(col("source"), col("n_docs"), col("quota"))
+    val quotas = QuerySpec.temperatureQuotas(n) // shared with c8 stage 6
     docs
       .join(broadcast(quotas), Seq("source"))
       .withColumn("bucket", pmod(rollingHash(col("text")), col("n_docs")))
