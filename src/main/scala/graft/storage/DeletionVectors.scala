@@ -295,10 +295,19 @@ object DeletionVectors {
     * ONE snapshot commit — data and vectors can never be observed out
     * of step.
     *
-    * A `(_floor, -1, cutoff)` sentinel row is appended to the sidecar:
-    * its synthetic coordinates match no data row (harmless to reads) but
-    * keep [[version]] monotonic even when vacuum folds every real entry,
-    * so later deletes can never reuse a historical version number.
+    * TWO sentinel rows are appended to the sidecar (synthetic
+    * coordinates, p = -1, match no data row — harmless to reads):
+    * `(_floor, -1, cutoff)` records how far history was PHYSICALLY
+    * folded — [[restore]]'s reconstructibility check reads exactly this
+    * — and `(_hwm, -1, max(cutoff, version))` carries the table's
+    * version high-water mark, keeping [[version]] monotonic even when
+    * vacuum folds every real entry (the newSidecar drops all PRIOR
+    * sentinels, so the mark must be restated). They are distinct values
+    * with distinct jobs: a typical vacuum has cutoff < HWM, and folding
+    * the two into one `_floor` stamped at the HWM (the pre-round-10
+    * form) made restore reject every version in (cutoff, HWM] even
+    * though the kept/rebased entries deliberately keep those states
+    * readable.
     */
   def vacuum(spark: SparkSession, table: String, cutoff: Long): Unit = {
     val sidecar = sidecarDf(spark, table).getOrElse(return)
@@ -384,11 +393,12 @@ object DeletionVectors {
     val untouchedEntries = keptEntries
       .join(broadcast(affectedSet), col("f") === col("_af"), "left_anti")
       .select("f", "p", "v")
-    val floor = spark.createDataFrame(
-      Seq(("_floor", -1L, math.max(cutoff, version(spark, table)))))
+    val sentinels = spark.createDataFrame(
+      Seq(("_floor", -1L, cutoff),
+          ("_hwm", -1L, math.max(cutoff, version(spark, table)))))
       .toDF("f", "p", "v")
     val newSidecar = untouchedEntries.unionByName(rebasedAffected)
-      .unionByName(floor)
+      .unionByName(sentinels)
 
     // ONE atomic publish: rebased sidecar + rewritten groups + carried
     // links. The sidecar write executes first (it reads the old files

@@ -386,15 +386,24 @@ object SnapshotCommit {
       // stage grace window is dead by construction (the rename window
       // between staging name and v<N> leaves one of the two resolvable
       // at every instant, and the age bound puts us far outside it).
-      if (!won) {
+      // The whole reap is best-effort inside a Try: two processes can
+      // reap the same dead pointer concurrently, so any step (the
+      // getFileStatus after the exists probe, the delete itself) can
+      // find the pointer already gone — that is the DESIRED end state,
+      // not a commit failure, and must never surface as a
+      // FileNotFoundException out of commit() in place of the
+      // documented ConcurrentCommitException path.
+      if (!won) scala.util.Try {
         val orphan = new Path(commitsPath(root), (base + 1).toString)
         if (fs.exists(orphan) &&
-            resolveDir(spark, table, base + 1).isEmpty &&
-            System.currentTimeMillis() -
+            resolveDir(spark, table, base + 1).isEmpty) {
+          failpoint("reap")
+          if (System.currentTimeMillis() -
               fs.getFileStatus(orphan).getModificationTime > StageGraceMs) {
-          System.err.println(s"[snapshot] reaping dangling pointer " +
-            s"v${base + 1} of $table (no directory, past grace)")
-          fs.delete(orphan, false)
+            System.err.println(s"[snapshot] reaping dangling pointer " +
+              s"v${base + 1} of $table (no directory, past grace)")
+            fs.delete(orphan, false)
+          }
         }
       }
     }
@@ -574,7 +583,18 @@ object SnapshotCommit {
                 cached.collectFirst {
                   case lr: org.apache.spark.sql.execution.datasources
                       .LogicalRelation => lr.catalogTable
-                }.flatten.exists(_.createTime == m.createTime)
+                }.flatten.exists { ct =>
+                  // createTime has ms resolution — a destroy-and-rebuild
+                  // landing in the same millisecond would alias. The
+                  // `graft.incarnation` UUID pointAt stamps at CREATE is
+                  // resolution-free: the cached entry must carry the
+                  // CURRENT incarnation (tables created before the
+                  // property existed carry none on either side — the
+                  // forall passes and createTime still guards them).
+                  ct.createTime == m.createTime &&
+                    m.properties.get("graft.incarnation").forall(cur =>
+                      ct.properties.get("graft.incarnation").contains(cur))
+                }
           }
         }
       }
@@ -597,8 +617,17 @@ object SnapshotCommit {
       // sidecar); the loser must fall through, not throw
       // TableAlreadyExists out of a read.
       spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
-        s"LOCATION '$loc'")
-    else if (!catalogAligned(spark, table, loc)) {
+        s"LOCATION '$loc' TBLPROPERTIES ('graft.incarnation' = " +
+        s"'${java.util.UUID.randomUUID()}')")
+    // NOT an else: a loser of the CREATE IF NOT EXISTS race falls
+    // through with the WINNER's registration in place — if the winner
+    // created the table at a different location (e.g. a first DV read
+    // racing a delete's post-commit registerDv), proceeding without
+    // re-checking would leave this caller silently reading the winner's
+    // location. The alignment check below is shared by both arrivals:
+    // a winner (or already-registered caller) at `loc` passes it and
+    // skips; everyone else takes the ALTER + REFRESH repair.
+    if (!catalogAligned(spark, table, loc)) {
       val cat = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       if (new Path(cat.location).toUri.getPath != loc.toUri.getPath)
