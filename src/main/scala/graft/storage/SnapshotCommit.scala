@@ -126,29 +126,52 @@ object SnapshotCommit {
     * manifest fast path a directory listing plus one open+read per
     * carried `.graftref` on EVERY register — O(carried files) of store
     * IO that would otherwise re-introduce exactly the per-register tax
-    * the fast path exists to remove. THE MTIME IS THE INCARNATION
-    * CHECK: a table destroyed and rebuilt BY ANOTHER PROCESS can land
-    * on the same version NUMBER under the same path, which this JVM's
-    * [[destroy]] hook never sees — but the rebuilt version directory is
-    * a new directory with a new mtime, so the stale set misses and the
-    * fresh listing (whose file set then differs from the stale temp
-    * view's) forces the slow path. One getFileStatus per fast-path
-    * call, no listing. */
+    * the fast path exists to remove. THE INCARNATION CHECK IS THE
+    * ROOT'S `_incarnation` NONCE plus the version directory's mtime: a
+    * table destroyed and rebuilt BY ANOTHER PROCESS can land on the
+    * same version NUMBER under the same path, which this JVM's
+    * [[destroy]] hook never sees. The rebuilt version directory usually
+    * has a new mtime, but object-store mtimes are coarse (whole
+    * seconds on some stores), so a fast rebuild can ALIAS the dead
+    * entry's (version, mtime) pair — the root-level `_incarnation`
+    * marker ([[commit]] writes it once per root creation; [[destroy]]
+    * deletes it with the root) is resolution-free: the rebuilt root
+    * carries a fresh UUID, the cached one mismatches, and the fresh
+    * listing (whose file set then differs from the stale temp view's)
+    * forces the slow path. One getFileStatus plus one ~36-byte marker
+    * read per fast-path call, no listing. */
   private val resolvedSets =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String, Set[String])]()
+
+  /** Name of the per-root incarnation nonce file (see [[resolvedSets]]). */
+  private[graft] val IncarnationMarker = "_incarnation"
+
+  /** The root's incarnation nonce, "" when absent (pre-marker roots, or
+    * a root destroyed under us — both answer "no incarnation", which
+    * can never EQUAL a cached real nonce plus a live mtime from a
+    * different incarnation only if the pre-marker root is also
+    * mtime-aliased; pre-marker roots keep the old mtime-only guard). */
+  private def incarnationOf(spark: SparkSession, root: Path): String =
+    scala.util.Try {
+      val fs = fsOf(spark, root)
+      val in = fs.open(new Path(root, IncarnationMarker))
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }.getOrElse("")
 
   private def resolvedFileSet(spark: SparkSession, table: String, v: Long,
       d: Path): Set[String] = {
-    val root = rootDir(spark, table).toString
+    val rootP = rootDir(spark, table)
+    val root = rootP.toString
     // -1 (stat failed: directory pruned/destroyed under us) bypasses the
     // cache entirely — stored entries always carry a real mtime.
     val mtime = scala.util.Try(
       fsOf(spark, d).getFileStatus(d).getModificationTime).getOrElse(-1L)
+    val inc = incarnationOf(spark, rootP)
     resolvedSets.get(root) match {
-      case (`v`, `mtime`, s) if mtime >= 0 => s
+      case (`v`, `mtime`, `inc`, s) if mtime >= 0 => s
       case _ =>
         val s = listData(spark, d).map(_._2.toUri.getPath).toSet
-        if (mtime >= 0) resolvedSets.put(root, (v, mtime, s))
+        if (mtime >= 0) resolvedSets.put(root, (v, mtime, inc, s))
         s
     }
   }
@@ -318,6 +341,17 @@ object SnapshotCommit {
     val root = rootDir(spark, table)
     val fs = fsOf(spark, root)
     fs.mkdirs(root)
+    // Stamp the root's incarnation nonce once per root lifetime (see
+    // [[resolvedSets]]): no-clobber create, so concurrent first commits
+    // race benignly — the loser reads the winner's nonce ever after.
+    // Prune never touches root-level non-version entries; destroy
+    // removes the whole root, so a rebuild mints a fresh nonce.
+    val marker = new Path(root, IncarnationMarker)
+    if (!fs.exists(marker)) scala.util.Try {
+      val out = fs.create(marker, false)
+      try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     val lock = tableLocks.computeIfAbsent(root.toString, _ => new Object)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -405,6 +439,15 @@ object SnapshotCommit {
             fs.delete(orphan, false)
           }
         }
+      }.failed.foreach { e =>
+        // Only the pointer-already-gone case (a concurrent reaper beat
+        // us) is benign silence; a PERSISTENT failure here (IO,
+        // permissions) leaves the dangling pointer in place and every
+        // retry re-loses the same claim into
+        // ConcurrentCommitException — log the cause so that exhaustion
+        // is diagnosable.
+        System.err.println(
+          s"[snapshot] reap probe of $table v${base + 1} skipped: $e")
       }
     }
     throw new ConcurrentCommitException(
@@ -605,46 +648,63 @@ object SnapshotCommit {
     * snapshot (DeletionVectors' `_dv` — whose READ path calls this per
     * query, which is why the aligned fast path below matters). */
   def pointAt(spark: SparkSession, table: String, loc: Path): Unit = {
-    // A stale same-name TEMP VIEW (left by a manifest-mode registration
-    // before the conf was flipped back) would shadow the catalog table
-    // for every spark.table read and make the metadata lookup below
-    // throw — remove it; in link mode this name belongs to the catalog.
-    if (spark.sessionState.catalog.getTempView(table).isDefined)
-      spark.catalog.dropTempView(table)
-    if (!spark.catalog.tableExists(table))
-      // IF NOT EXISTS: two threads can race the tableExists probe on an
-      // unregistered table (e.g. concurrent first DV reads of one
-      // sidecar); the loser must fall through, not throw
-      // TableAlreadyExists out of a read.
-      spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
-        s"LOCATION '$loc' TBLPROPERTIES ('graft.incarnation' = " +
-        s"'${java.util.UUID.randomUUID()}')")
-    // NOT an else: a loser of the CREATE IF NOT EXISTS race falls
-    // through with the WINNER's registration in place — if the winner
-    // created the table at a different location (e.g. a first DV read
-    // racing a delete's post-commit registerDv), proceeding without
-    // re-checking would leave this caller silently reading the winner's
-    // location. The alignment check below is shared by both arrivals:
-    // a winner (or already-registered caller) at `loc` passes it and
-    // skips; everyone else takes the ALTER + REFRESH repair.
-    if (!catalogAligned(spark, table, loc)) {
-      val cat = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-      if (new Path(cat.location).toUri.getPath != loc.toUri.getPath)
-        spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
-      // REFRESH even when the location already matches: a concurrent
-      // winner's (ALTER, REFRESH) pair is not atomic, so a rebasing
-      // loser can observe the NEW location (and skip the ALTER) while
-      // the session's relation cache still holds the listing its own
-      // previous attempt resolved against the OLD location — its rebase
-      // would then silently merge onto stale files (measured: a real
-      // 1-in-3 lost-update flake under the concurrency spec's forced
-      // rendezvous). catalogAligned inspects exactly that cache entry,
-      // so the aligned fast path above skips this branch ONLY when
-      // nothing stale can exist — turning the per-read REFRESH tax on
-      // steady-state DV reads into a metadata-only probe while keeping
-      // the rendezvous protection.
-      spark.sql(s"REFRESH TABLE $table")
+    // Bounded retry: the repair arm's metadata lookup can find the table
+    // GONE (a concurrent destroy/DROP raced the CREATE IF NOT EXISTS —
+    // the window the create-then-repair flow opens) — that must re-run
+    // the CREATE, not escape a read path as NoSuchTableException. Two
+    // re-runs bound the livelock; a table being destroyed in a loop is
+    // not a state this call can usefully outwait.
+    var attempts = 3
+    while (attempts > 0) {
+      attempts -= 1
+      // A stale same-name TEMP VIEW (left by a manifest-mode registration
+      // before the conf was flipped back) would shadow the catalog table
+      // for every spark.table read and make the metadata lookup below
+      // throw — remove it; in link mode this name belongs to the catalog.
+      if (spark.sessionState.catalog.getTempView(table).isDefined)
+        spark.catalog.dropTempView(table)
+      if (!spark.catalog.tableExists(table))
+        // IF NOT EXISTS: two threads can race the tableExists probe on an
+        // unregistered table (e.g. concurrent first DV reads of one
+        // sidecar); the loser must fall through, not throw
+        // TableAlreadyExists out of a read.
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
+          s"LOCATION '$loc' TBLPROPERTIES ('graft.incarnation' = " +
+          s"'${java.util.UUID.randomUUID()}')")
+      // NOT an else: a loser of the CREATE IF NOT EXISTS race falls
+      // through with the WINNER's registration in place — if the winner
+      // created the table at a different location (e.g. a first DV read
+      // racing a delete's post-commit registerDv), proceeding without
+      // re-checking would leave this caller silently reading the winner's
+      // location. The alignment check below is shared by both arrivals:
+      // a winner (or already-registered caller) at `loc` passes it and
+      // skips; everyone else takes the ALTER + REFRESH repair.
+      if (catalogAligned(spark, table, loc)) return
+      scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))) match {
+        case scala.util.Failure(e) =>
+          // Vanished between the alignment probe and the lookup: loop
+          // back to the CREATE. Surface the cause only once the retry
+          // budget is spent.
+          if (attempts == 0) throw e
+        case scala.util.Success(cat) =>
+          if (new Path(cat.location).toUri.getPath != loc.toUri.getPath)
+            spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
+          // REFRESH even when the location already matches: a concurrent
+          // winner's (ALTER, REFRESH) pair is not atomic, so a rebasing
+          // loser can observe the NEW location (and skip the ALTER) while
+          // the session's relation cache still holds the listing its own
+          // previous attempt resolved against the OLD location — its rebase
+          // would then silently merge onto stale files (measured: a real
+          // 1-in-3 lost-update flake under the concurrency spec's forced
+          // rendezvous). catalogAligned inspects exactly that cache entry,
+          // so the aligned fast path above skips this branch ONLY when
+          // nothing stale can exist — turning the per-read REFRESH tax on
+          // steady-state DV reads into a metadata-only probe while keeping
+          // the rendezvous protection.
+          spark.sql(s"REFRESH TABLE $table")
+          return
+      }
     }
   }
 

@@ -284,6 +284,62 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("manifest fast path: an mtime-aliased cross-process rebuild is " +
+      "rejected by the root incarnation nonce") {
+    // The resolvedSets fast-path cache keys on (version, version-dir
+    // mtime). Object-store mtimes are coarse: a table destroyed and
+    // rebuilt BY ANOTHER PROCESS can land on the same version number
+    // with an ALIASED mtime, and this JVM's destroy hook (which would
+    // drop the cache entry) never ran. The stale cached file set then
+    // matches the stale temp view and registrationFresh would serve the
+    // dead incarnation's (deleted) files. The root `_incarnation` nonce
+    // closes exactly that window. This test forces the alias with
+    // fs.setTimes and builds the second incarnation with RAW filesystem
+    // writes — the in-JVM commit()/destroy() paths would clear the
+    // session state the hazard depends on.
+    withManifestMode {
+      val tbl = "man_mtime_alias_tbl"
+      SnapshotCommit.destroy(spark, tbl)
+      SnapshotCommit.commit(spark, tbl) { dir =>
+        spark.range(0, 12).select(col("id"), lit("dead").as("gen"))
+          .coalesce(1).write.parquet(dir)
+      }
+      assert(SnapshotCommit.register(spark, tbl) === Some(1L))
+      assert(SnapshotCommit.registrationFresh(spark, tbl, 1L),
+        "fresh right after registering v1 — this populates the cache")
+      val root = SnapshotCommit.rootDir(spark, tbl)
+      val fs = hfs(root)
+      val v1dir = new org.apache.hadoop.fs.Path(root, "v1")
+      val mtime1 = fs.getFileStatus(v1dir).getModificationTime
+      // ANOTHER PROCESS destroys and rebuilds: raw fs delete (this JVM's
+      // resolvedSets entry and temp view survive, as they would across
+      // processes), then a hand-built v1 with different files, a fresh
+      // incarnation nonce — and the version dir's mtime forced back to
+      // the dead incarnation's.
+      fs.delete(root, true)
+      spark.range(0, 3).select(col("id"), lit("live").as("gen"))
+        .coalesce(1).write.parquet(v1dir.toString)
+      val ptr = fs.create(
+        new org.apache.hadoop.fs.Path(root, "_commits/1"), false)
+      try ptr.write("v1".getBytes("UTF-8")) finally ptr.close()
+      val mk = fs.create(new org.apache.hadoop.fs.Path(root,
+        SnapshotCommit.IncarnationMarker), false)
+      try mk.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally mk.close()
+      fs.setTimes(v1dir, mtime1, -1)
+      assert(fs.getFileStatus(v1dir).getModificationTime === mtime1,
+        "precondition: the rebuilt v1 dir must alias the dead mtime")
+      assert(!SnapshotCommit.registrationFresh(spark, tbl, 1L),
+        "an mtime-aliased rebuild passed the fast path — the stale " +
+          "cached file set was served for the new incarnation")
+      assert(SnapshotCommit.register(spark, tbl) === Some(1L))
+      assert(spark.table(tbl).count() === 3)
+      assert(spark.table(tbl).select("gen").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("live"))
+      SnapshotCommit.destroy(spark, tbl)
+    }
+  }
+
   test("manifest commits replay across crashes like link commits") {
     withManifestMode {
       val tbl = "man_crash_tbl"

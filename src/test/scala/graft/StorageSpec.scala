@@ -611,4 +611,162 @@ class StorageSpec extends SparkSpec {
     assert(spark.table(tbl).filter(col("o_orderkey") === k).count() ===
       keys.count(_ == k))
   }
+
+  test("restore into (cutoff, HWM] succeeds after vacuum; below the floor " +
+      "still throws") {
+    // The two-sentinel split's entire point: vacuum(cutoff) folds only
+    // versions <= cutoff, so every version in (cutoff, HWM] stays
+    // reconstructible from the kept/rebased sidecar entries. The
+    // pre-split form (one `_floor` stamped at the HWM) rejected exactly
+    // these restores.
+    import org.apache.spark.sql.functions._
+    import graft.storage.DeletionVectors
+    val tbl = "dv_midrange_restore_tbl"
+    Seq(tbl, s"${tbl}__dv").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.storage.SnapshotCommit.destroy(spark, tbl)
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("payload"))
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    val v1 = DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    val v2 = DeletionVectors.delete(spark, tbl, col("id") >= 900)
+    val v3 = DeletionVectors.delete(spark, tbl, col("id") < 50)
+    assert((v1, v2, v3) === (1L, 2L, 3L))
+    DeletionVectors.vacuum(spark, tbl, cutoff = v1) // HWM = 3 > cutoff = 1
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val all = (0L until 1000L).toSet
+    // Mid-range restore: v2 sits strictly between the fold cutoff and
+    // the HWM — it must SUCCEED and read exactly the v2 state.
+    DeletionVectors.restore(spark, tbl, v2)
+    assert(ids(DeletionVectors.read(spark, tbl))
+      === all.filterNot(i => i % 10 == 0 || i >= 900),
+      "restore into (cutoff, HWM] did not reproduce the v2 state")
+    // The floor itself is the post-fold base state — also restorable.
+    DeletionVectors.restore(spark, tbl, v1)
+    assert(ids(DeletionVectors.read(spark, tbl))
+      === all.filterNot(_ % 10 == 0))
+    // Below the floor the rows are physically gone: still refused.
+    intercept[IllegalArgumentException] {
+      DeletionVectors.restore(spark, tbl, 0L)
+    }
+    // The HWM survived all of it: the next delete continues the chain.
+    assert(DeletionVectors.version(spark, tbl) === 3L)
+    assert(DeletionVectors.delete(spark, tbl, col("id") === 1) === 4L)
+  }
+
+  test("concurrent reap race: a dangling pointer vanishing mid-probe " +
+      "surfaces as a successful retry, never as FileNotFoundException") {
+    // A pointer claimed by a dead writer (no directory ever finalized)
+    // blocks every commit at base+1. Two processes can race the reap of
+    // that pointer; the loser's getFileStatus/delete then hits a
+    // freshly-missing file. That is the DESIRED end state — commit must
+    // retry and win, not leak FileNotFoundException.
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "reap_race_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).select(col("id"), lit("v1").as("gen"))
+        .coalesce(1).write.parquet(dir)
+    }
+    val root = SnapshotCommit.rootDir(spark, tbl)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The dead writer's artifact: pointer v2 naming a staging directory
+    // that no longer exists and that nothing can ever recreate.
+    val orphan = new org.apache.hadoop.fs.Path(root, "_commits/2")
+    val out = fs.create(orphan, false)
+    try out.write(".stage-dead-writer".getBytes("UTF-8")) finally out.close()
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(1L),
+      "the dangling pointer must not resolve as current")
+    val reaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    SnapshotCommit.failpoint = s => if (s == "reap") {
+      reaps.incrementAndGet()
+      // The concurrent reaper wins the race right here: the pointer is
+      // gone before our probe stats/deletes it.
+      fs.delete(orphan, false)
+      ()
+    }
+    try {
+      SnapshotCommit.commit(spark, tbl) { dir =>
+        spark.range(10, 20).select(col("id"), lit("v2").as("gen"))
+          .coalesce(1).write.parquet(dir)
+      }
+    } finally SnapshotCommit.failpoint = _ => ()
+    assert(reaps.get() === 1, "the reap probe never ran")
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L))
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("v2"))
+  }
+
+  test("pointAt repairs a CREATE-race loser registered at a different " +
+      "location with ALTER + REFRESH") {
+    // The loser of a CREATE IF NOT EXISTS race falls through with the
+    // winner's registration in place; when the winner created the table
+    // at ANOTHER location, the shared alignment check must route the
+    // loser through the ALTER + REFRESH repair — the deterministic
+    // equivalent is a pre-existing registration at the other location.
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "pointat_repair_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pointat").toString
+    spark.range(0, 5).select(col("id"), lit("winner").as("gen"))
+      .write.parquet(s"$base/locA")
+    spark.range(0, 9).select(col("id"), lit("ours").as("gen"))
+      .write.parquet(s"$base/locB")
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$base/locA'")
+    assert(spark.table(tbl).count() === 5) // relation cache holds locA
+    SnapshotCommit.pointAt(spark, tbl,
+      new org.apache.hadoop.fs.Path(s"$base/locB"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+      === s"$base/locB", "repair did not re-point the catalog entry")
+    assert(spark.table(tbl).count() === 9,
+      "stale relation cache survived the repair REFRESH")
+    assert(spark.table(tbl).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("ours"))
+  }
+
+  test("incarnation UUID rejects a destroy-and-rebuild whose createTime " +
+      "aliases the dead incarnation's") {
+    // createTime has ms resolution: a rebuild landing in the same
+    // millisecond passes the createTime guard. The graft.incarnation
+    // UUID stamped at CREATE is resolution-free. Forcing the rebuilt
+    // entry's createTime equal to the original's isolates exactly that
+    // guard.
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_ct_alias_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 8).select(col("id"), lit("one").as("gen"))
+        .coalesce(1).write.parquet(dir)
+    }
+    assert(spark.table(tbl).count() === 8) // cache the incarnation-1 plan
+    assert(SnapshotCommit.registrationFresh(spark, tbl, 1L),
+      "session should be fast-path fresh right after commit + read")
+    val cat = spark.sessionState.catalog
+    val m1 = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    // Simulate another process's destroy + rebuild through the SHARED
+    // external catalog (this session's relation cache never hears about
+    // it), with the createTime FORCED equal — the ms-alias case.
+    val ext = spark.sharedState.externalCatalog
+    val db = m1.identifier.database.getOrElse("default")
+    ext.dropTable(db, tbl, ignoreIfNotExists = false, purge = false)
+    ext.createTable(m1.copy(properties = m1.properties +
+      ("graft.incarnation" -> java.util.UUID.randomUUID().toString)),
+      ignoreIfExists = false)
+    val m2 = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(m2.createTime === m1.createTime,
+      "precondition: the rebuild must alias the original createTime")
+    assert(!SnapshotCommit.registrationFresh(spark, tbl, 1L),
+      "a same-path same-createTime rebuild passed the probe — only the " +
+        "incarnation UUID can tell these apart")
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }
