@@ -645,3 +645,94 @@ case class ZOrderCode(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): ZOrderCode =
     copy(children = newChildren)
 }
+
+/** BPE merge-table APPLICATION over a document's word array — the
+  * operator a pretraining pipeline runs on 100% of bytes: given the
+  * ranked merge list t13_bpe_merges induces (pairs of adjacent code
+  * points, highest corpus count first), tokenize each word into code
+  * points and apply the merges IN RANK ORDER, each as a leftmost
+  * non-overlapping greedy pass; returns the total surviving symbol
+  * (= token) count for the document.
+  *
+  * Merged symbols are INERT under later rules: every rule's two sides
+  * are single code points, and a merged symbol is two — so one pass per
+  * rule is exact (the sentinel can never equal a rule side). The pass
+  * semantics (merge at i, resume scanning at i+2) are exactly the
+  * fixpoint of string `replace` over a separator-encoded form — the
+  * DuckDB oracle replays precisely that with a recursive CTE, and
+  * NativeExpressionsSpec pins the equivalence on adversarial chains
+  * ("abab", "aaaa") where a single replace pass under-merges.
+  *
+  * One eval per row, all work in tight JIT'd loops over int arrays
+  * (CodegenFallback like [[ShingleSet]]); the merge table is a bounded
+  * literal (the codebook-materialization pattern), so the whole apply
+  * is a pure per-row function — no shuffle, no state, survives any
+  * corpus scale.
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+
+  /** Rule sides as parallel code-point arrays, rank order preserved. */
+  @transient private lazy val (ruleA, ruleB): (Array[Int], Array[Int]) = {
+    val a = new Array[Int](merges.length)
+    val b = new Array[Int](merges.length)
+    var i = 0
+    merges.foreach { m =>
+      require(m.codePointCount(0, m.length) == 2,
+        s"BPE merge rule must be exactly two code points, got '$m'")
+      a(i) = m.codePointAt(0)
+      b(i) = m.codePointAt(m.offsetByCodePoints(0, 1))
+      i += 1
+    }
+    (a, b)
+  }
+
+  private val Merged = Int.MinValue // < any code point; rules never match it
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val nRules = ruleA.length
+    var total = 0L
+    var w = 0
+    val nWords = words.numElements()
+    var buf = new Array[Int](64)
+    while (w < nWords) {
+      val s = words.getUTF8String(w).toString
+      // code points into a reusable buffer
+      var len = 0
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+        buf(len) = cp
+        len += 1
+        ci += Character.charCount(cp)
+      }
+      var r = 0
+      while (r < nRules && len > 1) {
+        val a = ruleA(r); val b = ruleB(r)
+        var i = 0
+        var o = 0
+        while (i < len) {
+          if (i + 1 < len && buf(i) == a && buf(i + 1) == b) {
+            buf(o) = Merged; i += 2
+          } else {
+            buf(o) = buf(i); i += 1
+          }
+          o += 1
+        }
+        len = o
+        r += 1
+      }
+      total += len
+      w += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenCount = copy(child = newChild)
+}

@@ -260,6 +260,119 @@ object TextAnalysis3 {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  // ---- BPE merge-table APPLICATION + token-budget packing ----
+  // t13 INDUCES the merge table (ranked adjacent-pair counts); this is
+  // the other half a pretraining pipeline runs on 100% of bytes: apply
+  // those merges greedily per document and pack sequences from the REAL
+  // token budgets instead of c3's whitespace proxy.
+  //
+  // Semantics (pinned identically on both engines): words are
+  // split(lower(text), '\s+') — t13's tokenization; each of the top-30
+  // ranked pairs is applied IN RANK ORDER as a leftmost non-overlapping
+  // greedy merge over the word's code points. Merged symbols are inert
+  // under later rules (every rule is a SINGLE-code-point pair), so one
+  // pass per rule is exact. Spark runs the whole apply inside one native
+  // expression ([[graft.functions.BpeTokenCount]] — per-row JIT'd int
+  // loops, merge table as a bounded literal); DuckDB replays it with a
+  // recursive CTE over a separator-encoded form, iterating each rule's
+  // string replace to FIXPOINT (a single replace under-merges chains
+  // like "abab", where consecutive matches share the boundary
+  // separator — NativeExpressionsSpec pins the equivalence).
+  //
+  // Scale: merge induction is t13's plan (corpus collapses to the
+  // distinct-word vocabulary in one shuffle; the pair domain is bounded
+  // by charset²) and the 30-row table collects to a literal — the
+  // codebook-materialization pattern. The apply is then a pure per-row
+  // expression: no shuffle, no state, linear in corpus bytes at any
+  // scale. The packing window shares c3's design point: one sequential
+  // pass per SOURCE (the curriculum order a packer must serialize
+  // anyway); sources are the parallel unit.
+  val t16BpeApply = withOracle(
+    "t16_bpe_apply",
+    """WITH RECURSIVE
+      |words AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+      |  WHERE length(w) >= 2
+      |  GROUP BY w),
+      |pc AS (
+      |  SELECT substring(word, CAST(i AS INT), 2) AS pair,
+      |         CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM words, unnest(range(1, length(word))) AS u(i)
+      |  GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, rnk FROM (
+      |    SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+      |    FROM pc)
+      |  WHERE rnk <= 30),
+      |nr AS (SELECT count(*) AS n FROM merges),
+      |enc AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(list_transform(string_split_regex(lower(text), '\s+'),
+      |      w -> chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g')),
+      |      chr(30)) AS s
+      |  FROM documents),
+      |apply AS (
+      |  SELECT doc_id, source, s, 1 AS rule FROM enc
+      |  UNION ALL
+      |  SELECT a.doc_id, a.source,
+      |    replace(a.s,
+      |      chr(31) || substring(m.pair, 1, 1) || chr(31) ||
+      |        substring(m.pair, 2, 1) || chr(31),
+      |      chr(31) || m.pair || chr(31)) AS s,
+      |    CASE WHEN replace(a.s,
+      |      chr(31) || substring(m.pair, 1, 1) || chr(31) ||
+      |        substring(m.pair, 2, 1) || chr(31),
+      |      chr(31) || m.pair || chr(31)) = a.s
+      |    THEN a.rule + 1 ELSE a.rule END AS rule
+      |  FROM apply a JOIN merges m ON m.rnk = a.rule),
+      |tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(length(s) - length(replace(s, chr(31), '')) - 1
+      |         - (length(s) - length(replace(s, chr(30), ''))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM apply, nr WHERE rule = nr.n + 1),
+      |o AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS off
+      |  FROM tok)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(off // 2048 AS BIGINT) AS seq_id,
+      |       CAST(off % 2048 AS BIGINT) AS pos_in_seq
+      |FROM o""".stripMargin) { (s, d) =>
+    // Merge-table induction: t13's exact aggregation, ranked and
+    // collected as the bounded literal the apply expression embeds.
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges: Seq[String] = vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+      .collect().map(_.getString(0)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        bpeTokenCount(split(lower(col("text")), "\\s+"), merges)
+          .as("n_tokens"))
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer `div`, not floor(double /): exact long semantics match
+        // the oracle's `//` at any magnitude (same rationale as c3).
+        expr("off div 2048").as("seq_id"),
+        (col("off") % 2048).cast("long").as("pos_in_seq"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle)
+    Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
+      t16BpeApply)
 }

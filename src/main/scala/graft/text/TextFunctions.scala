@@ -129,6 +129,17 @@ object TextFunctions {
       graft.functions.MinShingleHash(
         org.apache.spark.sql.graftbridge.Bridge.expression(c), n))
 
+  /** Total BPE token count of a word-array column under a ranked merge
+    * table ([[graft.functions.BpeTokenCount]]): each merge rule applied
+    * in rank order as a leftmost non-overlapping greedy pass per word.
+    * `words` should be `split(lower(text), "\\s+")` — the t13 merge
+    * induction's tokenization convention.
+    */
+  def bpeTokenCount(words: Column, merges: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeTokenCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(words), merges))
+
   /** Per-row MinHash-LSH band keys ([[graft.functions.MinHashBandKeys]]):
     * the full signature is computed and banded inside one evaluator, so
     * MinHash dedup shuffles `bands` longs per document instead of one

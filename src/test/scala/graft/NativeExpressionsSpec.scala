@@ -189,4 +189,78 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(out(2) === Seq("x y z"))
     assert(out(3) === Seq("a b c"))
   }
+
+  /** The t16 oracle's semantics, verbatim in the JVM: encode each word
+    * as a -separated code-point string, then iterate each rule's
+    * literal leftmost non-overlapping replace (Java String.replace ==
+    * DuckDB replace) to FIXPOINT before advancing to the next rule.
+    * Token count = separators - 1 - word-boundary marks. */
+  private def replayOracleTokens(text: String, merges: Seq[String]): Long = {
+    val Sep = '\u001f'; val Rs = '\u001e'
+    def enc(w: String): String = {
+      val sb = new StringBuilder; sb.append(Sep)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendAll(Character.toChars(cp)); sb.append(Sep)
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    var s = text.toLowerCase.split("\\s+", -1).map(enc).mkString(Rs.toString)
+    merges.foreach { m =>
+      val c0 = new String(Character.toChars(m.codePointAt(0)))
+      val c1 = new String(Character.toChars(
+        m.codePointAt(m.offsetByCodePoints(0, 1))))
+      val pat = s"$Sep$c0$Sep$c1$Sep"
+      val rep = s"$Sep$m$Sep"
+      var prev = ""
+      while (prev != s) { prev = s; s = s.replace(pat, rep) }
+    }
+    s.count(_ == Sep) - 1L - s.count(_ == Rs)
+  }
+
+  test("bpeTokenCount greedy pass equals the oracle's replace-fixpoint " +
+      "on adversarial merge chains") {
+    import spark.implicits._
+    // The cases where a SINGLE replace pass diverges from greedy:
+    // back-to-back chains share the boundary separator ("abab", "aaaa"),
+    // overlapping self-pairs pick leftmost ("aaa"), merged symbols must
+    // stay inert under later rules ("ab" then "ba" on "aba"), and rule
+    // ORDER matters ("ba" before "ab" flips the winner).
+    val cases = Seq(
+      ("abab abab", Seq("ab")),
+      ("aaaa", Seq("aa")),
+      ("aaa", Seq("aa")),
+      ("aba", Seq("ab", "ba")),
+      ("aba", Seq("ba", "ab")),
+      ("ababab bababa", Seq("ab", "ba")),
+      ("the theatre heats", Seq("th", "he", "ea")),
+      ("", Seq("ab")),
+      ("   ", Seq("ab")),
+      ("x", Seq("ab")),
+      ("aabbaabb", Seq("ab", "aa", "bb")),
+      ("mississippi", Seq("ss", "is", "si", "pp", "ip")))
+    cases.foreach { case (text, merges) =>
+      val nat = Seq(text).toDF("text")
+        .select(bpeTokenCount(split(lower(col("text")), "\\s+"), merges)
+          .as("n")).collect()(0).getLong(0)
+      val ref = replayOracleTokens(text, merges)
+      assert(nat === ref,
+        s"greedy=$nat fixpoint=$ref for text='$text' merges=$merges")
+    }
+  }
+
+  test("bpeTokenCount equals the oracle replay on real documents") {
+    val merges = Seq("e ", "th", "he", "in", "er", "an", "re", "on",
+      "at", "en", "nd", "ti", "es", "or").filter(_.trim.length == 2)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val nat = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(bpeTokenCount(split(lower(col("text")), "\\s+"), merges)
+        .as("n"))
+      .collect().map(_.getLong(0))
+    val ref = docs.map(replayOracleTokens(_, merges))
+    assert(nat.toSeq === ref.toSeq)
+  }
 }
