@@ -736,3 +736,83 @@ case class BpeTokenCount(child: Expression, merges: Seq[String])
   override protected def withNewChildInternal(
       newChild: Expression): BpeTokenCount = copy(child = newChild)
 }
+
+/** Hashed-n-gram linear classifier INFERENCE — the DCLM/FineWeb-style
+  * quality-gate shape: every unigram and consecutive bigram of the
+  * word array hashes (RollingHash fold, mod p = 2^31-1) into one of
+  * `weights.length` buckets, and the document's score is the integer
+  * sum of the bucketed weights. Returns `[score, n_grams]` so the
+  * caller can threshold on the exact rational mean without a division.
+  *
+  * All-integer arithmetic (weights are integer, the hash fold is the
+  * shared RollingHash convention) makes the score bit-exact across
+  * engines — the DuckDB oracle replays the identical fold and weight
+  * formula. The weight vector is a bounded literal (the broadcast-
+  * weights shape of a production classifier; here derived from a fixed
+  * integer formula so the oracle can regenerate it); inference is a
+  * pure per-row function — no shuffle, no state, linear in corpus
+  * bytes at any scale.
+  *
+  * One pass: each word's hash is computed once, and the bigram hash
+  * CONTINUES the left word's fold through the joining space — exactly
+  * hash(w1 + " " + w2) without re-walking w1. Empty words (regex-split
+  * artifacts) are skipped on both sides.
+  */
+case class HashedNgramScore(child: Expression, weights: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(weights.nonEmpty, "weight vector must be non-empty")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_ngram_score"
+
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  private val P = 2147483647L
+
+  private def extend(acc0: Long, s: String): Long = {
+    var acc = acc0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val nW = words.numElements()
+    val b = w.length
+    // Non-empty words and their fold hashes, in order.
+    val toks = new scala.collection.mutable.ArrayBuffer[String](nW)
+    var i = 0
+    while (i < nW) {
+      val s = words.getUTF8String(i).toString
+      if (s.nonEmpty) toks += s
+      i += 1
+    }
+    var sum = 0L
+    var n = 0L
+    var prevHash = 0L
+    var k = 0
+    while (k < toks.length) {
+      val h = extend(0L, toks(k))
+      sum += w((h % b).toInt)
+      n += 1
+      if (k > 0) {
+        // bigram: continue the LEFT word's fold through ' ' + right word
+        val hb = extend((prevHash * 31 + ' '.toInt) % P, toks(k))
+        sum += w((hb % b).toInt)
+        n += 1
+      }
+      prevHash = h
+      k += 1
+    }
+    new GenericArrayData(Array(sum, n))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedNgramScore = copy(child = newChild)
+}

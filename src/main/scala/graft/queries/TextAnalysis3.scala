@@ -372,7 +372,59 @@ object TextAnalysis3 {
         (col("off") % 2048).cast("long").as("pos_in_seq"))
   }
 
+  // ---- Quality-classifier inference gate ----
+  // The DCLM/FineWeb-style corpus gate: a linear classifier over hashed
+  // word n-grams (unigrams + consecutive bigrams), scored per document
+  // and thresholded. Every modern pretraining pipeline runs one of
+  // these over 100% of documents, so the inference must be a pure
+  // per-row function — and it is: grams hash through the shared
+  // RollingHash fold into 1024 buckets, the bucket weights are a
+  // BOUNDED LITERAL (the broadcast-weights shape of a real trained
+  // classifier; here a fixed integer formula both engines regenerate,
+  // so the oracle is exact), and the score is an integer sum — no
+  // shuffle, no floating point, bit-exact at any scale. The gate keeps
+  // documents with non-negative mean weight; thresholding uses the
+  // exact rational (score >= 0 x n_grams) so no division ever rounds.
+  // Spark runs the whole inference in one native pass per row
+  // ([[graft.functions.HashedNgramScore]] — each bigram hash CONTINUES
+  // the left unigram's fold, so no gram string is ever materialized).
+  private val GateBuckets = 1024
+  private val GateMult = 2654435761L // Knuth's multiplicative constant
+
+  val t17ClassifierGate = withOracle(
+    "t17_classifier_gate",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(lower(text), '\\s+'),
+       |                     w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, g
+       |  FROM toks, unnest(list_concat(ws,
+       |    list_transform(range(1, length(ws)),
+       |                   i -> ws[i] || ' ' || ws[i + 1]))) AS t(g)),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(((${QuerySpec.OracleSql.rollHash("g")} % $GateBuckets)
+       |                   * $GateMult) % 2001 - 1000) AS BIGINT) AS score,
+       |         CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM grams GROUP BY doc_id, source)
+       |SELECT doc_id, source, score, n_grams
+       |FROM scored WHERE score >= 0""".stripMargin) { (s, d) =>
+    val weights: Seq[Long] =
+      (0 until GateBuckets).map(b => (b.toLong * GateMult) % 2001L - 1000L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        hashedNgramScore(split(lower(col("text")), "\\s+"), weights)
+          .as("sn"))
+      .select(col("doc_id"), col("source"),
+        col("sn").getItem(0).as("score"), col("sn").getItem(1).as("n_grams"))
+      // n_grams >= 1 mirrors the oracle's GROUP BY (a document with no
+      // grams never produces a group); the gate itself is score >= 0.
+      .filter(col("n_grams") >= 1 && col("score") >= 0)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
-      t16BpeApply)
+      t16BpeApply, t17ClassifierGate)
 }

@@ -140,6 +140,16 @@ object TextFunctions {
       graft.functions.BpeTokenCount(
         org.apache.spark.sql.graftbridge.Bridge.expression(words), merges))
 
+  /** Hashed-n-gram linear classifier score over a word-array column
+    * ([[graft.functions.HashedNgramScore]]): returns `[score, n_grams]`
+    * — integer sum of bucketed weights over all unigrams + consecutive
+    * bigrams, for exact rational thresholding without a division.
+    */
+  def hashedNgramScore(words: Column, weights: Seq[Long]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.HashedNgramScore(
+        org.apache.spark.sql.graftbridge.Bridge.expression(words), weights))
+
   /** Per-row MinHash-LSH band keys ([[graft.functions.MinHashBandKeys]]):
     * the full signature is computed and banded inside one evaluator, so
     * MinHash dedup shuffles `bands` longs per document instead of one
