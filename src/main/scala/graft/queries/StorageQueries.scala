@@ -21,7 +21,7 @@ object StorageQueries {
 
   // Injective per directory (basename alone collides across parents —
   // the committed tables would then alias); legal in identifiers.
-  private def sfName(d: String) = graft.core.Scratch.pathKey(d)
+  private[queries] def sfName(d: String) = graft.core.Scratch.pathKey(d)
 
   /** Write-once guard: materialize a bucketed/partitioned table ONCE per
     * generation of the source data, not once per process. The in-memory
@@ -35,7 +35,7 @@ object StorageQueries {
     * rediscovers partitions — and on a mismatch (source regenerated)
     * everything is dropped and rebuilt, so staleness is impossible.
     */
-  private def ensureTable(s: SparkSession, name: String, srcDir: String,
+  private[queries] def ensureTable(s: SparkSession, name: String, srcDir: String,
       reRegisterDdl: String => String, repairPartitions: Boolean = false)(
       create: => Unit): Unit = {
     if (s.catalog.tableExists(name)) return
