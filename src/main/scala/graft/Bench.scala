@@ -59,7 +59,17 @@ object Bench {
     // at most the passes it spans and each entry's min comes from a
     // clean pass. JIT warm-up semantics are unchanged (pass 2 of an
     // entry still runs compiled code; codegen caches are per-plan, not
-    // evicted between entries).
+    // evicted between entries). CACHE-WARMTH SEMANTICS DID CHANGE,
+    // though (r11→): an entry's passes 2..N no longer run immediately
+    // after pass 1 with its OS page cache / persisted state hot, and in
+    // isolate mode clearCache now runs before every (entry, pass), not
+    // once per entry — so min-of-N figures from r11 onward form a NEW
+    // baseline and are NOT 1:1 comparable with pre-r11 rounds (r11 read
+    // ~1.4-1.7x on many sub-second CPU/scan-bound entries for this
+    // reason alone; streaming entries, dominated by per-micro-batch
+    // state commits, were unaffected or improved). BASELINE.md's
+    // trajectory table carries the same note; compare rounds within a
+    // protocol era only.
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // Local-iteration filter (comma-separated name prefixes). The driver

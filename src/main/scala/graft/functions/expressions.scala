@@ -650,18 +650,24 @@ case class ZOrderCode(children: Seq[Expression])
   * operator a pretraining pipeline runs on 100% of bytes: given the
   * ranked merge list t13_bpe_merges induces (pairs of adjacent code
   * points, highest corpus count first), tokenize each word into code
-  * points and apply the merges IN RANK ORDER, each as a leftmost
-  * non-overlapping greedy pass; returns the total surviving symbol
-  * (= token) count for the document.
+  * points and apply the merges IN RANK ORDER; returns the total
+  * surviving symbol (= token) count for the document.
   *
   * Merged symbols are INERT under later rules: every rule's two sides
-  * are single code points, and a merged symbol is two — so one pass per
-  * rule is exact (the sentinel can never equal a rule side). The pass
-  * semantics (merge at i, resume scanning at i+2) are exactly the
-  * fixpoint of string `replace` over a separator-encoded form — the
-  * DuckDB oracle replays precisely that with a recursive CTE, and
-  * NativeExpressionsSpec pins the equivalence on adversarial chains
-  * ("abab", "aaaa") where a single replace pass under-merges.
+  * are single code points, and a merged symbol is two — so the sentinel
+  * can never equal a rule side. The per-rule semantics replay the
+  * DuckDB oracle's separator-encoded string `replace` EXACTLY,
+  * iterated to fixpoint: within one replace pass, a match consumes its
+  * trailing boundary separator, so the symbol immediately after a
+  * merge cannot START the next match in the same pass (it is emitted
+  * raw); passes repeat per rule until none merges. This is NOT plain
+  * leftmost greedy — on a self-pair run of odd length >= 5 ("sssss"
+  * under 'ss') replace strands the leftover singleton MID-run
+  * ([x,s,x]) where greedy leaves it at the END ([x,x,s]), and a later
+  * rule ('si') then sees different adjacencies. NativeExpressionsSpec
+  * pins the equivalence against a verbatim String.replace-fixpoint
+  * replay on adversarial chains ("abab", "aaaa", "sssssi"/['ss','si'],
+  * "aaaaab"/['aa','ab']).
   *
   * One eval per row, all work in tight JIT'd loops over int arrays
   * (CodegenFallback like [[ShingleSet]]); the merge table is a bounded
@@ -714,17 +720,27 @@ case class BpeTokenCount(child: Expression, merges: Seq[String])
       var r = 0
       while (r < nRules && len > 1) {
         val a = ruleA(r); val b = ruleB(r)
-        var i = 0
-        var o = 0
-        while (i < len) {
-          if (i + 1 < len && buf(i) == a && buf(i + 1) == b) {
-            buf(o) = Merged; i += 2
-          } else {
-            buf(o) = buf(i); i += 1
+        // Replay replace-to-fixpoint: a merge consumes the shared
+        // boundary separator, so the next symbol may not START a match
+        // within the same pass; iterate passes until none merges.
+        var changed = true
+        while (changed && len > 1) {
+          changed = false
+          var i = 0
+          var o = 0
+          var blocked = false
+          while (i < len) {
+            if (!blocked && i + 1 < len && buf(i) == a && buf(i + 1) == b) {
+              buf(o) = Merged; i += 2
+              changed = true; blocked = true
+            } else {
+              buf(o) = buf(i); i += 1
+              blocked = false
+            }
+            o += 1
           }
-          o += 1
+          len = o
         }
-        len = o
         r += 1
       }
       total += len

@@ -268,16 +268,21 @@ object TextAnalysis3 {
   //
   // Semantics (pinned identically on both engines): words are
   // split(lower(text), '\s+') — t13's tokenization; each of the top-30
-  // ranked pairs is applied IN RANK ORDER as a leftmost non-overlapping
-  // greedy merge over the word's code points. Merged symbols are inert
-  // under later rules (every rule is a SINGLE-code-point pair), so one
-  // pass per rule is exact. Spark runs the whole apply inside one native
-  // expression ([[graft.functions.BpeTokenCount]] — per-row JIT'd int
-  // loops, merge table as a bounded literal); DuckDB replays it with a
-  // recursive CTE over a separator-encoded form, iterating each rule's
-  // string replace to FIXPOINT (a single replace under-merges chains
-  // like "abab", where consecutive matches share the boundary
-  // separator — NativeExpressionsSpec pins the equivalence).
+  // ranked pairs is applied IN RANK ORDER with separator-encoded
+  // string-replace-to-FIXPOINT semantics over the word's code points:
+  // within a replace pass a match consumes the shared boundary
+  // separator, so the symbol after a merge cannot start the next match
+  // in the same pass, and passes repeat per rule until none merges.
+  // (This is NOT plain leftmost greedy — a self-pair run of odd length
+  // >= 5 strands its leftover singleton mid-run, not at the end, which
+  // changes what a later rule sees.) Merged symbols are inert under
+  // later rules (every rule is a SINGLE-code-point pair). Spark runs
+  // the whole apply inside one native expression
+  // ([[graft.functions.BpeTokenCount]] — per-row JIT'd int loops, merge
+  // table as a bounded literal); DuckDB replays the identical fixpoint
+  // with a recursive CTE over the separator-encoded form —
+  // NativeExpressionsSpec pins the equivalence, including the
+  // greedy-divergent chains "sssssi"/['ss','si'] and "aaaaab"/['aa','ab'].
   //
   // Scale: merge induction is t13's plan (corpus collapses to the
   // distinct-word vocabulary in one shuffle; the pair domain is bounded

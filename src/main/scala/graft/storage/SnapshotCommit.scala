@@ -146,17 +146,37 @@ object SnapshotCommit {
   /** Name of the per-root incarnation nonce file (see [[resolvedSets]]). */
   private[graft] val IncarnationMarker = "_incarnation"
 
-  /** The root's incarnation nonce, "" when absent (pre-marker roots, or
+  /** Sentinel for "marker exists but could not be read": never equals a
+    * cached nonce (real nonces are UUIDs; "" means absent) and is never
+    * cached itself, so a persistently unreadable marker (permissions,
+    * store flake) forces the slow path on every call instead of
+    * silently degrading the guard to mtime-only — mirroring the
+    * mtime==-1 cache-bypass rule. */
+  private val UnreadableIncarnation = " unreadable"
+
+  /** The root's incarnation nonce; "" when ABSENT (pre-marker roots, or
     * a root destroyed under us — both answer "no incarnation", which
     * can never EQUAL a cached real nonce plus a live mtime from a
     * different incarnation only if the pre-marker root is also
-    * mtime-aliased; pre-marker roots keep the old mtime-only guard). */
-  private def incarnationOf(spark: SparkSession, root: Path): String =
-    scala.util.Try {
+    * mtime-aliased; pre-marker roots keep the old mtime-only guard);
+    * [[UnreadableIncarnation]] when the marker is present but a read
+    * FAILS — absence and failure must not conflate, or the failure case
+    * would cache "" and match it forever after. */
+  private def incarnationOf(spark: SparkSession, root: Path): String = {
+    val marker = new Path(root, IncarnationMarker)
+    try {
       val fs = fsOf(spark, root)
-      val in = fs.open(new Path(root, IncarnationMarker))
+      val in = fs.open(marker)
       try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    }.getOrElse("")
+    } catch {
+      case _: java.io.FileNotFoundException => ""
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[snapshot] incarnation marker $marker unreadable " +
+            s"(treating as never-matching, cache bypassed): $e")
+        UnreadableIncarnation
+    }
+  }
 
   private def resolvedFileSet(spark: SparkSession, table: String, v: Long,
       d: Path): Set[String] = {
@@ -168,10 +188,14 @@ object SnapshotCommit {
       fsOf(spark, d).getFileStatus(d).getModificationTime).getOrElse(-1L)
     val inc = incarnationOf(spark, rootP)
     resolvedSets.get(root) match {
+      // The sentinel is never stored, so an unreadable marker can never
+      // match a cached entry here — it always falls through to a fresh
+      // listing.
       case (`v`, `mtime`, `inc`, s) if mtime >= 0 => s
       case _ =>
         val s = listData(spark, d).map(_._2.toUri.getPath).toSet
-        if (mtime >= 0) resolvedSets.put(root, (v, mtime, inc, s))
+        if (mtime >= 0 && inc != UnreadableIncarnation)
+          resolvedSets.put(root, (v, mtime, inc, s))
         s
     }
   }
@@ -351,6 +375,13 @@ object SnapshotCommit {
       val out = fs.create(marker, false)
       try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
       finally out.close()
+    }.failed.foreach { e =>
+      // A lost no-clobber race is benign (the winner's nonce stands); a
+      // PERSISTENT create failure (quota, permissions) means this root
+      // never gets a nonce and the fast-path guard quietly weakens to
+      // mtime-only — log it so that state is diagnosable.
+      System.err.println(
+        s"[snapshot] incarnation marker create for $table skipped: $e")
     }
     val lock = tableLocks.computeIfAbsent(root.toString, _ => new Object)
     var attempt = 0

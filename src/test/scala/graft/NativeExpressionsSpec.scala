@@ -220,18 +220,27 @@ class NativeExpressionsSpec extends SparkSpec {
     s.count(_ == Sep) - 1L - s.count(_ == Rs)
   }
 
-  test("bpeTokenCount greedy pass equals the oracle's replace-fixpoint " +
+  test("bpeTokenCount equals the oracle's replace-fixpoint " +
       "on adversarial merge chains") {
     import spark.implicits._
-    // The cases where a SINGLE replace pass diverges from greedy:
+    // The cases where a SINGLE replace pass diverges from the fixpoint:
     // back-to-back chains share the boundary separator ("abab", "aaaa"),
     // overlapping self-pairs pick leftmost ("aaa"), merged symbols must
-    // stay inert under later rules ("ab" then "ba" on "aba"), and rule
-    // ORDER matters ("ba" before "ab" flips the winner).
+    // stay inert under later rules ("ab" then "ba" on "aba"), rule
+    // ORDER matters ("ba" before "ab" flips the winner) — and the cases
+    // where the fixpoint diverges from PLAIN GREEDY: a self-pair run of
+    // odd length >= 5 strands its leftover singleton MID-run (replace)
+    // vs at the END (greedy), so a later rule consuming that singleton
+    // sees different adjacencies ("sssssi"/['ss','si'] → 4 not 3,
+    // "aaaaab"/['aa','ab'] → 4 not 3).
     val cases = Seq(
       ("abab abab", Seq("ab")),
       ("aaaa", Seq("aa")),
       ("aaa", Seq("aa")),
+      ("aaaaa", Seq("aa")),
+      ("sssssi", Seq("ss", "si")),
+      ("aaaaab", Seq("aa", "ab")),
+      ("sssssssi", Seq("ss", "si")),
       ("aba", Seq("ab", "ba")),
       ("aba", Seq("ba", "ab")),
       ("ababab bababa", Seq("ab", "ba")),
@@ -247,7 +256,7 @@ class NativeExpressionsSpec extends SparkSpec {
           .as("n")).collect()(0).getLong(0)
       val ref = replayOracleTokens(text, merges)
       assert(nat === ref,
-        s"greedy=$nat fixpoint=$ref for text='$text' merges=$merges")
+        s"native=$nat fixpoint=$ref for text='$text' merges=$merges")
     }
   }
 
