@@ -13,6 +13,9 @@ object Bench {
       // the streaming entries measure.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Match Verify/SparkSpec: sorted-bucket layouts (b1, b8) feed
+      // merge joins directly instead of re-sorting on every read.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one scan+noop initializes parquet reader, codegen

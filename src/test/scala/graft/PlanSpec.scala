@@ -322,4 +322,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_srp_code"),
       s"native SRP kernel missing from the s2 plan:\n$plan")
   }
+
+  test("b8_bucketed_ann: the probe never shuffles the corpus side") {
+    // The README's 100 TB composition: band keys are computed at ingest
+    // and the banded index is STORED bucketed by them, so the probe is
+    // a bucket-local sort-merge join — the corpus side is consumed
+    // straight from bucket files with no Exchange and no Sort (the
+    // one-file-per-bucket sortBy order feeds the merge); only the tiny
+    // query-side probe set shuffles. This is the plan shape that makes
+    // the probe O(probe set), not O(corpus), at any corpus size.
+    val df = graft.queries.SimilarityQueries.b8Candidates(spark, Sf0001)
+    df.collect()
+    // AQE's toString appends the pre-execution plan after an
+    // "== Initial Plan ==" divider — count nodes in the FINAL plan only.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"candidate probe must be the bucket-to-bucket SMJ:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly the probe-side exchange, found $shuffles:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"broadcast would hide the bucket layout under test:\n$plan")
+    // Exactly one Sort: the probe side. A second Sort means the scan
+    // stopped reporting the buckets' sortBy order (e.g. multi-file
+    // buckets) and the corpus is being re-sorted at query time.
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(sorts == 1,
+      s"expected only the probe-side sort, found $sorts:\n$plan")
+    // And the corpus scan itself reads bucket files directly.
+    assert(plan.contains("Bucketed: true"),
+      s"corpus scan is not bucket-aware:\n$plan")
+  }
 }

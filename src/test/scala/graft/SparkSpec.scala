@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Match Verify/Bench: sorted-bucket layouts (b1, b8) feed merge
+    // joins directly instead of re-sorting on every read.
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_test_wh").toString)
     .getOrCreate()
