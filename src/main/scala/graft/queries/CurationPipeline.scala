@@ -16,6 +16,9 @@ import graft.text.TextFunctions._
   *   2. language gate: marker-majority langId != 'und' (t3);
   *   3. quality gate: composite score >= 0.45 (t2 — engine-exact
   *      doubles, so the comparison is identical on both engines);
+  *   3b. classifier gate: hashed-n-gram linear score >= 0 over >= 1
+  *      gram (t17 — the DCLM/FineWeb trained-gate shape, same shared
+  *      weights; all-integer, so the threshold is bit-exact);
   *   4. exact dedup: min-doc_id survivor per sha256(text) group (d1);
   *   5. decontamination: drop survivors sharing any 13-gram with the
   *      held-out set (d8 — broadcast DISTINCT eval shingles);
@@ -87,12 +90,28 @@ object CurationPipeline {
        |  SELECT tr.*, lp.lang_pred
        |  FROM tr JOIN lp USING (doc_id) JOIN qual USING (doc_id)
        |  WHERE lp.lang_pred <> 'und' AND qual.q >= 0.45),
+       |gt AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             w -> length(w) > 0) AS ws
+       |  FROM filt),
+       |gg AS (
+       |  SELECT doc_id, g
+       |  FROM gt, unnest(list_concat(ws,
+       |    list_transform(range(1, length(ws)),
+       |                   i -> ws[i] || ' ' || ws[i + 1]))) AS t(g)),
+       |gs AS (
+       |  SELECT doc_id, CAST(sum(${TextAnalysis3.gateWeightSql("g")})
+       |           AS BIGINT) AS score
+       |  FROM gg GROUP BY doc_id),
+       |filt2 AS (
+       |  SELECT filt.* FROM filt JOIN gs USING (doc_id)
+       |  WHERE gs.score >= 0),
        |grp AS (
        |  SELECT sha256(text) AS sha, min(doc_id) AS rep
-       |  FROM filt GROUP BY 1),
+       |  FROM filt2 GROUP BY 1),
        |uniq AS (
-       |  SELECT filt.* FROM filt
-       |  JOIN grp ON sha256(filt.text) = grp.sha AND filt.doc_id = grp.rep),
+       |  SELECT filt2.* FROM filt2
+       |  JOIN grp ON sha256(filt2.text) = grp.sha AND filt2.doc_id = grp.rep),
        |utok AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(text), ' +'),
        |                             t -> length(t) > 0) AS toks
@@ -144,6 +163,13 @@ object CurationPipeline {
       .withColumn("lang_pred", langId(col("text")))
       .filter(col("lang_pred") =!= "und")
       .filter(qualityScore(col("text")) >= 0.45)
+      // 3b. classifier gate — t17's native inference, shared weights;
+      // the join-implied ">= 1 gram" of the oracle is the n_grams >= 1
+      // conjunct here (a doc with no grams produces no gs group).
+      .withColumn("sn", hashedNgramScore(
+        split(lower(col("text")), "\\s+"), TextAnalysis3.gateWeights))
+      .filter(col("sn").getItem(1) >= 1 && col("sn").getItem(0) >= 0)
+      .drop("sn")
     val reps = Dedup.exactGroups(filtered, col("text"), col("doc_id"))
       .filter(!col("is_dup")).select(col("doc_id"))
     val unique = filtered.join(reps, "doc_id")

@@ -152,6 +152,15 @@ object TextAnalysis2 {
   // 100 TB is exactly what to avoid — per-shard windows sort only within
   // each shard's partition, in parallel. Window frame is ROWS-based on a
   // unique key (doc_id), so the running sum is engine-independent.
+  //
+  // BUDGET COLUMN — whitespace counts BY DESIGN, not an oversight:
+  // t16_bpe_apply runs this SAME packing window over REAL BpeTokenCount
+  // budgets (the production composition), so re-pointing c3 at BPE
+  // counts would clone t16. c3 is kept as the isolated PACKING pin: its
+  // trivially-recomputable whitespace budget makes any packing
+  // regression attributable to the window itself, never to the
+  // tokenizer kernel upstream. The two entries deliberately differ in
+  // exactly one input column.
   val c3SequencePacking = withOracle(
     "c3_sequence_packing",
     """WITH t AS (

@@ -393,8 +393,15 @@ object TextAnalysis3 {
   // Spark runs the whole inference in one native pass per row
   // ([[graft.functions.HashedNgramScore]] — each bigram hash CONTINUES
   // the left unigram's fold, so no gram string is ever materialized).
-  private val GateBuckets = 1024
-  private val GateMult = 2654435761L // Knuth's multiplicative constant
+  // Shared with c8_corpus_pipeline's gate stage (the one-copy rule for
+  // cross-entry conventions — see QuerySpec.OracleSql's rationale).
+  private[queries] val GateBuckets = 1024
+  private[queries] val GateMult = 2654435761L // Knuth's multiplicative constant
+  private[queries] def gateWeights: Seq[Long] =
+    (0 until GateBuckets).map(b => (b.toLong * GateMult) % 2001L - 1000L)
+  /** The DuckDB side of one gram's bucketed weight (`g` = gram expr). */
+  private[queries] def gateWeightSql(g: String): String =
+    s"((${QuerySpec.OracleSql.rollHash(g)} % $GateBuckets) * $GateMult) % 2001 - 1000"
 
   val t17ClassifierGate = withOracle(
     "t17_classifier_gate",
@@ -410,14 +417,12 @@ object TextAnalysis3 {
        |                   i -> ws[i] || ' ' || ws[i + 1]))) AS t(g)),
        |scored AS (
        |  SELECT doc_id, source,
-       |         CAST(sum(((${QuerySpec.OracleSql.rollHash("g")} % $GateBuckets)
-       |                   * $GateMult) % 2001 - 1000) AS BIGINT) AS score,
+       |         CAST(sum(${gateWeightSql("g")}) AS BIGINT) AS score,
        |         CAST(count(*) AS BIGINT) AS n_grams
        |  FROM grams GROUP BY doc_id, source)
        |SELECT doc_id, source, score, n_grams
        |FROM scored WHERE score >= 0""".stripMargin) { (s, d) =>
-    val weights: Seq[Long] =
-      (0 until GateBuckets).map(b => (b.toLong * GateMult) % 2001L - 1000L)
+    val weights: Seq[Long] = gateWeights
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         hashedNgramScore(split(lower(col("text")), "\\s+"), weights)
