@@ -41,6 +41,25 @@ object ScaleUp {
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L
 
+  /** The `documents` replica transform, factored so the DedupSpec
+    * second-decade linearity test replays EXACTLY the corpus shape the
+    * sf1.0 measurements used: doc_id bumped by `r * step` per replica,
+    * and every replica but the first token-renamed (`tok` → `tokzr<r>`)
+    * so cross-replica token/shingle sets are disjoint — "10× more
+    * documents", not "every document gains 9 exact clones" (see the
+    * faithfulness notes above).
+    */
+  def replicateDocuments(documents: DataFrame, factor: Int,
+      step: Long): DataFrame =
+    (0 until factor).map { r =>
+      val bumped = documents.withColumn("doc_id", col("doc_id") + lit(r * step))
+      if (r == 0) bumped
+      else bumped
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1zr$r"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir, factorS) = args
     val factor = factorS.toInt
@@ -92,14 +111,7 @@ object ScaleUp {
           "l_suppkey" -> stepS)),
       "events" -> replicate(events)((d, r) =>
         bump(d, r, "event_id" -> stepE, "user_id" -> stepC)),
-      "documents" -> replicate(documents) { (d, r) =>
-        val bumped = bump(d, r, "doc_id" -> stepD)
-        if (r == 0) bumped
-        else bumped
-          .withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", s"$$1zr$r"))
-          .withColumn("n_chars", length(col("text")))
-      },
+      "documents" -> replicateDocuments(documents, factor, stepD),
       "embeddings" -> replicate(embeddings)((d, r) =>
         bump(d, r, "vec_id" -> stepV)))
 

@@ -182,6 +182,44 @@ class DedupSpec extends SparkSpec {
         s"$candsS -> $candsL at ${scale}x docs")
   }
 
+  test("minhash candidate rate holds at the SECOND decade " +
+      "(the sf0.1 -> sf1.0 shape, counts not wall time)") {
+    // The previous test pins sf0.001 -> sf0.1; the sf0.1 -> sf1.0
+    // decade existed only as wall-time evidence (BENCH_r09_sf1.json's
+    // ~10x total for 10x data), never as a candidate-count assertion.
+    // This closes it with counts on exactly the corpus shape those
+    // measurements used: ScaleUp.replicateDocuments replays the sf1.0
+    // replica transform in-memory (per-replica token rename ->
+    // cross-replica shingle sets disjoint — "10x more documents", not
+    // "every doc gains 9 exact clones"), and d3's candidate RATE
+    // (candidates per doc, cap 1024) must not grow across the decade.
+    val d01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val step = d01.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val d10 = ScaleUp.replicateDocuments(d01, 10, step)
+    def cands(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.minhashCandidatePairs(d, col("text"), col("doc_id"),
+        3, 128, 32, 1024).count()
+    val docsS = d01.count(); val candsS = cands(d01)
+    val docsL = d10.count(); val candsL = cands(d10)
+    info(f"sf0.1:      docs=$docsS candidates=$candsS " +
+      f"(${candsS.toDouble / docsS}%.3f/doc)")
+    info(f"sf1.0-rep:  docs=$docsL candidates=$candsL " +
+      f"(${candsL.toDouble / docsL}%.3f/doc)")
+    assert(docsL === docsS * 10, "replica factor broken")
+    // Within-replica SIMILARITY structure is preserved, but renamed
+    // replicas re-hash their shingles, so marginal band collisions
+    // fluctuate a little per replica (measured 2592 vs a 2600 exact-10x
+    // floor) — the floor is 9x, catching any wholesale structure loss.
+    // Super-linear growth above would mean cross-replica bucket
+    // collisions accumulate with corpus size — the failure mode the
+    // band-key space must absorb at 100 TB.
+    assert(candsL >= candsS * 9,
+      "replicas lost their within-replica candidate structure")
+    assert(candsL <= candsS * 10 * 1.5,
+      s"candidate pairs grew SUPER-linearly across the second decade: " +
+        s"$candsS -> $candsL at 10x docs")
+  }
+
   test("pointer doubling converges a path graph in O(log diameter) rounds") {
     // A 400-edge path is the adversarial case for label propagation:
     // the minimum must travel 400 hops, so a loop whose doubling step
