@@ -579,10 +579,51 @@ object Relational2 {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  // ---- Runtime bloom-filter semi-join reduction ----
+  /** j20 — Spark's RUNTIME FILTER: with broadcast off (the
+    * 100 TB shape where the dim side is selective but past broadcast
+    * size), InjectRuntimeFilter builds a bloom filter over the filtered
+    * dim's join keys and plants `might_contain` into the fact scan's
+    * stage — the fact side is pre-filtered BEFORE its shuffle, which at
+    * scale is the difference between shuffling the whole fact table and
+    * shuffling the ~5% that can possibly join. Result is a plain join
+    * (the oracle never sees the filter — it is a pure physical
+    * reduction); PlanSpec pins the injected filter and the non-broadcast
+    * join. Runs on a CLONED session so the thresholds that force the
+    * demo at test scale (the 100 TB defaults would not trigger on MBs)
+    * never leak into the shared catalog session.
+    */
+  val j20RuntimeBloom = withOracle(
+    "j20_runtime_bloom",
+    """SELECT l.l_orderkey, l.l_partkey,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand = 'Brand#4'
+      |GROUP BY l.l_orderkey, l.l_partkey""".stripMargin) { (s0, d) =>
+    val s = s0.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
-    r1RecursiveCte)
+    r1RecursiveCte, j20RuntimeBloom)
 }

@@ -553,8 +553,48 @@ object Relational3 {
           - greatest(col("a_start_us"), col("b_start_us")))
   }
 
+  // ---- Cohort retention ----
+  // The third classic event-analytics shape after sessionization (e2)
+  // and funnels (e3): users cohorted by first-seen week, retention
+  // counted as distinct active users per (cohort, weeks-since-cohort).
+  // Both engines truncate to Monday weeks; the cohort week is emitted
+  // as an ISO string (never a DATE column — the engines' date
+  // representations differ, see the verify gotchas) and the offset is
+  // exact integral division of a day diff between two week-truncated
+  // dates. Scale: one shuffle to the per-user min (map-side combine),
+  // one distinct on (user, cohort, week) — the classic two-pass shape;
+  // nothing is ever per-pair or collected.
+  val e4RetentionCohorts = withOracle(
+    "e4_retention_cohorts",
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT DISTINCT e.user_id, c.cohort_wk, e.wk
+      |  FROM e JOIN c USING (user_id))
+      |SELECT CAST(cohort_wk AS VARCHAR) AS cohort_week,
+      |       CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT)
+      |         AS week_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM j GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_wk"), col("wk"))
+      .distinct()
+      .groupBy(
+        col("cohort_wk").cast("string").as("cohort_week"),
+        // integral div like c3: exact at any magnitude
+        expr("datediff(wk, cohort_wk) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
-      w10ValuePick, e3Funnel, j19IntervalOverlap)
+      w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts)
 }

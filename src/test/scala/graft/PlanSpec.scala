@@ -323,6 +323,22 @@ class PlanSpec extends SparkSpec {
       s"native SRP kernel missing from the s2 plan:\n$plan")
   }
 
+  test("j20_runtime_bloom: the fact scan carries the injected bloom filter") {
+    // With broadcast off, InjectRuntimeFilter must plant might_contain
+    // over the fact side's join key, fed from the filtered dim — the
+    // shuffle-reduction mechanism for selective-but-unbroadcastable
+    // dims at 100 TB. The join itself must NOT be a broadcast join
+    // (that would be a different mechanism hiding this one).
+    val df = Catalog.queries("j20_runtime_bloom")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"runtime bloom filter was not injected into the fact side:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"join fell back to broadcast — the runtime-filter demo is moot:\n$plan")
+  }
+
   test("b8_bucketed_ann: the probe never shuffles the corpus side") {
     // The README's 100 TB composition: band keys are computed at ingest
     // and the banded index is STORED bucketed by them, so the probe is
