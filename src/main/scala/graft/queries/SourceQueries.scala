@@ -252,6 +252,47 @@ object SourceQueries {
         col("lang"), col(CsvSource.RescueColumn))
   }
 
+  // ---- Parquet schema evolution (mergeSchema across landed batches) ----
+  /** s13 — the columnar twin of s8's CSV evolution: a table whose
+    * batches landed over time with DRIFTING schemas (batch 1 before
+    * `source`/`n_chars` existed, batch 2 after) reads back as ONE
+    * relation under `mergeSchema` — pre-drift rows surface the added
+    * columns as NULL, exactly the additive-evolution contract
+    * Delta/Iceberg expose. Scale: schema merge is a FOOTER operation
+    * (one footer read per file, parallelized), never a data pass; at
+    * 100 TB the cost is the file listing the scan already pays.
+    * Production note carried in code: mergeSchema handles ADDITIVE
+    * drift only — a type change (int -> long) is a conflicting merge
+    * and must be handled by a rewrite or a read-side cast layer, which
+    * is why the engine's CSV path (s8) rescues rather than merges.
+    */
+  val s13ParquetEvolution = withOracle(
+    "s13_parquet_evolution",
+    """SELECT doc_id, text, lang,
+      |       CASE WHEN doc_id % 2 = 1 THEN source ELSE NULL END AS source,
+      |       CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+      |FROM documents""".stripMargin) { (s, d) =>
+    val sfName = graft.core.Scratch.pathKey(d)
+    // batch2's marker gates the generation: it is written LAST, so a
+    // crash between the two writes leaves no marker and the whole
+    // generation rebuilds (both writes are mode=overwrite).
+    val dir = graft.core.Scratch.ensure("/tmp/graft_pqevo", sfName,
+      graft.core.Scratch.key(s, d, DocSchema.json), "batch2/_SUCCESS") {
+      gen =>
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(gen.resolve("batch1").toString)
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(gen.resolve("batch2").toString)
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("batch1").toString, dir.resolve("batch2").toString)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(s1CsvIngest, s4JsonRoundtrip, s5OrcRoundtrip,
-    s7TextRoundtrip, s8CsvEvolution, f5Json, f6Regex, f9SqlKernels)
+    s7TextRoundtrip, s8CsvEvolution, f5Json, f6Regex, f9SqlKernels,
+    s13ParquetEvolution)
 }

@@ -358,9 +358,49 @@ object StorageQueries {
     tbl
   }
 
+  /** b9 — multi-key range probe over a Z-ORDERED layout (the engine's
+    * `OPTIMIZE ZORDER BY` / liquid-clustering stand-in, see
+    * [[graft.storage.ZOrder]]): orders laid out by the interleaved
+    * 16-bit ranks of (o_orderkey, o_custkey), so a range predicate on
+    * EITHER key — not just the leading one, as under a lexicographic
+    * sort — maps to a narrow band of files/row groups whose min/max
+    * stats reject the rest before any data page is read (StorageSpec
+    * measures the pruning against parquet footers on both layouts; this
+    * entry puts the layout in the live read path with both predicates
+    * pushed to the scan). The layout is a WRITE-time investment:
+    * one bounds-agg pass + one range shuffle, amortized over every
+    * probe on any clustered key — the multi-dimensional analogue of
+    * b2's directory pruning at 100 TB.
+    */
+  val b9ZOrderProbe = withOracle(
+    "b9_zorder_probe",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_custkey BETWEEN 10 AND 60
+      |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin) { (s, d) =>
+    val tbl = s"orders_z_${sfName(d)}"
+    ensureTable(s, tbl, d, loc =>
+      s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT,
+         |                   total DOUBLE)
+         |USING parquet
+         |LOCATION '$loc'""".stripMargin) {
+      graft.storage.ZOrder.layout(
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double").as("total")),
+          Seq("o_orderkey", "o_custkey"), partitions = Some(8))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    }
+    s.table(tbl)
+      .filter(col("o_custkey").between(10, 60) &&
+        col("o_orderkey").between(1000, 5000))
+      .select(col("o_orderkey"), col("o_custkey"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
-      b5Dpp, b6Vacuum, b7BloomIndex)
+      b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping
