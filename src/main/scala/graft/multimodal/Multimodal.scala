@@ -109,6 +109,52 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** aHash-style PERCEPTUAL hash over the stubbed codec's byte plane:
+    * the payload splits into 64 equal block spans (the same j*n/64
+    * integer bounds as the frame pooler) and bit j is set when block
+    * j's mean byte is at or above the payload's GLOBAL mean. Means are
+    * compared as exact integer cross-products (blockSum * n >=
+    * totalSum * blockLen — never a double), so the DuckDB oracle is
+    * bit-identical. Swap the byte plane for decoded luma and this IS
+    * classic image aHash; identical codes bucket perceptually-same
+    * media without any pairwise comparison.
+    */
+  object PerceptualHash {
+    val Bits = 64
+
+    def aHash(media: Array[Byte]): Long = {
+      val n = media.length
+      if (n == 0) return 0L
+      var total = 0L
+      var i = 0
+      while (i < n) { total += media(i) & 0xff; i += 1 }
+      var code = 0L
+      var j = 0
+      while (j < Bits) {
+        val s = j * n / Bits
+        val e = (j + 1) * n / Bits
+        if (e > s) {
+          var bs = 0L
+          var k = s
+          while (k < e) { bs += media(k) & 0xff; k += 1 }
+          if (bs * n >= total * (e - s)) code |= (1L << j)
+        }
+        j += 1
+      }
+      code
+    }
+  }
+
+  /** Partition-batched perceptual hashing (one code per media row). */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map(rec => MediaHash(rec.doc_id, PerceptualHash.aHash(rec.media)))
+    }
+  }
+
   /** Attach a synthetic binary payload (UTF-8 bytes of the text) plus
     * metadata — the ingest step that in production reads object-store
     * blobs alongside the row.

@@ -89,6 +89,59 @@ object PipelineQueries {
       Multimodal.attachMedia(Tables.documents(s, d))).toDF()
   }
 
+  // ---- m4: perceptual-hash media dedup (the image-aHash shape) ----
+  // Each payload hashes to a 64-bit aHash (block mean vs global mean,
+  // exact integer cross-products — see Multimodal.PerceptualHash) and
+  // identical codes bucket perceptually-same media: one shuffle on the
+  // code, no pairwise comparison anywhere, the survivor rule is
+  // min-doc_id per bucket — the media twin of d1's exact text dedup,
+  // robust to the small payload perturbations a cryptographic hash
+  // would scatter. The oracle replays the hash bit-for-bit via the
+  // ASCII-payload trick (bit 63's weight is BIGINT min, the two's-
+  // complement packing lshCodeSql also uses).
+  val m4PhashDedup = withOracle(
+    "m4_phash_dedup",
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(list_filter(string_split(text, ''),
+      |                                    c -> length(c) > 0),
+      |                        c -> CAST(ascii(c) AS BIGINT)) AS cps
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, n, cps,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+      |                     (a, b) -> a + b) AS tsum
+      |  FROM b),
+      |bv AS (
+      |  SELECT doc_id, n, tsum, cps,
+      |         CAST(j AS BIGINT) AS j,
+      |         j * n // 64 AS s, (j + 1) * n // 64 AS e
+      |  FROM t, unnest(range(0, 64)) AS u(j)),
+      |bw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN e > s AND
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                               cps[CAST(s + 1 AS BIGINT)
+      |                                   :CAST(e AS BIGINT)]),
+      |                  (a, b) -> a + b) * n >= tsum * (e - s)
+      |    THEN CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+      |              ELSE (CAST(1 AS BIGINT) << j) END
+      |    ELSE CAST(0 AS BIGINT) END AS w
+      |  FROM bv),
+      |ph AS (
+      |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS phash
+      |  FROM bw GROUP BY 1)
+      |SELECT doc_id, phash,
+      |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+      |       doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
+      |FROM ph""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    Multimodal.perceptualHashes(s,
+        Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+      .withColumn("n_same", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+  }
+
   // ---- m3: cross-modal consistency scoring (the CLIP-filter shape) ----
   // Pair each document's TEXT-side embedding with its MEDIA-side pooled
   // feature vector (frame 0 of the m2 pipeline) and score the pair by
@@ -434,7 +487,8 @@ object PipelineQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, st1HourlyAgg, st2StreamDedup,
+    Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
+      st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,

@@ -579,6 +579,67 @@ object Relational2 {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  // ---- Statistical aggregates via exact sums ----
+  /** a14 — the variance/stddev/correlation vocabulary, cross-engine
+    * EXACT: the naive per-engine `var_pop`/`corr` built-ins accumulate
+    * doubles in partition order (nondeterministic across engines AND
+    * across runs), so instead every moment is aggregated as an exact
+    * DECIMAL sum of exactly-representable products (quantities are
+    * small integers, prices have two decimals — their doubles and
+    * pairwise products are exact) and the statistics are assembled from
+    * those sums in ONE fixed expression order both engines replay:
+    * var = (n*Sxx - Sx^2)/n^2, corr = (n*Sxy - Sx*Sy) /
+    * (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)). Order-independent
+    * shuffles (decimal addition commutes exactly), map-side partials,
+    * one pass — the same reason the money aggregates use decimal.
+    */
+  val a14StatsAgg = withOracle(
+    "a14_stats_agg",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2)))
+      |              AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_extendedprice * l_extendedprice
+      |                       AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(l_quantity * l_extendedprice
+      |                       AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |       sx / n AS mean_qty,
+      |       (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) AS var_qty,
+      |       sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS std_qty,
+      |       (n * sxy - sx * sy)
+      |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |         AS corr_qty_price
+      |FROM s""".stripMargin) { (s, d) =>
+    val n = col("n").cast("double")
+    val varQty = (n * col("sxx") - col("sx") * col("sx")) / (n * n)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,2)"))
+          .cast("double").as("sxx"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sy"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(24,4)")).cast("double").as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice"))
+          .cast("decimal(24,4)")).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / n).as("mean_qty"),
+        varQty.as("var_qty"),
+        sqrt(varQty).as("std_qty"),
+        ((n * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(n * col("sxx") - col("sx") * col("sx"))
+            * sqrt(n * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+  }
+
   // ---- Runtime bloom-filter semi-join reduction ----
   /** j20 — Spark's RUNTIME FILTER: with broadcast off (the
     * 100 TB shape where the dim side is selective but past broadcast
@@ -625,5 +686,5 @@ object Relational2 {
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
-    r1RecursiveCte, j20RuntimeBloom)
+    r1RecursiveCte, j20RuntimeBloom, a14StatsAgg)
 }

@@ -260,6 +260,63 @@ object TextAnalysis3 {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  // ---- Epoch-based oversampling of rare sources ----
+  // The UPSAMPLING half of the mixture story (c4/c5 down-sample): every
+  // source is brought up to a common target — 2.5x the majority
+  // source's document count, the "N.M epochs" shape of a real training
+  // mix config (the fractional part matters: the generated corpus's
+  // sources are uniform, so a plain max target would degenerate to one
+  // epoch and never exercise the remainder path) — by integer epoch
+  // replication: each doc repeats target/n_docs times, and the
+  // remainder goes to the docs ranked first by content hash
+  // (deterministic, seed-free — the same reproducibility rule as c4's
+  // down-sampling). The (doc, epoch_idx) output is exactly the repeat
+  // plan a training-mix config like "source X: 2.5 epochs" expands to.
+  // Scale: one count aggregate, one broadcast of (source, n_docs) plus
+  // a scalar target, a per-source rank window, then a per-row
+  // sequence-explode whose fan-out IS the requested oversample — no
+  // shuffle beyond the rank, nothing pairwise.
+  val c9EpochOversample = withOracle(
+    "c9_epoch_oversample",
+    s"""WITH h AS (
+       |  SELECT doc_id, source, ${QuerySpec.OracleSql.rollHash("text")} AS h
+       |  FROM documents),
+       |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |      FROM h GROUP BY 1),
+       |t AS (SELECT CAST((5 * max(n_docs)) // 2 AS BIGINT) AS target FROM n),
+       |r AS (
+       |  SELECT h.doc_id, h.source, n.n_docs, t.target,
+       |         CAST(row_number() OVER (PARTITION BY h.source
+       |                ORDER BY h.h, h.doc_id) AS BIGINT) AS rnk
+       |  FROM h JOIN n USING (source), t),
+       |k AS (
+       |  SELECT doc_id, source,
+       |         target // n_docs
+       |           + CASE WHEN rnk <= target % n_docs THEN 1 ELSE 0 END
+       |           AS n_repeats
+       |  FROM r)
+       |SELECT doc_id, source, CAST(n_repeats AS BIGINT) AS n_repeats,
+       |       CAST(e AS BIGINT) AS epoch_idx
+       |FROM k, unnest(range(0, n_repeats)) AS u(e)""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), rollingHash(col("text")).as("h"))
+    val counts = h.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(
+      expr("(5 * max(n_docs)) div 2").as("target"))
+    h.join(broadcast(counts), "source")
+      .crossJoin(broadcast(target))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_repeats",
+        expr("target div n_docs")
+          + when(col("rnk") <= pmod(col("target"), col("n_docs")), 1)
+            .otherwise(0))
+      .select(col("doc_id"), col("source"),
+        col("n_repeats").cast("long").as("n_repeats"),
+        explode(expr("sequence(0, n_repeats - 1)")).as("epoch_idx"))
+  }
+
   // ---- BPE merge-table APPLICATION + token-budget packing ----
   // t13 INDUCES the merge table (ranked adjacent-pair counts); this is
   // the other half a pretraining pipeline runs on 100% of bytes: apply
@@ -436,5 +493,5 @@ object TextAnalysis3 {
 
   val specs: Seq[QuerySpec] =
     Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
-      t16BpeApply, t17ClassifierGate)
+      t16BpeApply, t17ClassifierGate, c9EpochOversample)
 }
