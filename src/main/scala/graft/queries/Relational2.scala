@@ -579,6 +579,30 @@ object Relational2 {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  // ---- Bitwise aggregate vocabulary ----
+  /** a15 — bit_and / bit_or / bit_xor per group: the flag-mask rollup
+    * vocabulary (capability intersections, feature-bit unions, parity
+    * checks). All-integer and fully commutative/associative, so
+    * map-side partials combine exactly like sum's and the result is
+    * engine-exact by construction.
+    */
+  val a15BitwiseAgg = withOracle(
+    "a15_bitwise_agg",
+    """SELECT l_linestatus,
+      |       CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_and,
+      |       CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_or,
+      |       CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_xor,
+      |       CAST(bit_xor(l_orderkey * 31 + l_partkey) AS BIGINT) AS key_parity
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("bit_and(CAST(l_quantity AS BIGINT))").as("qty_and"),
+        expr("bit_or(CAST(l_quantity AS BIGINT))").as("qty_or"),
+        expr("bit_xor(CAST(l_quantity AS BIGINT))").as("qty_xor"),
+        expr("bit_xor(l_orderkey * 31 + l_partkey)").as("key_parity"))
+  }
+
   // ---- Statistical aggregates via exact sums ----
   /** a14 — the variance/stddev/correlation vocabulary, cross-engine
     * EXACT: the naive per-engine `var_pop`/`corr` built-ins accumulate
@@ -686,5 +710,5 @@ object Relational2 {
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
-    r1RecursiveCte, j20RuntimeBloom, a14StatsAgg)
+    r1RecursiveCte, j20RuntimeBloom, a14StatsAgg, a15BitwiseAgg)
 }

@@ -593,8 +593,46 @@ object Relational3 {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  // ---- Consecutive event-pattern detection (the MATCH_RECOGNIZE-lite
+  // CEP shape) ----
+  // Detect the strictly-consecutive view -> click -> purchase sequence
+  // per user: two LEADs over one (user, time) window turn each position
+  // into the 3-gram starting there, and the pattern is a plain filter —
+  // sequential pattern matching as a window expression, no state
+  // machine, no self-joins. e3's funnel orders FIRST TOUCHES (the
+  // macro journey); this matches exact consecutive micro-sequences.
+  // Scale: one shuffle (the user window both LEADs share), then
+  // filter + hash-agg.
+  val w11EventPattern = withOracle(
+    "w11_event_pattern",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lead(event_type, 1) OVER w AS e1,
+      |         lead(event_type, 2) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT user_id, ts FROM o
+      |  WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase')
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_patterns,
+      |       CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS first_start_us
+      |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "view" && col("e1") === "click" &&
+        col("e2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_patterns"),
+        unix_micros(min(col("ts"))).as("first_start_us"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
-      w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts)
+      w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
+      w11EventPattern)
 }
