@@ -133,8 +133,11 @@ object Multimodal {
       var code = 0L
       var j = 0
       while (j < Bits) {
-        val s = j * n / Bits
-        val e = (j + 1) * n / Bits
+        // long bounds: j * n overflows Int for payloads > ~34 MB — real
+        // decoded media sizes (the oracle's BIGINT arithmetic already
+        // matches this).
+        val s = (j.toLong * n / Bits).toInt
+        val e = ((j + 1).toLong * n / Bits).toInt
         if (e > s) {
           var bs = 0L
           var k = s

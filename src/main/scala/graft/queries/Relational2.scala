@@ -616,20 +616,31 @@ object Relational2 {
     * (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)). Order-independent
     * shuffles (decimal addition commutes exactly), map-side partials,
     * one pass — the same reason the money aggregates use decimal.
+    *
+    * DECIMAL->DOUBLE conversion caveat (found by a failing gate at
+    * sf0.001): once a sum's exact value needs more than double's 53
+    * bits (syy's 4-decimal sums do), DuckDB's direct DECIMAL->DOUBLE
+    * cast can be 1 ulp off the correctly-rounded double (measured:
+    * 7096786968835.8685 -> ...f7a vs correct ...f79), while Spark's
+    * BigDecimal conversion rounds correctly — so the oracle routes
+    * every sum through VARCHAR (strtod is correctly rounded) to get
+    * the identical double before the assembly arithmetic.
     */
   val a14StatsAgg = withOracle(
     "a14_stats_agg",
     """WITH s AS (
       |  SELECT l_returnflag,
       |         CAST(count(*) AS BIGINT) AS n,
-      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2)))
-      |              AS DOUBLE) AS sxx,
-      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |         CAST(sum(CAST(l_extendedprice * l_extendedprice
-      |                       AS DECIMAL(24,4))) AS DOUBLE) AS syy,
-      |         CAST(sum(CAST(l_quantity * l_extendedprice
-      |                       AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+      |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |              AS VARCHAR) AS DOUBLE) AS sx,
+      |         CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2)))
+      |              AS VARCHAR) AS DOUBLE) AS sxx,
+      |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |              AS VARCHAR) AS DOUBLE) AS sy,
+      |         CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice
+      |                       AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS syy,
+      |         CAST(CAST(sum(CAST(l_quantity * l_extendedprice
+      |                       AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n,
       |       sx / n AS mean_qty,

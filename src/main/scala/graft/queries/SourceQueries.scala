@@ -276,8 +276,13 @@ object SourceQueries {
     // batch2's marker gates the generation: it is written LAST, so a
     // crash between the two writes leaves no marker and the whole
     // generation rebuilds (both writes are mode=overwrite).
+    // The derivation tag keys the generation on the actual split +
+    // per-batch column sets (s8's convention) — editing them must bust
+    // the cache, not serve stale batches under an unchanged DocSchema.
     val dir = graft.core.Scratch.ensure("/tmp/graft_pqevo", sfName,
-      graft.core.Scratch.key(s, d, DocSchema.json), "batch2/_SUCCESS") {
+      graft.core.Scratch.key(s, d,
+        DocSchema.json + "|pq-evolution-v1|doc_id%2|b1=id,text,lang" +
+          "|b2=id,text,lang,source,n_chars"), "batch2/_SUCCESS") {
       gen =>
         Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
           .select("doc_id", "text", "lang")
