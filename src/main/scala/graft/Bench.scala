@@ -107,6 +107,29 @@ object Bench {
     def persistedMB(): Double =
       spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum / 1e6
+    // Per-entry SHUFFLE VOLUME (MB written) and disk spill, summed from
+    // completed-stage task metrics: the artifact-level evidence for the
+    // shuffle-discipline claims (a plan change that doubles an entry's
+    // shuffle shows up here even when wall time hides it in noise).
+    // Listener delivery is async, so attribution is best-effort: deltas
+    // are taken on pass 1 only, with a short post-entry drain pause
+    // OUTSIDE the timed window; late events can only smear into the
+    // next entry's delta, never into any reported time.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    val shuffleMB = scala.collection.mutable.Map.empty[String, Double]
+    val spillMB = scala.collection.mutable.Map.empty[String, Double]
     val passTimes = scala.collection.mutable.Map.empty[
       String, scala.collection.mutable.ArrayBuffer[Double]]
     val failedEntries = scala.collection.mutable.Set.empty[String]
@@ -124,12 +147,18 @@ object Bench {
               .foreach(_.unpersist(true))
           }
           if (pass == 1) tenancyMB(name) = persistedMB()
+          val sh0 = shuffleBytes.get(); val sp0 = spillBytes.get()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: $e"); false }
           val dt = (System.nanoTime() - t0) / 1e9
+          if (pass == 1) {
+            Thread.sleep(30) // drain the async listener bus (untimed)
+            shuffleMB(name) = (shuffleBytes.get() - sh0) / 1e6
+            spillMB(name) = (spillBytes.get() - sp0) / 1e6
+          }
           if (!ok) failedEntries += name
           passTimes.getOrElseUpdate(name,
             scala.collection.mutable.ArrayBuffer.empty[Double]) +=
@@ -189,8 +218,14 @@ object Bench {
       .collect { case (k, v) if v >= 0.1 =>
         "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
+    def mbJson(m: scala.collection.Map[String, Double]): String =
+      m.toSeq.sortBy(_._1)
+        .collect { case (k, v) if v >= 0.1 =>
+          "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v) }
+        .mkString("{", ",", "}")
     val fullJson = render(results, errJson(errNames),
-      s""","n":${results.length},"spread":$spreadJson,"tenancy_mb":$tenancyJson""")
+      s""","n":${results.length},"spread":$spreadJson,"tenancy_mb":$tenancyJson""" +
+        s""","shuffle_mb":${mbJson(shuffleMB)},"spill_mb":${mbJson(spillMB)}""")
     // A prefix-filtered run is a LOCAL-ITERATION artifact: it must never
     // overwrite the committed full-catalog snapshot (BENCH_LATEST.json) —
     // round 7's end-of-round commit did exactly that, replacing the
