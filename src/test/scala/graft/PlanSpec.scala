@@ -323,6 +323,31 @@ class PlanSpec extends SparkSpec {
       s"native SRP kernel missing from the s2 plan:\n$plan")
   }
 
+  test("a14_stats_agg: one exchange — all moments ride a single hash-agg") {
+    // Six decimal moment sums aggregate in ONE pass with map-side
+    // partials; a regression that splits the moments into separate
+    // aggregations (or re-shuffles for the assembly projection) would
+    // multiply the only data pass.
+    val df = Catalog.queries("a14_stats_agg")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected one moment-sum exchange, found $n:\n$plan")
+  }
+
+  test("m4_phash_dedup: one exchange — hash per-row, group on the code") {
+    // The perceptual hash is a per-partition pass; the ONLY shuffle is
+    // the phash window. A second exchange would mean the hash stopped
+    // being computed inline with the scan.
+    val df = Catalog.queries("m4_phash_dedup")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected only the phash-window exchange, found $n:\n$plan")
+  }
+
   test("j20_runtime_bloom: the fact scan carries the injected bloom filter") {
     // With broadcast off, InjectRuntimeFilter must plant might_contain
     // over the fact side's join key, fed from the filtered dim — the
