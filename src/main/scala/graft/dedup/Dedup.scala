@@ -586,4 +586,66 @@ object Dedup {
       .select(col("v").as("doc_id"), col("lbl").as("cluster_rep"),
         col("cluster_size"))
   }
+
+  /** Exact-substring dedup over OVERLAPPING k-token sliding windows — the
+    * ExactSubstr recipe of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") at token granularity. The first
+    * occurrence of each distinct window (ordered by id, then position) is
+    * kept; every later occurrence marks its k covered token positions
+    * dropped, and each document is re-emitted with the dropped spans CUT.
+    * Documents that lose every position (byte-identical clones of an
+    * earlier doc, length >= k) disappear from the output. Unlike
+    * [[exactGroups]] (whole-doc) or the d10 passage shape (fixed
+    * non-overlapping blocks), this removes repeated spans at ARBITRARY
+    * offsets — boilerplate headers, licence blocks, quoted paragraphs —
+    * which is what the paper's suffix-array engines exist for.
+    *
+    * Spark-first instead of a suffix array: one row per window position,
+    * first-wins via row_number partitioned by (xxhash64(window), window).
+    * The 8-byte hash prefix keeps the sort comparator off the k-token
+    * strings for all non-colliding pairs; keeping the full text in the
+    * key keeps semantics exact (a hash collision splits nothing — rows
+    * only group when the text also matches). Dropped positions explode
+    * (dup windows x k, distinct) and anti-join the token stream; AQE
+    * broadcasts that side at any realistic dup rate. Every stage shuffles
+    * linearly in corpus token count — no all-pairs term anywhere. If the
+    * k-token window payload ever dominated the shuffle, it could drop to
+    * its rolling hash + an exact verify pass (the d2 optimistic-bound
+    * pattern).
+    *
+    * Output: (doc_id, clean_text, n_kept) — one row per surviving doc.
+    */
+  def substringDedup(df: DataFrame, textCol: Column, idCol: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(idCol.as("doc_id"),
+      filter(split(trim(textCol), " +"), t => length(t) > 0).as("toks"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "idx", "tok")
+    val wins = toks
+      .select(col("doc_id"),
+        // size < k guard: sequence(0, negative) would DESCEND, not vanish
+        posexplode(when(size(col("toks")) >= k, transform(
+          sequence(lit(0), size(col("toks")) - k),
+          p => array_join(slice(col("toks"), p + 1, lit(k)), " ")))
+          .otherwise(array())))
+      .toDF("doc_id", "p", "wtext")
+    val firstOccurrence = Window
+      .partitionBy(xxhash64(col("wtext")), col("wtext"))
+      .orderBy(col("doc_id"), col("p"))
+    val drops = wins
+      .withColumn("rn", row_number().over(firstOccurrence))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + k - 1)).as("idx"))
+      .distinct()
+    pos
+      .join(drops, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(array_sort(collect_list(struct(col("idx"), col("tok"))))
+          .getField("tok"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -404,8 +404,49 @@ object DedupQueries {
           col("vb").isNull.as("is_kept"))
   }
 
+  // ---- d12: exact-substring dedup (overlapping sliding windows) ----
+  // [[graft.dedup.Dedup.substringDedup]] — the ExactSubstr recipe (Lee et
+  // al. 2022) at token granularity, k=15: repeated spans at ARBITRARY
+  // offsets are cut, keeping each window's first (doc_id, pos) occurrence;
+  // byte-identical clones lose every position and vanish (oracle mirrors
+  // this: 13 of 500 sf0.01 docs drop out). Differs from d10 in kind —
+  // d10 dedups fixed NON-overlapping passages, d12 arbitrary-offset spans.
+  val d12SubstringDedup = withOracle(
+    "d12_substring_dedup",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i+1] AS tok
+      |  FROM t, unnest(range(0, length(toks))) u(i)),
+      |w AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+      |         array_to_string(toks[p+1:p+15], ' ') AS wtext
+      |  FROM t, unnest(range(0, greatest(length(toks) - 14, 0))) u(p)),
+      |r AS (
+      |  SELECT doc_id, p,
+      |         row_number() OVER (PARTITION BY wtext
+      |                            ORDER BY doc_id, p) AS rn
+      |  FROM w),
+      |drops AS (
+      |  SELECT DISTINCT doc_id, p + j AS idx
+      |  FROM r, unnest(range(0, 15)) u(j) WHERE rn > 1),
+      |kept AS (
+      |  SELECT pos.doc_id, pos.idx, pos.tok FROM pos
+      |  WHERE NOT EXISTS (SELECT 1 FROM drops d
+      |                    WHERE d.doc_id = pos.doc_id AND d.idx = pos.idx))
+      |SELECT doc_id,
+      |       string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+      |       CAST(count(*) AS BIGINT) AS n_kept
+      |FROM kept GROUP BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.substringDedup(Tables.documents(s, d), col("text"), col("doc_id"),
+      k = 15)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
       d6DupClusters, d7EmbedClusters, d8Decontaminate, d9BloomDecontaminate,
-      d10PassageDedup, d11SemDedup)
+      d10PassageDedup, d11SemDedup, d12SubstringDedup)
 }

@@ -499,7 +499,21 @@ object SnapshotCommit {
     val vd = new Path(root, s"v$v")
     if (!fs.exists(vd))
       resolveDir(spark, table, v).foreach { staged =>
-        if (staged != vd) fs.rename(staged, vd)
+        if (staged != vd) {
+          failpoint("finalize")
+          scala.util.Try(fs.rename(staged, vd)).failed.foreach { e =>
+            // TWO processes legally race this same rename: the commit
+            // winner finalizing its own claim, and any concurrent
+            // register() replaying what it sees as an interrupted
+            // finalization. The loser's rename finds the source already
+            // gone — on RawLocalFileSystem that surfaces as a
+            // FileNotFoundException out of the copy fallback, not a
+            // false return — and "source gone, v<N> present" IS the
+            // state both racers wanted. Only a rename failure that
+            // leaves v<N> absent is a real error.
+            if (!fs.exists(vd)) throw e
+          }
+        }
       }
     if (fs.exists(vd)) vd
     else resolveDir(spark, table, v).getOrElse(

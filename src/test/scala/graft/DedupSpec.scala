@@ -253,4 +253,28 @@ class DedupSpec extends SparkSpec {
     // and the filter is doing work: flagged set stays far from "everything"
     assert(bloom.size < train.count())
   }
+
+  test("substringDedup cuts arbitrary-offset repeated spans, drops clones " +
+    "whole, and keeps sub-window docs intact") {
+    val corpus = Seq(
+      (0L, "a b c d e f"),            // first occurrence of every window
+      (1L, "x y a b c d z"),          // embeds A's span at offset 2
+      (2L, "a b c d e f"),            // exact clone of 0: must VANISH
+      (3L, "m n o m n o m n o"),      // self-repetition within one doc
+      (4L, "q r")                     // shorter than k: no windows, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(corpus, col("text"), col("doc_id"), k = 3)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(0L) === (("a b c d e f", 6L)))   // first doc untouched
+    // B loses exactly the copied span "a b c d" (windows "a b c"/"b c d"
+    // at positions 2 and 3 cover tokens 2..5), keeping its own frame.
+    assert(out(1L) === (("x y z", 3L)))
+    assert(!out.contains(2L))                   // clone fully covered
+    // E's windows repeat its own pos-0..2 windows: every position from 3
+    // on is covered, the first period survives.
+    assert(out(3L) === (("m n o", 3L)))
+    assert(out(4L) === (("q r", 2L)))           // sub-window doc intact
+  }
 }

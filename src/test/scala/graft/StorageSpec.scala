@@ -769,4 +769,47 @@ class StorageSpec extends SparkSpec {
         "incarnation UUID can tell these apart")
     SnapshotCommit.destroy(spark, tbl)
   }
+
+  test("finalization rename race: a concurrent register() completing the " +
+      "winner's rename must read as success, not FileNotFoundException") {
+    // Two processes legally race the SAME staging -> v<N> rename: the
+    // commit winner finalizing its claim, and any concurrent register()
+    // replaying what it sees as an interrupted finalization. On a local
+    // filesystem the loser's rename surfaces as FileNotFoundException
+    // out of Hadoop's copy fallback (the CrossProcessSpec DV race hit
+    // exactly this, writer A crashing mid-commit). Simulate the replayer
+    // at the "finalize" failpoint — after the winner resolved its staging
+    // dir, before its rename — by completing the rename ourselves.
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "fin_race_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).select(col("id"), lit("v1").as("gen"))
+        .coalesce(1).write.parquet(dir)
+    }
+    val root = SnapshotCommit.rootDir(spark, tbl)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raced = new java.util.concurrent.atomic.AtomicInteger(0)
+    SnapshotCommit.failpoint = s => if (s == "finalize") {
+      // The concurrent replayer wins the rename right here.
+      SnapshotCommit.resolveDir(spark, tbl, 2L).foreach { staged =>
+        val vd = new org.apache.hadoop.fs.Path(root, "v2")
+        if (staged != vd && fs.rename(staged, vd))
+          raced.incrementAndGet()
+      }
+    }
+    try {
+      SnapshotCommit.commit(spark, tbl) { dir =>
+        spark.range(10, 20).select(col("id"), lit("v2").as("gen"))
+          .coalesce(1).write.parquet(dir)
+      }
+    } finally SnapshotCommit.failpoint = _ => ()
+    assert(raced.get() === 1, "the replayer's rename never ran")
+    assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L))
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("v2"))
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }
