@@ -486,11 +486,31 @@ object PipelineQueries {
     Streams.applyChangesScd2(s, d)
   }
 
+  // ---- st17: streaming content-dedup admission gate ----
+  // [[graft.streaming.Streams.streamDedupGate]]: first-wins ingest dedup
+  // keyed on the rolling hash of the leading 15-token window (the head
+  // shingle — 23/500 sf0.01 docs collide, so the reject path is
+  // exercised), explicit admit state via flatMapGroupsWithState,
+  // doc_id-ordered micro-batches. Oracle: admitted = min(doc_id) per fp.
+  val st17DedupGate = withOracle(
+    "st17_stream_dedup_gate",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_filter(
+       |           string_split_regex(trim(text), ' +'),
+       |           x -> length(x) > 0)[1:15], ' ') AS head
+       |  FROM documents)
+       |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       |       CAST(${QuerySpec.OracleSql.rollHash("head")} AS BIGINT) AS fp
+       |FROM t GROUP BY 2""".stripMargin) { (s, d) =>
+    Streams.streamDedupGate(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
       st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
-      st16SessionTimeoutTws)
+      st16SessionTimeoutTws, st17DedupGate)
 }

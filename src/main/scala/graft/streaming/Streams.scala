@@ -764,4 +764,103 @@ object Streams {
         col("event_id"), col("event_type"), col("value"),
         col("valid_to_us").isNull.as("is_current"))
   }
+
+  /** File-source stream over the `documents` table, split into
+    * `splitFiles` range partitions by doc_id with STRICTLY INCREASING
+    * mtimes in doc_id order — the same total-order trick as
+    * [[eventsStream]]'s orderedSplit (the file source orders new files
+    * by modification time and breaks ties arbitrarily), so AvailableNow
+    * with maxFilesPerTrigger=1 delivers micro-batches in doc_id order:
+    * the arrival-order determinism every first-wins ingest gate needs.
+    */
+  private def documentsStream(spark: SparkSession, sfDir: String,
+      splitFiles: Int, maxFilesPerTrigger: Int): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
+      "-" + graft.core.Scratch.sha8(sfDir)
+    val dir = graft.core.Scratch.ensure("/tmp/graft_streams",
+      s"${sane}_docsplit$splitFiles",
+      graft.core.Scratch.key(spark, sfDir, schema.json + "|docid-total-order"),
+      // Ordered generations are complete only once mtimes are STAMPED
+      // (see eventsStream — parquet's _SUCCESS lands before the loop).
+      "documents/_graft_ordered") { gen =>
+      val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      val out = gen.resolve("documents")
+      src.repartitionByRange(splitFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(out.toString)
+      val files = java.nio.file.Files.list(out).iterator()
+      val names = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      while (files.hasNext) {
+        val p = files.next()
+        if (p.getFileName.toString.endsWith(".parquet")) names += p
+      }
+      val base = System.currentTimeMillis()
+      names.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+        case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              base + (i + 1) * 2000L))
+      }
+      val done = out.resolve("_graft_ordered")
+      if (!java.nio.file.Files.exists(done))
+        java.nio.file.Files.createFile(done)
+    }.resolve("documents")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir.toString)
+  }
+
+  final case class DocAdmit(doc_id: Long, fp: Long)
+
+  /** Streaming content-dedup ADMISSION GATE over a document ingest — the
+    * first-wins building block a streaming corpus pipeline puts in front
+    * of everything downstream (bronze dedup-at-ingest): per content
+    * fingerprint, the FIRST arriving document is admitted and every
+    * later arrival — in the same micro-batch or any later one — is
+    * silently rejected. The fingerprint is the rolling hash of the
+    * LEADING 15-token window (the "head shingle"): the corpus has no
+    * byte-identical texts, but its planted near-clones share openers
+    * (23 of 500 docs collide at sf0.01), so this key exercises both the
+    * admit and the reject path — and it is the cheap screen a real
+    * ingest uses against boilerplate re-crawls before any full near-dup
+    * pass. Differs from [[streamDedup]]/[[streamDedupWatermarked]] in
+    * kind: those emit the distinct KEY SET of a column pair; this keys
+    * on derived document CONTENT and emits the surviving ROW, holding
+    * explicit admit state (flatMapGroupsWithState) so the survivor is
+    * well-defined under any batching — within a batch the group iterator
+    * is reduced to its min doc_id, and the doc_id-range-ordered split
+    * ([[documentsStream]]) puts the global minimum for every fingerprint
+    * in that fingerprint's first-appearing batch, so the admitted set is
+    * exactly "min doc_id per fingerprint" however the files are batched.
+    * Swapping the key expression for a MinHash band key or a full-text
+    * hash turns the same gate into a different-strength gate — the state
+    * machine is key-agnostic. Scale: state is one long per DISTINCT
+    * fingerprint (the smallest possible admit ledger); a production
+    * deployment bounds it with a TTL watermark exactly like st8's.
+    */
+  def streamDedupGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    import ss.implicits._
+    val docs = documentsStream(ss, sfDir, splitFiles = 4,
+      maxFilesPerTrigger = 1)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.rollingHash(array_join(
+          slice(filter(split(trim(col("text")), " +"),
+            t => length(t) > 0), 1, 15), " ")).as("fp"))
+      .as[DocAdmit]
+    val admitted = docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, DocAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: Long, rows: Iterator[DocAdmit], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val minDoc = rows.map(_.doc_id).min
+            state.update(minDoc)
+            Iterator.single(DocAdmit(minDoc, fp))
+          }
+      }
+      .toDF()
+    runToMemory(admitted, "graft_stream_dedup_gate", OutputMode.Append())
+      .select(col("doc_id"), col("fp"))
+  }
 }

@@ -611,4 +611,35 @@ class PipelineSpec extends SparkSpec {
     assert(props("constraint.pk_props_gold") === "PRIMARY KEY (key) NOT ENFORCED")
     assert(props("layer") === "analytics")
   }
+
+  test("streamDedupGate admits min doc_id per fingerprint and rejects " +
+      "cross-batch re-arrivals") {
+    import org.apache.spark.sql.functions._
+    val gate = graft.streaming.Streams.streamDedupGate(spark, Sf0001)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // Batch-computed expectation with the same key expression.
+    val expected = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextFunctions.rollingHash(array_join(
+          slice(filter(split(trim(col("text")), " +"),
+            t => length(t) > 0), 1, 15), " ")).as("fp"))
+    val groups = expected.groupBy("fp")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(gate.size === groups.length) // one survivor per fingerprint
+    groups.foreach { case (fp, mn, _, _) =>
+      assert(gate(fp) === mn, s"fingerprint $fp admitted ${gate(fp)}, " +
+        s"expected the first arrival $mn")
+    }
+    // The data property that makes this a STATE test, not a same-batch
+    // min: at least one collision group spans doc_ids further apart than
+    // a range partition's width (500 docs / 4 files), so its later
+    // member arrived in a LATER micro-batch and was rejected by the
+    // admit ledger, not by the in-batch reduction.
+    assert(groups.exists { case (_, mn, mx, n) => n > 1 && mx - mn > 130 },
+      "no collision group spans micro-batches — the cross-batch reject " +
+        "path went unexercised")
+  }
 }
