@@ -191,5 +191,89 @@ object CurationPipeline {
         col("shard"), col("pos"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(c8CorpusPipeline)
+  // ---- c10: RAG context assembly ----
+  // The retrieval-side composition a RAG / retrieval-augmented training
+  // pipeline runs per query: (1) exact top-k cosine retrieval (the s1
+  // brute baseline — a deployment swaps in s2/b8's banded probe as the
+  // scale path, the assembly stages are retrieval-agnostic), (2) enrich
+  // candidates with document metadata via a BROADCAST of the tiny top-k
+  // side (the documents scan never shuffles), (3) source-diversity cap —
+  // at most ONE doc per source per context, the "host dedup" rule that
+  // stops a single crawl domain from filling the window (drops 10 rows
+  // at sf0.01), (4) pack surviving docs in rank order under a 200-token
+  // context budget via a per-query running sum (drops 36 more). Emits
+  // one row per query: the packed id list in rank order, doc count, and
+  // token total. Every window partitions by q_id over at most k rows, so
+  // per-query state is O(k) however large the corpus; the only scan of
+  // `documents` carries a 3-column projection.
+  val c10RagAssembly = withOracle(
+    "c10_rag_assembly",
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, e.vec_id AS cand_id,
+       |              ${SimilarityQueries.cosSql("q.q_emb", "e.embedding")} AS cosine
+       |       FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, cand_id,
+       |             row_number() OVER (PARTITION BY q_id
+       |                                ORDER BY cosine DESC, cand_id) AS rank
+       |      FROM sc),
+       |top AS (SELECT q_id, cand_id, rank FROM r WHERE rank <= 8),
+       |doc AS (SELECT doc_id, source,
+       |               CAST(length(list_filter(
+       |                 string_split_regex(trim(text), ' +'),
+       |                 x -> length(x) > 0)) AS BIGINT) AS n_toks
+       |        FROM documents),
+       |d AS (SELECT top.q_id, top.rank, top.cand_id, doc.source, doc.n_toks
+       |      FROM top JOIN doc ON doc.doc_id = top.cand_id),
+       |u AS (SELECT *, row_number() OVER (PARTITION BY q_id, source
+       |                                   ORDER BY rank) AS rn2 FROM d),
+       |k AS (SELECT q_id, rank, cand_id, n_toks,
+       |             sum(n_toks) OVER (PARTITION BY q_id ORDER BY rank
+       |                               ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM u WHERE rn2 = 1),
+       |f AS (SELECT * FROM k WHERE cum <= 200)
+       |SELECT q_id, string_agg(cand_id, ',' ORDER BY rank) AS context_ids,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS total_tokens
+       |FROM f GROUP BY q_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.similarity.VectorFunctions.{dotN, normN}
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        normN(col("embedding")).as("nrm"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val top = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dotN(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 8)
+      .select(col("q_id"), col("cand_id"), col("rank"))
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(trim(col("text")), " +"),
+          t => length(t) > 0)).cast("long").as("n_toks"))
+    val srcW = Window.partitionBy(col("q_id"), col("source"))
+      .orderBy(col("rank"))
+    val cumW = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    doc.join(broadcast(top), col("doc_id") === col("cand_id"))
+      .withColumn("rn2", row_number().over(srcW))
+      .filter(col("rn2") === 1)
+      .withColumn("cum", sum(col("n_toks")).over(cumW))
+      .filter(col("cum") <= 200)
+      .groupBy(col("q_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("rank"), col("cand_id")))),
+          x => x.getField("cand_id").cast("string")), ",").as("context_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(c8CorpusPipeline, c10RagAssembly)
 }

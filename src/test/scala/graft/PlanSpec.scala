@@ -395,4 +395,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"),
       s"corpus scan is not bucket-aware:\n$plan")
   }
+
+  test("c10_rag_assembly: the documents scan never shuffles — only the " +
+      "per-query top-k does") {
+    // The assembly stages (metadata join, source cap, budget pack)
+    // operate on at most k rows per query: the documents table joins
+    // via BROADCAST of that tiny side, and every Exchange in the plan
+    // repartitions the top-k rows on q_id-derived keys — never the
+    // corpus. A hash exchange count above 3 (rank window, source-cap
+    // window, budget window/groupBy) means the documents scan leaked
+    // into a shuffle.
+    val df = Catalog.queries("c10_rag_assembly")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"documents must join the top-k side by broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3,
+      s"expected <= 3 tiny q_id-keyed exchanges, found $shuffles:\n$plan")
+  }
 }
