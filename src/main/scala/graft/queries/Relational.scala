@@ -376,9 +376,48 @@ object Relational {
       DQ.warn("tiny_order", col("o_totalprice") > 1000)))
   }
 
+  // ---- dq2: observed metrics (Dataset.observe) ----
+  // DQ counters that ride the MAIN action instead of a second scan:
+  // `observe` plants a CollectMetrics barrier whose aggregates are
+  // computed as a side effect of whatever job consumes the frame (here
+  // a count() standing in for the real write), and Observation hands the
+  // values back on the driver — the monitoring shape for a 100 TB job
+  // where a separate metrics pass would double the read. dq_expectations
+  // is the REPORT (a query over the data); dq2 is the INSTRUMENT (free
+  // counters on the job you were already running). The high-discount
+  // counter is hot (14,936/60,000 rows at sf0.01), the other two are
+  // honest zeros. observe forbids distinct aggregates — everything here
+  // is a map-side-combinable sum, exactly what keeps it free at scale.
+  val dq2ObservedMetrics = withOracle(
+    "dq2_observed_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonpositive_qty,
+      |       CAST(coalesce(sum(CASE WHEN l_discount > 0.07 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high_discount,
+      |       CAST(coalesce(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonpositive_price
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val obs = new org.apache.spark.sql.Observation()
+    val instrumented = Tables.lineitem(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+        .as("n_nonpositive_qty"),
+      sum(when(col("l_discount") > 0.07, 1L).otherwise(0L))
+        .as("n_high_discount"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+        .as("n_nonpositive_price"))
+    instrumented.count() // the "real" job the metrics piggyback on
+    val m = obs.get      // bounded driver read: four counters
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_nonpositive_qty").asInstanceOf[Long],
+      m("n_high_discount").asInstanceOf[Long],
+      m("n_nonpositive_price").asInstanceOf[Long]))
+      .toDF("n_rows", "n_nonpositive_qty", "n_high_discount",
+        "n_nonpositive_price")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     p1ProjectCast, p2FilterPredicates, f1Conditional, f2StringHash, f3Dates,
     f4MapDecode, a1GroupAgg, a3GlobalAgg, a5Distinct, a7FillNa,
     w1WindowDedup, j1BroadcastDim, jSemi, jAnti, j12ScalarSubquery,
-    l1TopK, dqExpectations)
+    l1TopK, dqExpectations, dq2ObservedMetrics)
 }
