@@ -185,4 +185,61 @@ object Multimodal {
       }
     }
   }
+
+  /** One voice-activity segment of an audio payload. */
+  final case class AudioSegment(
+      doc_id: Long, seg_idx: Long, start_f: Long, end_f: Long,
+      n_frames: Long, mean_energy: Double)
+
+  /** VAD-style segmentation: the audio-curation step that cuts a long
+    * recording into voiced spans before transcription/feature work.
+    * The payload is framed into FakeCodec.BlockSize-byte windows, each
+    * frame's "energy" is its mean byte value, and a segment is a maximal
+    * run of consecutive frames at or above the activity threshold —
+    * classic energy-gated VAD with the decoder stubbed (a real deploy
+    * swaps the byte means for spectral energy; the framing, run
+    * detection and per-segment stats are the real pipeline). Activity
+    * compares in INTEGERS (frameSum >= threshold * frameLen), so the
+    * gate is bit-exact against any SQL replay — no float threshold
+    * ambiguity. Segmentation happens INSIDE the per-row decode pass
+    * (audio files are one row each), so the 1-row -> n-segment fan-out
+    * needs no shuffle and per-row state is one open run. Docs with no
+    * active frame emit nothing.
+    */
+  def segmentAudio(spark: SparkSession, media: DataFrame,
+      threshold: Long = 96L): Dataset[AudioSegment] = {
+    import spark.implicits._
+    val block = FakeCodec.BlockSize
+    media.as[MediaRecord].flatMap { rec =>
+      val m = rec.media
+      val nFrames = (m.length + block - 1) / block
+      val out = scala.collection.mutable.ArrayBuffer[AudioSegment]()
+      var segStart = -1L
+      var segSum = 0L
+      var segLen = 0L
+      var f = 0
+      while (f < nFrames) {
+        val lo = f * block
+        val hi = math.min(m.length, lo + block)
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += m(i) & 0xff; i += 1 }
+        val len = hi - lo
+        if (s >= threshold * len) {
+          if (segStart < 0) { segStart = f; segSum = 0L; segLen = 0L }
+          segSum += s; segLen += len
+        } else if (segStart >= 0) {
+          out += AudioSegment(rec.doc_id, out.length + 1L, segStart,
+            f - 1L, f - segStart, segSum.toDouble / segLen.toDouble)
+          segStart = -1L
+        }
+        f += 1
+      }
+      if (segStart >= 0)
+        out += AudioSegment(rec.doc_id, out.length + 1L, segStart,
+          nFrames - 1L, nFrames - segStart,
+          segSum.toDouble / segLen.toDouble)
+      out
+    }
+  }
 }

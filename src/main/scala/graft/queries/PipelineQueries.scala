@@ -486,6 +486,49 @@ object PipelineQueries {
     Streams.applyChangesScd2(s, d)
   }
 
+  // ---- m5: VAD-style audio segmentation (1 row -> n voiced segments) ----
+  // [[graft.multimodal.Multimodal.segmentAudio]]: energy-gated run
+  // detection over 64-byte frames of the stubbed payload; the activity
+  // gate compares integers (fsum >= 96*flen), so the oracle's replay is
+  // bit-exact. 430 segments over 313 of 500 sf0.01 docs (runs up to 4
+  // frames); 187 docs emit nothing — both paths exercised.
+  val m5AudioSegments = withOracle(
+    "m5_audio_segments",
+    """WITH b AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(list_filter(string_split(text, ''),
+      |                                    c -> length(c) > 0),
+      |                        c -> CAST(ascii(c) AS BIGINT)) AS cps
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS fidx,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                                  cps[i*64+1:least(n,(i+1)*64)]),
+      |                     (a,x) -> a + x) AS fsum,
+      |         CAST(least(n, (i+1)*64) - i*64 AS BIGINT) AS flen
+      |  FROM b, unnest(range(0, (n+63)//64)) u(i)),
+      |a AS (SELECT *, (fsum >= 96*flen) AS active FROM f),
+      |g AS (SELECT *, CASE WHEN active AND (lag(active) OVER w IS NULL
+      |                                      OR NOT lag(active) OVER w)
+      |                     THEN 1 ELSE 0 END AS brk
+      |      FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY fidx)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY fidx
+      |                               ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g),
+      |seg AS (SELECT doc_id, sid, min(fidx) AS start_f, max(fidx) AS end_f,
+      |               CAST(count(*) AS BIGINT) AS n_frames,
+      |               CAST(sum(fsum) AS DOUBLE) / CAST(sum(flen) AS DOUBLE)
+      |                 AS mean_energy
+      |        FROM s WHERE active GROUP BY doc_id, sid)
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY start_f) AS BIGINT) AS seg_idx,
+      |       start_f, end_f, n_frames, mean_energy
+      |FROM seg""".stripMargin) { (s, d) =>
+    Multimodal.segmentAudio(s,
+      Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+  }
+
   // ---- st17: streaming content-dedup admission gate ----
   // [[graft.streaming.Streams.streamDedupGate]]: first-wins ingest dedup
   // keyed on the rolling hash of the leading 15-token window (the head
@@ -508,7 +551,7 @@ object PipelineQueries {
 
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
-      st1HourlyAgg, st2StreamDedup,
+      m5AudioSegments, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,

@@ -52,4 +52,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).mean_byte === "hello".map(_.toInt).sum / 5.0)
     assert(feats(2L).n_bytes === 6L)
   }
+
+  test("segmentAudio: mid runs, trailing open run, silent and empty docs") {
+    // One synthetic "waveform" per case, 64-byte frames, threshold 100:
+    // frame byte value 120 = active, 10 = silent.
+    def wave(frames: Int*): Array[Byte] =
+      frames.flatMap(v => Array.fill(64)(v.toByte)).toArray
+    val media = Seq(
+      // active(0) silent(1) active(2,3) — one 1-frame seg + one 2-frame,
+      // the second CLOSED BY END OF PAYLOAD (the open-run flush path).
+      (1L, wave(120, 10, 120, 120)),
+      (2L, wave(10, 10)),                       // all silent: no segments
+      (3L, Array.empty[Byte]),                  // empty payload
+      // active tail frame shorter than a block (integer gate must use
+      // the TAIL length, not the block size): 32 bytes of 120.
+      (4L, Array.fill(32)(120.toByte))
+    ).toDF("doc_id", "media")
+      .selectExpr("doc_id", "'fake/raw' AS fmt",
+        "CAST(octet_length(media) AS LONG) AS n_bytes", "media")
+    val segs = Multimodal.segmentAudio(spark, media, threshold = 100L)
+      .collect().groupBy(_.doc_id)
+    val d1 = segs(1L).sortBy(_.seg_idx)
+    assert(d1.map(s => (s.seg_idx, s.start_f, s.end_f, s.n_frames)).toSeq ===
+      Seq((1L, 0L, 0L, 1L), (2L, 2L, 3L, 2L)))
+    assert(d1(1).mean_energy === 120.0)
+    assert(!segs.contains(2L) && !segs.contains(3L))
+    assert(segs(4L).map(s => (s.start_f, s.end_f, s.n_frames)).toSeq ===
+      Seq((0L, 0L, 1L)))
+  }
 }
