@@ -716,10 +716,56 @@ object Relational2 {
           .as("sum_qty"))
   }
 
+  // ---- J21: manually salted skew join ----
+  // The third cell of the skew matrix: a11 salts an AGGREGATION, the
+  // PlanSpec AQE case pins the RUNTIME split of an unsalted join — this
+  // is the PLANNED fix for a join whose hot key is known up front (the
+  // only option when AQE cannot apply: streaming joins, or a hot key so
+  // large even split reads straggle). The fact's hot key (~2/3 of all
+  // rows on k=7777, the AQE test's shape) is spread across 8 salt
+  // lanes by a deterministic row hash; the dim side is EXPLODED 8x so
+  // every (k, salt) lane finds its dim row locally. Join keys include
+  // the salt, so the hot key occupies 8 parallel partitions instead of
+  // one straggler. The shuffle_hash hint keeps the dim from
+  // broadcasting at test scale — at 100 TB a dim too big to broadcast
+  // is the premise. Salting is exact: the join result is row-identical
+  // to the unsalted join (the oracle), the salt only re-partitions it.
+  val j21SaltedSkewJoin = withOracle(
+    "j21_salted_skew_join",
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 3 <> 0 THEN 7777
+      |              ELSE l_orderkey % 997 END AS k,
+      |         l_quantity
+      |  FROM lineitem),
+      |dim AS (SELECT range AS k, range * 2 AS v FROM range(0, 8000))
+      |SELECT CAST(k % 10 AS BIGINT) AS k_mod,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * v) AS DOUBLE)
+      |         AS weighted_qty
+      |FROM f JOIN dim USING (k) GROUP BY 1""".stripMargin) { (s, d) =>
+    val S = 8
+    val fact = Tables.lineitem(s, d)
+      .select(
+        when(col("l_orderkey") % 3 =!= 0, lit(7777L))
+          .otherwise(pmod(col("l_orderkey"), lit(997L))).as("k"),
+        col("l_quantity"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S.toLong))
+          .as("_salt"))
+    val dim = s.range(0, 8000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .withColumn("_salt", explode(sequence(lit(0L), lit(S - 1L))))
+    fact.join(dim.hint("shuffle_hash"), Seq("k", "_salt"))
+      .groupBy(pmod(col("k"), lit(10L)).as("k_mod"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)") * col("v"))
+          .cast("double").as("weighted_qty"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
-    r1RecursiveCte, j20RuntimeBloom, a14StatsAgg, a15BitwiseAgg)
+    r1RecursiveCte, j20RuntimeBloom, a14StatsAgg, a15BitwiseAgg,
+    j21SaltedSkewJoin)
 }

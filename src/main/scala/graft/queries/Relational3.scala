@@ -630,9 +630,50 @@ object Relational3 {
         unix_micros(min(col("ts"))).as("first_start_us"))
   }
 
+  // ---- e5: event-transition matrix (first-order Markov over sessions) ----
+  // The product-analytics staple behind "users who view then click":
+  // per-user event streams ordered by (ts, event_id) — a total order, so
+  // the lag is deterministic — yield (prev, next) transition counts plus
+  // the row-normalized probability (integer-count division, exact on
+  // both engines). First events transition from the synthetic '_START'
+  // state. Scale: one shuffle for the per-user lag window, one for the
+  // (prev, next) count; the output is |event types|^2-bounded however
+  // large the stream, and the probability normalization runs on that
+  // tiny aggregate, not the events.
+  val e5TransitionMatrix = withOracle(
+    "e5_transition_matrix",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (
+      |  SELECT coalesce(prev, '_START') AS prev_type,
+      |         event_type AS next_type,
+      |         CAST(count(*) AS BIGINT) AS n_transitions
+      |  FROM o GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n_transitions,
+      |       CAST(n_transitions AS DOUBLE)
+      |         / CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
+      |                AS DOUBLE) AS p
+      |FROM t""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(seq))
+      .groupBy(coalesce(col("prev"), lit("_START")).as("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts.withColumn("p", col("n_transitions").cast("double")
+      / sum(col("n_transitions")).over(Window.partitionBy(col("prev_type")))
+        .cast("double"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
-      w11EventPattern)
+      w11EventPattern, e5TransitionMatrix)
 }

@@ -396,6 +396,23 @@ class PlanSpec extends SparkSpec {
       s"corpus scan is not bucket-aware:\n$plan")
   }
 
+  test("j21_salted_skew_join: the salt is in the join key and the dim " +
+      "does not broadcast") {
+    // The salted plan's whole point: the hot key's rows hash to 8
+    // DIFFERENT partitions because _salt participates in the join
+    // keys, and the join stays a shuffle join (a broadcast would make
+    // the salting vacuous at test scale and hide a regression).
+    val df = Catalog.queries("j21_salted_skew_join")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin") &&
+      "ShuffledHashJoin \\[k.*_salt".r.findFirstIn(plan).isDefined,
+      s"expected a shuffle join keyed on (k, _salt):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dim side broadcast — salting under test is vacuous:\n$plan")
+  }
+
   test("c10_rag_assembly: the documents scan never shuffles — only the " +
       "per-query top-k does") {
     // The assembly stages (metadata join, source cap, budget pack)
