@@ -491,7 +491,56 @@ object TextAnalysis3 {
       .filter(col("n_grams") >= 1 && col("score") >= 0)
   }
 
+  // ---- t18: n-gram novelty scoring ----
+  // The dedup-pressure / memorization-risk metric a corpus dashboard
+  // tracks per document: of a doc's DISTINCT 3-gram shingles, what
+  // fraction appears in NO earlier document (global first owner = min
+  // doc_id per shingle)? Near-clones of earlier docs score ~0, fresh
+  // content ~1 — the per-doc complement of d2/d3's pairwise view, usable
+  // as a cheap curation gate without computing any pairs. Scale: one
+  // shuffle keyed on the shingle to find owners, one join back on the
+  // same key (co-partitioned — Catalyst reuses the partitioning), one
+  // doc-keyed count; everything linear in total distinct shingles, no
+  // pairwise term. Docs under 3 tokens have no shingles and emit
+  // nothing, mirrored by the oracle.
+  val t18NgramNovelty = withOracle(
+    "t18_ngram_novelty",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           CASE WHEN length(toks) >= 3 THEN
+      |             list_transform(range(1, length(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [] END)) AS shingle
+      |  FROM tok),
+      |own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1)
+      |SELECT sh.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN own.owner = sh.doc_id
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+      |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM sh JOIN own ON own.shingle = sh.shingle
+      |GROUP BY sh.doc_id""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingleSetN(col("text"), 3)).as("shingle"))
+    val owners = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("owner"))
+    sh.join(owners, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
-      t16BpeApply, t17ClassifierGate, c9EpochOversample)
+      t16BpeApply, t17ClassifierGate, c9EpochOversample, t18NgramNovelty)
 }
