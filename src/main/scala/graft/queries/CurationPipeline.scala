@@ -275,5 +275,50 @@ object CurationPipeline {
         sum(col("n_toks")).as("total_tokens"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(c8CorpusPipeline, c10RagAssembly)
+  // ---- c11: dataset card (per-source corpus summary) ----
+  // The summary table a dataset card / curation dashboard publishes per
+  // source: volume (docs, tokens), shape (mean doc length), language
+  // spread, and duplication pressure (docs sharing their leading
+  // 15-token window with an earlier doc of the SAME source — st17's
+  // head-shingle key, scoped per source). One scan, one source-keyed
+  // aggregation; the head-dup count rides the same aggregate via
+  // count distinct over heads. At 100 TB the output is |sources| rows
+  // and every aggregate is map-side combinable except the two distincts,
+  // which shuffle (source, value) pairs — still linear, no pairwise term.
+  val c11DatasetCard = withOracle(
+    "c11_dataset_card",
+    """WITH t AS (
+      |  SELECT source, lang,
+      |         CAST(length(list_filter(string_split_regex(trim(text), ' +'),
+      |                                 x -> length(x) > 0)) AS BIGINT) AS n_toks,
+      |         array_to_string(list_filter(
+      |           string_split_regex(trim(text), ' +'),
+      |           x -> length(x) > 0)[1:15], ' ') AS head
+      |  FROM documents)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         AS mean_doc_tokens,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(count(*) - count(DISTINCT head) AS BIGINT) AS n_head_dups
+      |FROM t GROUP BY source""".stripMargin) { (s, d) =>
+    val toks = filter(split(trim(col("text")), " +"), t => length(t) > 0)
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(toks).cast("long").as("n_toks"),
+        array_join(slice(toks, 1, 15), " ").as("head"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("head"))).as("n_head_dups"))
+      .withColumn("mean_doc_tokens",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_doc_tokens"), col("n_langs"), col("n_head_dups"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(c8CorpusPipeline, c10RagAssembly, c11DatasetCard)
 }
