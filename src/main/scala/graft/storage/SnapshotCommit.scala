@@ -733,8 +733,27 @@ object SnapshotCommit {
           // budget is spent.
           if (attempts == 0) throw e
         case scala.util.Success(cat) =>
-          if (new Path(cat.location).toUri.getPath != loc.toUri.getPath)
+          if (new Path(cat.location).toUri.getPath != loc.toUri.getPath) {
+            // SCHEMA EVOLUTION: the catalog entry froze the schema it
+            // inferred from the CREATE-time location, and ALTER SET
+            // LOCATION does not re-infer — a widening commit would keep
+            // serving the OLD column set forever (new columns silently
+            // invisible). Version directories are immutable, so the
+            // catalog schema can only be stale when the LOCATION moves:
+            // compare against the new directory's actual footer schema
+            // (one metadata read) and re-declare the columns when they
+            // differ. alterTableDataSchema keeps the table entry — and
+            // with it the incarnation UUID and every user table
+            // property — where a DROP + CREATE would mint a new
+            // incarnation and lose properties. (ALTER ... REPLACE
+            // COLUMNS would be the SQL spelling, but it is v2-only.)
+            val actual = spark.read.parquet(loc.toString).schema
+            if (cat.schema != actual)
+              spark.sessionState.catalog.alterTableDataSchema(
+                org.apache.spark.sql.catalyst.TableIdentifier(table),
+                actual)
             spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
+          }
           // REFRESH even when the location already matches: a concurrent
           // winner's (ALTER, REFRESH) pair is not atomic, so a rebasing
           // loser can observe the NEW location (and skip the ALTER) while

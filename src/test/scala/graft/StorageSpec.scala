@@ -770,6 +770,38 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("schema evolution across versions: a widened commit serves the new " +
+      "column; time travel reads each version's own schema") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val tbl = "evolve_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 5).select(col("id"), lit("a").as("gen"))
+        .coalesce(1).write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).columns.toSeq === Seq("id", "gen"))
+    // v2 widens the schema with a new column.
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(5, 9).select(col("id"), lit("b").as("gen"),
+        (col("id") * 10).as("score"))
+        .coalesce(1).write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).columns.toSeq === Seq("id", "gen", "score"),
+      "the evolved column must be visible after the widening commit")
+    assert(spark.table(tbl).agg(sum(col("score"))).collect()(0).getLong(0)
+      === (5L to 8L).map(_ * 10).sum)
+    // Time travel: version directories are immutable and footer-schema'd,
+    // so reading v1's resolved directory returns v1's OWN (narrower)
+    // schema, untouched by the evolution.
+    val v1dir = SnapshotCommit.resolveDir(spark, tbl, 1L).get
+    assert(spark.read.parquet(v1dir.toString).columns.toSeq ===
+      Seq("id", "gen"))
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("finalization rename race: a concurrent register() completing the " +
       "winner's rename must read as success, not FileNotFoundException") {
     // Two processes legally race the SAME staging -> v<N> rename: the
