@@ -549,11 +549,24 @@ object PipelineQueries {
     Streams.streamDedupGate(s, d)
   }
 
+  // ---- st18: streaming observed metrics ----
+  // [[graft.streaming.Streams.streamObservedMetrics]]: per-micro-batch
+  // CollectMetrics counters folded into job totals — dq2's streaming
+  // half. DECIMAL partials make the totals batching-independent.
+  val st18StreamObserve = withOracle(
+    "st18_stream_observe",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events""".stripMargin) { (s, d) =>
+    Streams.streamObservedMetrics(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
       m5AudioSegments, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
-      st16SessionTimeoutTws, st17DedupGate)
+      st16SessionTimeoutTws, st17DedupGate, st18StreamObserve)
 }

@@ -810,6 +810,47 @@ object Streams {
       .parquet(dir.toString)
   }
 
+  /** Streaming observed metrics — the monitoring counters a production
+    * ingest publishes per micro-batch without a second pass over the
+    * data: `observe` plants a CollectMetrics barrier in the streaming
+    * plan, every micro-batch's StreamingQueryProgress carries that
+    * batch's aggregate row, and the caller folds the per-batch rows into
+    * job totals. The batch analogue is dq2 (Observation); streaming
+    * `observe` is the half the Observation helper does NOT support —
+    * progress events are the only channel. The value sum aggregates as
+    * DECIMAL so per-batch partials are exact and their cross-batch fold
+    * is order-independent: totals equal the batch oracle however the
+    * input was micro-batched (4 throttled batches here). Scale: the
+    * metrics ride the stream's own stages — zero extra reads, one
+    * aggregate row per batch on the driver.
+    */
+  def streamObservedMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val observed = eventsStream(ss, sfDir, splitFiles = 4,
+      maxFilesPerTrigger = 1)
+      .observe("st18_obs",
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+        max(col("user_id")).as("max_user"))
+    val q = observed.writeStream
+      .format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Fold the per-batch metric rows (bounded: one small row per batch).
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("st18_obs")))
+    val nRows = rows.map(_.getAs[Long]("n_rows")).sum
+    val sumValue = rows.flatMap(r =>
+        Option(r.getAs[java.math.BigDecimal]("sum_value")))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val maxUser = rows.flatMap(r => Option(r.getAs[Any]("max_user")))
+      .map(_.asInstanceOf[Long]).max
+    import ss.implicits._
+    Seq((nRows, sumValue.doubleValue(), maxUser))
+      .toDF("n_rows", "sum_value", "max_user")
+  }
+
   final case class DocAdmit(doc_id: Long, fp: Long)
 
   /** Streaming content-dedup ADMISSION GATE over a document ingest — the
