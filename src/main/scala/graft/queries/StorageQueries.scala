@@ -398,9 +398,47 @@ object StorageQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("total"))
   }
 
+  /** b10 — schema evolution across committed snapshot versions, under
+    * the driver's correctness gate (StorageSpec pins the mechanics; this
+    * entry makes the driver's DuckDB hash check exercise them end to
+    * end). v1 commits a 2-column slice of orders, v2 commits a WIDENED
+    * 3-column slice; the entry reads the registered table after the
+    * widening commit — the evolved column must be visible and the rows
+    * must be exactly v2's (snapshot semantics: v2 replaces v1). Without
+    * the pointAt footer-schema re-declare this returns the old 2-column
+    * shape and hash-fails. Rebuilt per run so the version history is
+    * deterministic.
+    */
+  val b10SchemaEvolution = withOracle(
+    "b10_schema_evolution",
+    """SELECT o_orderkey,
+      |       CAST(o_totalprice AS DOUBLE) AS total,
+      |       o_orderpriority AS priority
+      |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin) { (s, d) =>
+    val tbl = s"orders_evolve_${sfName(d)}"
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.parquet(dir)
+    }
+    graft.storage.SnapshotCommit.register(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d).filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("total"),
+          col("o_orderpriority").as("priority"))
+        .write.parquet(dir)
+    }
+    graft.storage.SnapshotCommit.register(s, tbl)
+    s.table(tbl)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
-      b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe)
+      b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping
