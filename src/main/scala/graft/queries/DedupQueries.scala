@@ -445,8 +445,45 @@ object DedupQueries {
       k = 15)
   }
 
+  // ---- d13: fuzzy name matching (edit distance <= 1) ----
+  // Entity-resolution dedup over DISTINCT names with the deletion-
+  // neighborhood blocking scheme (the spell-correction/entity-dedup
+  // standard): each name emits itself plus its |name| one-character-
+  // deletion variants; two names within edit distance 1 ALWAYS share a
+  // variant (substitution -> both delete position i; insert/delete ->
+  // the shorter string IS a variant of the longer), so the equi-join on
+  // variants is a complete candidate generator — O(len) rows per name,
+  // shuffle on the variant hash, NO all-pairs term. Colliding-but-
+  // distant pairs ("ab"/"ba" share deletion variants at ed 2) are
+  // removed by the exact levenshtein verify on candidates only. The
+  // oracle brute-forces all distinct-name pairs (64 names here; the
+  // Spark side never does). 8 true pairs at sf0.01 — the match path
+  // binds; the verify filter also binds (variant collisions at ed 2).
+  val d13FuzzyNameMatch = withOracle(
+    "d13_fuzzy_name_match",
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    def variants(c: org.apache.spark.sql.Column) =
+      concat(array(c), transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val va = names.select(col("p_name").as("name_a"),
+      explode(array_distinct(variants(col("p_name")))).as("v"))
+    val vb = names.select(col("p_name").as("name_b"),
+      explode(array_distinct(variants(col("p_name")))).as("v"))
+    va.join(vb, va("v") === vb("v") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(d1Exact, d2Jaccard, d3Minhash, d4Simhash, d5EmbedNearDup,
       d6DupClusters, d7EmbedClusters, d8Decontaminate, d9BloomDecontaminate,
-      d10PassageDedup, d11SemDedup, d12SubstringDedup)
+      d10PassageDedup, d11SemDedup, d12SubstringDedup, d13FuzzyNameMatch)
 }
