@@ -671,9 +671,58 @@ object Relational3 {
         .cast("double"))
   }
 
+  // ---- w12: time-series gap fill (hourly spine + forward fill) ----
+  // The dashboard/feature-store densification op: per user, an hourly
+  // spine spans first to last activity, observed hours carry their
+  // exact hourly sum (DECIMAL partials -> double), and gaps forward-
+  // fill the last observed value (last_value IGNORE NULLS over an
+  // unbounded-preceding frame). 95,604 of 105,171 spine rows are filled
+  // gaps at sf0.01 — the fill path dominates. Scale: the spine is the
+  // OUTPUT (dense series is the point), generated per user by one
+  // sequence() expression — users x hours rows, no shuffle beyond the
+  // per-user window; the hourly aggregate rides one shuffle.
+  val w12ForwardFill = withOracle(
+    "w12_forward_fill",
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |j AS (
+      |  SELECT s.user_id, s.h, e.hv FROM spine s
+      |  LEFT JOIN e ON e.user_id = s.user_id AND e.h = s.h),
+      |f AS (
+      |  SELECT user_id, h, hv,
+      |         last_value(hv IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY h
+      |           ROWS UNBOUNDED PRECEDING) AS filled
+      |  FROM j)
+      |SELECT user_id, CAST(epoch_ns(h) // 1000 AS BIGINT) AS hour_us,
+      |       hv, filled
+      |FROM f""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(e, Seq("user_id", "h"), "left")
+      .withColumn("filled", last(col("hv"), ignoreNulls = true).over(w))
+      .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
+        col("hv"), col("filled"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
-      w11EventPattern, e5TransitionMatrix)
+      w11EventPattern, e5TransitionMatrix, w12ForwardFill)
 }
