@@ -436,9 +436,50 @@ object StorageQueries {
     s.table(tbl)
   }
 
+  /** b11 — zero-copy SHALLOW CLONE under the hash gate: the source
+    * commits a slice and takes a DV delete, the clone is taken, then
+    * the SOURCE takes a second delete — and the entry reads the CLONE,
+    * which must show exactly the state at clone time (first delete
+    * applied, second invisible: table-level snapshot isolation). The
+    * clone carries data files by hard link (zero bytes copied) and the
+    * DV sidecar by the same mechanism; DV coordinates key on file NAME,
+    * which the carry preserves, so the cloned vectors bind to the
+    * cloned files. Rebuilt per run for a deterministic history.
+    */
+  val b11ShallowClone = withOracle(
+    "b11_shallow_clone",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0 AND NOT (o_orderkey % 9 = 0)""".stripMargin) {
+    (s, d) =>
+      val src = s"orders_clsrc_${sfName(d)}"
+      val cln = s"orders_cldst_${sfName(d)}"
+      Seq(src, cln).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+        graft.storage.SnapshotCommit.destroy(s, s"${t}__dv")
+        graft.storage.SnapshotCommit.destroy(s, t)
+        graft.core.CatalogUtil.dropOrphanLocation(s, t)
+      }
+      graft.storage.SnapshotCommit.commit(s, src) { dir =>
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("total"))
+          .write.parquet(dir)
+      }
+      graft.storage.SnapshotCommit.register(s, src)
+      graft.storage.DeletionVectors.delete(s, src, col("o_orderkey") % 9 === 0)
+      graft.storage.SnapshotCommit.clone(s, src, cln)
+      // Post-clone divergence: the source deletes MORE; the clone must
+      // not see it.
+      graft.storage.DeletionVectors.delete(s, src, col("o_orderkey") % 6 === 0)
+      graft.storage.DeletionVectors.read(s, cln)
+        .select(col("o_orderkey"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
-      b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution)
+      b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
+      b11ShallowClone)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

@@ -914,6 +914,48 @@ object SnapshotCommit {
     if (fs.exists(root)) fs.delete(root, true)
   }
 
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE ... CLONE src`):
+    * publish the source's CURRENT data files as the next version of
+    * `dst` without copying a byte — every file carries ([[carry]]: hard
+    * link in link mode, a `.graftref` manifest pointer in manifest
+    * mode). The deletion-vector sidecar rides INSIDE the version
+    * directory (`_dv/` — see DeletionVectors), so its files carry too:
+    * DV coordinates key on data-file NAME, which the carry preserves,
+    * and the clone's visible rows therefore equal the source's at clone
+    * time; afterwards the two tables diverge freely (deletes or commits
+    * on either side never touch the other — snapshot isolation at the
+    * table level). Independence caveat, same as
+    * Delta's: in link mode the clone holds its own directory entries
+    * (inodes survive a source VACUUM); in manifest mode the clone's
+    * refs point at source-owned physical files, so it is durable only
+    * until the source vacuums them — deep-copy (a plain CTAS) is the
+    * escape hatch there.
+    */
+  def clone(spark: SparkSession, src: String, dst: String): Path = {
+    val v = register(spark, src).getOrElse(
+      sys.error(s"clone source $src has no published version"))
+    val srcDir = resolveDir(spark, src, v).getOrElse(
+      sys.error(s"clone source $src v$v has no directory"))
+    val files = listData(spark, srcDir)
+    val fs = fsOf(spark, srcDir)
+    val dv = new Path(srcDir, "_dv")
+    val dvFiles: Seq[Path] =
+      if (!fs.exists(dv)) Seq.empty
+      else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+    val published = commit(spark, dst) { stage =>
+      val stageP = new Path(stage)
+      files.foreach { case (name, p) =>
+        carry(spark, p, new Path(stageP, name))
+      }
+      dvFiles.foreach { p =>
+        carry(spark, p, new Path(new Path(stageP, "_dv"), p.getName))
+      }
+    }
+    register(spark, dst)
+    published
+  }
+
   /** Carry an unchanged file into a staged snapshot WITHOUT disturbing
     * the live version. Link mode: hard link on a local filesystem (a
     * directory entry, no IO), copy elsewhere; never a rename — the

@@ -802,6 +802,46 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("shallow clone is zero-copy (shared inodes) and survives a source " +
+      "vacuum") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val src = "clone_src_tbl"; val dst = "clone_dst_tbl"
+    Seq(src, dst).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      SnapshotCommit.destroy(spark, t)
+    }
+    SnapshotCommit.commit(spark, src) { dir =>
+      spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(2).write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, src)
+    DeletionVectors.delete(spark, src, col("id") % 10 === 0)
+    SnapshotCommit.clone(spark, src, dst)
+    // Zero-copy: every cloned data file shares its inode with the source
+    // file (a hard link, not a byte copy).
+    def fileKeys(t: String) =
+      SnapshotCommit.dataFiles(spark, t).map { case (n, p) =>
+        n -> java.nio.file.Files.readAttributes(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+      }.toMap
+    val srcKeys = fileKeys(src); val dstKeys = fileKeys(dst)
+    assert(dstKeys.nonEmpty && dstKeys.forall { case (n, k) =>
+      srcKeys.get(n).contains(k)
+    }, s"clone files are copies, not links: src=$srcKeys dst=$dstKeys")
+    // Divergence + durability: more deletes on src, then a vacuum that
+    // rewrites/collects source files — the clone's hard links must keep
+    // its bytes alive and its visible rows unchanged.
+    DeletionVectors.delete(spark, src, col("id") % 7 === 0)
+    DeletionVectors.vacuum(spark, src, cutoff = 2L)
+    val cloneRows = DeletionVectors.read(spark, dst)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(cloneRows === (0L until 100L).filterNot(_ % 10 == 0).toSet,
+      "clone must show exactly the clone-time state after source vacuum")
+    Seq(src, dst).foreach(SnapshotCommit.destroy(spark, _))
+  }
+
   test("finalization rename race: a concurrent register() completing the " +
       "winner's rename must read as success, not FileNotFoundException") {
     // Two processes legally race the SAME staging -> v<N> rename: the
