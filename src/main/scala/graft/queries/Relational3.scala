@@ -720,9 +720,65 @@ object Relational3 {
         col("hv"), col("filled"))
   }
 
+  // ---- e6: RFM customer segmentation ----
+  // The e-commerce consumption-layer staple: per customer, Recency
+  // (days since last order, against the corpus max date), Frequency
+  // (order count) and Monetary (exact DECIMAL revenue sum), each cut
+  // into quartiles by ntile(4) over a TOTAL order (metric + custkey
+  // tie-break, so every quartile is engine-deterministic), composed
+  // into the classic 3-digit segment code. The quartile windows are
+  // global by definition — at 100 TB the cut points would come from a
+  // broadcast percentile sketch (t12's shape) instead of a single-
+  // partition window; the oracle needs the exact ntile, so this entry
+  // keeps it (customers are 2-3 orders of magnitude fewer than orders).
+  val e6RfmSegments = withOracle(
+    "e6_rfm_segments",
+    """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      |c AS (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day', max(o_orderdate), mx.maxd) AS BIGINT)
+      |           AS r_days,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS monetary
+      |  FROM orders, mx GROUP BY o_custkey, mx.maxd),
+      |q AS (
+      |  SELECT o_custkey, r_days, n_orders, monetary,
+      |         CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS BIGINT)
+      |           AS r_q,
+      |         CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+      |              AS BIGINT) AS f_q,
+      |         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+      |              AS BIGINT) AS m_q
+      |  FROM c)
+      |SELECT o_custkey, r_days, n_orders, monetary, r_q, f_q, m_q,
+      |       r_q * 100 + f_q * 10 + m_q AS segment
+      |FROM q""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, d)
+    val mx = orders.agg(max(col("o_orderdate")).as("maxd"))
+    val c = orders.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"), col("maxd"))
+      .agg(datediff(max(col("maxd")), max(col("o_orderdate")))
+        .cast("long").as("r_days"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+    c.select(col("o_custkey"), col("r_days"), col("n_orders"),
+        col("monetary"),
+        ntile(4).over(Window.orderBy(col("r_days"), col("o_custkey")))
+          .cast("long").as("r_q"),
+        ntile(4).over(Window.orderBy(col("n_orders").desc, col("o_custkey")))
+          .cast("long").as("f_q"),
+        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+          .cast("long").as("m_q"))
+      .withColumn("segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
-      w11EventPattern, e5TransitionMatrix, w12ForwardFill)
+      w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments)
 }
