@@ -476,10 +476,44 @@ object StorageQueries {
         .select(col("o_orderkey"), col("total"))
   }
 
+  /** b12 — OPTIMIZE (small-file compaction) under the hash gate: a
+    * table committed as many tiny files, with a DV delete layered on,
+    * is compacted to the target file size — and the read-back must be
+    * value-identical, which pins the subtle half of compaction: the
+    * rewrite FOLDS the deletion vectors into the compacted files (rows
+    * deleted pre-compact must not resurrect once their tombstones'
+    * file-name coordinates stop matching the rewritten files).
+    * StorageSpec proves the file-count mechanics; this entry makes the
+    * driver's DuckDB hash check exercise the fold end to end.
+    */
+  val b12Compaction = withOracle(
+    "b12_compaction",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 AND NOT (o_orderkey % 10 = 0)""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_compact_${sfName(d)}"
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+      graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("total"))
+          .repartition(16) // the small-file problem, manufactured
+          .write.parquet(dir)
+      }
+      graft.storage.SnapshotCommit.register(s, tbl)
+      graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 10 === 0)
+      graft.storage.Optimize.compact(s, tbl)
+      graft.storage.DeletionVectors.read(s, tbl)
+        .select(col("o_orderkey"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
-      b11ShallowClone)
+      b11ShallowClone, b12Compaction)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping
