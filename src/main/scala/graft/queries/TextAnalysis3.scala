@@ -349,8 +349,13 @@ object TextAnalysis3 {
   // scale. The packing window shares c3's design point: one sequential
   // pass per SOURCE (the curriculum order a packer must serialize
   // anyway); sources are the parallel unit.
-  val t16BpeApply = withOracle(
-    "t16_bpe_apply",
+  /** The BPE induce-encode-apply-count oracle prefix t16 AND c12 share
+    * — ONE copy (the QuerySpec.OracleSql discipline), ending at a `tok`
+    * CTE of (doc_id, source, lang, n_words, n_tokens) per document.
+    * `lang`/`n_words` ride along unused by t16's packing tail; c12's
+    * fertility tail groups on them.
+    */
+  private val BpeTokCte =
     """WITH RECURSIVE
       |words AS (
       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -369,15 +374,17 @@ object TextAnalysis3 {
       |  WHERE rnk <= 30),
       |nr AS (SELECT count(*) AS n FROM merges),
       |enc AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, source, lang,
+      |    CAST(length(string_split_regex(lower(text), '\s+')) AS BIGINT)
+      |      AS n_words,
       |    array_to_string(list_transform(string_split_regex(lower(text), '\s+'),
       |      w -> chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g')),
       |      chr(30)) AS s
       |  FROM documents),
       |apply AS (
-      |  SELECT doc_id, source, s, 1 AS rule FROM enc
+      |  SELECT doc_id, source, lang, n_words, s, 1 AS rule FROM enc
       |  UNION ALL
-      |  SELECT a.doc_id, a.source,
+      |  SELECT a.doc_id, a.source, a.lang, a.n_words,
       |    replace(a.s,
       |      chr(31) || substring(m.pair, 1, 1) || chr(31) ||
       |        substring(m.pair, 2, 1) || chr(31),
@@ -389,11 +396,34 @@ object TextAnalysis3 {
       |    THEN a.rule + 1 ELSE a.rule END AS rule
       |  FROM apply a JOIN merges m ON m.rnk = a.rule),
       |tok AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, source, lang, n_words,
       |    CAST(length(s) - length(replace(s, chr(31), '')) - 1
       |         - (length(s) - length(replace(s, chr(30), ''))) AS BIGINT)
       |      AS n_tokens
-      |  FROM apply, nr WHERE rule = nr.n + 1),
+      |  FROM apply, nr WHERE rule = nr.n + 1)""".stripMargin
+
+  /** Merge-table induction: t13's exact aggregation, ranked and
+    * collected as the bounded literal the apply expression embeds —
+    * the ONE Spark-side copy t16 and c12 share. */
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[String] = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  val t16BpeApply = withOracle(
+    "t16_bpe_apply",
+    s"""$BpeTokCte,
       |o AS (
       |  SELECT doc_id, source, n_tokens,
       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -404,20 +434,7 @@ object TextAnalysis3 {
       |       CAST(off // 2048 AS BIGINT) AS seq_id,
       |       CAST(off % 2048 AS BIGINT) AS pos_in_seq
       |FROM o""".stripMargin) { (s, d) =>
-    // Merge-table induction: t13's exact aggregation, ranked and
-    // collected as the bounded literal the apply expression embeds.
-    val vocab = Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) >= 2)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val merges: Seq[String] = vocab
-      .select(explode(expr(
-        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
-        .as("pair"), col("cnt"))
-      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
-      .orderBy(col("n").desc, col("pair"))
-      .limit(30)
-      .collect().map(_.getString(0)).toSeq
+    val merges = bpeMerges(s, d)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -540,7 +557,43 @@ object TextAnalysis3 {
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
   }
 
+  // ---- c12: tokenizer fertility per language ----
+  // The tokenizer-EVAL metric every multilingual pipeline tracks:
+  // fertility = BPE tokens per whitespace word, per language — a
+  // tokenizer whose merges were induced on one language family inflates
+  // token counts (and training cost) on the others, and this table is
+  // how that is caught. Composes the catalog's own pieces: the t13/t16
+  // merge induction (shared [[bpeMerges]], collected once as a bounded
+  // literal) and the native BpeTokenCount apply, then one lang-keyed
+  // aggregation of exact integer token/word counts; fertility is the
+  // deterministic long-over-long double division. Oracle shares t16's
+  // recursive-CTE replay verbatim ([[BpeTokCte]] — one copy, no drift).
+  val c12TokenizerFertility = withOracle(
+    "c12_tokenizer_fertility",
+    s"""$BpeTokCte
+      |SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens,
+      |       CAST(sum(n_words) AS BIGINT) AS words,
+      |       CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+      |         AS fertility
+      |FROM tok GROUP BY lang""".stripMargin) { (s, d) =>
+    val merges = bpeMerges(s, d)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        bpeTokenCount(split(lower(col("text")), "\\s+"), merges)
+          .as("n_tokens"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bpe_tokens"),
+        sum(col("n_words")).as("words"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("words").cast("double"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
-      t16BpeApply, t17ClassifierGate, c9EpochOversample, t18NgramNovelty)
+      t16BpeApply, t17ClassifierGate, c9EpochOversample, t18NgramNovelty,
+      c12TokenizerFertility)
 }
