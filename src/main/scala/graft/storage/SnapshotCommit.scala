@@ -932,28 +932,49 @@ object SnapshotCommit {
     * escape hatch there.
     */
   def clone(spark: SparkSession, src: String, dst: String): Path = {
-    val v = register(spark, src).getOrElse(
-      sys.error(s"clone source $src has no published version"))
-    val srcDir = resolveDir(spark, src, v).getOrElse(
-      sys.error(s"clone source $src v$v has no directory"))
-    val files = listData(spark, srcDir)
-    val fs = fsOf(spark, srcDir)
-    val dv = new Path(srcDir, "_dv")
-    val dvFiles: Seq[Path] =
-      if (!fs.exists(dv)) Seq.empty
-      else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
-        .filterNot(_.getName.startsWith("."))
-    val published = commit(spark, dst) { stage =>
-      val stageP = new Path(stage)
-      files.foreach { case (name, p) =>
-        carry(spark, p, new Path(stageP, name))
-      }
-      dvFiles.foreach { p =>
-        carry(spark, p, new Path(new Path(stageP, "_dv"), p.getName))
+    // Bounded rebase-retry: the carry below reads version v's files
+    // while concurrent SOURCE writers may commit past it — prune
+    // retains only (current, current-1), so TWO commits landing
+    // mid-carry can delete v's directory under us. A failed carry
+    // aborts the commit (its staged dir is discarded) and the retry
+    // re-resolves the NOW-current version; the published clone is
+    // always a version that was intact throughout its carry.
+    var attempts = 3
+    var lastErr: Throwable = null
+    while (attempts > 0) {
+      attempts -= 1
+      val v = register(spark, src).getOrElse(
+        sys.error(s"clone source $src has no published version"))
+      val srcDir = resolveDir(spark, src, v).getOrElse(
+        sys.error(s"clone source $src v$v has no directory"))
+      val files = listData(spark, srcDir)
+      val fs = fsOf(spark, srcDir)
+      val dv = new Path(srcDir, "_dv")
+      val dvFiles: Seq[Path] =
+        if (!fs.exists(dv)) Seq.empty
+        else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
+          .filterNot(_.getName.startsWith("."))
+      scala.util.Try {
+        val published = commit(spark, dst) { stage =>
+          val stageP = new Path(stage)
+          files.foreach { case (name, p) =>
+            carry(spark, p, new Path(stageP, name))
+          }
+          dvFiles.foreach { p =>
+            carry(spark, p, new Path(new Path(stageP, "_dv"), p.getName))
+          }
+        }
+        register(spark, dst)
+        published
+      } match {
+        case scala.util.Success(p) => return p
+        case scala.util.Failure(e) =>
+          lastErr = e
+          System.err.println(
+            s"[snapshot] clone of $src v$v interrupted, rebasing: $e")
       }
     }
-    register(spark, dst)
-    published
+    throw lastErr
   }
 
   /** Carry an unchanged file into a staged snapshot WITHOUT disturbing
