@@ -206,4 +206,41 @@ class PropertySpec extends SparkSpec {
       assert(visible === expected, s"case $i diverged")
     }
   }
+
+  test("substringDedup: survivors are token subsequences, counts " +
+      "reconcile, and an all-distinct corpus passes through unchanged") {
+    val corpus = samples(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, col("text"), col("doc_id"), k = 3)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val orig = corpus.map { case (id, t) =>
+      id -> t.trim.split(" +").filter(_.nonEmpty).toSeq
+    }.toMap
+    out.foreach { case (id, (clean, n)) =>
+      val toks = clean.split(" ").filter(_.nonEmpty).toSeq
+      assert(toks.size.toLong === n, s"doc $id count mismatch")
+      // clean tokens must be a SUBSEQUENCE of the original tokens.
+      var i = 0
+      orig(id).foreach { t => if (i < toks.size && toks(i) == t) i += 1 }
+      assert(i === toks.size, s"doc $id output is not a subsequence")
+    }
+    // Absent docs either never had a token (nothing to emit) or lost
+    // every position to coverage — which needs at least k tokens; a doc
+    // with 1..k-1 tokens has no windows and must survive whole.
+    (orig.keySet -- out.keySet).foreach { id =>
+      assert(orig(id).isEmpty || orig(id).size >= 3,
+        s"doc $id vanished with 1..k-1 tokens")
+    }
+    // An all-distinct corpus (every window unique by construction:
+    // per-doc nonce token between every word) passes through unchanged.
+    val distinct = (0L until 30L)
+      .map(i => (i, (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val untouched = Dedup.substringDedup(distinct, col("text"),
+      col("doc_id"), k = 3).count()
+    assert(untouched === 30L)
+  }
 }
