@@ -954,6 +954,7 @@ object SnapshotCommit {
         if (!fs.exists(dv)) Seq.empty
         else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
           .filterNot(_.getName.startsWith("."))
+      failpoint("clone") // resolved v, not yet carried — the race window
       scala.util.Try {
         val published = commit(spark, dst) { stage =>
           val stageP = new Path(stage)

@@ -842,6 +842,42 @@ class StorageSpec extends SparkSpec {
     Seq(src, dst).foreach(SnapshotCommit.destroy(spark, _))
   }
 
+  test("clone rebases when concurrent source commits prune its resolved " +
+      "version mid-carry") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val src = "clone_race_src"; val dst = "clone_race_dst"
+    Seq(src, dst).foreach(SnapshotCommit.destroy(spark, _))
+    def commitGen(gen: String): Unit = {
+      SnapshotCommit.commit(spark, src) { dir =>
+        spark.range(0, 20).select(col("id"), lit(gen).as("gen"))
+          .coalesce(1).write.parquet(dir)
+      }
+      ()
+    }
+    commitGen("v1")
+    val raced = new java.util.concurrent.atomic.AtomicInteger(0)
+    SnapshotCommit.failpoint = s =>
+      if (s == "clone" && raced.getAndIncrement() == 0) {
+        // The race: after the clone resolved the current version but
+        // before it carried a byte, source writers land TWO commits —
+        // prune retains (current, current-1), deleting the version the
+        // clone resolved. The first carry must fail and rebase.
+        SnapshotCommit.failpoint = _ => () // the retry runs unharassed
+        commitGen("v2")
+        commitGen("v3")
+      }
+    try SnapshotCommit.clone(spark, src, dst)
+    finally SnapshotCommit.failpoint = _ => ()
+    assert(raced.get() >= 1, "the race window never fired")
+    SnapshotCommit.register(spark, dst)
+    // The published clone is the version that was intact through its
+    // carry — the post-race current one.
+    assert(spark.table(dst).select("gen").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("v3"))
+    Seq(src, dst).foreach(SnapshotCommit.destroy(spark, _))
+  }
+
   test("finalization rename race: a concurrent register() completing the " +
       "winner's rename must read as success, not FileNotFoundException") {
     // Two processes legally race the SAME staging -> v<N> rename: the
