@@ -413,6 +413,26 @@ class PlanSpec extends SparkSpec {
       s"dim side broadcast — salting under test is vacuous:\n$plan")
   }
 
+  test("d12_substring_dedup: every join is equi — no nested loop, no " +
+      "cartesian, and no corpus-wide unpartitioned window") {
+    // The ExactSubstr shape's scale contract: the first-wins window
+    // partitions on (hash, window text), the dropped-position anti-join
+    // is an equi-join on (doc_id, idx) — a plan regression to a
+    // nested-loop/cartesian (e.g. a broken join condition) or to an
+    // un-partitioned window would turn the linear pipeline quadratic
+    // or single-partition.
+    val df = Catalog.queries("d12_substring_dedup")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d12 planned a non-equi join:\n$plan")
+    assert(!plan.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      s"d12 planned an un-partitioned window:\n$plan")
+  }
+
   test("c10_rag_assembly: the documents scan never shuffles — only the " +
       "per-query top-k does") {
     // The assembly stages (metadata join, source cap, budget pack)
