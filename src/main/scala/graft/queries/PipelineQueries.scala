@@ -540,7 +540,7 @@ object PipelineQueries {
     s"""WITH t AS (
        |  SELECT doc_id,
        |         array_to_string(list_filter(
-       |           string_split_regex(trim(text), ' +'),
+       |           string_split_regex(trim(coalesce(text, '')), ' +'),
        |           x -> length(x) > 0)[1:15], ' ') AS head
        |  FROM documents)
        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

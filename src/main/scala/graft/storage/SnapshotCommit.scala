@@ -747,11 +747,27 @@ object SnapshotCommit {
             // property — where a DROP + CREATE would mint a new
             // incarnation and lose properties. (ALTER ... REPLACE
             // COLUMNS would be the SQL spelling, but it is v2-only.)
+            // NARROWING/RENAMING commits (and RESTORE to a pre-widening
+            // version, which moves the location BACKWARD) fail that
+            // API's no-dropped-columns validation — and by this point
+            // the new pointer is already published, so throwing here
+            // would brick the table for every later register()/read.
+            // Fall back to recreating the entry with the SAME metadata
+            // (properties, incarnation UUID — the table's identity
+            // continues; this is a re-declare, not a destroy/rebuild).
             val actual = spark.read.parquet(loc.toString).schema
-            if (cat.schema != actual)
-              spark.sessionState.catalog.alterTableDataSchema(
-                org.apache.spark.sql.catalyst.TableIdentifier(table),
-                actual)
+            if (cat.schema != actual) {
+              val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+              val sc = spark.sessionState.catalog
+              scala.util.Try(sc.alterTableDataSchema(id, actual))
+                .recover { case _ =>
+                  sc.dropTable(id, ignoreIfNotExists = false, purge = false)
+                  sc.createTable(cat.copy(schema = actual,
+                    storage = cat.storage.copy(
+                      locationUri = Some(loc.toUri))),
+                    ignoreIfExists = false)
+                }.get
+            }
             spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
           }
           // REFRESH even when the location already matches: a concurrent
@@ -956,17 +972,29 @@ object SnapshotCommit {
           .filterNot(_.getName.startsWith("."))
       failpoint("clone") // resolved v, not yet carried — the race window
       scala.util.Try {
-        val published = commit(spark, dst) { stage =>
+        // commit()'s won-claim tail already registers dst — no extra
+        // register here (inside the retry a transient post-publish
+        // failure would re-carry and publish a duplicate version).
+        commit(spark, dst) { stage =>
           val stageP = new Path(stage)
           files.foreach { case (name, p) =>
             carry(spark, p, new Path(stageP, name))
           }
           dvFiles.foreach { p =>
-            carry(spark, p, new Path(new Path(stageP, "_dv"), p.getName))
+            // Sidecars are metadata-sized: COPY them even in manifest
+            // mode. carry()'s ref pointers are resolved by listData on
+            // the DATA path, but the DV read path registers a parquet
+            // table directly over _dv and would choke on .graftref
+            // text files.
+            if (manifestMode(spark))
+              org.apache.hadoop.fs.FileUtil.copy(
+                fsOf(spark, p), p, fsOf(spark, stageP),
+                new Path(new Path(stageP, "_dv"), p.getName), false,
+                spark.sparkContext.hadoopConfiguration)
+            else
+              carry(spark, p, new Path(new Path(stageP, "_dv"), p.getName))
           }
         }
-        register(spark, dst)
-        published
       } match {
         case scala.util.Success(p) => return p
         case scala.util.Failure(e) =>

@@ -118,24 +118,7 @@ object Streams {
             else src.repartition(splitFiles)
           val out = gen.resolve("events")
           parts.write.mode("overwrite").parquet(out.toString)
-          if (orderedSplit) {
-            val files = java.nio.file.Files.list(out).iterator()
-            val names = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-            while (files.hasNext) {
-              val p = files.next()
-              if (p.getFileName.toString.endsWith(".parquet")) names += p
-            }
-            val base = System.currentTimeMillis()
-            names.sortBy(_.getFileName.toString).zipWithIndex.foreach {
-              case (p, i) =>
-                java.nio.file.Files.setLastModifiedTime(p,
-                  java.nio.file.attribute.FileTime.fromMillis(
-                    base + (i + 1) * 2000L))
-            }
-            val done = out.resolve("_graft_ordered")
-            if (!java.nio.file.Files.exists(done))
-              java.nio.file.Files.createFile(done)
-          }
+          if (orderedSplit) stampOrdered(out)
         }.resolve("events")
       } else {
         val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
@@ -155,6 +138,38 @@ object Streams {
     // Shared ts normalization with the batch reader — one dispatch for
     // both paths, so a new generator encoding can never diverge them.
     graft.core.Tables.normalizeTs(stream)
+  }
+
+  /** Stamp a split directory's part files with STRICTLY INCREASING
+    * mtimes in name order, then touch the `_graft_ordered` marker — the
+    * ONE copy of the total-order trick both ordered splits (events by
+    * ts, documents by doc_id) rely on. The file source orders new files
+    * by modification time and breaks ties ARBITRARILY, so distinct
+    * stamps make consumption order total; the marker is created LAST so
+    * a crash mid-stamping can never cache an unordered generation
+    * (parquet's _SUCCESS lands before this runs — see the ensure
+    * call sites, which key their markers on `_graft_ordered`).
+    */
+  private def stampOrdered(out: java.nio.file.Path): Unit = {
+    val listing = java.nio.file.Files.list(out)
+    val names = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    try {
+      val files = listing.iterator()
+      while (files.hasNext) {
+        val p = files.next()
+        if (p.getFileName.toString.endsWith(".parquet")) names += p
+      }
+    } finally listing.close()
+    val base = System.currentTimeMillis()
+    names.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+      case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            base + (i + 1) * 2000L))
+    }
+    val done = out.resolve("_graft_ordered")
+    if (!java.nio.file.Files.exists(done))
+      java.nio.file.Files.createFile(done)
   }
 
   /** Run a finite (AvailableNow) stream into a memory sink, return it.
@@ -788,22 +803,7 @@ object Streams {
       val out = gen.resolve("documents")
       src.repartitionByRange(splitFiles, col("doc_id"))
         .write.mode("overwrite").parquet(out.toString)
-      val files = java.nio.file.Files.list(out).iterator()
-      val names = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-      while (files.hasNext) {
-        val p = files.next()
-        if (p.getFileName.toString.endsWith(".parquet")) names += p
-      }
-      val base = System.currentTimeMillis()
-      names.sortBy(_.getFileName.toString).zipWithIndex.foreach {
-        case (p, i) =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              base + (i + 1) * 2000L))
-      }
-      val done = out.resolve("_graft_ordered")
-      if (!java.nio.file.Files.exists(done))
-        java.nio.file.Files.createFile(done)
+      stampOrdered(out)
     }.resolve("documents")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -838,16 +838,23 @@ object Streams {
       .start()
     q.awaitTermination()
     // Fold the per-batch metric rows (bounded: one small row per batch).
+    // Empty-input honesty: with zero rows overall, sum/max fold to NONE
+    // and emit NULL — exactly the batch oracle's aggregates over an
+    // empty table (a .max on the empty Seq would instead crash).
     val rows = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("st18_obs")))
     val nRows = rows.map(_.getAs[Long]("n_rows")).sum
-    val sumValue = rows.flatMap(r =>
-        Option(r.getAs[java.math.BigDecimal]("sum_value")))
-      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
-    val maxUser = rows.flatMap(r => Option(r.getAs[Any]("max_user")))
-      .map(_.asInstanceOf[Long]).max
+    val sums = rows.flatMap(r =>
+      Option(r.getAs[java.math.BigDecimal]("sum_value")))
+    val sumValue: Option[Double] =
+      if (sums.isEmpty) None
+      else Some(sums.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        .doubleValue())
+    val maxUser: Option[Long] = rows.flatMap(r =>
+      Option(r.getAs[Any]("max_user"))).map(_.asInstanceOf[Long])
+      .maxOption
     import ss.implicits._
-    Seq((nRows, sumValue.doubleValue(), maxUser))
+    Seq((nRows, sumValue, maxUser))
       .toDF("n_rows", "sum_value", "max_user")
   }
 
@@ -882,11 +889,15 @@ object Streams {
   def streamDedupGate(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = eventsSession(spark)
     import ss.implicits._
+    // NULL text coalesces to "" BEFORE hashing: DocAdmit.fp is a
+    // primitive Long, so a null hash would crash the encoder mid-batch
+    // (same defense — and same reason — as Multimodal.attachMedia; the
+    // oracle applies the identical coalesce).
     val docs = documentsStream(ss, sfDir, splitFiles = 4,
       maxFilesPerTrigger = 1)
       .select(col("doc_id"),
         graft.text.TextFunctions.rollingHash(array_join(
-          slice(filter(split(trim(col("text")), " +"),
+          slice(filter(split(trim(coalesce(col("text"), lit(""))), " +"),
             t => length(t) > 0), 1, 15), " ")).as("fp"))
       .as[DocAdmit]
     val admitted = docs.groupByKey(_.fp)

@@ -368,4 +368,35 @@ class ManifestSnapshotSpec extends SparkSpec {
       assert(state().sizeIs == 55)
     }
   }
+
+  test("clone in manifest mode: DV sidecar files COPY (the sidecar read " +
+      "path cannot resolve .graftref pointers)") {
+    withManifestMode {
+      val src = "m_clone_src"; val dst = "m_clone_dst"
+      Seq(src, dst).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+        SnapshotCommit.destroy(spark, t)
+      }
+      SnapshotCommit.commit(spark, src) { dir =>
+        spark.range(0, 40).select(col("id"), (col("id") * 3).as("v"))
+          .coalesce(1).write.parquet(dir)
+      }
+      SnapshotCommit.register(spark, src)
+      DeletionVectors.delete(spark, src, col("id") % 4 === 0)
+      SnapshotCommit.clone(spark, src, dst)
+      // The clone's _dv must hold REAL parquet (no .graftref text files)
+      // or DeletionVectors' parquet-table registration over it fails.
+      val dvDir = new org.apache.hadoop.fs.Path(
+        SnapshotCommit.currentLocation(spark, dst).get, "_dv")
+      val fs = hfs(dvDir)
+      assert(fs.exists(dvDir), "clone lost the DV sidecar")
+      assert(!fs.listStatus(dvDir).exists(
+        _.getPath.getName.endsWith(".graftref")),
+        "sidecar carried as unresolvable refs")
+      val visible = DeletionVectors.read(spark, dst)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(visible === (0L until 40L).filterNot(_ % 4 == 0).toSet)
+      Seq(src, dst).foreach(SnapshotCommit.destroy(spark, _))
+    }
+  }
 }

@@ -799,6 +799,28 @@ class StorageSpec extends SparkSpec {
     val v1dir = SnapshotCommit.resolveDir(spark, tbl, 1L).get
     assert(spark.read.parquet(v1dir.toString).columns.toSeq ===
       Seq("id", "gen"))
+    // NARROWING (the RESTORE-to-pre-widening shape): dropping a column
+    // must re-declare too — Spark's alterTableDataSchema refuses dropped
+    // columns, and a throw here would brick the table AFTER the pointer
+    // was already published (the fallback recreates the entry with the
+    // same metadata).
+    val incBefore = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get("graft.incarnation")
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(9, 12).select(col("id"))
+        .coalesce(1).write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).columns.toSeq === Seq("id"),
+      "the narrowed schema must be visible — not a stale wide one")
+    assert(spark.table(tbl).count() === 3)
+    val incAfter = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get("graft.incarnation")
+    assert(incBefore.isDefined && incBefore === incAfter,
+      "the re-declare must preserve the incarnation UUID — this is the " +
+        "same table's life, not a destroy/rebuild")
     SnapshotCommit.destroy(spark, tbl)
   }
 
