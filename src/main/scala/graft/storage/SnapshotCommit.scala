@@ -760,32 +760,69 @@ object SnapshotCommit {
               val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
               val sc = spark.sessionState.catalog
               scala.util.Try(sc.alterTableDataSchema(id, actual))
-                .recover { case _ =>
-                  sc.dropTable(id, ignoreIfNotExists = false, purge = false)
+                .recoverWith { case _ => scala.util.Try {
+                  // TOLERANT flags: pointAt is a read-path repair and
+                  // two callers legally race it — the loser's drop may
+                  // find the table gone and its create may find the
+                  // winner's already in place; neither is an error
+                  // here. A residual failure (e.g. drop succeeded,
+                  // create transiently failed — table briefly GONE) is
+                  // logged and left to this loop's next iteration,
+                  // whose CREATE IF NOT EXISTS re-establishes the
+                  // entry rather than letting the exception escape a
+                  // read.
+                  sc.dropTable(id, ignoreIfNotExists = true, purge = false)
                   sc.createTable(cat.copy(schema = actual,
                     storage = cat.storage.copy(
                       locationUri = Some(loc.toUri))),
-                    ignoreIfExists = false)
-                }.get
+                    ignoreIfExists = true)
+                }}.failed.foreach { e =>
+                  System.err.println(
+                    s"[snapshot] schema re-declare of $table failed " +
+                      s"(retrying via the repair loop): $e")
+                }
             }
-            spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
+            scala.util.Try(
+                spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'"))
+              .failed.foreach { e =>
+                // The re-declare drop/create race can momentarily
+                // remove the table under this ALTER — loop back to the
+                // CREATE arm instead of escaping a read path.
+                System.err.println(
+                  s"[snapshot] ALTER LOCATION of $table lost a repair " +
+                    s"race (retrying): $e")
+              }
+            if (catalogAligned(spark, table, loc)) {
+              spark.sql(s"REFRESH TABLE $table")
+              return
+            }
+            // Not aligned after the tolerant repair (a racing repair
+            // or a transient catalog failure): retry the loop — its
+            // CREATE IF NOT EXISTS re-establishes a vanished entry —
+            // instead of falling into the unconditional REFRESH below,
+            // which would return with a misaligned (or absent) table.
+          } else {
+            // REFRESH even when the location already matches: a
+            // concurrent winner's (ALTER, REFRESH) pair is not atomic,
+            // so a rebasing loser can observe the NEW location (and
+            // skip the ALTER) while the session's relation cache still
+            // holds the listing its own previous attempt resolved
+            // against the OLD location — its rebase would then silently
+            // merge onto stale files (measured: a real 1-in-3
+            // lost-update flake under the concurrency spec's forced
+            // rendezvous). catalogAligned inspects exactly that cache
+            // entry, so the aligned fast path above skips this branch
+            // ONLY when nothing stale can exist — turning the per-read
+            // REFRESH tax on steady-state DV reads into a metadata-only
+            // probe while keeping the rendezvous protection.
+            spark.sql(s"REFRESH TABLE $table")
+            return
           }
-          // REFRESH even when the location already matches: a concurrent
-          // winner's (ALTER, REFRESH) pair is not atomic, so a rebasing
-          // loser can observe the NEW location (and skip the ALTER) while
-          // the session's relation cache still holds the listing its own
-          // previous attempt resolved against the OLD location — its rebase
-          // would then silently merge onto stale files (measured: a real
-          // 1-in-3 lost-update flake under the concurrency spec's forced
-          // rendezvous). catalogAligned inspects exactly that cache entry,
-          // so the aligned fast path above skips this branch ONLY when
-          // nothing stale can exist — turning the per-read REFRESH tax on
-          // steady-state DV reads into a metadata-only probe while keeping
-          // the rendezvous protection.
-          spark.sql(s"REFRESH TABLE $table")
-          return
       }
     }
+    sys.error(s"pointAt($table, $loc) could not align the catalog " +
+      "after 3 repair attempts — persistent catalog failure or a " +
+      "destroy/repair livelock")
   }
 
   /** Delete snapshot directories and pointer files superseded by
@@ -951,56 +988,83 @@ object SnapshotCommit {
     // Bounded rebase-retry: the carry below reads version v's files
     // while concurrent SOURCE writers may commit past it — prune
     // retains only (current, current-1), so TWO commits landing
-    // mid-carry can delete v's directory under us. A failed carry
-    // aborts the commit (its staged dir is discarded) and the retry
-    // re-resolves the NOW-current version; the published clone is
-    // always a version that was intact throughout its carry.
+    // mid-carry can delete v's directory under us. EVERYTHING from
+    // version resolution to the carry runs inside the retried Try (a
+    // prune landing between register and resolveDir must rebase too,
+    // not escape); a failed carry aborts the commit (its staged dir is
+    // discarded) and the retry re-resolves the NOW-current version, so
+    // the published clone is always a version intact throughout its
+    // carry. In MANIFEST mode the carry is a physical COPY, not a ref:
+    // prune reference-counts only the owning table's manifests, so a
+    // cross-table ref would die on the source's next two ROUTINE
+    // commits — far weaker than Delta's explicit-VACUUM caveat. The
+    // copy keeps manifest-mode clones correct (and makes a vanished
+    // source fail loudly into the rebase) at the cost of bytes; a
+    // production object-store deployment would add cross-table
+    // reference counting to get zero-copy back.
     var attempts = 3
     var lastErr: Throwable = null
     while (attempts > 0) {
       attempts -= 1
-      val v = register(spark, src).getOrElse(
-        sys.error(s"clone source $src has no published version"))
-      val srcDir = resolveDir(spark, src, v).getOrElse(
-        sys.error(s"clone source $src v$v has no directory"))
-      val files = listData(spark, srcDir)
-      val fs = fsOf(spark, srcDir)
-      val dv = new Path(srcDir, "_dv")
-      val dvFiles: Seq[Path] =
-        if (!fs.exists(dv)) Seq.empty
-        else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
-          .filterNot(_.getName.startsWith("."))
-      failpoint("clone") // resolved v, not yet carried — the race window
       scala.util.Try {
+        val v = register(spark, src).getOrElse(
+          sys.error(s"clone source $src has no published version"))
+        val srcDir = resolveDir(spark, src, v).getOrElse(
+          sys.error(s"clone source $src v$v has no directory"))
+        val files = listData(spark, srcDir)
+        val fs = fsOf(spark, srcDir)
+        val dv = new Path(srcDir, "_dv")
+        val dvFiles: Seq[Path] =
+          if (!fs.exists(dv)) Seq.empty
+          else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
+            .filterNot(_.getName.startsWith("."))
+        failpoint("clone") // resolved, not yet carried — the race window
+        def place(p: Path, to: Path): Unit =
+          if (manifestMode(spark))
+            org.apache.hadoop.fs.FileUtil.copy(
+              fsOf(spark, p), p, fsOf(spark, to), to, false,
+              spark.sparkContext.hadoopConfiguration)
+          else carry(spark, p, to)
         // commit()'s won-claim tail already registers dst — no extra
         // register here (inside the retry a transient post-publish
         // failure would re-carry and publish a duplicate version).
         commit(spark, dst) { stage =>
           val stageP = new Path(stage)
+          // Always create the stage dir: a legitimately EMPTY source
+          // publishes an empty version; without this, zero carries
+          // would claim a pointer to a never-created directory.
+          fsOf(spark, stageP).mkdirs(stageP)
           files.foreach { case (name, p) =>
-            carry(spark, p, new Path(stageP, name))
+            place(p, new Path(stageP, name))
           }
           dvFiles.foreach { p =>
-            // Sidecars are metadata-sized: COPY them even in manifest
-            // mode. carry()'s ref pointers are resolved by listData on
-            // the DATA path, but the DV read path registers a parquet
-            // table directly over _dv and would choke on .graftref
-            // text files.
-            if (manifestMode(spark))
-              org.apache.hadoop.fs.FileUtil.copy(
-                fsOf(spark, p), p, fsOf(spark, stageP),
-                new Path(new Path(stageP, "_dv"), p.getName), false,
-                spark.sparkContext.hadoopConfiguration)
-            else
-              carry(spark, p, new Path(new Path(stageP, "_dv"), p.getName))
+            place(p, new Path(new Path(stageP, "_dv"), p.getName))
           }
+          // The carried listing must still be the live one: a prune
+          // landing mid-carry in manifest mode copies SOME files then
+          // vanishes the rest — fail the attempt rather than publish a
+          // partial clone. (Link mode fails naturally at the dead
+          // hard-link source.)
+          if (!fs.exists(srcDir))
+            sys.error(s"clone source $src v$v pruned mid-carry")
         }
       } match {
-        case scala.util.Success(p) => return p
+        case scala.util.Success(p) =>
+          // Table-lifetime properties live in the ROOT _properties
+          // sidecar (maintenance like Optimize.compact consults it) —
+          // a clone without them would silently diverge in behavior.
+          val srcProps = new Path(rootDir(spark, src), "_properties")
+          val pfs = fsOf(spark, srcProps)
+          if (pfs.exists(srcProps))
+            org.apache.hadoop.fs.FileUtil.copy(pfs, srcProps,
+              fsOf(spark, rootDir(spark, dst)),
+              new Path(rootDir(spark, dst), "_properties"), false, true,
+              spark.sparkContext.hadoopConfiguration)
+          return p
         case scala.util.Failure(e) =>
           lastErr = e
           System.err.println(
-            s"[snapshot] clone of $src v$v interrupted, rebasing: $e")
+            s"[snapshot] clone of $src interrupted, rebasing: $e")
       }
     }
     throw lastErr
