@@ -77,12 +77,7 @@ object Streams {
     // splitFiles > 0 instead materializes that many parquet files (a
     // write-once copy) so maxFilesPerTrigger can spread AvailableNow
     // over several micro-batches.
-    // Sanitization is LOSSY ("/a/b" and "/a_b" collide) — the appended
-    // hash of the raw path makes the scratch key injective, so two
-    // distinct sf dirs can never silently share (and cross-serve) a
-    // symlink or split cache.
-    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
-      "-" + graft.core.Scratch.sha8(sfDir)
+    val sane = saneKey(sfDir)
     val dir =
       if (splitFiles > 0) {
         // Scratch.key like every write-once copy: regenerated data busts
@@ -124,9 +119,18 @@ object Streams {
         val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
         java.nio.file.Files.createDirectories(link_dir)
         val link = link_dir.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link,
+        // NOFOLLOW: a dangling leftover link (target regenerated away)
+        // must read as PRESENT, not absent, or the re-create throws
+        // FileAlreadyExists; and two concurrent helpers legally race
+        // the create itself — the loser's exception is the winner's
+        // success (the CommitLock pattern).
+        if (!java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          try java.nio.file.Files.createSymbolicLink(link,
             java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
         link_dir
       }
     val reader = spark.readStream.schema(schema)
