@@ -77,7 +77,8 @@ object Streams {
     // splitFiles > 0 instead materializes that many parquet files (a
     // write-once copy) so maxFilesPerTrigger can spread AvailableNow
     // over several micro-batches.
-    val sane = saneKey(sfDir)
+    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
+      "-" + graft.core.Scratch.sha8(sfDir)
     val dir =
       if (splitFiles > 0) {
         // Scratch.key like every write-once copy: regenerated data busts
