@@ -1019,6 +1019,23 @@ object SnapshotCommit {
           else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
             .filterNot(_.getName.startsWith("."))
         failpoint("clone") // resolved, not yet carried — the race window
+        // Table-lifetime properties live in the ROOT _properties sidecar
+        // (maintenance like Optimize.compact consults it) — a clone
+        // without them would silently diverge in behavior. Copied
+        // BEFORE the commit() that publishes the clone's version: a
+        // reader or maintenance op that sees the registered clone must
+        // already see its properties (copying after publish left a
+        // window where the clone was visible property-less). The root
+        // sidecar is independent of version directories, so an aborted
+        // attempt leaves only a harmless orphan, and the copy is
+        // overwrite-idempotent across rebase retries.
+        val srcProps = new Path(rootDir(spark, src), "_properties")
+        val pfs = fsOf(spark, srcProps)
+        if (pfs.exists(srcProps))
+          org.apache.hadoop.fs.FileUtil.copy(pfs, srcProps,
+            fsOf(spark, rootDir(spark, dst)),
+            new Path(rootDir(spark, dst), "_properties"), false, true,
+            spark.sparkContext.hadoopConfiguration)
         def place(p: Path, to: Path): Unit =
           if (manifestMode(spark))
             org.apache.hadoop.fs.FileUtil.copy(
@@ -1050,16 +1067,6 @@ object SnapshotCommit {
         }
       } match {
         case scala.util.Success(p) =>
-          // Table-lifetime properties live in the ROOT _properties
-          // sidecar (maintenance like Optimize.compact consults it) —
-          // a clone without them would silently diverge in behavior.
-          val srcProps = new Path(rootDir(spark, src), "_properties")
-          val pfs = fsOf(spark, srcProps)
-          if (pfs.exists(srcProps))
-            org.apache.hadoop.fs.FileUtil.copy(pfs, srcProps,
-              fsOf(spark, rootDir(spark, dst)),
-              new Path(rootDir(spark, dst), "_properties"), false, true,
-              spark.sparkContext.hadoopConfiguration)
           return p
         case scala.util.Failure(e) =>
           lastErr = e

@@ -66,6 +66,39 @@ object Streams {
     ss
   }
 
+  /** Scratch-dir key for `sfDir`: lossy filesystem-safe sanitize plus a
+    * hash of the full path, so distinct sf dirs can never share (or
+    * collide on) a scratch dir. ONE copy — [[eventsStream]] and
+    * [[documentsStream]] key their ordered-split caches with it, and
+    * the two must never drift (a divergent key would silently split the
+    * write-once cache per call site).
+    */
+  private def saneKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
+      "-" + graft.core.Scratch.sha8(sfDir)
+
+  /** Idempotent symlink ensure: make `linkDir/<target.fileName>` a
+    * symlink to `target`. NOFOLLOW on the existence probe — a dangling
+    * leftover link (target regenerated away) must read as PRESENT, not
+    * absent, or the re-create throws FileAlreadyExists; and two
+    * concurrent helpers legally race the create itself — the loser's
+    * exception is the winner's success (the CommitLock pattern).
+    * Exposed private[graft] so the race is deterministically pinned
+    * (StreamsLinkSpec), not just exercised incidentally.
+    */
+  private[graft] def ensureSourceLink(linkDir: java.nio.file.Path,
+      target: java.nio.file.Path): java.nio.file.Path = {
+    java.nio.file.Files.createDirectories(linkDir)
+    val link = linkDir.resolve(target.getFileName)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    link
+  }
+
   private def eventsStream(spark: SparkSession, sfDir: String,
       splitFiles: Int = 0, maxFilesPerTrigger: Int = 0,
       orderedSplit: Boolean = false): DataFrame = {
@@ -77,8 +110,7 @@ object Streams {
     // splitFiles > 0 instead materializes that many parquet files (a
     // write-once copy) so maxFilesPerTrigger can spread AvailableNow
     // over several micro-batches.
-    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
-      "-" + graft.core.Scratch.sha8(sfDir)
+    val sane = saneKey(sfDir)
     val dir =
       if (splitFiles > 0) {
         // Scratch.key like every write-once copy: regenerated data busts
@@ -118,20 +150,8 @@ object Streams {
         }.resolve("events")
       } else {
         val link_dir = java.nio.file.Paths.get("/tmp/graft_streams", sane, "events")
-        java.nio.file.Files.createDirectories(link_dir)
-        val link = link_dir.resolve("events.parquet")
-        // NOFOLLOW: a dangling leftover link (target regenerated away)
-        // must read as PRESENT, not absent, or the re-create throws
-        // FileAlreadyExists; and two concurrent helpers legally race
-        // the create itself — the loser's exception is the winner's
-        // success (the CommitLock pattern).
-        if (!java.nio.file.Files.exists(link,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          try java.nio.file.Files.createSymbolicLink(link,
-            java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException => ()
-          }
+        ensureSourceLink(link_dir,
+          java.nio.file.Paths.get(s"$sfDir/events.parquet"))
         link_dir
       }
     val reader = spark.readStream.schema(schema)
@@ -796,8 +816,7 @@ object Streams {
   private def documentsStream(spark: SparkSession, sfDir: String,
       splitFiles: Int, maxFilesPerTrigger: Int): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val sane = sfDir.replaceAll("[^A-Za-z0-9._-]+", "_") +
-      "-" + graft.core.Scratch.sha8(sfDir)
+    val sane = saneKey(sfDir)
     val dir = graft.core.Scratch.ensure("/tmp/graft_streams",
       s"${sane}_docsplit$splitFiles",
       graft.core.Scratch.key(spark, sfDir, schema.json + "|docid-total-order"),
@@ -837,17 +856,44 @@ object Streams {
         count(lit(1)).as("n_rows"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"),
         max(col("user_id")).as("max_user"))
-    val q = observed.writeStream
-      .format("noop")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Collect per-batch metric rows through a StreamingQueryListener,
+    // NOT q.recentProgress: the progress buffer retains only the last
+    // `spark.sql.streaming.numRecentProgressUpdates` entries (default
+    // 100), so a run split into >100 micro-batches would silently
+    // undercount totals. The listener bus delivers events to one
+    // listener in post order and the terminated event is posted after
+    // every progress event, so once the latch opens the fold is
+    // complete at ANY batch count. Registered on the child session's
+    // manager (per-session in Spark), so only this helper's own query
+    // is ever observed.
+    val batchRows =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get("st18_obs")).foreach { r =>
+          batchRows.synchronized { batchRows += r }
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        done.countDown()
+    }
+    ss.streams.addListener(listener)
+    try {
+      val q = observed.writeStream
+        .format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "st18: listener never saw query termination")
+    } finally ss.streams.removeListener(listener)
     // Fold the per-batch metric rows (bounded: one small row per batch).
     // Empty-input honesty: with zero rows overall, sum/max fold to NONE
     // and emit NULL — exactly the batch oracle's aggregates over an
     // empty table (a .max on the empty Seq would instead crash).
-    val rows = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get("st18_obs")))
+    val rows = batchRows.synchronized(batchRows.toList)
     val nRows = rows.map(_.getAs[Long]("n_rows")).sum
     val sums = rows.flatMap(r =>
       Option(r.getAs[java.math.BigDecimal]("sum_value")))

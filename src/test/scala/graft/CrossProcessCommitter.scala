@@ -51,6 +51,68 @@ object CrossProcessCommitter {
         sys.error("barrier: no go signal within 300s")
       Thread.sleep(50)
     }
+    val peer = if (writerId == "A") "B" else "A"
+    import org.apache.spark.sql.functions._
+    val sc = graft.storage.SnapshotCommit
+    if (mode == "clone") {
+      // Cloner half of the DEPLOYMENT-REAL clone-vs-prune race
+      // (CrossProcessSpec "cross-process clone races source churn"):
+      // the "clone" failpoint fires once per attempt, after version
+      // resolution + file listing but before any carry. On the FIRST
+      // attempt we park there, signal the churn writer, and wait until
+      // it has committed past our resolved version ENOUGH times that
+      // prune (retains current, current-1) has deleted it — so attempt
+      // 1's carry MUST die on the pruned directory and the bounded
+      // rebase-retry must re-resolve the now-current version. Attempt
+      // count is written out for the spec to assert the race really
+      // happened (>= 2 means the rebase path ran).
+      var attempts = 0
+      sc.failpoint = s => if (s == "clone") {
+        attempts += 1
+        if (attempts == 1) {
+          Files.writeString(Paths.get(barrierDir, s"resolved-$writerId"), "")
+          val d2 = System.currentTimeMillis() + 240000
+          while (!Files.exists(Paths.get(barrierDir, "churn-done"))) {
+            if (System.currentTimeMillis() > d2)
+              sys.error("clone rendezvous: churn writer never finished")
+            Thread.sleep(20)
+          }
+        }
+      }
+      sc.clone(spark, table, s"${table}_clone")
+      Files.writeString(Paths.get(barrierDir, s"clone-attempts-$writerId"),
+        attempts.toString)
+      spark.stop()
+      return
+    }
+    if (mode == "churn") {
+      // Churn half: wait for the cloner to park on its resolved
+      // version, then advance the source n times — each commit carries
+      // the current files and prunes everything older than (v, v-1),
+      // so n >= 3 guarantees the cloner's version directory is GONE
+      // before churn-done releases it.
+      val d2 = System.currentTimeMillis() + 240000
+      while (!Files.exists(Paths.get(barrierDir, s"resolved-$peer"))) {
+        if (System.currentTimeMillis() > d2)
+          sys.error("churn rendezvous: cloner never resolved")
+        Thread.sleep(20)
+      }
+      for (i <- 1 to n) {
+        sc.commit(spark, table, maxAttempts = 50) { dir =>
+          val existing = sc.dataFiles(spark, table)
+          spark.range(1, 2)
+            .select(lit(writerId).as("writer"), lit(i).as("seq"))
+            .coalesce(1).write.parquet(dir)
+          val d = new org.apache.hadoop.fs.Path(dir)
+          existing.zipWithIndex.foreach { case ((nm, phys), k) =>
+            sc.carry(spark, phys, new org.apache.hadoop.fs.Path(d, s"c$k-$nm"))
+          }
+        }
+      }
+      Files.writeString(Paths.get(barrierDir, "churn-done"), "")
+      spark.stop()
+      return
+    }
     // FORCE a cross-process conflict instead of hoping scheduling
     // provides one: on each writer's FIRST staged snapshot (failpoint
     // fires after staging, before the claim), drop a marker and wait
@@ -58,7 +120,6 @@ object CrossProcessCommitter {
     // from the SAME base version, so exactly one must lose the claim
     // and rebase. The total staged-event count across both processes
     // (written below for the spec to assert on) is therefore >= 2n+1.
-    val peer = if (writerId == "A") "B" else "A"
     var stagedCount = 0
     graft.storage.SnapshotCommit.failpoint = s => if (s == "staged") {
       stagedCount += 1
@@ -72,8 +133,6 @@ object CrossProcessCommitter {
         }
       }
     }
-    import org.apache.spark.sql.functions._
-    val sc = graft.storage.SnapshotCommit
     if (mode == "dv") {
       val offset = if (writerId == "A") 0 else 10
       for (i <- 1 to n) {

@@ -259,6 +259,110 @@ class CrossProcessSpec extends SparkSpec {
     raceTwoProcesses("xproc_commit_manifest_tbl", manifest = true)
   }
 
+  /** VERDICT r12 task 4 — the deployment-real clone-vs-prune race.
+    * `SnapshotCommit.clone`'s rebase-retry was pinned in-JVM with a
+    * deterministic failpoint; here the SAME failpoint choreographs TWO
+    * separate JVMs: process A parks its clone after resolving version v
+    * (files listed, nothing carried), process B then commits the source
+    * 3 more times — each commit prunes everything older than
+    * (current, current-1), so v's directory is physically deleted under
+    * the parked cloner — and only then is A released. Attempt 1's carry
+    * must die on the pruned directory; the bounded retry must re-resolve
+    * the now-current version and publish. Ground truth from THIS (third)
+    * JVM: the clone's rows are EXACTLY the source's final rows, every
+    * clone data file physically exists (live version, nothing pruned
+    * out from under it), and the cloner really did rebase (attempts >=
+    * 2). Run 3x consecutively like the DV-race cases — the schedule is
+    * failpoint-forced, so each round re-proves determinism, not luck.
+    */
+  test("cross-process clone races source commits+prune: clone rebases " +
+      "onto a live version with exact row content (3x)") {
+    for (round <- 1 to 3) {
+      val src = s"xproc_clone_src$round"
+      val dst = s"${src}_clone"
+      SnapshotCommit.destroy(spark, src)
+      SnapshotCommit.destroy(spark, dst)
+      SnapshotCommit.commit(spark, src) { dir =>
+        spark.range(0, 100)
+          .selectExpr("'seed' as writer", "cast(id as int) as seq")
+          .coalesce(1).write.parquet(dir)
+      }
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val barrier =
+        Files.createTempDirectory(s"graft_xproc_clone$round").toString
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      def launch(id: String, mode: String, n: Int): Process = {
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ addOpens ++ Seq(
+            "-Xmx2g", "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "-cp", cp, "graft.CrossProcessCommitter",
+            warehouse, src, id, n.toString, barrier,
+            "graft.storage.FileLockCommitLock", "false", mode)): _*)
+        pb.environment().put("GRAFT_COMMIT_DEBUG", "1")
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(Paths.get(barrier, s"out-$id").toFile)
+        pb.start()
+      }
+      val cloner = launch("A", "clone", 1)
+      val churner = launch("B", "churn", 3)
+      def childLogs(): String = Seq("A", "B").map { id =>
+        val p = Paths.get(barrier, s"out-$id")
+        val txt = if (Files.exists(p)) Files.readString(p) else "<no output>"
+        s"--- out-$id (tail) ---\n${txt.takeRight(2000)}"
+      }.mkString("\n")
+      try {
+        val deadline = System.currentTimeMillis() + 300000
+        while (!(Files.exists(Paths.get(barrier, "ready-A")) &&
+                 Files.exists(Paths.get(barrier, "ready-B")))) {
+          assert(System.currentTimeMillis() < deadline,
+            s"children did not reach the barrier within 300s\n${childLogs()}")
+          assert(cloner.isAlive || cloner.exitValue() == 0,
+            s"cloner died pre-barrier\n${childLogs()}")
+          assert(churner.isAlive || churner.exitValue() == 0,
+            s"churner died pre-barrier\n${childLogs()}")
+          Thread.sleep(100)
+        }
+        Files.writeString(Paths.get(barrier, "go"), "")
+        assert(cloner.waitFor(300, TimeUnit.SECONDS),
+          s"cloner timed out\n${childLogs()}")
+        assert(churner.waitFor(300, TimeUnit.SECONDS),
+          s"churner timed out\n${childLogs()}")
+        assert(cloner.exitValue() === 0,
+          s"cloner exited ${cloner.exitValue()}\n${childLogs()}")
+        assert(churner.exitValue() === 0,
+          s"churner exited ${churner.exitValue()}\n${childLogs()}")
+      } finally {
+        cloner.destroyForcibly(); churner.destroyForcibly(); ()
+      }
+      // The race really ran: attempt 1 parked-then-died, attempt 2+
+      // published (1 attempt would mean the prune never bit).
+      val attempts = Files.readString(
+        Paths.get(barrier, "clone-attempts-A")).trim.toInt
+      assert(attempts >= 2,
+        s"round $round: clone published on attempt 1 — the pruned " +
+          s"version was still carryable, race not exercised\n${childLogs()}")
+      // Ground truth: exact content parity with the source's FINAL
+      // state (seed + 3 churn rows), on a fully live version.
+      SnapshotCommit.register(spark, src)
+      SnapshotCommit.register(spark, dst)
+      def rowSet(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val srcRows = rowSet(src)
+      assert(srcRows.size === 103, s"round $round: churn incomplete")
+      assert(rowSet(dst) === srcRows,
+        s"round $round: clone content diverges from source final state")
+      val cur = SnapshotCommit.currentLocation(spark, dst).get
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SnapshotCommit.listData(spark, cur).foreach { case (nm, phys) =>
+        assert(fs.exists(phys),
+          s"round $round: clone file $nm -> $phys does not exist — " +
+            "clone landed on a dead version")
+      }
+    }
+  }
+
   /** The Auto Loader crash-restart story: process A runs a checkpointed
     * CSV → parquet streaming query (maxFilesPerTrigger=1 so the backlog
     * is a sequence of committed micro-batches) and is SIGKILL'd after
