@@ -562,9 +562,96 @@ object PipelineQueries {
     Streams.streamObservedMetrics(s, d)
   }
 
+  // ---- m6: multimodal sequence interleave (text chunks x frames) ----
+  /** The multimodal training-sequence assembly step: each document's
+    * text chunks (t10's 40-token/30-stride windows) and sampled media
+    * frames (m2's every-4th-64-byte-block rule) are interleaved
+    * text-first into ONE ordered sequence per document — exactly the
+    * layout an image-text interleaved pretraining batch uses, with
+    * media priced at a FIXED 16 "vision tokens" per frame (the
+    * patch-budget convention) and each element stamped with its
+    * running token offset so a packer can cut sequences on budget.
+    * The interleave is closed-form — text chunk i lands at position
+    * `i + min(i, F)`, frame j at `j + min(j+1, T)` (T text chunks, F
+    * frames) — so no per-doc iteration exists anywhere: both sides are
+    * explode + pure arithmetic, and the only shuffle is the per-doc
+    * window that assigns running offsets (token budgeting is inherently
+    * sequential WITHIN a doc, parallel across docs). The two branches
+    * are separate column-pruned scans (tokens vs byte length) united
+    * before the window — at 100 TB both scans are map-side-only and
+    * the window's doc_id clustering is the single exchange.
+    */
+  val m6Interleave = withOracle(
+    "m6_interleave",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         length(list_filter(string_split_regex(trim(text), ' +'),
+      |                t -> length(t) > 0)) AS L,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents),
+      |m AS (SELECT doc_id, L,
+      |        CASE WHEN L > 0 THEN (L - 1) // 30 + 1 ELSE 0 END AS T,
+      |        ((n + 63) // 64 + 3) // 4 AS F
+      |      FROM b),
+      |c AS (SELECT doc_id, unnest(range(0, T)) AS item_idx, L, T, F
+      |      FROM m WHERE T > 0),
+      |ct AS (SELECT doc_id,
+      |         CAST(item_idx + least(item_idx, F) AS BIGINT) AS pos,
+      |         'text' AS kind, CAST(item_idx AS BIGINT) AS item_idx,
+      |         CAST(least(40, L - item_idx * 30) AS BIGINT) AS n_tokens
+      |       FROM c),
+      |f AS (SELECT doc_id, unnest(range(0, F)) AS item_idx, T
+      |      FROM m WHERE F > 0),
+      |ft AS (SELECT doc_id,
+      |         CAST(item_idx + least(item_idx + 1, T) AS BIGINT) AS pos,
+      |         'media' AS kind, CAST(item_idx AS BIGINT) AS item_idx,
+      |         CAST(16 AS BIGINT) AS n_tokens
+      |       FROM f),
+      |u AS (SELECT * FROM ct UNION ALL SELECT * FROM ft)
+      |SELECT doc_id, pos, kind, item_idx, n_tokens,
+      |       CAST(coalesce(sum(n_tokens) OVER (
+      |              PARTITION BY doc_id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |            0) AS BIGINT) AS seq_off
+      |FROM u""".stripMargin) { (s, d) =>
+    import graft.text.TextFunctions.tokens
+    // Integer division: col/lit is double division in Spark — route
+    // every quotient through floor() before the cast (positive args).
+    val mm = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("L"),
+        octet_length(col("text")).cast("long").as("n"))
+      .select(col("doc_id"), col("L"),
+        when(col("L") > 0,
+          floor((col("L") - 1) / lit(30)).cast("long") + 1)
+          .otherwise(lit(0L)).as("T"),
+        (floor((floor((col("n") + 63) / lit(64)) + 3) / lit(4)))
+          .cast("long").as("F"))
+    val ct = mm.filter(col("T") > 0)
+      .select(col("doc_id"), col("L"), col("T"), col("F"),
+        explode(sequence(lit(0L), col("T") - 1)).as("item_idx"))
+      .select(col("doc_id"),
+        (col("item_idx") + least(col("item_idx"), col("F"))).as("pos"),
+        lit("text").as("kind"), col("item_idx"),
+        least(lit(40L), col("L") - col("item_idx") * 30).as("n_tokens"))
+    val ft = mm.filter(col("F") > 0)
+      .select(col("doc_id"), col("T"),
+        explode(sequence(lit(0L), col("F") - 1)).as("item_idx"))
+      .select(col("doc_id"),
+        (col("item_idx") + least(col("item_idx") + 1, col("T"))).as("pos"),
+        lit("media").as("kind"), col("item_idx"),
+        lit(16L).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ct.unionAll(ft)
+      .withColumn("seq_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
-      m5AudioSegments, st1HourlyAgg, st2StreamDedup,
+      m5AudioSegments, m6Interleave, st1HourlyAgg, st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,

@@ -776,9 +776,71 @@ object Relational3 {
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
   }
 
+  // ---- w13: M4 time-series downsampling ----
+  /** The M4 aggregation (Jugel et al., VLDB 2014 — public literature):
+    * per (series, time-bin) keep min, max, FIRST and LAST value — the
+    * lossless-for-rendering downsample every monitoring/observability
+    * store runs before charting, and the cheapest way to shrink a
+    * 100 TB event stream to a plot-sized frame without losing spikes.
+    * Series = event_type, bin = 15 minutes of event time (exact BIGINT
+    * microsecond arithmetic, no date truncation ambiguity). First/last
+    * are made total by the (ts, event_id) tie-break — same-timestamp
+    * rows would otherwise make them engine-dependent. Scale: ONE
+    * shuffle on (event_type, bin); both row_number windows and the
+    * final hash-agg ride that same clustering (the windows' partition
+    * keys equal the group-by keys, so Catalyst inserts no second
+    * exchange); min/max/count come partial-aggregated map-side.
+    */
+  val w13M4Downsample = withOracle(
+    "w13_m4_downsample",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, value, event_id
+      |  FROM events),
+      |b AS (SELECT event_type, tus // 900000000 AS bin, tus, value,
+      |             event_id
+      |      FROM e),
+      |r AS (SELECT event_type, bin, value,
+      |        row_number() OVER (PARTITION BY event_type, bin
+      |                           ORDER BY tus, event_id) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, bin
+      |                           ORDER BY tus DESC, event_id DESC) AS rn_d
+      |      FROM b),
+      |g AS (SELECT event_type, bin, count(*) AS n,
+      |        min(value) AS v_min, max(value) AS v_max,
+      |        max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+      |        max(CASE WHEN rn_d = 1 THEN value END) AS v_last
+      |      FROM r GROUP BY 1, 2)
+      |SELECT event_type, CAST(bin * 900000000 AS BIGINT) AS bin_start_us,
+      |       CAST(n AS BIGINT) AS n, v_min, v_max, v_first, v_last
+      |FROM g""".stripMargin) { (s, d) =>
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bin"))
+      .orderBy(col("tus"), col("event_id"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bin"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("value"), col("event_id"))
+      .withColumn("bin", expr("tus div 900000000"))
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        max(when(col("rn_a") === 1, col("value"))).as("v_first"),
+        max(when(col("rn_d") === 1, col("value"))).as("v_last"))
+      .select(col("event_type"),
+        (col("bin") * 900000000L).as("bin_start_us"),
+        col("n"), col("v_min"), col("v_max"), col("v_first"),
+        col("v_last"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
-      w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments)
+      w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments,
+      w13M4Downsample)
 }

@@ -592,8 +592,66 @@ object TextAnalysis3 {
         col("bpe_tokens").cast("double") / col("words").cast("double"))
   }
 
+  // ---- t19: Zipf coverage profile of the corpus vocabulary ----
+  /** The corpus-statistics panel a pretraining run reads before fixing
+    * its tokenizer and sampling weights: the top-100 term frequency
+    * profile with rank x frequency (Zipf's law predicts ~constant) and
+    * the cumulative share of ALL corpus tokens those head terms cover.
+    * Logarithm-free by design: a fitted log-log slope would hinge on
+    * libm's last ulp (Math.log vs DuckDB's log can disagree), while
+    * rank*n is exact BIGINT and cum_share is one correctly-rounded
+    * IEEE division of two exact BIGINTs — the t6/t14 rational-form
+    * rationale. Scale: the (term) hash-agg is the only corpus shuffle
+    * and its output is vocabulary-sized; the top-100 is a distributed
+    * TakeOrderedAndProject (no global sort of the vocabulary) and the
+    * rank/cumsum window orders 100 rows (the t14 limit-then-rank
+    * pattern). The corpus-total branch re-aggregates the SAME term
+    * counts, so the two consumers share one exchange via Spark's
+    * ReuseExchange rather than scanning the corpus twice.
+    */
+  val t19ZipfCoverage = withOracle(
+    "t19_zipf_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(text), ' +'),
+      |                t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tc AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM tc),
+      |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 100),
+      |r AS (SELECT term, n,
+      |        row_number() OVER (ORDER BY n DESC, term) AS rank,
+      |        sum(n) OVER (ORDER BY n DESC, term
+      |                     ROWS UNBOUNDED PRECEDING) AS cum_n
+      |      FROM top)
+      |SELECT CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n,
+      |       CAST(rank * n AS BIGINT) AS rank_x_n,
+      |       CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+      |       CAST(vocab AS BIGINT) AS vocab_size,
+      |       CAST(total AS BIGINT) AS total_tokens
+      |FROM r, tot""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    counts.orderBy(col("n").desc, col("term")).limit(100)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("n"),
+        (col("rank") * col("n")).as("rank_x_n"),
+        (col("cum_n").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        col("vocab").as("vocab_size"),
+        col("total").as("total_tokens"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
       t16BpeApply, t17ClassifierGate, c9EpochOversample, t18NgramNovelty,
-      c12TokenizerFertility)
+      c12TokenizerFertility, t19ZipfCoverage)
 }

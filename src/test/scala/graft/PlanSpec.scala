@@ -452,4 +452,63 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 3,
       s"expected <= 3 tiny q_id-keyed exchanges, found $shuffles:\n$plan")
   }
+
+  test("t19_zipf_coverage: top-100 is TakeOrdered and the term-count " +
+      "exchange is shared by both consumers") {
+    // Two branches consume the (term) hash-agg — the top-100 and the
+    // corpus-total/vocab aggregate. The vocabulary must be top-k'd by
+    // TakeOrderedAndProject (never globally sorted), and the count
+    // exchange must be REUSED between the branches, not recomputed —
+    // a second corpus scan at 100 TB would double the only data pass.
+    val df = Catalog.queries("t19_zipf_coverage")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be a distributed top-k, not a global sort:\n$plan")
+    assert(plan.contains("ReusedExchange") ||
+        "Exchange hashpartitioning\\(term".r.findAllIn(plan).length == 1,
+      s"term-count exchange recomputed per consumer:\n$plan")
+  }
+
+  test("w13_m4_downsample: one exchange — both windows and the agg ride " +
+      "the (event_type, bin) clustering") {
+    // The M4 shape exists to shrink a 100 TB stream in ONE shuffle:
+    // first/last row_numbers partition on exactly the group-by keys,
+    // so Catalyst must not insert a second exchange for the hash-agg.
+    val df = Catalog.queries("w13_m4_downsample")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected one (event_type, bin) exchange, found $n:\n$plan")
+  }
+
+  test("m6_interleave: the only shuffle is the per-doc offset window") {
+    // Both interleave branches are explode + arithmetic riding their
+    // scans; the union needs no exchange; the running-offset window
+    // clusters on doc_id — exactly one hash exchange in the plan.
+    val df = Catalog.queries("m6_interleave")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected only the doc_id window exchange, found $n:\n$plan")
+  }
+
+  test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
+      "plan is local-relation only") {
+    // The returned frame is the greedy re-rank over the collected
+    // 20-row shortlist: its plan must contain NO parquet scan and NO
+    // shuffle — if either appears, the corpus leaked past the bounded
+    // shortlist read and the re-rank stopped being O(k * shortlist).
+    val df = Catalog.queries("s17_mmr_rerank")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"re-rank plan re-reads the corpus:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"re-rank of 20 rows must not shuffle:\n$plan")
+  }
 }
