@@ -319,6 +319,52 @@ object CurationPipeline {
         col("mean_doc_tokens"), col("n_langs"), col("n_head_dups"))
   }
 
+  // ---- c13: stratified split with EXACT per-stratum quotas ----
+  /** The split c1 cannot give you: c1's Bernoulli-by-hash split has
+    * binomial noise per stratum (a small language can land 7% or 14%
+    * held-out), while an eval set needs floor(n/10) docs from EVERY
+    * source, exactly. Standard recipe: within each stratum, order docs
+    * by (content hash, doc_id) — a deterministic pseudo-random order,
+    * the same RollingHash convention as c1 so the two splits are
+    * consistent tooling — rank them, and cut at the per-stratum quota
+    * computed from the stratum's own count. Scale: rank and count ride
+    * ONE (source) shuffle (count(*) over the same window partition —
+    * no separate quota join); the sort is per-stratum, parallel across
+    * strata, never global. A single 100 TB stratum would shard its
+    * window exactly like c3's packing (per-shard windows); strata here
+    * are bounded.
+    */
+  val c13StratifiedSplit = withOracle(
+    "c13_stratified_split",
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |         ${QuerySpec.OracleSql.rollHash("text")} AS hv
+       |  FROM documents),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY hv, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY source) AS n
+       |      FROM h)
+       |SELECT doc_id, source,
+       |       CASE WHEN rn <= n // 10 THEN 'heldout' ELSE 'train' END
+       |         AS split,
+       |       CAST(n // 10 AS BIGINT) AS stratum_quota
+       |FROM r""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        rollingHash(col("text")).as("hv"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("doc_id"), col("source"),
+        when(col("rn") <= floor(col("n") / 10), "heldout")
+          .otherwise("train").as("split"),
+        floor(col("n") / 10).cast("long").as("stratum_quota"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(c8CorpusPipeline, c10RagAssembly, c11DatasetCard)
+    Seq(c8CorpusPipeline, c10RagAssembly, c11DatasetCard, c13StratifiedSplit)
 }

@@ -496,6 +496,25 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected only the doc_id window exchange, found $n:\n$plan")
   }
 
+  test("c13_stratified_split: both per-stratum windows ride ONE source " +
+      "exchange — no quota join, no global sort") {
+    // The split's scale contract: rank (row_number) and stratum count
+    // (count(*)) share the SAME hashpartitioning(source) exchange — a
+    // second exchange means the quota stopped riding the rank shuffle;
+    // a global Sort or a join means someone reintroduced a separate
+    // quota computation.
+    val df = Catalog.queries("c13_stratified_split")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected the single source exchange, found $n:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the split plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"split must not join a quota side:\n$plan")
+  }
+
   test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
       "plan is local-relation only") {
     // The returned frame is the greedy re-rank over the collected
