@@ -837,10 +837,127 @@ object Relational3 {
         col("v_last"))
   }
 
+  // ---- w14: rolling-baseline anomaly detection ----
+  /** The monitoring staple the reference's dashboards imply but never
+    * compute: flag an event whose value exceeds 2x its OWN user's
+    * trailing-20-event mean. The baseline frame is
+    * `ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING` — strictly past, so
+    * the flagged value never contaminates its own baseline, and the
+    * detector is streamable (st-family could carry the same state).
+    * Determinism: the frame sum runs in DECIMAL (order-independent,
+    * exact), count is exact, and the single double division + compare
+    * is IEEE-identical on both engines; rows with fewer than 10 prior
+    * events are never flagged (cold-start guard), keeping the boolean
+    * total. Scale: ONE shuffle on user_id (high cardinality — never
+    * the 5-value event_type), O(20) frame state per row, no join.
+    */
+  val w14RollingAnomaly = withOracle(
+    "w14_rolling_anomaly",
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CAST(count(*) OVER w AS BIGINT) AS n_base,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |           AS base_sum
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id,
+      |       CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t_us,
+      |       value, n_base, base_sum,
+      |       CASE WHEN n_base >= 10
+      |            THEN value > 2.0 * (base_sum / CAST(n_base AS DOUBLE))
+      |            ELSE false END AS is_anomaly
+      |FROM o""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("base_sum",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("value"), col("n_base"), col("base_sum"),
+        when(col("n_base") >= 10,
+          col("value") > lit(2.0) *
+            (col("base_sum") / col("n_base").cast("double")))
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
+
+  // ---- e7: last-touch marketing attribution ----
+  /** Attribution without a join: each purchase credits the most recent
+    * click/view by the same user at-or-before it (in the total
+    * (ts, event_id) order), provided the touch is within a 7-day
+    * lookback. The carried touch rides `last(..., ignoreNulls)` over an
+    * unbounded-preceding frame — the forward-fill trick (w12) applied
+    * to attribution, so the purchase<->touch pairing needs NO as-of
+    * join and NO self-join: one user_id shuffle, one window pass, then
+    * a filter. Purchases with no in-window touch report 'none' (the
+    * direct-traffic bucket) with NULL id/gap. At 100 TB this is the
+    * shape that survives: the alternative as-of join re-shuffles both
+    * sides; this carries O(1) state per user through one sort.
+    */
+  val e7Attribution = withOracle(
+    "e7_attribution",
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |         last_value(CASE WHEN event_type IN ('click', 'view')
+      |                         THEN event_id END IGNORE NULLS)
+      |           OVER w AS t_id,
+      |         last_value(CASE WHEN event_type IN ('click', 'view')
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER w AS t_type,
+      |         last_value(CASE WHEN event_type IN ('click', 'view')
+      |                         THEN ts END IGNORE NULLS)
+      |           OVER w AS t_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS UNBOUNDED PRECEDING)),
+      |p AS (
+      |  SELECT user_id, event_id, ts, value, t_id, t_type,
+      |         epoch_ns(ts) // 1000 - epoch_ns(t_ts) // 1000 AS gap_us
+      |  FROM o WHERE event_type = 'purchase')
+      |SELECT event_id AS purchase_id, user_id,
+      |       CAST(epoch_ns(ts) // 1000 AS BIGINT) AS purchase_us, value,
+      |       CASE WHEN gap_us <= 604800000000 THEN t_id END AS touch_id,
+      |       coalesce(CASE WHEN gap_us <= 604800000000 THEN t_type END,
+      |                'none') AS touch_type,
+      |       CAST(CASE WHEN gap_us <= 604800000000 THEN gap_us END
+      |            AS BIGINT) AS gap_us
+      |FROM p""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val SevenDaysUs = 604800000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("t_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("t_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap0",
+        unix_micros(col("ts")) - unix_micros(col("t_ts")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("value"),
+        when(col("gap0") <= SevenDaysUs, col("t_id")).as("touch_id"),
+        coalesce(when(col("gap0") <= SevenDaysUs, col("t_type")),
+          lit("none")).as("touch_type"),
+        when(col("gap0") <= SevenDaysUs, col("gap0"))
+          .cast("long").as("gap_us"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
       w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments,
-      w13M4Downsample)
+      w13M4Downsample, w14RollingAnomaly, e7Attribution)
 }

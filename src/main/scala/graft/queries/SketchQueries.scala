@@ -189,5 +189,98 @@ object SketchQueries {
         col("n_exact"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(hll1ApproxDistinct, hll2SketchUnion)
+  /** hll3 — KMV (bottom-k / theta) sketch with SET OPERATIONS, the
+    * distinct-count question HLL cannot answer: |A∩B| between two
+    * customer populations without an exact-distinct shuffle of either.
+    * The engine side aggregates through [[graft.functions.KmvAggregator]]
+    * — a typed UDAF whose fixed k-long sorted-set state dedupes on
+    * insert, partial-aggregates map-side, and merges by sorted union —
+    * so NO count-distinct shuffle exists in the plan at any scale; the
+    * shuffle payload is k longs per group, period. Estimates: with
+    * fewer than k distinct hashes the sketch IS the exact set (estimate
+    * = its size); otherwise D-hat = (k-1) * 2^31 / kth-smallest.
+    * Union rides a second kmv over the filtered base (algebraically the
+    * sketch-merge, which the aggregator's own merge path exercises
+    * map-side); intersection is inclusion-exclusion over the three
+    * estimates. The exact counts ride alongside as the error witness,
+    * like hll1/hll2. Hash is the shared Wang-style portable hash, so
+    * the DuckDB oracle (ORDER BY hv LIMIT k over distinct hashes)
+    * reproduces every estimate bit-for-bit.
+    */
+  private val K = 32
+  val hll3KmvTheta = withOracle(
+    "hll3_kmv_theta", {
+      def est(kth: String, n: String): String =
+        s"""CASE WHEN $n < $K THEN CAST($n AS DOUBLE)
+           |     ELSE ${K - 1}.0 * 2147483648.0 / CAST($kth AS DOUBLE) END"""
+          .stripMargin
+      s"""WITH h0 AS (
+         |  SELECT o_orderstatus AS st, o_custkey,
+         |         (o_custkey * 2654435761) % 2147483648 AS h1
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         |hx AS (SELECT st, o_custkey,
+         |              (xor(h1, h1 // 32768) * 1597334677) % 2147483648 AS h3
+         |       FROM h0),
+         |h AS (SELECT DISTINCT st, xor(h3, h3 // 8192) AS hv FROM hx),
+         |ka AS (SELECT count(*) AS n, max(hv) AS kth FROM
+         |         (SELECT hv FROM h WHERE st = 'O' ORDER BY hv LIMIT $K)),
+         |kb AS (SELECT count(*) AS n, max(hv) AS kth FROM
+         |         (SELECT hv FROM h WHERE st = 'F' ORDER BY hv LIMIT $K)),
+         |ku AS (SELECT count(*) AS n, max(hv) AS kth FROM
+         |         (SELECT DISTINCT hv FROM h ORDER BY hv LIMIT $K)),
+         |ex AS (
+         |  SELECT count(DISTINCT CASE WHEN st = 'O' THEN o_custkey END)
+         |           AS exact_a,
+         |         count(DISTINCT CASE WHEN st = 'F' THEN o_custkey END)
+         |           AS exact_b,
+         |         count(DISTINCT o_custkey) AS exact_union
+         |  FROM hx)
+         |SELECT CAST($K AS BIGINT) AS k,
+         |       ${est("ka.kth", "ka.n")} AS est_a,
+         |       ${est("kb.kth", "kb.n")} AS est_b,
+         |       ${est("ku.kth", "ku.n")} AS est_union,
+         |       ${est("ka.kth", "ka.n")} + ${est("kb.kth", "kb.n")}
+         |         - ${est("ku.kth", "ku.n")} AS est_inter,
+         |       CAST(ex.exact_a AS BIGINT) AS exact_a,
+         |       CAST(ex.exact_b AS BIGINT) AS exact_b,
+         |       CAST(ex.exact_union AS BIGINT) AS exact_union,
+         |       CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT)
+         |         AS exact_inter
+         |FROM ka, kb, ku, ex""".stripMargin
+    }) { (s, d) =>
+    val kmv = udaf(new graft.functions.KmvAggregator(K))
+    val h1 = (col("o_custkey") * lit(2654435761L)) % lit(2147483648L)
+    val h3 = (h1.bitwiseXOR(shiftright(h1, 15)) * lit(1597334677L)) %
+      lit(2147483648L)
+    val hv = h3.bitwiseXOR(shiftright(h3, 13))
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("st"), col("o_custkey"), hv.as("hv"))
+    def estOf(mins: org.apache.spark.sql.Column) = {
+      val n = size(mins)
+      when(n < K, n.cast("double"))
+        .otherwise(lit((K - 1).toDouble * 2147483648.0)
+          / element_at(mins, K).cast("double"))
+    }
+    val a = base.filter(col("st") === "O").agg(kmv(col("hv")).as("mins"))
+      .select(estOf(col("mins")).as("est_a"))
+    val b = base.filter(col("st") === "F").agg(kmv(col("hv")).as("mins"))
+      .select(estOf(col("mins")).as("est_b"))
+    val u = base.agg(kmv(col("hv")).as("mins"))
+      .select(estOf(col("mins")).as("est_union"))
+    val ex = base.agg(
+      countDistinct(when(col("st") === "O", col("o_custkey"))).as("exact_a"),
+      countDistinct(when(col("st") === "F", col("o_custkey"))).as("exact_b"),
+      countDistinct(col("o_custkey")).as("exact_union"))
+    a.crossJoin(b).crossJoin(u).crossJoin(ex)
+      .select(lit(K.toLong).as("k"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union"))
+          .as("exact_inter"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(hll1ApproxDistinct, hll2SketchUnion, hll3KmvTheta)
 }

@@ -515,6 +515,60 @@ class PlanSpec extends SparkSpec {
       s"split must not join a quota side:\n$plan")
   }
 
+  test("w14_rolling_anomaly and e7_attribution: one user_id exchange " +
+      "each, no join") {
+    // Both are single-window detectors: baseline stats / carried touch
+    // ride ONE hashpartitioning(user_id) exchange. A join appearing
+    // means someone rewrote the carry as an as-of self-join (the shape
+    // these entries exist to avoid); a second exchange means the
+    // output projection stopped riding the window partitioning.
+    for (name <- Seq("w14_rolling_anomaly", "e7_attribution")) {
+      val df = Catalog.queries(name)(spark, Sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(n == 1, s"$name: expected one user_id exchange, found $n:\n$plan")
+      assert(!plan.contains("Join"), s"$name planned a join:\n$plan")
+    }
+  }
+
+  test("s18_rocchio_feedback: the corpus never shuffles — queries " +
+      "broadcast on both retrieval passes") {
+    // Both scoring passes join the tiny query side to the corpus by
+    // broadcast; the only hash exchanges are q_id-keyed (two top-k
+    // windows + the 10-row feedback groupBy). A corpus-keyed exchange
+    // would mean the expansion accidentally repartitioned the big side.
+    val df = Catalog.queries("s18_rocchio_feedback")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length >= 2,
+      s"expected both passes to broadcast the query side:\n$plan")
+    val badExchange = "Exchange hashpartitioning\\((?!q_id)".r
+      .findFirstIn(plan)
+    assert(badExchange.isEmpty,
+      s"non-q_id hash exchange (corpus shuffled): $badExchange\n$plan")
+  }
+
+  test("hll3_kmv_theta: every KMV aggregation is two-phase (map-side " +
+      "partial merge), no distinct Expand on the sketch path") {
+    // The sketch's whole point is that the k-long state partial-
+    // aggregates before the shuffle: each of the three kmv aggs must
+    // plan as partial + final ObjectHashAggregate pairs (the typed-UDAF
+    // path), so the shuffle carries at most k longs per side, never
+    // the key stream.
+    val df = Catalog.queries("hll3_kmv_theta")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val partials =
+      "objecthashaggregate\\(keys=\\[\\], functions=\\[partial_kmvaggregator"
+        .r.findAllIn(plan.toLowerCase).length
+    assert(partials >= 3,
+      s"expected 3 partial KMV aggregations (a, b, union), got $partials:\n$plan")
+  }
+
   test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
       "plan is local-relation only") {
     // The returned frame is the greedy re-rank over the collected

@@ -243,4 +243,34 @@ class PropertySpec extends SparkSpec {
       col("doc_id"), k = 3).count()
     assert(untouched === 30L)
   }
+
+  test("KmvAggregator: sketch == k smallest distinct values under any " +
+      "insert/merge partition") {
+    val k = 8
+    val agg = new graft.functions.KmvAggregator(k)
+    val valGen = Gen.choose(0L, 200L)
+    val inputs = samples(Gen.listOfN(60, valGen), 20)
+    for (xs <- inputs) {
+      val expect = xs.distinct.sorted.take(k)
+      // sequential reduce
+      val seq = xs.foldLeft(agg.zero)(agg.reduce).mins.toSeq
+      assert(seq === expect, s"reduce path diverged for $xs")
+      // arbitrary two-way merge partitions (the map-side combine path)
+      for (cut <- Seq(0, 1, xs.length / 2, xs.length - 1, xs.length)) {
+        val (l, r) = xs.splitAt(cut)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce)).mins.toSeq
+        assert(merged === expect, s"merge at $cut diverged for $xs")
+        // commutativity
+        val swapped = agg.merge(
+          r.foldLeft(agg.zero)(agg.reduce),
+          l.foldLeft(agg.zero)(agg.reduce)).mins.toSeq
+        assert(swapped === expect)
+      }
+    }
+    // duplicates never occupy two slots
+    val dup = Seq.fill(50)(7L) ++ Seq(3L, 9L)
+    assert(dup.foldLeft(agg.zero)(agg.reduce).mins.toSeq === Seq(3L, 7L, 9L))
+  }
 }
