@@ -376,6 +376,23 @@ object PipelineQueries {
     (s, d) => Streams.sessionTimeoutTws(s, d)
   }
 
+  // ---- st19: streaming rolling-baseline anomaly alerts ----
+  // The live twin of w14: a per-user ring of the <=20 most recent
+  // values (exact micro-grid integers) carried across micro-batches
+  // emits an alert when a value exceeds 2x its trailing mean of >= 10
+  // strictly-prior events. One oracle gates batch and stream: this is
+  // w14's shared SQL filtered to its anomaly rows, so the streaming
+  // replay must reproduce the batch window's flag set exactly.
+  val st19StreamAnomaly = withOracle(
+    "st19_stream_anomaly",
+    s"""SELECT event_id, user_id, t_us, value, n_base, base_sum
+       |FROM (${Relational3.RollingAnomalyOracle})
+       |WHERE is_anomaly""".stripMargin) { (s, d) =>
+    Streams.streamAnomaly(s, d)
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("value"), col("n_base"), col("base_sum"))
+  }
+
   // ---- st2: stateful streaming dedup ----
   val st2StreamDedup = withOracle(
     "st2_stream_dedup",
@@ -655,5 +672,6 @@ object PipelineQueries {
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
-      st16SessionTimeoutTws, st17DedupGate, st18StreamObserve)
+      st16SessionTimeoutTws, st17DedupGate, st18StreamObserve,
+      st19StreamAnomaly)
 }

@@ -851,8 +851,10 @@ object Relational3 {
     * total. Scale: ONE shuffle on user_id (high cardinality — never
     * the 5-value event_type), O(20) frame state per row, no join.
     */
-  val w14RollingAnomaly = withOracle(
-    "w14_rolling_anomaly",
+  /** THE one copy of the rolling-anomaly oracle — w14 (batch) and
+    * st19 (streaming ring-buffer state) both gate on it; a threshold or
+    * frame edit in one that missed the other would otherwise drift. */
+  private[queries] val RollingAnomalyOracle: String =
     """WITH o AS (
       |  SELECT user_id, event_id, ts, value,
       |         CAST(count(*) OVER w AS BIGINT) AS n_base,
@@ -867,7 +869,11 @@ object Relational3 {
       |       CASE WHEN n_base >= 10
       |            THEN value > 2.0 * (base_sum / CAST(n_base AS DOUBLE))
       |            ELSE false END AS is_anomaly
-      |FROM o""".stripMargin) { (s, d) =>
+      |FROM o""".stripMargin
+
+  val w14RollingAnomaly = withOracle(
+    "w14_rolling_anomaly",
+    RollingAnomalyOracle) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -650,8 +650,81 @@ object TextAnalysis3 {
         col("total").as("total_tokens"))
   }
 
+  // ---- t20: collocation mining by lift (rational PMI) ----
+  /** Phrase discovery — the corpus-curation precursor to multi-word
+    * tokenizer entries and stop-phrase lists: adjacent-pair
+    * collocations ranked by LIFT, the rational form of PMI
+    * (N * c_xy / (c_x * c_y); PMI is its log — a monotone transform, so
+    * the ranking is the textbook one without a transcendental near the
+    * hash, the t6 idf argument). Support floor c_xy >= 5 kills the
+    * one-off pairs whose lift is spuriously huge. Distinct from t15
+    * (which SCORES DOCS by bigram-decile fluency): this ranks the
+    * BIGRAMS themselves against an independence baseline.
+    * Scale: two vocabulary-sized hash-aggs off one token explode; the
+    * unigram side joins the (support-filtered, much smaller) bigram
+    * side twice on term keys; top-20 is sort+limit
+    * (TakeOrderedAndProject — never a global window over the
+    * vocabulary), with the rank stamped on the collected 20 rows.
+    */
+  val t20Collocations = withOracle(
+    "t20_collocations",
+    """WITH tok AS (
+      |  SELECT list_filter(string_split_regex(trim(text), ' +'),
+      |                     t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |uni AS (SELECT unnest(toks) AS term FROM tok),
+      |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+      |nt AS (SELECT count(*) AS n_tok FROM uni),
+      |bg AS (
+      |  SELECT unnest(CASE WHEN length(toks) >= 2 THEN
+      |           list_transform(range(1, length(toks)),
+      |                          i -> toks[i] || ' ' || toks[i+1])
+      |         ELSE [] END) AS bigram
+      |  FROM tok),
+      |bc AS (SELECT bigram, count(*) AS c_xy FROM bg
+      |       GROUP BY 1 HAVING count(*) >= 5),
+      |sc AS (
+      |  SELECT bc.bigram, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |         (CAST(nt.n_tok AS DOUBLE) * CAST(bc.c_xy AS DOUBLE))
+      |           / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift
+      |  FROM bc
+      |  JOIN uc ux ON ux.term = split_part(bc.bigram, ' ', 1)
+      |  JOIN uc uy ON uy.term = split_part(bc.bigram, ' ', 2)
+      |  CROSS JOIN nt),
+      |top AS (SELECT * FROM sc ORDER BY lift DESC, bigram LIMIT 20)
+      |SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+      |       CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+      |       lift,
+      |       CAST(row_number() OVER (ORDER BY lift DESC, bigram)
+      |            AS BIGINT) AS rank
+      |FROM top""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("term"))
+    val uc = uni.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nt = uni.agg(count(lit(1)).as("n_tok"))
+    val bc = docs
+      .select(explode(shinglesOfTokens(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val scored = bc
+      .join(uc.select(col("term").as("tx"), col("c").as("c_x")),
+        split(col("bigram"), " ").getItem(0) === col("tx"))
+      .join(uc.select(col("term").as("ty"), col("c").as("c_y")),
+        split(col("bigram"), " ").getItem(1) === col("ty"))
+      .crossJoin(broadcast(nt))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        (col("n_tok").cast("double") * col("c_xy").cast("double")
+          / (col("c_x").cast("double") * col("c_y").cast("double")))
+          .as("lift"))
+    val top = scored.orderBy(col("lift").desc, col("bigram")).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("bigram"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(t14Bm25, t15BigramFluency, c6PrioritySample, c7ShardShuffle,
       t16BpeApply, t17ClassifierGate, c9EpochOversample, t18NgramNovelty,
-      c12TokenizerFertility, t19ZipfCoverage)
+      c12TokenizerFertility, t19ZipfCoverage, t20Collocations)
 }

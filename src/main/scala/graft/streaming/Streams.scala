@@ -475,6 +475,14 @@ object Streams {
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start_us: Long,
       session_last_us: Long, n_events: Long)
+  final case class ValEvent(user_id: Long, event_id: Long, us: Long,
+      value: Double)
+  // Ring of the <=20 most recent values, quantized to micro-units (the
+  // DECIMAL(18,6) grid the batch twin sums on) so the state is exact
+  // integers and the replayed base_sum matches w14 bit-for-bit.
+  final case class AnomalyState(ring: Array[Long])
+  final case class AnomalyHit(user_id: Long, event_id: Long, t_us: Long,
+      value: Double, n_base: Long, base_sum: Double)
 
   /** Custom stateful processing via mapGroupsWithState: per-user running
     * (count, max) updated each micro-batch; update-mode emissions are
@@ -574,6 +582,64 @@ object Streams {
       }
       .toDF()
     runToMemory(closed, "graft_stream_session_timeout", OutputMode.Append())
+  }
+
+  /** Streaming rolling-baseline anomaly alerting — the live twin of
+    * w14_rolling_anomaly: per user, keep the <=20 most recent values in
+    * a ring (quantized to the DECIMAL(18,6) micro-grid, so the state is
+    * exact integers) and emit an alert when a new value exceeds 2x the
+    * trailing mean of at least 10 STRICTLY PRIOR values. The ring
+    * carries across micro-batches, so the emitted set is exactly the
+    * batch query's anomaly rows — one oracle
+    * ([[graft.queries.Relational3.RollingAnomalyOracle]]) gates both.
+    * Within a batch, per-user events sort on (us, event_id) — the same
+    * total order the batch window uses; ordered splits keep the
+    * cross-batch order. Scale: state is 20 longs per ACTIVE user
+    * (bounded, RocksDB-friendly), one groupByKey exchange, emission is
+    * alert-rate-sized, not stream-sized.
+    */
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    import ss.implicits._
+    val hits = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2,
+      orderedSplit = true)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[ValEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[ValEvent],
+         state: GroupState[AnomalyState]) =>
+          val sorted = events.toArray.sortBy(e => (e.us, e.event_id))
+          var ring = state.getOption.map(_.ring)
+            .getOrElse(Array.emptyLongArray)
+          val out = scala.collection.mutable.ArrayBuffer[AnomalyHit]()
+          sorted.foreach { e =>
+            val n = ring.length
+            if (n >= 10) {
+              var sumMicros = 0L
+              ring.foreach(sumMicros += _)
+              // Exact-integer micros -> the same double the batch side's
+              // DECIMAL-sum-cast produces (sum < 2^53, division rounds once).
+              val baseSum = sumMicros.toDouble / 1000000.0
+              if (e.value > 2.0 * (baseSum / n.toDouble))
+                out += AnomalyHit(userId, e.event_id, e.us, e.value,
+                  n.toLong, baseSum)
+            }
+            // valueOf = Spark's Cast(double -> decimal) semantics (shortest
+            // decimal string), then HALF_UP to the 6-dp grid.
+            val q = java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            ring = if (ring.length < 20) ring :+ q
+                   else ring.drop(1) :+ q
+          }
+          state.update(AnomalyState(ring))
+          out.iterator
+      }
+      .toDF()
+    runToMemory(hits, "graft_stream_anomaly", OutputMode.Append())
   }
 
   /** The same watermark-clocked session close-out as [[sessionTimeout]],

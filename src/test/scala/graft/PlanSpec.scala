@@ -551,6 +551,25 @@ class PlanSpec extends SparkSpec {
       s"non-q_id hash exchange (corpus shuffled): $badExchange\n$plan")
   }
 
+  test("t20_collocations: top-20 is TakeOrdered; no global window over " +
+      "the vocabulary") {
+    // The limit-then-rank pattern (s15/t19): the vocabulary-sized lift
+    // frame reduces through TakeOrderedAndProject; the single-partition
+    // rank window runs on the collected 20 rows only. A plan where the
+    // rank's empty-partition window sits BELOW the limit would sort the
+    // whole vocabulary on one partition at 100 TB.
+    val df = Catalog.queries("t20_collocations")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed top-k, not a global sort:\n$plan")
+    val winIdx = plan.indexOf("Window [")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"the 20-row rank window must consume the TakeOrdered output:\n$plan")
+  }
+
   test("hll3_kmv_theta: every KMV aggregation is two-phase (map-side " +
       "partial merge), no distinct Expand on the sketch path") {
     // The sketch's whole point is that the k-long state partial-
