@@ -68,7 +68,7 @@ object GraphQueries {
     * STRUCTURE between pr1/pr2, never shared runtime state.
     */
   private def coPurchaseGraph(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val pairs = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
@@ -85,7 +85,7 @@ object GraphQueries {
     val nn = nodes.agg(count(lit(1)).as("n")) // 1-row broadcast scalar
     val edgesDeg = edges.join(deg, "src") // (src, dst, outdeg)
       .localCheckpoint(false) // reused by every round's contribution join
-    (edges, nodes, nn, edgesDeg)
+    (nodes, nn, edgesDeg)
   }
 
   val pr1PageRank = withOracle(
@@ -123,7 +123,7 @@ object GraphQueries {
        |       FROM nodes CROSS JOIN nn LEFT JOIN i3 i ON i.dst = node)
        |SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM p3""".stripMargin) {
     (s, d) =>
-      val (_, nodes, nn, edgesDeg) = coPurchaseGraph(s, d)
+      val (nodes, nn, edgesDeg) = coPurchaseGraph(s, d)
       var pr: DataFrame = nodes.crossJoin(nn)
         .select(col("node"), expr(s"$Scale div n").as("pr"))
       for (_ <- 1 to Rounds) {
@@ -199,7 +199,7 @@ object GraphQueries {
        |       FROM nodes CROSS JOIN ns LEFT JOIN i3 i ON i.dst = node)
        |SELECT node, is_seed, CAST(pr AS BIGINT) AS ppr_scaled
        |FROM p3""".stripMargin) { (s, d) =>
-    val (_, nodes0, _, edgesDeg) = coPurchaseGraph(s, d)
+    val (nodes0, _, edgesDeg) = coPurchaseGraph(s, d)
     val nodes = nodes0.select(col("node"),
       (col("node") < SupplierBase && col("node") % 10 === 1).as("is_seed"))
     val ns = nodes.filter(col("is_seed")).agg(count(lit(1)).as("k"))

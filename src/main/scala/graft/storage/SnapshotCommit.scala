@@ -1002,6 +1002,30 @@ object SnapshotCommit {
     // source fail loudly into the rebase) at the cost of bytes; a
     // production object-store deployment would add cross-table
     // reference counting to get zero-copy back.
+    // Table-lifetime properties live in the ROOT _properties sidecar
+    // (maintenance like Optimize.compact consults it) — a clone without
+    // them would silently diverge in behavior. For a FRESH dst, copy
+    // BEFORE the commit() that publishes the clone's version: a reader
+    // or maintenance op that sees the registered clone must already see
+    // its properties, and an aborted attempt leaves only a harmless
+    // orphan sidecar (the root sidecar is independent of version
+    // directories). When dst ALREADY has a _properties sidecar (clone
+    // publishing the next version of an existing table), the pre-copy
+    // is NOT safe: a clone that exhausts its rebase retries and throws
+    // would leave the old dst data permanently running under the
+    // source's properties. There the copy happens after the successful
+    // commit instead — the transient properties-lag window only ever
+    // spans the new version's publish, never a failure.
+    val srcProps = new Path(rootDir(spark, src), "_properties")
+    val dstProps = new Path(rootDir(spark, dst), "_properties")
+    val pfs = fsOf(spark, srcProps)
+    val dfs = fsOf(spark, dstProps)
+    def copyProps(): Unit =
+      if (pfs.exists(srcProps))
+        org.apache.hadoop.fs.FileUtil.copy(pfs, srcProps, dfs, dstProps,
+          false, true, spark.sparkContext.hadoopConfiguration)
+    val dstHadProps = dfs.exists(dstProps)
+    if (!dstHadProps) copyProps()
     var attempts = 3
     var lastErr: Throwable = null
     while (attempts > 0) {
@@ -1019,23 +1043,6 @@ object SnapshotCommit {
           else fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
             .filterNot(_.getName.startsWith("."))
         failpoint("clone") // resolved, not yet carried — the race window
-        // Table-lifetime properties live in the ROOT _properties sidecar
-        // (maintenance like Optimize.compact consults it) — a clone
-        // without them would silently diverge in behavior. Copied
-        // BEFORE the commit() that publishes the clone's version: a
-        // reader or maintenance op that sees the registered clone must
-        // already see its properties (copying after publish left a
-        // window where the clone was visible property-less). The root
-        // sidecar is independent of version directories, so an aborted
-        // attempt leaves only a harmless orphan, and the copy is
-        // overwrite-idempotent across rebase retries.
-        val srcProps = new Path(rootDir(spark, src), "_properties")
-        val pfs = fsOf(spark, srcProps)
-        if (pfs.exists(srcProps))
-          org.apache.hadoop.fs.FileUtil.copy(pfs, srcProps,
-            fsOf(spark, rootDir(spark, dst)),
-            new Path(rootDir(spark, dst), "_properties"), false, true,
-            spark.sparkContext.hadoopConfiguration)
         def place(p: Path, to: Path): Unit =
           if (manifestMode(spark))
             org.apache.hadoop.fs.FileUtil.copy(
@@ -1067,6 +1074,10 @@ object SnapshotCommit {
         }
       } match {
         case scala.util.Success(p) =>
+          // Existing-dst case: adopt the source's table-lifetime
+          // properties only once the cloned version has PUBLISHED (see
+          // the pre-copy comment above for why not earlier).
+          if (dstHadProps) copyProps()
           return p
         case scala.util.Failure(e) =>
           lastErr = e

@@ -318,10 +318,19 @@ class CrossProcessSpec extends SparkSpec {
                  Files.exists(Paths.get(barrier, "ready-B")))) {
           assert(System.currentTimeMillis() < deadline,
             s"children did not reach the barrier within 300s\n${childLogs()}")
-          assert(cloner.isAlive || cloner.exitValue() == 0,
-            s"cloner died pre-barrier\n${childLogs()}")
-          assert(churner.isAlive || churner.exitValue() == 0,
-            s"churner died pre-barrier\n${childLogs()}")
+          // Any pre-barrier exit is a failure — even status 0 (a child
+          // that returned early without writing its ready file would
+          // otherwise burn the full 300s and die as a misleading
+          // barrier timeout). Clue strings evaluate eagerly, so status
+          // must never call exitValue() on a live process.
+          def status(p: Process): String =
+            if (p.isAlive) "alive" else s"exited ${p.exitValue()}"
+          assert(cloner.isAlive ||
+            Files.exists(Paths.get(barrier, "ready-A")),
+            s"cloner exited pre-barrier (${status(cloner)})\n${childLogs()}")
+          assert(churner.isAlive ||
+            Files.exists(Paths.get(barrier, "ready-B")),
+            s"churner exited pre-barrier (${status(churner)})\n${childLogs()}")
           Thread.sleep(100)
         }
         Files.writeString(Paths.get(barrier, "go"), "")

@@ -942,4 +942,42 @@ class StorageSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("v2"))
     SnapshotCommit.destroy(spark, tbl)
   }
+
+  test("clone properties ordering: a failed clone never clobbers an " +
+      "existing destination's properties; success adopts the source's") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.SnapshotCommit
+    val src = "clone_props_src"; val dst = "clone_props_dst"
+    Seq(src, dst).foreach(SnapshotCommit.destroy(spark, _))
+    SnapshotCommit.commit(spark, src) { dir =>
+      spark.range(0, 10).select(col("id")).coalesce(1).write.parquet(dir)
+    }
+    SnapshotCommit.setProperties(spark, src, Map("origin" -> "src"))
+    // dst pre-exists as its own table with its OWN properties.
+    SnapshotCommit.commit(spark, dst) { dir =>
+      spark.range(0, 3).select(col("id")).coalesce(1).write.parquet(dir)
+    }
+    SnapshotCommit.setProperties(spark, dst, Map("origin" -> "dst"))
+    // Every attempt dies at the clone failpoint -> clone throws after
+    // its bounded retries. The pre-existing properties must survive.
+    SnapshotCommit.failpoint =
+      s => if (s == "clone") sys.error("injected clone failure")
+    try intercept[Exception](SnapshotCommit.clone(spark, src, dst))
+    finally SnapshotCommit.failpoint = _ => ()
+    assert(SnapshotCommit.properties(spark, dst).get("origin")
+      === Some("dst"),
+      "failed clone overwrote the existing destination's properties")
+    // The same clone succeeding DOES adopt the source's properties.
+    SnapshotCommit.clone(spark, src, dst)
+    assert(SnapshotCommit.properties(spark, dst).get("origin")
+      === Some("src"),
+      "successful clone onto an existing table must adopt src properties")
+    // Fresh destination: properties arrive with (or before) the publish.
+    val dst2 = "clone_props_dst2"
+    SnapshotCommit.destroy(spark, dst2)
+    SnapshotCommit.clone(spark, src, dst2)
+    assert(SnapshotCommit.properties(spark, dst2).get("origin")
+      === Some("src"))
+    Seq(src, dst, dst2).foreach(SnapshotCommit.destroy(spark, _))
+  }
 }
