@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Per-entry bench floors: build them from recorded sweeps, gate on them.
+
+The repo's perf regression rule (BASELINE.md) is "no entry above 1.5x
+its protocol-era floor without a written cause". Until now the floors
+lived in prose and the comparison was manual; this makes both
+mechanical:
+
+  # extend/refresh floors from one or more sf0.1 bench JSONs
+  python3 tools/floors.py --update BENCH_FLOORS.json BENCH_LATEST.json ...
+
+  # gate: every entry in the sweep must be <= factor * floor
+  python3 tools/floors.py --check BENCH_FLOORS.json BENCH_LATEST.json
+
+Floors only ever DECREASE (min over history), so a noisy slow sweep can
+never relax the gate; entries without a floor yet (first sweep after
+they land) are reported and adopted on the next --update. Only sf0.1
+sweeps are accepted — a decade-replica run would poison every floor.
+"""
+import json
+import sys
+
+
+# Entries measuring ONE-TIME setup work rather than a query plan: their
+# absolute time depends on what a prior run left in the warehouse (a
+# fingerprint-marker hit costs ~0s, a cold rebuild 16-25s), so a floor
+# recorded on a warm run would flag every cold run. Reported, never
+# failed.
+EXEMPT = {"g0_medallion_build"}
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    sf = str(d.get("sf", ""))
+    if not (sf.endswith("sf0.1") or sf == ""):
+        raise SystemExit(f"{path}: sf={sf!r} is not an sf0.1 sweep — refusing")
+    qs = d.get("queries", {})
+    if not qs:
+        raise SystemExit(f"{path}: no queries section")
+    return qs
+
+
+def main(argv):
+    if len(argv) < 3 or argv[0] not in ("--update", "--check"):
+        print(__doc__)
+        return 2
+    mode, floors_path, bench_paths = argv[0], argv[1], argv[2:]
+    factor = 1.5
+    if "--factor" in bench_paths:
+        i = bench_paths.index("--factor")
+        factor = float(bench_paths[i + 1])
+        bench_paths = bench_paths[:i] + bench_paths[i + 2:]
+    try:
+        with open(floors_path) as f:
+            floors = json.load(f)
+    except FileNotFoundError:
+        floors = {}
+
+    if mode == "--update":
+        added, lowered = 0, 0
+        for p in bench_paths:
+            for name, sec in load(p).items():
+                if name not in floors:
+                    floors[name] = sec
+                    added += 1
+                elif sec < floors[name]:
+                    floors[name] = sec
+                    lowered += 1
+        with open(floors_path, "w") as f:
+            json.dump(dict(sorted(floors.items())), f, indent=1)
+            f.write("\n")
+        print(f"floors: {len(floors)} entries ({added} added, "
+              f"{lowered} lowered) -> {floors_path}")
+        return 0
+
+    # --check
+    rc = 0
+    for p in bench_paths:
+        bad, new = [], []
+        for name, sec in load(p).items():
+            if name in EXEMPT:
+                if name in floors and sec > factor * floors[name]:
+                    print(f"note {name}: {sec:.2f}s over floor but exempt "
+                          f"(one-time setup cost)")
+            elif name not in floors:
+                new.append(name)
+            elif sec > factor * floors[name]:
+                bad.append((name, sec, floors[name]))
+        for name, sec, fl in sorted(bad, key=lambda x: -x[1] / x[2]):
+            print(f"FAIL {name}: {sec:.2f}s > {factor}x floor {fl:.2f}s "
+                  f"({sec / fl:.2f}x)")
+            rc = 1
+        for name in sorted(new):
+            print(f"NEW  {name}: no floor yet (adopt with --update)")
+        print(f"{p}: {len(bad)} over-floor, {len(new)} new, "
+              f"{len(load(p)) - len(bad) - len(new)} within {factor}x")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
