@@ -91,4 +91,23 @@ object Expectations {
     rules.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
       acc.filter(coalesce(r.predicate, lit(false)))
     }
+
+  /** Quarantine routing — the DLT quarantine-table pattern: instead of
+    * silently filtering violations (applyDrops) or aborting (Fail),
+    * TAG every row with the sorted names of the rules it violates so
+    * one pass can route clean rows onward and violating rows — with
+    * their reasons — to a quarantine sink for triage/replay. Null
+    * predicates count as violations, the applyDrops semantic. Pure
+    * plan-level projection: no action, no second scan, works identically
+    * on batch and streaming frames; at 100 TB the split is a map-side
+    * filter on each branch of one shared scan.
+    */
+  def tagViolations(df: DataFrame, rules: Seq[Expectation],
+      colName: String = "_violated"): DataFrame = {
+    require(rules.nonEmpty, "tagViolations needs at least one rule")
+    val tags = array(rules.map(r =>
+      when(!coalesce(r.predicate, lit(false)), lit(r.name))): _*)
+    df.withColumn(colName,
+      sort_array(filter(tags, x => x.isNotNull)))
+  }
 }

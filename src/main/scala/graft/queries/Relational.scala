@@ -415,9 +415,46 @@ object Relational {
         "n_nonpositive_price")
   }
 
+  // ---- dq3: quarantine routing (expect_or_drop with a paper trail) ----
+  // The third DLT disposition: instead of silently filtering violations
+  // (Action.Drop) or aborting (Fail), one plan-level pass tags each row
+  // with the SORTED names of the rules it violates; clean rows flow on,
+  // violating rows carry their reasons to a quarantine sink for triage
+  // and replay. This entry emits both branches with a disposition
+  // column so the whole routing sits under the hash gate — including
+  // multi-rule rows (a row can violate value_cap AND not_error at
+  // once). At scale the split is two map-side filters on one shared
+  // scan; no action, no second read, batch/streaming-identical.
+  val dq3Quarantine = withOracle(
+    "dq3_quarantine",
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         list_sort(list_filter([
+      |           CASE WHEN NOT (event_type <> 'error') THEN 'not_error' END,
+      |           CASE WHEN NOT (value <= 150.0) THEN 'value_cap' END],
+      |           x -> x IS NOT NULL)) AS violated
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, value,
+      |       CASE WHEN length(violated) = 0 THEN 'clean'
+      |            ELSE 'quarantined' END AS disposition,
+      |       coalesce(array_to_string(violated, ','), '') AS violated
+      |FROM t""".stripMargin) { (s, d) =>
+    val tagged = DQ.tagViolations(
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      Seq(DQ.drop("not_error", col("event_type") =!= "error"),
+        DQ.drop("value_cap", col("value") <= 150.0)))
+    tagged.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"),
+      when(size(col("_violated")) === 0, "clean")
+        .otherwise("quarantined").as("disposition"),
+      array_join(col("_violated"), ",").as("violated"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     p1ProjectCast, p2FilterPredicates, f1Conditional, f2StringHash, f3Dates,
     f4MapDecode, a1GroupAgg, a3GlobalAgg, a5Distinct, a7FillNa,
     w1WindowDedup, j1BroadcastDim, jSemi, jAnti, j12ScalarSubquery,
-    l1TopK, dqExpectations, dq2ObservedMetrics)
+    l1TopK, dqExpectations, dq2ObservedMetrics, dq3Quarantine)
 }

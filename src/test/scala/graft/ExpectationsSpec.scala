@@ -29,6 +29,21 @@ class ExpectationsSpec extends SparkSpec {
     assert(DQ.enforce(df, Seq(DQ.drop("positive", col("x") > 0))).count() === 3)
   }
 
+  test("tagViolations tags sorted rule names; null predicates violate; " +
+      "clean rows get an empty tag") {
+    val withNull = Seq(Some(-5), None, Some(3)).toDF("x")
+    val tagged = DQ.tagViolations(withNull, Seq(
+        DQ.drop("gt0", col("x") > 0),
+        DQ.drop("above_minus_one", col("x") > -1)))
+      .select(col("_violated")).as[Seq[String]].collect()
+    // -5 violates both (sorted names); NULL violates both (applyDrops
+    // semantic); 3 is clean -> empty, never null.
+    assert(tagged.toSet === Set(
+      Seq("above_minus_one", "gt0"), Seq("above_minus_one", "gt0"),
+      Seq.empty[String]).map(identity))
+    assert(tagged.count(_.isEmpty) === 1)
+  }
+
   test("null predicate counts as violation (three-valued logic pinned)") {
     val withNull = Seq(Some(1), None, Some(3)).toDF("x")
     val rep = DQ.report(withNull, Seq(DQ.warn("gt0", col("x") > 0)))
