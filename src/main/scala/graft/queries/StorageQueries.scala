@@ -510,10 +510,48 @@ object StorageQueries {
         .select(col("o_orderkey"), col("total"))
   }
 
+  /** b13 — MANIFEST-level min/max data skipping (Delta's per-file log
+    * stats / Iceberg's manifest bounds analogue): commit writes a
+    * per-file `[min, max]` sidecar INTO the version directory; the
+    * range read intersects the predicate with those bounds and hands
+    * Spark only the surviving files. Distinct from b7 (parquet footer
+    * blooms — still one GET per footer) and b2 (directory partitions):
+    * the whole table's skipping decision costs ONE sidecar read, the
+    * planned file list is query-proportional under the range-clustered
+    * layout, and the predicate re-applies on the survivors so stats
+    * only ever SKIP, never filter. StorageSpec pins the mechanics
+    * (strict file subset, conservative no-stats fallback, empty
+    * survivor set); this entry puts the skip+re-filter read under the
+    * driver's hash gate.
+    */
+  val b13StatsSkipping = withOracle(
+    "b13_stats_skipping",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 2000""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_stats_${sfName(d)}"
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+      graft.storage.StatsSkipping.commitWithStats(s, tbl, "o_orderkey") {
+        stage =>
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast("double").as("total"))
+            .repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite").parquet(stage)
+      }
+      graft.storage.StatsSkipping
+        .readRange(s, tbl, "o_orderkey", 1000L, 2000L)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
-      b11ShallowClone, b12Compaction)
+      b11ShallowClone, b12Compaction, b13StatsSkipping)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

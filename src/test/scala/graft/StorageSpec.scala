@@ -943,6 +943,41 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("stats skipping: a range read plans a strict file subset, " +
+      "no-stats falls back to every file, disjoint ranges plan zero") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{SnapshotCommit, StatsSkipping}
+    val tbl = "stats_skip_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+      spark.range(0, 8000).select(col("id"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(stage)
+    }
+    val all = SnapshotCommit.dataFiles(spark, tbl)
+    assert(all.size === 8)
+    // A ~one-file range must plan a strict subset.
+    val narrow = StatsSkipping.survivingFiles(spark, tbl, 100L, 200L)
+    assert(narrow.nonEmpty && narrow.size < all.size,
+      s"narrow range planned ${narrow.size}/${all.size} files")
+    // The rows still come back exactly (skip, never filter).
+    assert(StatsSkipping.readRange(spark, tbl, "id", 100L, 200L).count()
+      === 101L)
+    // Disjoint range: zero files, zero rows, no crash.
+    assert(StatsSkipping.survivingFiles(spark, tbl, 50000L, 60000L).isEmpty)
+    assert(StatsSkipping.readRange(spark, tbl, "id", 50000L, 60000L)
+      .count() === 0L)
+    // Conservative fallback: delete the sidecar -> every file survives.
+    val v = SnapshotCommit.register(spark, tbl).get
+    val dir = SnapshotCommit.resolveDir(spark, tbl, v).get
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stats"), false)
+    assert(StatsSkipping.survivingFiles(spark, tbl, 100L, 200L).size
+      === all.size,
+      "files without stats rows must be read conservatively")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("clone properties ordering: a failed clone never clobbers an " +
       "existing destination's properties; success adopts the source's") {
     import org.apache.spark.sql.functions._
