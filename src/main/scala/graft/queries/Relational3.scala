@@ -960,10 +960,61 @@ object Relational3 {
           .cast("long").as("gap_us"))
   }
 
+  // ---- e8: linear multi-touch attribution (RANGE frame) ----
+  /** The multi-touch complement to e7's last-touch carry: each purchase
+    * splits its value EQUALLY across every click/view by the same user
+    * in the 7-day lookback. The touch count rides a time-RANGE frame
+    * (`RANGE 604800000000 PRECEDING .. CURRENT ROW` over exact
+    * microseconds) — one window pass over the interleaved event stream,
+    * no self-join, no as-of; the purchase row itself never counts (its
+    * CASE is null). RANGE-at-CURRENT-ROW includes order-value peers on
+    * both engines, so the frame semantics are engine-identical. Credit
+    * is one double division (value / n). Zero-touch purchases report
+    * NULL credit — the direct-traffic bucket again. Scale: one user_id
+    * shuffle; frame state is bounded by the lookback's event count.
+    */
+  val e8LinearAttribution = withOracle(
+    "e8_linear_attribution",
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |         epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |         count(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+      |           OVER (PARTITION BY user_id ORDER BY us
+      |                 RANGE BETWEEN 604800000000 PRECEDING
+      |                           AND CURRENT ROW) AS n_touches
+      |  FROM o)
+      |SELECT event_id AS purchase_id, user_id,
+      |       CAST(us AS BIGINT) AS purchase_us, value,
+      |       CAST(n_touches AS BIGINT) AS n_touches,
+      |       CASE WHEN n_touches > 0
+      |            THEN value / CAST(n_touches AS DOUBLE) END
+      |         AS credit_per_touch
+      |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-604800000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_touches", count(when(isTouch, 1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"), col("value"),
+        col("n_touches"),
+        when(col("n_touches") > 0,
+          col("value") / col("n_touches").cast("double"))
+          .as("credit_per_touch"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
       w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments,
-      w13M4Downsample, w14RollingAnomaly, e7Attribution)
+      w13M4Downsample, w14RollingAnomaly, e7Attribution,
+      e8LinearAttribution)
 }
