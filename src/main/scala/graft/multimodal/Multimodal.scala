@@ -109,6 +109,66 @@ object Multimodal {
     }
   }
 
+  final case class FrameSig(doc_id: Long, frame_idx: Long, sig: Long)
+
+  /** Per-frame 8-bit visual signature for SHOT detection: every frame
+    * (BlockSize bytes — no sampling, boundaries must not be skipped)
+    * gets one bit per eighth-chunk, set when the chunk's mean byte is
+    * at or above the FRAME mean. Means compare as exact integer
+    * cross-products (chunkSum * frameBytes >= frameSum * chunkLen), so
+    * the DuckDB oracle is bit-identical — the same discipline as
+    * [[PerceptualHash.aHash]], scoped per frame instead of per payload.
+    * Consecutive-frame signature Hamming distance is the classic
+    * shot-boundary signal: swap the byte plane for decoded luma
+    * histograms and this is textbook cut detection.
+    */
+  object ShotDetector {
+    val Chunks = 8
+
+    def frameSigs(media: Array[Byte]): Iterator[(Long, Long)] = {
+      val n = media.length
+      val nFrames = (n + FakeCodec.BlockSize - 1) / FakeCodec.BlockSize
+      (0 until nFrames).iterator.map { i =>
+        val s = i * FakeCodec.BlockSize
+        val e = math.min(n, s + FakeCodec.BlockSize)
+        val fb = e - s
+        var fsum = 0L
+        var k = s
+        while (k < e) { fsum += media(k) & 0xff; k += 1 }
+        var sig = 0L
+        var j = 0
+        while (j < Chunks) {
+          val ps = s + j * fb / Chunks
+          val pe = s + (j + 1) * fb / Chunks
+          if (pe > ps) {
+            var cs = 0L
+            var m = ps
+            while (m < pe) { cs += media(m) & 0xff; m += 1 }
+            if (cs * fb >= fsum * (pe - ps)) sig |= (1L << j)
+          }
+          j += 1
+        }
+        (i.toLong, sig)
+      }
+    }
+  }
+
+  /** Partition-batched frame signatures: one media row expands to one
+    * signature row per frame (iterator-in/iterator-out, like
+    * [[extractFrames]] — a document's frames never materialize in one
+    * object).
+    */
+  def frameSignatures(spark: SparkSession, media: DataFrame): Dataset[FrameSig] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { rec =>
+        ShotDetector.frameSigs(rec.media).map { case (idx, sig) =>
+          FrameSig(rec.doc_id, idx, sig)
+        }
+      }
+    }
+  }
+
   final case class MediaHash(doc_id: Long, phash: Long)
 
   /** aHash-style PERCEPTUAL hash over the stubbed codec's byte plane:

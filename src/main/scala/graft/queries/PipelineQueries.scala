@@ -598,6 +598,88 @@ object PipelineQueries {
     * before the window — at 100 TB both scans are map-side-only and
     * the window's doc_id clustering is the single exchange.
     */
+  // ---- m7: shot detection (cut segmentation over frame signatures) ----
+  /** The video-curation step between m2's frame sampling and a real
+    * keyframe selector: every frame gets an 8-bit per-chunk-vs-frame-
+    * mean signature (exact integer cross-products — see
+    * [[graft.multimodal.Multimodal.ShotDetector]]), consecutive frames
+    * compare by signature Hamming distance, and a distance >= 3 opens a
+    * new SHOT (gaps-and-islands over the cut flags). Output is one row
+    * per shot with its start frame and length — the unit a sampler
+    * would draw keyframes from. Scale: the codec pass is partition-
+    * batched iterator work (frames never materialize per document);
+    * the lag/cut/segment windows all ride ONE (doc_id) exchange, and
+    * the final per-shot aggregate shares that clustering.
+    */
+  val m7ShotDetection = withOracle(
+    "m7_shot_detection", {
+      def chunkSum(j: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  cps[CAST(s + $j * fb // 8 + 1 AS BIGINT)
+           |      :CAST(s + ${j + 1} * fb // 8 AS BIGINT)]),
+           |  (a, b) -> a + b)""".stripMargin
+      val sigBits = (0 until 8).map { j =>
+        s"""CASE WHEN ${j + 1} * fb // 8 > $j * fb // 8 AND
+           |  ${chunkSum(j)} * fb >= fsum * (${j + 1} * fb // 8 - $j * fb // 8)
+           |THEN ${1L << j} ELSE 0 END""".stripMargin
+      }.mkString("(", " + ", ")")
+      s"""WITH b AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n,
+         |         list_transform(list_filter(string_split(text, ''),
+         |                                    c -> length(c) > 0),
+         |                        c -> CAST(ascii(c) AS BIGINT)) AS cps
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, cps, CAST(i AS BIGINT) AS frame_idx,
+         |         CAST(i * 64 AS BIGINT) AS s,
+         |         CAST(least(n, i * 64 + 64) AS BIGINT) AS e
+         |  FROM b, unnest(range(0, CAST((n + 63) // 64 AS BIGINT))) AS u(i)),
+         |fs AS (
+         |  SELECT doc_id, frame_idx, s, e - s AS fb, cps,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                                  cps[s + 1:e]),
+         |                     (a, b) -> a + b) AS fsum
+         |  FROM f),
+         |sg AS (SELECT doc_id, frame_idx, $sigBits AS sig FROM fs),
+         |d AS (
+         |  SELECT doc_id, frame_idx, sig,
+         |         lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |           AS prev
+         |  FROM sg),
+         |c AS (
+         |  SELECT doc_id, frame_idx,
+         |         CASE WHEN prev IS NULL OR bit_count(xor(sig, prev)) >= 3
+         |              THEN 1 ELSE 0 END AS is_cut
+         |  FROM d),
+         |s2 AS (
+         |  SELECT doc_id, frame_idx,
+         |         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |                           ROWS UNBOUNDED PRECEDING) AS shot_id
+         |  FROM c)
+         |SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+         |       CAST(min(frame_idx) AS BIGINT) AS start_frame,
+         |       CAST(count(*) AS BIGINT) AS n_frames
+         |FROM s2 GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sigs = Multimodal.frameSignatures(s,
+      Multimodal.attachMedia(Tables.documents(s, d))).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sigs
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNull ||
+          bit_count(col("sig").bitwiseXOR(col("prev"))) >= 3, 1)
+          .otherwise(0))
+      .withColumn("shot_id", sum(col("is_cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"))
+      .select(col("doc_id"), col("shot_id").cast("long").as("shot_id"),
+        col("start_frame"), col("n_frames"))
+  }
+
   val m6Interleave = withOracle(
     "m6_interleave",
     """WITH b AS (
@@ -668,7 +750,8 @@ object PipelineQueries {
 
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
-      m5AudioSegments, m6Interleave, st1HourlyAgg, st2StreamDedup,
+      m5AudioSegments, m6Interleave, m7ShotDetection, st1HourlyAgg,
+      st2StreamDedup,
       st3Stateful, st4Watermarked, st5StreamJoin, st7SessionWindow,
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
