@@ -349,9 +349,66 @@ object OlistQueries {
           d2.as("d2"))
   }
 
+  /** g12 — delivery-SLA percentiles per state, the third consumption
+    * shape over the committed gold tables (g9 geography+time, g10
+    * category, this one operations): EXACT p50/p90 of per-ORDER
+    * delivery days, selected by rank arithmetic (rank ceil(q*n) in the
+    * (days, order_key) total order — engine-deterministic, no
+    * interpolation ambiguity), after de-duplicating the item-grain
+    * fact to order grain. Exact per-group percentiles are fine while
+    * orders-per-state is bounded; the unbounded-group swap is t12's
+    * mergeable histogram. Scale: one distinct shuffle to order grain,
+    * then the rank window rides a (state) repartition of ORDER-grain
+    * rows, never items.
+    */
+  val g12DeliverySla = withOracle(
+    "g12_delivery_sla",
+    OlistOracle.ctes +
+      """, o AS (
+        |  SELECT DISTINCT f.order_key, dc.customer_state,
+        |         f.actual_delivery_days AS days
+        |  FROM gold_fact_order_items f
+        |  JOIN gold_dim_customers dc ON f.customer_key = dc.customer_key
+        |  WHERE f.actual_delivery_days IS NOT NULL),
+        |r AS (
+        |  SELECT customer_state, days, order_key,
+        |         row_number() OVER (PARTITION BY customer_state
+        |                            ORDER BY days, order_key) AS rn,
+        |         count(*) OVER (PARTITION BY customer_state) AS n
+        |  FROM o)
+        |SELECT customer_state,
+        |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END)
+        |            AS BIGINT) AS p50_days,
+        |       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+        |            AS BIGINT) AS p90_days,
+        |       CAST(max(n) AS BIGINT) AS n_orders
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val n = OlistMaterialized.ensure(s, d)
+    val o = s.table(n.fact)
+      .filter(col("actual_delivery_days").isNotNull)
+      .join(s.table(n.dimCustomers)
+        .select(col("customer_key"), col("customer_state")), "customer_key")
+      .select(col("order_key"), col("customer_state"),
+        col("actual_delivery_days").as("days"))
+      .distinct()
+    val w = Window.partitionBy(col("customer_state"))
+      .orderBy(col("days"), col("order_key"))
+    val wAll = Window.partitionBy(col("customer_state"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("customer_state"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
+          .cast("long").as("p50_days"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("days")))
+          .cast("long").as("p90_days"),
+        max(col("n")).as("n_orders"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
     g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
-    g10CategoryKpis, g11GeoJoin,
+    g10CategoryKpis, g11GeoJoin, g12DeliverySla,
     st6CsvBronze, u4IncrementalSilver)
 }
