@@ -163,5 +163,45 @@ object ChangeDataQueries {
         lit(2L).as("commit_version"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(u6Scd2, u7ChangeFeed)
+  // ---- u9: semantic diff between two ENGINE table versions ----
+  /** u7 synthesizes its two versions relationally; this one diffs the
+    * engine's OWN deletion-vector time travel: two versioned DELETEs
+    * land on a real snapshot table, and the feed of rows REMOVED
+    * between v1 and v2 is `readAt(v1) EXCEPT readAt(v2)` — the
+    * "what changed between these two versions" audit question asked
+    * directly of the storage layer, under the DuckDB hash gate. With
+    * immutable data files + the versioned sidecar the diff needs no
+    * log replay: both versions are directly readable and EXCEPT is one
+    * shuffle on the row image. (DV versions only remove rows, so the
+    * insert arm is empty by construction — u7 covers the full
+    * insert/update/delete vocabulary.)
+    */
+  val u9VersionDiff = withOracle(
+    "u9_version_diff",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total,
+      |       'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_diff_${graft.queries.StorageQueries.sfName(d)}"
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      val v1 = graft.storage.DeletionVectors
+        .delete(s, tbl, col("o_orderkey") % 7 === 0)
+      val v2 = graft.storage.DeletionVectors
+        .delete(s, tbl, col("o_orderkey") % 5 === 0)
+      graft.storage.DeletionVectors.readAt(s, tbl, v1)
+        .except(graft.storage.DeletionVectors.readAt(s, tbl, v2))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"),
+          lit("delete").as("change_type"),
+          lit(v2).as("commit_version"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(u6Scd2, u7ChangeFeed, u9VersionDiff)
 }
