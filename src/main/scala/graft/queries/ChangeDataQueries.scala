@@ -187,7 +187,8 @@ object ChangeDataQueries {
       val tbl = s"orders_diff_${graft.queries.StorageQueries.sfName(d)}"
       s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
       graft.storage.SnapshotCommit.destroy(s, tbl)
-      graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+      Seq(tbl, s"${tbl}__dv").foreach(t =>
+        graft.core.CatalogUtil.dropOrphanLocation(s, t))
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"))

@@ -430,8 +430,10 @@ object Relational {
     """WITH t AS (
       |  SELECT event_id, user_id, event_type, value,
       |         list_sort(list_filter([
-      |           CASE WHEN NOT (event_type <> 'error') THEN 'not_error' END,
-      |           CASE WHEN NOT (value <= 150.0) THEN 'value_cap' END],
+      |           CASE WHEN NOT coalesce(event_type <> 'error', false)
+      |                THEN 'not_error' END,
+      |           CASE WHEN NOT coalesce(value <= 150.0, false)
+      |                THEN 'value_cap' END],
       |           x -> x IS NOT NULL)) AS violated
       |  FROM events)
       |SELECT event_id, user_id, event_type, value,

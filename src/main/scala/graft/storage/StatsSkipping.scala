@@ -36,22 +36,47 @@ object StatsSkipping {
     * writer produced in the staged directory. Stats key on the file
     * BASENAME — the stage directory is renamed to `v<N>` at publish,
     * so absolute paths recorded at stage time would dangle.
+    *
+    * Stats come from the parquet FOOTERS the writer just produced
+    * (metadata-only I/O, the rowGroupRanges pattern) — never a second
+    * scan of the data: file min/max is the row groups' min of mins /
+    * max of maxes. A file whose column chunks carry no usable stats
+    * (e.g. an all-null column) writes NO sidecar line, which the
+    * reader treats as "always read" — the conservative contract.
     */
   def commitWithStats(spark: SparkSession, table: String, statsCol: String)(
       write: String => Unit): Path =
     SnapshotCommit.commit(spark, table) { stage =>
       write(stage)
-      val rows = spark.read.parquet(stage)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
-        .collect()
-      val lines = rows.map { r =>
-        val base = new Path(r.getString(0)).getName
-        s"$base\t${r.get(1)}\t${r.get(2)}"
-      }.sorted.mkString("", "\n", "\n")
+      import scala.jdk.CollectionConverters._
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val stageP = new Path(stage)
+      val fs = stageP.getFileSystem(hconf)
+      val lines = fs.listStatus(stageP).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .flatMap { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, hconf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val ranges = reader.getFooter.getBlocks.asScala.toSeq
+              .flatMap { block =>
+                block.getColumns.asScala
+                  .find(_.getPath.toDotString == statsCol)
+                  .map(_.getStatistics)
+                  // hasNonNullValue false = all-null or stats-less
+                  // chunk: no range to record for this block.
+                  .filter(s => !s.isEmpty && s.hasNonNullValue)
+                  .map(s => (s.genericGetMin.toString.toLong,
+                    s.genericGetMax.toString.toLong))
+              }
+            if (ranges.isEmpty) None
+            else Some(s"${st.getPath.getName}\t${ranges.map(_._1).min}" +
+              s"\t${ranges.map(_._2).max}")
+          } finally reader.close()
+        }.sorted.mkString("", "\n", "\n")
       val p = new Path(stage, StatsFile)
-      val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(p, false)
+      val out = p.getFileSystem(hconf).create(p, false)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
     }
 

@@ -976,6 +976,31 @@ class StorageSpec extends SparkSpec {
       === all.size,
       "files without stats rows must be read conservatively")
     SnapshotCommit.destroy(spark, tbl)
+
+    // A file whose stats column is ALL NULL gets no sidecar line and is
+    // conservatively read (never a crash, never skipped): ids >= 1000
+    // carry NULL keys and land in their own range partition.
+    val tbl2 = "stats_skip_nulls_tbl"
+    SnapshotCommit.destroy(spark, tbl2)
+    StatsSkipping.commitWithStats(spark, tbl2, "k") { stage =>
+      spark.range(0, 2000)
+        .select(col("id"),
+          when(col("id") < 1000, col("id")).as("k"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(stage)
+    }
+    val all2 = SnapshotCommit.dataFiles(spark, tbl2)
+    assert(all2.size === 2)
+    // A range disjoint from the stats-bearing file's [0,999]: only the
+    // all-null file survives — conservatively read, never skipped, and
+    // its missing sidecar line never crashes the parse.
+    val nullOnly = StatsSkipping.survivingFiles(spark, tbl2, 5000L, 6000L)
+    assert(nullOnly.size === 1,
+      s"expected only the conservative all-null file, got $nullOnly")
+    assert(StatsSkipping.readRange(spark, tbl2, "k", 5000L, 6000L).count()
+      === 0L)
+    assert(StatsSkipping.readRange(spark, tbl2, "k", 0L, 10L).count() === 11L)
+    SnapshotCommit.destroy(spark, tbl2)
   }
 
   test("clone properties ordering: a failed clone never clobbers an " +

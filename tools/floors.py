@@ -15,11 +15,14 @@ mechanical:
 Floors only ever DECREASE (min over history), so a noisy slow sweep can
 never relax the gate; entries without a floor yet (first sweep after
 they land) are reported and adopted on the next --update. Only sf0.1
-sweeps are accepted — a decade-replica run would poison every floor.
+sweeps are accepted — a decade-replica run (or a sweep that does not
+declare its scale at all) would poison every floor. --check also fails
+on floored entries MISSING from the sweep and on a non-empty `errors`
+array: an entry that regressed into an error vanishes from `queries`,
+which is the worst regression, not a pass.
 """
 import json
 import sys
-
 
 # Entries measuring ONE-TIME setup work rather than a query plan: their
 # absolute time depends on what a prior run left in the warehouse (a
@@ -32,13 +35,17 @@ EXEMPT = {"g0_medallion_build"}
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    sf = str(d.get("sf", ""))
-    if not (sf.endswith("sf0.1") or sf == ""):
+    # Accept both spellings the drivers have used: a path ending in
+    # "sf0.1" and the bare scale number 0.1 / "0.1". Anything else —
+    # including a MISSING sf field — is refused: an undeclared scale
+    # must never min() into the floors.
+    sf = str(d.get("sf", "<missing>"))
+    if not (sf.endswith("sf0.1") or sf == "0.1"):
         raise SystemExit(f"{path}: sf={sf!r} is not an sf0.1 sweep — refusing")
     qs = d.get("queries", {})
     if not qs:
         raise SystemExit(f"{path}: no queries section")
-    return qs
+    return qs, d.get("errors", [])
 
 
 def main(argv):
@@ -49,7 +56,14 @@ def main(argv):
     factor = 1.5
     if "--factor" in bench_paths:
         i = bench_paths.index("--factor")
-        factor = float(bench_paths[i + 1])
+        if i + 1 >= len(bench_paths):
+            print("--factor needs a value\n" + __doc__)
+            return 2
+        try:
+            factor = float(bench_paths[i + 1])
+        except ValueError:
+            print(f"--factor value {bench_paths[i + 1]!r} is not a number")
+            return 2
         bench_paths = bench_paths[:i] + bench_paths[i + 2:]
     try:
         with open(floors_path) as f:
@@ -60,7 +74,8 @@ def main(argv):
     if mode == "--update":
         added, lowered = 0, 0
         for p in bench_paths:
-            for name, sec in load(p).items():
+            qs, _ = load(p)
+            for name, sec in qs.items():
                 if name not in floors:
                     floors[name] = sec
                     added += 1
@@ -77,24 +92,37 @@ def main(argv):
     # --check
     rc = 0
     for p in bench_paths:
-        bad, new = [], []
-        for name, sec in load(p).items():
+        qs, errors = load(p)
+        bad, new, exempt_over, within = [], [], 0, 0
+        for name, sec in qs.items():
             if name in EXEMPT:
                 if name in floors and sec > factor * floors[name]:
+                    exempt_over += 1
                     print(f"note {name}: {sec:.2f}s over floor but exempt "
                           f"(one-time setup cost)")
             elif name not in floors:
                 new.append(name)
             elif sec > factor * floors[name]:
                 bad.append((name, sec, floors[name]))
+            else:
+                within += 1
+        gone = sorted(set(floors) - set(qs) - EXEMPT)
         for name, sec, fl in sorted(bad, key=lambda x: -x[1] / x[2]):
             print(f"FAIL {name}: {sec:.2f}s > {factor}x floor {fl:.2f}s "
                   f"({sec / fl:.2f}x)")
             rc = 1
+        for name in gone:
+            print(f"GONE {name}: has a floor but is missing from the sweep "
+                  f"(renamed, or regressed into an error)")
+            rc = 1
+        if errors:
+            print(f"FAIL {p}: sweep reports errors: {errors}")
+            rc = 1
         for name in sorted(new):
             print(f"NEW  {name}: no floor yet (adopt with --update)")
-        print(f"{p}: {len(bad)} over-floor, {len(new)} new, "
-              f"{len(load(p)) - len(bad) - len(new)} within {factor}x")
+        print(f"{p}: {len(bad)} over-floor, {len(gone)} gone, "
+              f"{len(new)} new, {exempt_over} exempt-over, {within} within "
+              f"{factor}x")
     return rc
 
 
