@@ -761,11 +761,80 @@ object Relational2 {
           .cast("double").as("weighted_qty"))
   }
 
+  // ---- a16: exact median + MAD (robust statistics) ----
+  /** a14 assembles the MOMENT statistics (variance/correlation) from
+    * exact sums; this is the ROBUST pair — per-group exact median and
+    * median absolute deviation, the outlier-resistant spread measure
+    * moments can't give (one corrupt 1e9 row ruins stddev, moves MAD
+    * not at all). Both medians come from rank selection at ceil(n/2)
+    * in a (value, key) total order (the g12 discipline — no
+    * interpolation ambiguity), deviations are exact DECIMAL
+    * subtraction, and the only double appears in the final cast — so
+    * both engines agree bit-for-bit. Scale: two rank windows over the
+    * SAME group partitioning plus a broadcast-size median join; exact
+    * per-group medians are fine while rows-per-group is bounded (the
+    * unbounded swap is t12's mergeable histogram).
+    */
+  val a16ExactMad = withOracle(
+    "a16_exact_mad",
+    """WITH v AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      |  FROM orders),
+      |r1 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |                               ORDER BY x, o_orderkey) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM v),
+      |med AS (
+      |  SELECT o_orderpriority,
+      |         max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med,
+      |         max(n) AS n
+      |  FROM r1 GROUP BY 1),
+      |d AS (
+      |  SELECT v.o_orderkey, v.o_orderpriority, m.med, m.n,
+      |         abs(v.x - m.med) AS dev
+      |  FROM v JOIN med m USING (o_orderpriority)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |                               ORDER BY dev, o_orderkey) AS rn
+      |  FROM d)
+      |SELECT o_orderpriority,
+      |       CAST(max(med) AS DOUBLE) AS median,
+      |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+      |            AS DOUBLE) AS mad,
+      |       CAST(max(n) AS BIGINT) AS n
+      |FROM r2 GROUP BY 1""".stripMargin) { (s, d) =>
+    val v = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("x"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("x"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val med = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("x")))
+        .as("med"), max(col("n")).as("n"))
+    val dev = v.join(broadcast(med), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("med"),
+        col("n"), abs(col("x") - col("med")).as("dev"))
+    val w2 = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("dev"), col("o_orderkey"))
+    dev.withColumn("rn", row_number().over(w2))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("med")).cast("double").as("median"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("dev")))
+          .cast("double").as("mad"),
+        max(col("n")).as("n"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
     r1RecursiveCte, j20RuntimeBloom, a14StatsAgg, a15BitwiseAgg,
-    j21SaltedSkewJoin)
+    j21SaltedSkewJoin, a16ExactMad)
 }

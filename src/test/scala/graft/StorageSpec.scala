@@ -1003,6 +1003,35 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl2)
   }
 
+  test("stats skipping reads are snapshot-isolated across a concurrent " +
+      "commit: a planned range read serves its resolved version") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{SnapshotCommit, StatsSkipping}
+    val tbl = "stats_skip_iso_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+      spark.range(0, 8000).select(col("id"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(stage)
+    }
+    // Plan against v1, but do NOT execute yet.
+    val plannedAtV1 = StatsSkipping.readRange(spark, tbl, "id", 100L, 200L)
+    // A second commit publishes v2 with DIFFERENT content (ids doubled).
+    StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+      spark.range(0, 4000).select((col("id") * 2).as("id"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(stage)
+    }
+    // The v1-planned read still serves v1 rows: immutable files + the
+    // prune retention of (current, current-1) make the old plan valid.
+    assert(plannedAtV1.count() === 101L,
+      "the pre-commit plan must keep serving its resolved version")
+    // A FRESH read resolves v2: only even ids in [100, 200] now.
+    assert(StatsSkipping.readRange(spark, tbl, "id", 100L, 200L).count()
+      === 51L, "a fresh read must resolve the new current version")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("clone properties ordering: a failed clone never clobbers an " +
       "existing destination's properties; success adopts the source's") {
     import org.apache.spark.sql.functions._
