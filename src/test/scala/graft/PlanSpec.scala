@@ -588,6 +588,22 @@ class PlanSpec extends SparkSpec {
       s"expected 3 partial KMV aggregations (a, b, union), got $partials:\n$plan")
   }
 
+  test("a16_exact_mad: the median side broadcasts; no extra exchange " +
+      "beyond the two rank windows") {
+    // The MAD plan's shape contract: the 5-row per-group median frame
+    // joins the value frame by BROADCAST (a shuffle join would
+    // repartition the whole fact for 5 rows), and the only hash
+    // exchanges are the two rank windows' group partitionings.
+    val df = Catalog.queries("a16_exact_mad")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median frame must broadcast:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 2, s"expected <= 2 group-window exchanges, found $n:\n$plan")
+  }
+
   test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
       "plan is local-relation only") {
     // The returned frame is the greedy re-rank over the collected
