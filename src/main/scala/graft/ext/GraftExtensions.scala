@@ -19,10 +19,16 @@ import graft.functions.{DotProduct, MinHashBandKeys, MinShingleHash, RollingHash
   *    tests where the session already exists).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // Default-path manifest stats skipping: any Filter over a parquet
+    // scan whose directory carries a `_stats` sidecar plans only the
+    // surviving files (see graft.storage.StatsSkippingRule). Live
+    // sessions can instead call StatsSkipping.installRule.
+    ext.injectOptimizerRule(_ => graft.storage.StatsSkippingRule)
+  }
 }
 
 object GraftExtensions {

@@ -548,10 +548,59 @@ object StorageQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), col("total"))
   }
 
+  /** b14 — manifest stats skipping through the DEFAULT read path: the
+    * table is committed with multi-column TYPED stats (BIGINT key, DATE,
+    * DECIMAL money — the reference's actual clustering-key types,
+    * `fact_order_items.sql:9`), and the query is an ORDINARY
+    * `spark.table(...).filter(...)` with no Graft read API at all —
+    * [[graft.storage.StatsSkippingRule]] (installed once per session,
+    * or via `spark.sql.extensions=graft.ext.GraftExtensions`) rewrites
+    * the scan to the surviving file subset at optimization time.
+    * Distinct from b13 (explicit readRange API): here the capability
+    * serves every registered-table read with a pushable point/range
+    * predicate, which is what makes the write-side clustering
+    * investment pay on a 100 TB fact no matter who writes the query.
+    * StorageSpec pins the strict-subset planning; this entry puts the
+    * default-path prune + re-filter under the driver's hash gate.
+    */
+  val b14DefaultStatsPrune = withOracle(
+    "b14_default_stats_prune",
+    """SELECT o_orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+      |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 2000
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1993-01-01'
+      |  AND CAST(o_totalprice AS DECIMAL(12,2)) <= 250000.00""".stripMargin) {
+    (s, d) =>
+      val tbl = s"orders_dstats_${sfName(d)}"
+      graft.storage.SnapshotCommit.destroy(s, tbl)
+      graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+      graft.storage.StatsSkipping.commitWithStats(s, tbl,
+        Seq("o_orderkey", "order_date", "total_dec")) { stage =>
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"),
+            col("o_totalprice").cast("decimal(12,2)").as("total_dec"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .write.mode("overwrite").parquet(stage)
+      }
+      graft.storage.StatsSkipping.installRule(s)
+      s.table(tbl)
+        .filter(col("o_orderkey").between(1000, 2000) &&
+          col("order_date") >= lit("1993-01-01").cast("date") &&
+          col("total_dec") <= lit("250000.00").cast("decimal(12,2)"))
+        .select(col("o_orderkey"),
+          col("order_date").cast("string").as("order_date"),
+          col("total_dec").cast("double").as("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
-      b11ShallowClone, b12Compaction, b13StatsSkipping)
+      b11ShallowClone, b12Compaction, b13StatsSkipping,
+      b14DefaultStatsPrune)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

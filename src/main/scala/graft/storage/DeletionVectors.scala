@@ -208,8 +208,21 @@ object DeletionVectors {
     * data files + append-only sidecar make every version readable
     * without snapshot copies.
     */
-  def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
-    val base = SnapshotCommit.readData(spark, table)
+  def readAt(spark: SparkSession, table: String, v: Long): DataFrame =
+    maskAt(spark, table, SnapshotCommit.readData(spark, table), v)
+
+  /** Apply the table's LIVE deletion vector to an externally-built scan
+    * of (a subset of) its data files — the hook that keeps alternative
+    * read paths (StatsSkipping.readRange's pruned file scan) from
+    * resurrecting deleted rows. Coordinates key on file BASENAME +
+    * row index, so a scan over any subset of the version's files masks
+    * correctly; a table with no sidecar passes through untouched.
+    */
+  private[storage] def mask(spark: SparkSession, table: String,
+      base: DataFrame): DataFrame = maskAt(spark, table, base, Long.MaxValue)
+
+  private def maskAt(spark: SparkSession, table: String, base: DataFrame,
+      v: Long): DataFrame = {
     sidecarDf(spark, table) match {
       case None => base
       // The sidecar's key columns are RENAMED before the join: a user

@@ -1024,8 +1024,36 @@ object SnapshotCommit {
       if (pfs.exists(srcProps))
         org.apache.hadoop.fs.FileUtil.copy(pfs, srcProps, dfs, dstProps,
           false, true, spark.sparkContext.hadoopConfiguration)
-    val dstHadProps = dfs.exists(dstProps)
-    if (!dstHadProps) copyProps()
+    // TABLE FRESHNESS (no published version), not sidecar existence,
+    // keys the pre-copy: an EXISTING destination that merely has no
+    // properties set must not take the fresh-dst path — a clone that
+    // then exhausted its rebase retries and threw would leave the old
+    // dst data permanently running under the SOURCE's properties, the
+    // very hazard the post-commit ordering below exists to prevent.
+    val dstFresh = register(spark, dst).isEmpty
+    // Rollback state for the fresh path: a version-less root can still
+    // carry properties declared before first adoption (setProperties
+    // documents that), and even a plain orphan sidecar left by a failed
+    // clone would be silently inherited by a later unrelated commit
+    // that creates dst as a brand-new table — a failed clone restores
+    // the prior sidecar (or removes the one it created).
+    val priorProps: Option[Array[Byte]] =
+      if (!dstFresh || !dfs.exists(dstProps)) None
+      else {
+        val in = dfs.open(dstProps)
+        try Some(in.readAllBytes()) finally in.close()
+      }
+    val preCopied = dstFresh && pfs.exists(srcProps)
+    if (preCopied) copyProps()
+    def rollbackProps(): Unit = if (preCopied) scala.util.Try {
+      priorProps match {
+        case None => dfs.delete(dstProps, false)
+        case Some(bytes) =>
+          val out = dfs.create(dstProps, true)
+          try out.write(bytes) finally out.close()
+      }
+    }.failed.foreach(e => System.err.println(
+      s"[snapshot] failed clone could not restore $dst properties: $e"))
     var attempts = 3
     var lastErr: Throwable = null
     while (attempts > 0) {
@@ -1077,7 +1105,7 @@ object SnapshotCommit {
           // Existing-dst case: adopt the source's table-lifetime
           // properties only once the cloned version has PUBLISHED (see
           // the pre-copy comment above for why not earlier).
-          if (dstHadProps) copyProps()
+          if (!dstFresh) copyProps()
           return p
         case scala.util.Failure(e) =>
           lastErr = e
@@ -1085,6 +1113,7 @@ object SnapshotCommit {
             s"[snapshot] clone of $src interrupted, rebasing: $e")
       }
     }
+    rollbackProps()
     throw lastErr
   }
 

@@ -21,18 +21,43 @@ import org.apache.spark.sql.functions._
   * directory, so it versions, publishes, and travels with its snapshot
   * atomically — no separate consistency protocol.
   *
+  * TWO read paths consume the sidecar:
+  *  - [[readRange]] — the explicit API (deletion-vector-aware: the
+  *    pruned scan is masked through the table's live DV before rows
+  *    surface, so a DV-bearing table never resurrects deleted rows);
+  *  - [[StatsSkippingRule]] — the DEFAULT path: an optimizer rule that
+  *    rewrites ANY `Filter` over a registered parquet table whose
+  *    directory carries a `_stats` sidecar to scan only the surviving
+  *    files. Ordinary `spark.table(...)`/SQL reads with a pushable
+  *    point/range predicate prune without calling any Graft API — the
+  *    reference's fact is CLUSTER BY'd on four keys precisely so scans
+  *    prune (`scripts/gold/fact_order_items.sql:9`).
+  *
+  * Stats are TYPED per column (`long` — integers, dates as epoch days,
+  * timestamps as micros; `double`; `decimal`; `string` — URL-encoded,
+  * compared as unsigned UTF-8 bytes, parquet's own string ordering), so
+  * pruning covers the reference's clustering keys (ids, DATE, money
+  * DECIMAL), not just a single Long column.
+  *
   * Pruning is CONSERVATIVE: a file missing from the sidecar (e.g. a
   * carried ref in manifest mode, whose stats the carry did not
-  * recompute) is always read. Nulls: stats here are recorded for
-  * non-null-min/max (Spark's min/max ignore nulls), so a file of only
-  * nulls records no row and is conservatively read.
+  * recompute), a column without a recorded range, or a predicate shape
+  * the extractor does not understand all mean "read the file". Nulls:
+  * stats record non-null min/max (Spark's min/max ignore nulls), so a
+  * file of only nulls records no row and is conservatively read.
   */
 object StatsSkipping {
 
   private val StatsFile = "_stats"
+  private[storage] val Header = "#graft-stats-v2"
+
+  /** One column's recorded range in one file: a type tag plus encoded
+    * min/max (see [[decode]] for the encodings). */
+  private[storage] final case class ColRange(tpe: String, min: String,
+      max: String)
 
   /** Commit through [[SnapshotCommit.commit]], then append a per-file
-    * min/max sidecar for `statsCol` covering every parquet file the
+    * min/max sidecar for `statsCols` covering every parquet file the
     * writer produced in the staged directory. Stats key on the file
     * BASENAME — the stage directory is renamed to `v<N>` at publish,
     * so absolute paths recorded at stage time would dangle.
@@ -40,88 +65,244 @@ object StatsSkipping {
     * Stats come from the parquet FOOTERS the writer just produced
     * (metadata-only I/O, the rowGroupRanges pattern) — never a second
     * scan of the data: file min/max is the row groups' min of mins /
-    * max of maxes. A file whose column chunks carry no usable stats
-    * (e.g. an all-null column) writes NO sidecar line, which the
-    * reader treats as "always read" — the conservative contract.
+    * max of maxes. A column chunk without usable stats (all-null, or a
+    * physical type the encoder does not cover, e.g. INT96 timestamps)
+    * writes NO sidecar line, which the reader treats as "always read"
+    * — the conservative contract.
+    *
+    * The stage layout must be FLAT (no partitionBy subdirectories):
+    * stats key on basenames, and a nested layout would silently degrade
+    * skipping to none — so it is rejected loudly instead.
     */
-  def commitWithStats(spark: SparkSession, table: String, statsCol: String)(
-      write: String => Unit): Path =
+  def commitWithStats(spark: SparkSession, table: String,
+      statsCols: Seq[String])(write: String => Unit): Path =
     SnapshotCommit.commit(spark, table) { stage =>
       write(stage)
       import scala.jdk.CollectionConverters._
       val hconf = spark.sparkContext.hadoopConfiguration
       val stageP = new Path(stage)
       val fs = stageP.getFileSystem(hconf)
-      val lines = fs.listStatus(stageP).toSeq
+      val entries = fs.listStatus(stageP).toSeq
+      require(!entries.exists(e => e.isDirectory &&
+          !e.getPath.getName.startsWith("_") &&
+          !e.getPath.getName.startsWith(".")),
+        s"commitWithStats($table) requires a flat stage layout: stats " +
+          "key on file basenames, so a partitionBy/nested write would " +
+          "silently lose its skipping — write unpartitioned, or commit " +
+          "via SnapshotCommit.commit without stats")
+      val lines = entries
         .filter(_.getPath.getName.endsWith(".parquet"))
         .flatMap { st =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(st.getPath, hconf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
-            val ranges = reader.getFooter.getBlocks.asScala.toSeq
-              .flatMap { block =>
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            statsCols.flatMap { col =>
+              val ranges = blocks.flatMap { block =>
                 block.getColumns.asScala
-                  .find(_.getPath.toDotString == statsCol)
-                  .map(_.getStatistics)
-                  // hasNonNullValue false = all-null or stats-less
-                  // chunk: no range to record for this block.
-                  .filter(s => !s.isEmpty && s.hasNonNullValue)
-                  .map(s => (s.genericGetMin.toString.toLong,
-                    s.genericGetMax.toString.toLong))
+                  .find(_.getPath.toDotString == col)
+                  .flatMap(chunkRange)
               }
-            if (ranges.isEmpty) None
-            else Some(s"${st.getPath.getName}\t${ranges.map(_._1).min}" +
-              s"\t${ranges.map(_._2).max}")
+              // Every block must carry a usable range or the file's
+              // true min/max is unknown — record nothing (conservative).
+              if (ranges.isEmpty || ranges.size != blocks.size) None
+              else {
+                val tpe = ranges.head.tpe
+                if (!ranges.forall(_.tpe == tpe)) None
+                else Some(s"${st.getPath.getName}\t$col\t$tpe" +
+                  s"\t${ranges.map(_.min).min(ordering(tpe))}" +
+                  s"\t${ranges.map(_.max).max(ordering(tpe))}")
+              }
+            }
           } finally reader.close()
-        }.sorted.mkString("", "\n", "\n")
+        }.sorted.mkString(s"$Header\n", "\n", "\n")
       val p = new Path(stage, StatsFile)
       val out = p.getFileSystem(hconf).create(p, false)
       try out.write(lines.getBytes("UTF-8")) finally out.close()
     }
 
+  /** Single-column convenience (the original b13 surface). */
+  def commitWithStats(spark: SparkSession, table: String, statsCol: String)(
+      write: String => Unit): Path =
+    commitWithStats(spark, table, Seq(statsCol))(write)
+
+  /** One column chunk's [min, max] as a typed, encoded [[ColRange]] —
+    * None when the chunk has no usable stats (all-null, stats-less, or
+    * a physical/logical type the encoder does not cover).
+    */
+  private def chunkRange(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+      ): Option[ColRange] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val s = c.getStatistics
+    if (s == null || s.isEmpty || !s.hasNonNullValue) return None
+    val prim = c.getPrimitiveType
+    val ann = prim.getLogicalTypeAnnotation
+    def enc(v: AnyRef): Option[(String, String)] = (prim.getPrimitiveTypeName, ann) match {
+      case (INT32 | INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(("decimal", java.math.BigDecimal
+          .valueOf(v.toString.toLong, d.getScale).toPlainString))
+      case (INT32 | INT64, _) =>
+        // Covers plain ints/longs, DATE (epoch days) and
+        // TIMESTAMP_MICROS/MILLIS (their catalyst literals are the same
+        // underlying integers, so "long" ordering is exact for all).
+        Some(("long", v.toString))
+      case (FLOAT | DOUBLE, _) => Some(("double", v.toString))
+      case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        Some(("string", java.net.URLEncoder.encode(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8, "UTF-8")))
+      case (BINARY | FIXED_LEN_BYTE_ARRAY,
+          d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(("decimal", new java.math.BigDecimal(
+          new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+          d.getScale).toPlainString))
+      case _ => None // INT96, booleans, raw binary: no comparable stats
+    }
+    for {
+      (tpe, mn) <- enc(s.genericGetMin.asInstanceOf[AnyRef])
+      (_, mx) <- enc(s.genericGetMax.asInstanceOf[AnyRef])
+    } yield ColRange(tpe, mn, mx)
+  }
+
+  /** Decode an encoded stat/bound into its comparable form. */
+  private[storage] def decode(tpe: String, s: String): Any = tpe match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case "decimal" => new java.math.BigDecimal(s)
+    case "string" =>
+      java.net.URLDecoder.decode(s, "UTF-8").getBytes("UTF-8")
+  }
+
+  /** Compare two DECODED values of the same stat type. Strings compare
+    * as unsigned UTF-8 bytes — parquet's UNSIGNED string ordering, so
+    * pruning decisions match the order the footer stats were computed
+    * under (Java String ordering differs beyond ASCII).
+    */
+  private[storage] def cmp(tpe: String, a: Any, b: Any): Int = tpe match {
+    case "long" =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "double" =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "decimal" => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal])
+    case "string" =>
+      java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+
+  /** Ordering over ENCODED values of one stat type (for folding row
+    * groups into a file range). */
+  private def ordering(tpe: String): Ordering[String] =
+    (x: String, y: String) => cmp(tpe, decode(tpe, x), decode(tpe, y))
+
+  /** Parse a `_stats` sidecar: file basename -> column -> range.
+    * Tolerant of the v1 single-column format (no header, 3 fields):
+    * those lines are ignored — "no stats" is the conservative answer,
+    * never a crash.
+    */
+  private[storage] def parseStats(
+      txt: String): Map[String, Map[String, ColRange]] =
+    txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("\t") match {
+          case Array(name, col, tpe, mn, mx) =>
+            Some((name, col, ColRange(tpe, mn, mx)))
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> r._3).toMap
+      }
+
+  /** Load (with a small mtime-keyed cache) the `_stats` sidecar of a
+    * snapshot/stage directory; None when the directory carries none.
+    * The cache makes the DEFAULT-path rule free on repeated reads: one
+    * getFileStatus per query instead of re-reading the sidecar.
+    */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Map[String, Map[String, ColRange]])]()
+
+  private[storage] def loadStats(spark: SparkSession,
+      dir: Path): Option[Map[String, Map[String, ColRange]]] = {
+    val p = new Path(dir, StatsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = dir.toString
+    statsCache.get(key) match {
+      case (m, l, parsed)
+        if m == st.getModificationTime && l == st.getLen => Some(parsed)
+      case _ =>
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val parsed = parseStats(txt)
+        if (statsCache.size > 256) statsCache.clear() // bound, not LRU
+        statsCache.put(key, (st.getModificationTime, st.getLen, parsed))
+        Some(parsed)
+    }
+  }
+
+  /** Does `range` intersect [lo, hi] (each bound optional, decoded)? */
+  private[storage] def intersects(range: ColRange, lo: Option[Any],
+      hi: Option[Any]): Boolean = {
+    val mn = decode(range.tpe, range.min)
+    val mx = decode(range.tpe, range.max)
+    lo.forall(l => cmp(range.tpe, mx, l) >= 0) &&
+      hi.forall(h => cmp(range.tpe, mn, h) <= 0)
+  }
+
   /** The file list a range predicate `lo <= statsCol <= hi` needs:
     * every data file whose recorded [min, max] intersects [lo, hi],
-    * plus (conservatively) any file without a stats row.
+    * plus (conservatively) any file without a stats row for the column.
     */
   private[graft] def survivingFiles(spark: SparkSession, table: String,
-      lo: Long, hi: Long): Seq[Path] = {
+      statsCol: String, lo: Long, hi: Long): Seq[Path] = {
     val v = SnapshotCommit.register(spark, table).getOrElse(
       sys.error(s"$table has no published version"))
     val dir = SnapshotCommit
       .resolveDir(spark, table, v)
       .getOrElse(sys.error(s"$table v$v has no directory"))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats: Map[String, (Long, Long)] = {
-      val p = new Path(dir, StatsFile)
-      if (!fs.exists(p)) Map.empty
-      else {
-        val in = fs.open(p)
-        val txt =
-          try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        txt.split("\n").filter(_.nonEmpty).map { l =>
-          val Array(name, mn, mx) = l.split("\t")
-          name -> (mn.toLong, mx.toLong)
-        }.toMap
-      }
-    }
+    val stats = loadStats(spark, dir).getOrElse(Map.empty)
     SnapshotCommit.listData(spark, dir).collect {
-      case (name, path) if stats.get(name)
-        .forall { case (mn, mx) => mx >= lo && mn <= hi } => path
+      // Conservative on BOTH gaps: no stats row for the file/column, or
+      // a non-long stat type under this Long-typed API -> read it.
+      case (name, path) if stats.get(name).flatMap(_.get(statsCol))
+        .forall(r => r.tpe != "long" ||
+          intersects(r, Some(lo), Some(hi))) => path
     }
   }
 
   /** Range read through the stats prune. The predicate is RE-APPLIED on
-    * the surviving files — stats only skip, they never filter rows.
+    * the surviving files — stats only skip, they never filter rows —
+    * and the pruned scan is masked through the table's live deletion
+    * vector, so a DV-bearing table never resurrects deleted rows here.
     */
   def readRange(spark: SparkSession, table: String, statsCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val files = survivingFiles(spark, table, lo, hi)
+    val files = survivingFiles(spark, table, statsCol, lo, hi)
     // An empty survivor set is a legal answer (no file intersects);
     // Spark still needs a schema, so serve the table's empty limit.
     val base =
       if (files.isEmpty) SnapshotCommit.readData(spark, table).limit(0)
-      else spark.read.parquet(files.map(_.toString): _*)
+      else DeletionVectors.mask(spark, table,
+        spark.read.parquet(files.map(_.toString): _*))
     base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
+
+  /** Install [[StatsSkippingRule]] on a live session (idempotent) so
+    * ordinary `spark.table` reads prune through the sidecars. Sessions
+    * built with `spark.sql.extensions=graft.ext.GraftExtensions` get
+    * the rule without calling this.
+    */
+  def installRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(StatsSkippingRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ StatsSkippingRule
 }

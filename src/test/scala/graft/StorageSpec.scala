@@ -957,14 +957,14 @@ class StorageSpec extends SparkSpec {
     val all = SnapshotCommit.dataFiles(spark, tbl)
     assert(all.size === 8)
     // A ~one-file range must plan a strict subset.
-    val narrow = StatsSkipping.survivingFiles(spark, tbl, 100L, 200L)
+    val narrow = StatsSkipping.survivingFiles(spark, tbl, "id", 100L, 200L)
     assert(narrow.nonEmpty && narrow.size < all.size,
       s"narrow range planned ${narrow.size}/${all.size} files")
     // The rows still come back exactly (skip, never filter).
     assert(StatsSkipping.readRange(spark, tbl, "id", 100L, 200L).count()
       === 101L)
     // Disjoint range: zero files, zero rows, no crash.
-    assert(StatsSkipping.survivingFiles(spark, tbl, 50000L, 60000L).isEmpty)
+    assert(StatsSkipping.survivingFiles(spark, tbl, "id", 50000L, 60000L).isEmpty)
     assert(StatsSkipping.readRange(spark, tbl, "id", 50000L, 60000L)
       .count() === 0L)
     // Conservative fallback: delete the sidecar -> every file survives.
@@ -972,7 +972,7 @@ class StorageSpec extends SparkSpec {
     val dir = SnapshotCommit.resolveDir(spark, tbl, v).get
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_stats"), false)
-    assert(StatsSkipping.survivingFiles(spark, tbl, 100L, 200L).size
+    assert(StatsSkipping.survivingFiles(spark, tbl, "id", 100L, 200L).size
       === all.size,
       "files without stats rows must be read conservatively")
     SnapshotCommit.destroy(spark, tbl)
@@ -994,7 +994,7 @@ class StorageSpec extends SparkSpec {
     // A range disjoint from the stats-bearing file's [0,999]: only the
     // all-null file survives — conservatively read, never skipped, and
     // its missing sidecar line never crashes the parse.
-    val nullOnly = StatsSkipping.survivingFiles(spark, tbl2, 5000L, 6000L)
+    val nullOnly = StatsSkipping.survivingFiles(spark, tbl2, "k", 5000L, 6000L)
     assert(nullOnly.size === 1,
       s"expected only the conservative all-null file, got $nullOnly")
     assert(StatsSkipping.readRange(spark, tbl2, "k", 5000L, 6000L).count()
@@ -1032,6 +1032,81 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("default-path stats skipping: an ordinary spark.table read with " +
+      "a pushable predicate plans a strict file subset across typed " +
+      "columns; everything else stays conservative") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{SnapshotCommit, StatsSkipping}
+    val tbl = "dstats_rule_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, Seq("id", "d", "m", "s")) {
+      stage =>
+        spark.range(0, 8000).select(col("id"),
+            date_add(lit("2020-01-01").cast("date"),
+              (col("id") / 10).cast("int")).as("d"),
+            (col("id").cast("decimal(18,4)") / 4)
+              .cast("decimal(12,2)").as("m"),
+            format_string("k%06d", col("id")).as("s"))
+          .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(stage)
+    }
+    StatsSkipping.installRule(spark)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val all = scannedFiles(spark.table(tbl))
+    assert(all === 8)
+    // BIGINT range — the clustered key: strict subset, exact rows.
+    val q1 = spark.table(tbl).filter(col("id").between(100, 200))
+    assert(scannedFiles(q1) < all, "long range did not prune")
+    assert(q1.count() === 101)
+    // DATE point predicate (epoch-day longs under the hood).
+    val q2 = spark.table(tbl)
+      .filter(col("d") === lit("2020-01-05").cast("date"))
+    assert(scannedFiles(q2) < all, "date predicate did not prune")
+    assert(q2.count() === 10)
+    // DECIMAL bound (money): id/4 <= 25.00 -> ids 0..100.
+    val q3 = spark.table(tbl)
+      .filter(col("m") <= lit("25.00").cast("decimal(12,2)"))
+    assert(scannedFiles(q3) < all, "decimal bound did not prune")
+    assert(q3.count() === 101)
+    // STRING equality (unsigned UTF-8 ordering, parquet's own).
+    val q4 = spark.table(tbl).filter(col("s") === "k000150")
+    assert(scannedFiles(q4) < all, "string predicate did not prune")
+    assert(q4.count() === 1)
+    // Disjoint range: zero files planned, zero rows, no crash.
+    val q5 = spark.table(tbl).filter(col("id") > 100000)
+    assert(scannedFiles(q5) === 0)
+    assert(q5.count() === 0)
+    // A predicate shape the extractor does not understand: every file
+    // read (skip-only contract — correctness never depends on pruning).
+    val q6 = spark.table(tbl).filter(col("id") % 2 === 0)
+    assert(scannedFiles(q6) === all)
+    assert(q6.count() === 4000)
+    SnapshotCommit.destroy(spark, tbl)
+
+    // Composes with b9's Z-ordered layout: a bound on the SECOND
+    // clustered key prunes too (the lexicographic-sort failure mode).
+    val tblZ = "dstats_rule_z_tbl"
+    SnapshotCommit.destroy(spark, tblZ)
+    StatsSkipping.commitWithStats(spark, tblZ, Seq("a", "b")) { stage =>
+      graft.storage.ZOrder.layout(
+          spark.range(0, 65536).select(
+            (col("id") / 256).cast("long").as("a"),
+            (col("id") % 256).as("b")),
+          Seq("a", "b"), partitions = Some(16))
+        .write.mode("overwrite").parquet(stage)
+    }
+    val qz = spark.table(tblZ).filter(col("b").between(0, 15))
+    val zFiles = scannedFiles(qz)
+    assert(zFiles > 0 && zFiles < 16,
+      s"z-layout second-key prune planned $zFiles/16 files")
+    assert(qz.count() === 256L * 16)
+    SnapshotCommit.destroy(spark, tblZ)
+  }
+
   test("clone properties ordering: a failed clone never clobbers an " +
       "existing destination's properties; success adopts the source's") {
     import org.apache.spark.sql.functions._
@@ -1067,6 +1142,31 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.clone(spark, src, dst2)
     assert(SnapshotCommit.properties(spark, dst2).get("origin")
       === Some("src"))
-    Seq(src, dst, dst2).foreach(SnapshotCommit.destroy(spark, _))
+    // An EXISTING destination with NO properties of its own must not
+    // take the fresh-dst pre-copy path: a failed clone would otherwise
+    // leave the old dst data running under the SOURCE's properties.
+    val dst3 = "clone_props_dst3"
+    SnapshotCommit.destroy(spark, dst3)
+    SnapshotCommit.commit(spark, dst3) { dir =>
+      spark.range(0, 2).select(col("id")).coalesce(1).write.parquet(dir)
+    }
+    SnapshotCommit.failpoint =
+      s => if (s == "clone") sys.error("injected clone failure")
+    try intercept[Exception](SnapshotCommit.clone(spark, src, dst3))
+    finally SnapshotCommit.failpoint = _ => ()
+    assert(SnapshotCommit.properties(spark, dst3).isEmpty,
+      "failed clone onto an existing (property-less) table adopted the " +
+        "source's properties")
+    // A failed FRESH-destination clone must not leave an orphan root
+    // `_properties` sidecar for a later unrelated commit to inherit.
+    val dst4 = "clone_props_dst4"
+    SnapshotCommit.destroy(spark, dst4)
+    SnapshotCommit.failpoint =
+      s => if (s == "clone") sys.error("injected clone failure")
+    try intercept[Exception](SnapshotCommit.clone(spark, src, dst4))
+    finally SnapshotCommit.failpoint = _ => ()
+    assert(SnapshotCommit.properties(spark, dst4).isEmpty,
+      "failed fresh-dst clone left an orphan _properties sidecar")
+    Seq(src, dst, dst2, dst3, dst4).foreach(SnapshotCommit.destroy(spark, _))
   }
 }

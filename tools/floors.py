@@ -106,7 +106,11 @@ def main(argv):
                 bad.append((name, sec, floors[name]))
             else:
                 within += 1
-        gone = sorted(set(floors) - set(qs) - EXEMPT)
+        # An EXEMPT entry is exempt from the FLOOR rule, not from
+        # existing: one that vanishes from `queries` (renamed, or
+        # regressed into an error a driver failed to record) must still
+        # flag — compute `gone` over ALL floored entries.
+        gone = sorted(set(floors) - set(qs))
         for name, sec, fl in sorted(bad, key=lambda x: -x[1] / x[2]):
             print(f"FAIL {name}: {sec:.2f}s > {factor}x floor {fl:.2f}s "
                   f"({sec / fl:.2f}x)")
