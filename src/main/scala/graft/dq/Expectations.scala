@@ -26,6 +26,15 @@ object Action {
   case object Warn extends Action
   case object Fail extends Action
   case object Drop extends Action
+
+  /** Like Drop for the downstream flow (violating rows never land in
+    * the table), but the violating rows are ROUTED — tagged with the
+    * rules they broke and written to a `<table>__quarantine` sink by
+    * the Pipeline runner — instead of silently discarded. The DLT
+    * quarantine-table pattern (expect_or_drop + an inverted-rule
+    * quarantine table, MIGRATION.md) as a first-class disposition.
+    */
+  case object Quarantine extends Action
 }
 
 final class ExpectationViolation(msg: String) extends RuntimeException(msg)
@@ -38,6 +47,8 @@ object Expectations {
     Expectation(name, predicate, Action.Fail)
   def drop(name: String, predicate: Column): Expectation =
     Expectation(name, predicate, Action.Drop)
+  def quarantine(name: String, predicate: Column): Expectation =
+    Expectation(name, predicate, Action.Quarantine)
 
   /** One row per rule: (rule, action, violations, total) — single-pass.
     * Counters are keyed POSITIONALLY (`__viol_<index>`), never by rule
@@ -66,7 +77,10 @@ object Expectations {
     * Returns the (possibly filtered) DataFrame for further composition.
     */
   def enforce(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
-    val checked = rules.filter(r => r.action != Action.Drop)
+    // Quarantine rules are not aggregated here: their violating rows are
+    // ROUTED (Pipeline's quarantine sink), not counted-and-warned.
+    val checked = rules.filter(r =>
+      r.action == Action.Warn || r.action == Action.Fail)
     if (checked.nonEmpty) {
       val rep = report(df, checked).collect()
       rep.foreach { row =>
@@ -86,11 +100,25 @@ object Expectations {
     * drops plan-level (in flight, batch and streaming alike) while
     * enforce applies them after the warn/fail aggregate — both must
     * share one null-handling semantic (violating OR null-predicate rows
-    * drop), so both call here. */
+    * drop), so both call here. Quarantine rules filter the CLEAN side
+    * identically (their violating rows leave the flow too — they are
+    * additionally routed by the Pipeline runner's quarantine sink).
+    */
   def applyDrops(df: DataFrame, rules: Seq[Expectation]): DataFrame =
-    rules.filter(_.action == Action.Drop).foldLeft(df) { (acc, r) =>
+    rules.filter(r => r.action == Action.Drop ||
+        r.action == Action.Quarantine).foldLeft(df) { (acc, r) =>
       acc.filter(coalesce(r.predicate, lit(false)))
     }
+
+  /** The QUARANTINED side of the split: rows violating at least one of
+    * the given rules (null predicates violate, the applyDrops
+    * semantic), tagged via [[tagViolations]] with the sorted names of
+    * every rule they broke. Plan-level (one shared scan feeds both
+    * branches at execution; batch and streaming identical).
+    */
+  def violating(df: DataFrame, rules: Seq[Expectation],
+      colName: String = "_violated"): DataFrame =
+    tagViolations(df, rules, colName).filter(size(col(colName)) > 0)
 
   /** Quarantine routing — the DLT quarantine-table pattern: instead of
     * silently filtering violations (applyDrops) or aborting (Fail),

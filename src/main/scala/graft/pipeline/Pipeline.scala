@@ -257,26 +257,44 @@ class Pipeline {
     // and a fail rule must still abort the update, and warn counts must
     // not silently shrink because another rule dropped the rows first.
     val built = d.build(spark, upstream)
-    val df = applyDrops(built, d.expectations)
-    val warnFail = d.expectations.filter(_.action != Action.Drop)
+    val warnFail = d.expectations.filter(e =>
+      e.action == Action.Warn || e.action == Action.Fail)
+    val qRules = d.expectations.filter(_.action == Action.Quarantine)
     // Batch builds bound for a table check warn/fail either directly on
     // the build plan (cheap builds) or against a STAGED copy (expensive
     // builds, one build pass) — see Dataset.validateStaged; views and
     // streaming frames handle warn/fail in their own cases below.
     val validateDir = spark.conf.get("spark.sql.warehouse.dir") +
       s"/_graft_staging/${name}_validate"
-    val staged =
-      if (warnFail.nonEmpty && !df.isStreaming &&
+    // The validated PRE-drop frame every consumer below derives from:
+    // the build plan itself (cheap builds — each consumer re-runs it),
+    // or its staged copy (validateStaged — the build's joins run once,
+    // main write AND quarantine split both read the staged parquet).
+    val preDrop =
+      if ((warnFail.nonEmpty || qRules.nonEmpty) && !built.isStreaming &&
         d.materialize != Materialize.View) {
         if (d.validateStaged)
-          // Stage the PRE-drop build once (one build pass), validate
-          // there, commit the staged copy with drops applied — a cheap
-          // filter over the staged parquet scan.
-          applyDrops(
-            stageAndValidate(spark, built, warnFail, validateDir),
-            d.expectations)
-        else { Expectations.enforce(built, warnFail); df }
-      } else df
+          stageAndValidate(spark, built, warnFail, validateDir)
+        else { Expectations.enforce(built, warnFail); built }
+      } else built
+    val df = applyDrops(preDrop, d.expectations)
+    val staged = df
+    // Quarantine routing — the third DLT disposition as a
+    // materialization arm: violating rows, tagged with the sorted names
+    // of the rules they broke, land in `<name>__quarantine`; clean rows
+    // flow downstream (applyDrops already filters them). Batch runs
+    // OVERWRITE the quarantine table (this run's rejects — full-refresh
+    // semantics, matching the table they shadow); the streaming arm
+    // appends per micro-batch under the same idempotence markers as the
+    // main table. A Fail violation still aborts BEFORE any write (the
+    // enforce above throws first). Views route nothing: they
+    // materialize nothing to shadow.
+    def routeQuarantine(): Unit = if (qRules.nonEmpty) {
+      val qName = s"${name}__quarantine"
+      graft.core.CatalogUtil.dropOrphanLocation(spark, qName)
+      Expectations.violating(preDrop, qRules)
+        .write.mode("overwrite").format("parquet").saveAsTable(qName)
+    }
     val out = d.materialize match {
         case Materialize.View =>
           // Lazy view: nothing is committed, so the only place to check
@@ -287,6 +305,12 @@ class Pipeline {
           df
         case Materialize.Table if df.isStreaming =>
           dropOrphanLocation(spark, name)
+          val qName = s"${name}__quarantine"
+          if (qRules.nonEmpty)
+            // The quarantine table rides the SAME checkpoint/markers as
+            // the main table — an orphaned main location (lost catalog)
+            // means both restart together.
+            graft.core.CatalogUtil.dropOrphanLocation(spark, qName)
           // Warn/fail expectations need an aggregate, which a streaming
           // plan cannot host — so each micro-batch is validated inside
           // foreachBatch BEFORE its append (DLT's ON VIOLATION FAIL
@@ -326,6 +350,13 @@ class Pipeline {
                 // counted — re-enforcing would re-run the aggregate and
                 // double-log its warns for data the table already holds.
                 Expectations.enforce(batch, warnFail)
+                // Quarantine routing per micro-batch, under the same
+                // idempotence marker as the main append (and the same
+                // crash-between-append-and-marker caveat).
+                if (qRules.nonEmpty)
+                  Expectations.violating(batch, qRules)
+                    .write.mode("append").format("parquet")
+                    .saveAsTable(qName)
                 clustered(applyDrops(batch, d.expectations), d.clusterBy)
                   .write.mode("append").format("parquet").saveAsTable(name)
                 fs.mkdirs(marker)
@@ -344,11 +375,21 @@ class Pipeline {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               df.schema).write.format("parquet").saveAsTable(name)
+          // An empty (or violation-free) stream must still leave a
+          // readable quarantine table — downstream triage reads it
+          // unconditionally.
+          if (qRules.nonEmpty && !spark.catalog.tableExists(qName))
+            Expectations.violating(
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                built.schema), qRules)
+              .write.format("parquet").saveAsTable(qName)
           spark.table(name)
         case Materialize.Table =>
           dropOrphanLocation(spark, name)
           clustered(staged, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
+          routeQuarantine()
           deleteDir(spark, validateDir)
           spark.table(name)
         case Materialize.MaterializedView =>
@@ -357,6 +398,7 @@ class Pipeline {
           dropOrphanLocation(spark, name)
           clustered(staged, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
+          routeQuarantine()
           deleteDir(spark, validateDir)
           spark.table(name)
         case Materialize.Incremental(keys) =>
@@ -460,6 +502,7 @@ class Pipeline {
               } finally if (mustMaterialize) batch.unpersist(false)
             }
           }
+          routeQuarantine()
           deleteDir(spark, validateDir)
           spark.table(name)
       }

@@ -748,6 +748,17 @@ object PipelineQueries {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
 
+  // ---- st20: streaming quarantine routing (the live twin of g13) ----
+  // The SAME oracle gates dq3 (plan-level tags), g13 (batch Pipeline
+  // arm) and this streaming replay: four micro-batches, per-batch
+  // tagged appends to `<table>__quarantine` under the main table's
+  // idempotence markers — the union of both committed tables must
+  // reproduce the batch split exactly regardless of batch boundaries.
+  val st20StreamQuarantine = withOracle(
+    "st20_stream_quarantine", Relational.QuarantineOracle) { (s, d) =>
+    Streams.streamQuarantine(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
       m5AudioSegments, m6Interleave, m7ShotDetection, st1HourlyAgg,
@@ -756,5 +767,5 @@ object PipelineQueries {
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
       st16SessionTimeoutTws, st17DedupGate, st18StreamObserve,
-      st19StreamAnomaly)
+      st19StreamAnomaly, st20StreamQuarantine)
 }

@@ -425,8 +425,13 @@ object Relational {
   // multi-rule rows (a row can violate value_cap AND not_error at
   // once). At scale the split is two map-side filters on one shared
   // scan; no action, no second read, batch/streaming-identical.
-  val dq3Quarantine = withOracle(
-    "dq3_quarantine",
+  /** ONE oracle, THREE implementations under it: dq3 (plan-level
+    * tagging), g13 (the Pipeline runner's batch quarantine arm) and
+    * st20 (its streaming twin) — the st19/w14 shared-oracle discipline:
+    * routing through the runner, in either mode, must reproduce the
+    * plan-level split exactly.
+    */
+  private[queries] val QuarantineOracle =
     """WITH t AS (
       |  SELECT event_id, user_id, event_type, value,
       |         list_sort(list_filter([
@@ -440,7 +445,10 @@ object Relational {
       |       CASE WHEN length(violated) = 0 THEN 'clean'
       |            ELSE 'quarantined' END AS disposition,
       |       coalesce(array_to_string(violated, ','), '') AS violated
-      |FROM t""".stripMargin) { (s, d) =>
+      |FROM t""".stripMargin
+
+  val dq3Quarantine = withOracle(
+    "dq3_quarantine", QuarantineOracle) { (s, d) =>
     val tagged = DQ.tagViolations(
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -454,9 +462,42 @@ object Relational {
       array_join(col("_violated"), ",").as("violated"))
   }
 
+  // ---- g13: quarantine routing as a Pipeline MATERIALIZATION arm ----
+  // dq3 proves the plan-level split; this drives it through the DLT-
+  // analogue runner the way the reference pattern actually deploys
+  // (expect_or_drop + quarantine table, MIGRATION.md): the dataset
+  // declares Quarantine expectations, run() commits clean rows to the
+  // table and the tagged violators to `<name>__quarantine`, and the
+  // entry reads BOTH committed tables back — so the sink arm itself
+  // (not just the tagging projection) sits under the hash gate. A Fail
+  // rule would still abort before either write (PipelineSpec pins it).
+  // Full-refresh semantics: re-runs overwrite both tables, idempotent.
+  val g13QuarantinePipeline = withOracle(
+    "g13_quarantine_pipeline", QuarantineOracle) { (s, d) =>
+    val tbl = s"events_dq_${graft.core.Scratch.pathKey(d)}"
+    new graft.pipeline.Pipeline()
+      .register(graft.pipeline.Dataset(tbl, Nil,
+        (sp, _) => Tables.events(sp, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        expectations = Seq(
+          DQ.quarantine("not_error", col("event_type") =!= "error"),
+          DQ.quarantine("value_cap", col("value") <= 150.0)),
+        materialize = graft.pipeline.Materialize.Table))
+      .run(s)
+    s.table(tbl)
+      .withColumn("disposition", lit("clean"))
+      .withColumn("violated", lit(""))
+      .unionByName(s.table(s"${tbl}__quarantine")
+        .withColumn("disposition", lit("quarantined"))
+        .withColumn("violated", array_join(col("_violated"), ","))
+        .drop("_violated"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     p1ProjectCast, p2FilterPredicates, f1Conditional, f2StringHash, f3Dates,
     f4MapDecode, a1GroupAgg, a3GlobalAgg, a5Distinct, a7FillNa,
     w1WindowDedup, j1BroadcastDim, jSemi, jAnti, j12ScalarSubquery,
-    l1TopK, dqExpectations, dq2ObservedMetrics, dq3Quarantine)
+    l1TopK, dqExpectations, dq2ObservedMetrics, dq3Quarantine,
+    g13QuarantinePipeline)
 }

@@ -642,6 +642,55 @@ object Streams {
     runToMemory(hits, "graft_stream_anomaly", OutputMode.Append())
   }
 
+  /** st20 — STREAMING quarantine routing through the Pipeline runner's
+    * Table arm (the live twin of g13's batch arm; ONE oracle gates
+    * both, the st19/w14 discipline): the events stream is split over
+    * four micro-batches, each batch's violators are tagged and appended
+    * to `<table>__quarantine` under the same idempotence marker as the
+    * main append, clean rows land in the main table. The returned frame
+    * is the union of both COMMITTED tables with a disposition column,
+    * so the whole routing — splits, tags, per-batch appends — sits
+    * under the driver's hash gate. Rebuilt per run (tables, checkpoint,
+    * markers) so the replay is deterministic.
+    */
+  def streamQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val tbl = s"events_stq_${graft.core.Scratch.pathKey(sfDir)}"
+    val q = s"${tbl}__quarantine"
+    val wh = ss.conf.get("spark.sql.warehouse.dir")
+    val hconf = ss.sparkContext.hadoopConfiguration
+    Seq(tbl, q).foreach { t =>
+      ss.sql(s"DROP TABLE IF EXISTS $t")
+      graft.core.CatalogUtil.dropOrphanLocation(ss, t)
+    }
+    Seq(s"$wh/_graft_checkpoints/$tbl",
+        s"$wh/_graft_checkpoints/${tbl}_commits").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    new graft.pipeline.Pipeline()
+      .register(graft.pipeline.Dataset(tbl, Nil,
+        (_, _) => eventsStream(ss, sfDir, splitFiles = 4,
+            maxFilesPerTrigger = 1)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        expectations = Seq(
+          graft.dq.Expectations.quarantine("not_error",
+            col("event_type") =!= "error"),
+          graft.dq.Expectations.quarantine("value_cap",
+            col("value") <= 150.0)),
+        materialize = graft.pipeline.Materialize.Table))
+      .run(ss)
+    ss.table(tbl)
+      .withColumn("disposition", lit("clean"))
+      .withColumn("violated", lit(""))
+      .unionByName(ss.table(q)
+        .withColumn("disposition", lit("quarantined"))
+        .withColumn("violated", array_join(col("_violated"), ","))
+        .drop("_violated"))
+  }
+
   /** The same watermark-clocked session close-out as [[sessionTimeout]],
     * re-expressed on Spark 4's `transformWithState` — the arbitrary-
     * stateful-processing successor to [[flatMapGroupsWithState]]: typed

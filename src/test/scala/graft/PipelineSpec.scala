@@ -642,4 +642,74 @@ class PipelineSpec extends SparkSpec {
       "no collision group spans micro-batches — the cross-batch reject " +
         "path went unexercised")
   }
+
+  test("quarantine disposition: violators route to <name>__quarantine " +
+      "with sorted tags, clean rows commit, fail still aborts pre-write") {
+    import spark.implicits._
+    def src(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq(("o1", 10.0, "NEW"), ("o2", -4.0, "NEW"),
+        ("o3", 500.0, "NEW"), ("o4", -1.0, "BAD"))
+        .toDF("order_id", "amount", "status")
+    }
+    val exps = Seq(
+      DQ.quarantine("nonneg_amount", col("amount") >= 0),
+      DQ.quarantine("status_ok", col("status") =!= "BAD"),
+      DQ.warn("cap", col("amount") <= 100))
+    new Pipeline().register(Dataset("q_orders", Nil, (s, _) => src(s),
+      expectations = exps, materialize = Materialize.Table)).run(spark)
+    // Clean side: only o1 and o3 pass both quarantine rules (o3 merely
+    // warns); violators never land in the table.
+    assert(spark.table("q_orders").select("order_id").as[String]
+      .collect().sorted === Array("o1", "o3"))
+    // Routed side: tagged with the SORTED names of every broken rule —
+    // o4 violates both.
+    val q = spark.table("q_orders__quarantine")
+      .select(col("order_id"), array_join(col("_violated"), ",").as("v"))
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(q === Array(("o2", "nonneg_amount"),
+      ("o4", "nonneg_amount,status_ok")))
+    // Re-run: full refresh overwrites both sides — no duplication.
+    new Pipeline().register(Dataset("q_orders", Nil, (s, _) => src(s),
+      expectations = exps, materialize = Materialize.Table)).run(spark)
+    assert(spark.table("q_orders").count() === 2)
+    assert(spark.table("q_orders__quarantine").count() === 2)
+    // A Fail violation aborts BEFORE any write — including the
+    // quarantine sink: neither table of a fresh dataset appears.
+    val failing = new Pipeline().register(Dataset("q_fail_orders", Nil,
+      (s, _) => src(s),
+      expectations = exps :+ DQ.fail("no_bad_status", col("status") =!= "BAD"),
+      materialize = Materialize.Table))
+    intercept[ExpectationViolation](failing.run(spark))
+    assert(!spark.catalog.tableExists("q_fail_orders"))
+    assert(!spark.catalog.tableExists("q_fail_orders__quarantine"))
+    Seq("q_orders", "q_orders__quarantine").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("streaming quarantine: per-batch routing rides the idempotence " +
+      "markers — a re-run duplicates nothing on either side") {
+    val p = new Pipeline()
+      .register(Dataset("stream_q_orders", Nil,
+        (s, _) => CsvSource.readStream(s, csvDir, bronzeSchema),
+        expectations = Seq(
+          DQ.quarantine("nonneg_amount",
+            col("amount") >= 0 || col("amount").isNull)),
+        materialize = Materialize.Table))
+    p.run(spark)
+    // Fixture: o4 (-5.00) quarantined; o1, o2, o2, o3(null amount) clean.
+    val main1 = spark.table("stream_q_orders").count()
+    assert(main1 === 4)
+    val q1 = spark.table("stream_q_orders__quarantine").collect()
+    assert(q1.length === 1)
+    assert(q1.head.getAs[String]("order_id") === "o4")
+    assert(q1.head.getAs[Seq[String]]("_violated") === Seq("nonneg_amount"))
+    // Second run over the same source: the checkpoint has seen every
+    // file — neither table grows.
+    p.run(spark)
+    assert(spark.table("stream_q_orders").count() === main1)
+    assert(spark.table("stream_q_orders__quarantine").count() === 1)
+    Seq("stream_q_orders", "stream_q_orders__quarantine").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
