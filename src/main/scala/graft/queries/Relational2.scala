@@ -830,11 +830,73 @@ object Relational2 {
         max(col("n")).as("n"))
   }
 
+  // ---- a17: histogram median + MAD (the unbounded-group robust pair) ----
+  /** a16's exact rank selection needs bounded rows-per-group (two rank
+    * windows sort every group); this is its 100 TB swap — the same
+    * robust statistics from a MERGEABLE fixed-width histogram
+    * ([[graft.functions.MedianMadHistogram]]): per-group state is 4096
+    * counters regardless of group size, map-side partials merge by
+    * elementwise add, and the whole query is ONE group exchange with NO
+    * rank window anywhere (PlanSpec pins both). Resolution is the
+    * bucket width (w=64 on the money domain — median to ±32 of exact);
+    * the count n stays exact. The oracle replays the identical bucket
+    * algebra (floor(x/64), cumulative-half selection, ring-distance
+    * weighted median) — integer-exact on both engines, so the
+    * ESTIMATES hash-match bit-for-bit, the t12/hll3 discipline.
+    */
+  val a17HistogramMad = withOracle(
+    "a17_histogram_mad",
+    """WITH v AS (
+      |  SELECT o_orderpriority AS g, o_totalprice AS x FROM orders),
+      |h AS (
+      |  SELECT g,
+      |         least(greatest(CAST(floor(x / 64.0) AS BIGINT), 0), 4095)
+      |           AS b,
+      |         count(*) AS c
+      |  FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, b, c,
+      |         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+      |         sum(c) OVER (PARTITION BY g) AS n
+      |  FROM h),
+      |med AS (
+      |  SELECT g, min(b) AS bmed, min(n) AS n FROM cum
+      |  WHERE 2 * cum >= n GROUP BY g),
+      |ring AS (
+      |  SELECT h.g, abs(h.b - med.bmed) AS d, sum(h.c) AS c
+      |  FROM h JOIN med ON h.g = med.g GROUP BY 1, 2),
+      |rcum AS (
+      |  SELECT ring.g, ring.d,
+      |         sum(ring.c) OVER (PARTITION BY ring.g ORDER BY ring.d)
+      |           AS cum,
+      |         med.n, med.bmed
+      |  FROM ring JOIN med ON ring.g = med.g),
+      |mad AS (
+      |  SELECT g, min(d) AS dmad, min(n) AS n, min(bmed) AS bmed
+      |  FROM rcum WHERE 2 * cum >= n GROUP BY g)
+      |SELECT g AS o_orderpriority,
+      |       CAST(bmed * 64.0 + 32.0 AS DOUBLE) AS median_est,
+      |       CAST(dmad * 64.0 AS DOUBLE) AS mad_est,
+      |       CAST(n AS BIGINT) AS n
+      |FROM mad""".stripMargin) { (s, d) =>
+    val agg = udaf(new graft.functions.MedianMadHistogram(64.0, 4096),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("x"))
+      .groupBy(col("o_orderpriority"))
+      .agg(agg(col("x")).as("e"))
+      .select(col("o_orderpriority"),
+        col("e.median_est").as("median_est"),
+        col("e.mad_est").as("mad_est"),
+        col("e.n").as("n"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
     r1RecursiveCte, j20RuntimeBloom, a14StatsAgg, a15BitwiseAgg,
-    j21SaltedSkewJoin, a16ExactMad)
+    j21SaltedSkewJoin, a16ExactMad, a17HistogramMad)
 }

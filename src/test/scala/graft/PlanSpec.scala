@@ -604,6 +604,27 @@ class PlanSpec extends SparkSpec {
     assert(n <= 2, s"expected <= 2 group-window exchanges, found $n:\n$plan")
   }
 
+  test("a17_histogram_mad: one group exchange, map-side partial " +
+      "histograms, no rank window anywhere") {
+    // a16's unbounded-group swap must actually BE unbounded-safe: the
+    // whole query is a single two-phase aggregation — partial
+    // MedianMadHistogram states merge map-side, ONE hash exchange on
+    // the group key moves fixed-size histograms, and no Window/Sort of
+    // raw rows appears (a rank window would re-introduce the
+    // rows-per-group bound this entry exists to remove).
+    val df = Catalog.queries("a17_histogram_mad")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val lower = plan.toLowerCase
+    assert(lower.contains("partial_medianmadhistogram"),
+      s"histogram must partial-aggregate map-side:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected exactly 1 group exchange, found $n:\n$plan")
+    assert(!plan.contains("Window ["),
+      s"no rank window may appear in the unbounded-safe plan:\n$plan")
+  }
+
   test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
       "plan is local-relation only") {
     // The returned frame is the greedy re-rank over the collected

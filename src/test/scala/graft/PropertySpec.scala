@@ -273,4 +273,39 @@ class PropertySpec extends SparkSpec {
     val dup = Seq.fill(50)(7L) ++ Seq(3L, 9L)
     assert(dup.foldLeft(agg.zero)(agg.reduce).mins.toSeq === Seq(3L, 7L, 9L))
   }
+
+  test("MedianMadHistogram: estimates are partition-invariant under any " +
+      "merge cut and land within half a bucket of the exact median") {
+    val w = 4.0
+    val buckets = 64
+    val agg = new graft.functions.MedianMadHistogram(w, buckets)
+    val valGen = Gen.choose(0.0, 250.0)
+    val inputs = samples(Gen.listOfN(101, valGen), 20)
+    for (xs <- inputs) {
+      val expect = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(expect.n === xs.length.toLong)
+      // The bucket-midpoint median is within w/2 of the exact lower
+      // median (the resolution contract the scaladoc sells).
+      val lowerMed = xs.sorted.apply((xs.length - 1) / 2)
+      assert(math.abs(expect.median_est - lowerMed) <= w / 2 + 1e-9,
+        s"median_est ${expect.median_est} vs exact $lowerMed")
+      assert(expect.mad_est >= 0.0)
+      // Any two-way merge partition (the map-side combine path) must
+      // produce the identical estimate — merge mutates its left arg,
+      // so every cut builds fresh buffers.
+      for (cut <- Seq(0, 1, xs.length / 2, xs.length - 1, xs.length)) {
+        val m = agg.merge(
+          xs.take(cut).foldLeft(agg.zero)(agg.reduce),
+          xs.drop(cut).foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(m) === expect, s"merge at $cut diverged")
+      }
+    }
+    // Saturation: everything past the top bucket clamps into it.
+    val sat = Seq(1e9, 2e9, 5.0).foldLeft(agg.zero)(agg.reduce)
+    val est = agg.finish(sat)
+    assert(est.median_est === (buckets - 1) * w + w / 2)
+    // Empty group: defined (NaN markers), never a crash.
+    val empty = agg.finish(agg.zero)
+    assert(empty.n === 0L && empty.median_est.isNaN)
+  }
 }
