@@ -193,6 +193,8 @@ object DeletionVectors {
       newSidecar.write.parquet(s"$dir/_dv")
       val cur = SnapshotCommit.currentLocation(spark, table).get
       linkDataFiles(spark, cur, new Path(dir))
+      // Skipping survives the delete: same basenames, unchanged bytes.
+      StatsSkipping.refreshStats(spark, cur, new Path(dir))
       committed = v
     }
     registerDv(spark, table)
@@ -277,6 +279,7 @@ object DeletionVectors {
         filtered.write.parquet(s"$dir/_dv")
         val cur = SnapshotCommit.currentLocation(spark, table).get
         linkDataFiles(spark, cur, new Path(dir))
+        StatsSkipping.refreshStats(spark, cur, new Path(dir))
       }
       registerDv(spark, table)
     }
@@ -437,6 +440,9 @@ object DeletionVectors {
             s"could not move vacuum group $i into the staged snapshot")
       }
       linkDataFiles(spark, cur, to, except = affected.toSet)
+      // Carried files reuse their sidecar rows; the rewritten vacuum
+      // groups get footer-recomputed stats (metadata-only).
+      StatsSkipping.refreshStats(spark, cur, to)
     } finally {
       folded.unpersist()
       sfs.delete(stagingPath, true)
@@ -454,6 +460,10 @@ object DeletionVectors {
       // sidecar, so a retry after a concurrent delete folds THAT delete
       // in too instead of resurrecting its rows.
       read(spark, table).write.parquet(dir)
+      // Every file is a rewrite here: stats recompute from the new
+      // footers when the folded version carried a sidecar.
+      SnapshotCommit.currentLocation(spark, table).foreach(cur =>
+        StatsSkipping.refreshStats(spark, cur, new Path(dir)))
     }
     spark.sql(s"DROP TABLE IF EXISTS ${dvName(table)}")
   }

@@ -1,5 +1,6 @@
 package graft.storage
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction honoring a target file size — the stand-in for
@@ -106,6 +107,11 @@ object Optimize {
       liveNow.coalesce(partitions).write
         .option("maxRecordsPerFile", recordsPerFile)
         .parquet(dir)
+      // A compacted file is a rewrite: when the superseded version
+      // carried a `_stats` skipping sidecar, recompute it from the new
+      // footers (metadata-only) so maintenance never sheds skipping.
+      SnapshotCommit.currentLocation(spark, table).foreach(cur =>
+        StatsSkipping.refreshStats(spark, cur, new Path(dir)))
     }
     if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
     (sizes.length, SnapshotCommit.readData(spark, table).inputFiles.length)

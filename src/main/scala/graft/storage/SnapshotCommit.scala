@@ -1092,6 +1092,10 @@ object SnapshotCommit {
           dvFiles.foreach { p =>
             place(p, new Path(new Path(stageP, "_dv"), p.getName))
           }
+          // The skipping sidecar travels with its files (same
+          // basenames, unchanged bytes): a clone of a stats-bearing
+          // table keeps pruning without a rebuild.
+          StatsSkipping.refreshStats(spark, srcDir, stageP)
           // The carried listing must still be the live one: a prune
           // landing mid-carry in manifest mode copies SOME files then
           // vanishes the rest — fail the attempt rather than publish a

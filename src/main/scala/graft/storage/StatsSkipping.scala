@@ -92,40 +92,99 @@ object StatsSkipping {
           "via SnapshotCommit.commit without stats")
       val lines = entries
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .flatMap { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(st.getPath, hconf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val blocks = reader.getFooter.getBlocks.asScala.toSeq
-            statsCols.flatMap { col =>
-              val ranges = blocks.flatMap { block =>
-                block.getColumns.asScala
-                  .find(_.getPath.toDotString == col)
-                  .flatMap(chunkRange)
-              }
-              // Every block must carry a usable range or the file's
-              // true min/max is unknown — record nothing (conservative).
-              if (ranges.isEmpty || ranges.size != blocks.size) None
-              else {
-                val tpe = ranges.head.tpe
-                if (!ranges.forall(_.tpe == tpe)) None
-                else Some(s"${st.getPath.getName}\t$col\t$tpe" +
-                  s"\t${ranges.map(_.min).min(ordering(tpe))}" +
-                  s"\t${ranges.map(_.max).max(ordering(tpe))}")
-              }
-            }
-          } finally reader.close()
-        }.sorted.mkString(s"$Header\n", "\n", "\n")
-      val p = new Path(stage, StatsFile)
-      val out = p.getFileSystem(hconf).create(p, false)
-      try out.write(lines.getBytes("UTF-8")) finally out.close()
+        .flatMap(st => footerLines(hconf, st.getPath, statsCols))
+      writeSidecar(hconf, stageP, lines)
     }
 
   /** Single-column convenience (the original b13 surface). */
   def commitWithStats(spark: SparkSession, table: String, statsCol: String)(
       write: String => Unit): Path =
     commitWithStats(spark, table, Seq(statsCol))(write)
+
+  /** One staged parquet file's sidecar lines for `cols` — from its
+    * footer (metadata-only, never a data scan): file min/max per column
+    * is the row groups' min of mins / max of maxes; a file where any
+    * block lacks a usable range for a column records no line for it
+    * (conservative).
+    */
+  private def footerLines(hconf: org.apache.hadoop.conf.Configuration,
+      file: Path, cols: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, hconf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { col =>
+        val ranges = blocks.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == col)
+            .flatMap(chunkRange)
+        }
+        if (ranges.isEmpty || ranges.size != blocks.size) None
+        else {
+          val tpe = ranges.head.tpe
+          if (!ranges.forall(_.tpe == tpe)) None
+          else Some(s"${file.getName}\t$col\t$tpe" +
+            s"\t${ranges.map(_.min).min(ordering(tpe))}" +
+            s"\t${ranges.map(_.max).max(ordering(tpe))}")
+        }
+      }
+    } finally reader.close()
+  }
+
+  private def writeSidecar(hconf: org.apache.hadoop.conf.Configuration,
+      dir: Path, lines: Seq[String]): Unit = {
+    val p = new Path(dir, StatsFile)
+    val out = p.getFileSystem(hconf).create(p, false)
+    try out.write(lines.sorted.mkString(s"$Header\n", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** LIFECYCLE CARRY: propagate a `_stats` sidecar from the version at
+    * `from` into a freshly staged successor at `stage` — called inside
+    * the staging closures of every operation that would otherwise
+    * silently shed the sidecar (DV delete/restore/vacuum, shallow
+    * clone, compaction), so a clustered table's skipping survives its
+    * whole maintenance lifetime instead of degrading to none after the
+    * first delete. Per staged entry:
+    *
+    *  - same BASENAME as a file with recorded stats (a carried link,
+    *    manifest ref, or byte-identical copy — carries never rename):
+    *    its rows are reused verbatim. For DV-style carries the data
+    *    bytes are unchanged, so the ranges stay exact; row-level
+    *    deletes only ever make them conservative-wide, never wrong
+    *    (stats SKIP, the mask/filter still decides rows);
+    *  - a NEW parquet file (compaction/vacuum rewrite output): stats
+    *    recomputed from its footer for the old sidecar's column set —
+    *    metadata-only, proportional to the REWRITTEN files;
+    *  - a ref to a file with no recorded stats: no line (conservative).
+    *
+    * No-op (one existence probe) when `from` carries no sidecar.
+    */
+  private[graft] def refreshStats(spark: SparkSession, from: Path,
+      stage: Path): Unit = {
+    val old = loadStats(spark, from).getOrElse(return)
+    if (old.isEmpty) return
+    val cols = old.values.flatMap(_.keys).toSeq.distinct.sorted
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = stage.getFileSystem(hconf)
+    def linesOf(base: String): Seq[String] =
+      old.getOrElse(base, Map.empty).toSeq.map { case (c, r) =>
+        s"$base\t$c\t${r.tpe}\t${r.min}\t${r.max}"
+      }
+    val lines = fs.listStatus(stage).toSeq.filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (n.endsWith(SnapshotCommit.RefSuffix))
+        linesOf(n.dropRight(SnapshotCommit.RefSuffix.length))
+      else if (old.contains(n)) linesOf(n)
+      else if (n.endsWith(".parquet")) footerLines(hconf, st.getPath, cols)
+      else Nil
+    }
+    writeSidecar(hconf, stage, lines)
+  }
 
   /** One column chunk's [min, max] as a typed, encoded [[ColRange]] —
     * None when the chunk has no usable stats (all-null, stats-less, or

@@ -1107,6 +1107,66 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tblZ)
   }
 
+  test("stats sidecar survives the table lifecycle: DV delete, clone, " +
+      "vacuum and compaction all keep default-path pruning alive") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, Optimize, SnapshotCommit, StatsSkipping}
+    val tbl = "stats_life_tbl"
+    val cln = "stats_life_cln"
+    Seq(tbl, cln).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      SnapshotCommit.destroy(spark, t)
+    }
+    StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+      spark.range(0, 8000).select(col("id"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(stage)
+    }
+    StatsSkipping.installRule(spark)
+    // Data-file scan width, excluding the _dv sidecar's own scan.
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles
+            .count(p => !p.contains("/_dv/") && !p.contains("__dv"))
+      }.sum
+    def narrow(t: String) =
+      DeletionVectors.read(spark, t).filter(col("id").between(100, 200))
+    assert(scanned(narrow(tbl)) < 8)
+    // 1. DV DELETE: files carried by name, sidecar must carry too —
+    //    and the pruned read subtracts the vector (no resurrections).
+    DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    val afterDelete = narrow(tbl)
+    assert(scanned(afterDelete) < 8, "DV delete shed the stats sidecar")
+    assert(afterDelete.count() === 90L) // 101 minus the 11 multiples of 10
+    assert(StatsSkipping.readRange(spark, tbl, "id", 100L, 200L).count()
+      === 90L, "readRange resurrected DV-deleted rows")
+    // 2. SHALLOW CLONE: the clone prunes without any rebuild.
+    SnapshotCommit.clone(spark, tbl, cln)
+    val onClone = narrow(cln)
+    assert(scanned(onClone) < 8, "clone shed the stats sidecar")
+    assert(onClone.count() === 90L)
+    // 3. VACUUM: affected files are REWRITTEN under new names — their
+    //    stats must recompute from the new footers, and pruning holds.
+    DeletionVectors.delete(spark, tbl, col("id") % 7 === 0)
+    DeletionVectors.vacuum(spark, tbl, cutoff = 1)
+    val afterVacuum = narrow(tbl)
+    assert(scanned(afterVacuum) < 8, "vacuum shed the stats sidecar")
+    assert(afterVacuum.count() === 77L) // minus 13 new multiples of 7 (140 was already gone)
+    // 4. COMPACTION (on the clone): every file is a rewrite; stats
+    //    recompute and a narrow range still skips files.
+    val (_, after) = Optimize.compact(spark, cln,
+      targetFileSize = Some(8L * 1024))
+    assert(after > 1, s"compaction target too coarse for the pin: $after")
+    val compacted = narrow(cln)
+    assert(scanned(compacted) < after, "compaction shed the stats sidecar")
+    assert(compacted.count() === 90L)
+    Seq(tbl, cln).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      SnapshotCommit.destroy(spark, t)
+    }
+  }
+
   test("clone properties ordering: a failed clone never clobbers an " +
       "existing destination's properties; success adopts the source's") {
     import org.apache.spark.sql.functions._
