@@ -365,6 +365,48 @@ object CurationPipeline {
         floor(col("n") / 10).cast("long").as("stratum_quota"))
   }
 
+  // ---- c14: k-anonymity audit over quasi-identifiers ----
+  /** The PRIVACY side of curation t9's PII scrub doesn't cover:
+    * scrubbing direct identifiers leaves QUASI-identifiers (Sweeney's
+    * k-anonymity, public literature) — attribute combinations rare
+    * enough to re-identify a record. The audit groups the corpus by a
+    * quasi-identifier tuple (language, source, token-length bucket —
+    * the release-metadata columns a dataset card exposes) and flags
+    * every equivalence class smaller than k=5: those documents are
+    * re-identifiable from metadata alone and need suppression or
+    * generalization before release. Emitting the per-class rows (not
+    * just a count) puts the whole audit under the hash gate. Scale:
+    * one hash aggregation on the quasi tuple — the class space is
+    * bounded by the metadata vocabulary, so map-side partials do the
+    * work; no window, no join, corpus-size-independent output.
+    */
+  val c14KAnonymity = withOracle(
+    "c14_k_anonymity",
+    """WITH q AS (
+      |  SELECT lang, source,
+      |         least(CAST(length(list_filter(
+      |                 string_split_regex(trim(text), ' +'),
+      |                 t -> length(t) > 0)) AS BIGINT) // 64, 7)
+      |           AS len_bucket
+      |  FROM documents)
+      |SELECT lang, source, len_bucket,
+      |       CAST(count(*) AS BIGINT) AS k,
+      |       count(*) < 5 AS at_risk
+      |FROM q GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("n"))
+      // integer `div`, not floor(double /): exact long semantics match
+      // the oracle's `//` (the t12 rationale).
+      .select(col("lang"), col("source"),
+        least(expr("n div 64"), lit(7L)).as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+        (col("k") < 5).as("at_risk"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(c8CorpusPipeline, c10RagAssembly, c11DatasetCard, c13StratifiedSplit)
+    Seq(c8CorpusPipeline, c10RagAssembly, c11DatasetCard, c13StratifiedSplit,
+      c14KAnonymity)
 }

@@ -596,11 +596,53 @@ object StorageQueries {
           col("total_dec").cast("double").as("total"))
   }
 
+  /** b15 — `OPTIMIZE ZORDER` as a MAINTENANCE op (the re-layout half of
+    * the reference's liquid clustering; b9/b14 are the write-side
+    * half): the table is committed in a RANDOM layout — every file
+    * spans every key range, min/max can prune nothing — with a DV
+    * delete layered on, then [[graft.storage.Optimize.zorder]] rewrites
+    * the live view into the Z-order layout in ONE atomic version,
+    * folding the deletion vector in and publishing a fresh two-column
+    * stats sidecar. The query is an ordinary `spark.table` read: after
+    * the optimize, the default-path rule plans a strict file subset on
+    * the SECOND clustered key — a query-side no-op turned
+    * query-proportional purely by maintenance. StorageSpec pins the
+    * before/after planning widths and value identity; this entry puts
+    * the optimize + DV fold + default-path prune under the hash gate.
+    */
+  val b15ZorderOptimize = withOracle(
+    "b15_zorder_optimize",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_custkey BETWEEN 10 AND 60
+      |  AND NOT (o_orderkey % 5 = 0)""".stripMargin) { (s, d) =>
+    val tbl = s"orders_zopt_${sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("total"))
+        .repartition(8) // the unclustered problem, manufactured
+        .write.parquet(dir)
+    }
+    graft.storage.SnapshotCommit.register(s, tbl)
+    graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 5 === 0)
+    graft.storage.Optimize.zorder(s, tbl,
+      Seq("o_orderkey", "o_custkey"), partitions = Some(8))
+    graft.storage.StatsSkipping.installRule(s)
+    s.table(tbl)
+      .filter(col("o_custkey").between(10, 60))
+      .select(col("o_orderkey"), col("o_custkey"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
       b11ShallowClone, b12Compaction, b13StatsSkipping,
-      b14DefaultStatsPrune)
+      b14DefaultStatsPrune, b15ZorderOptimize)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

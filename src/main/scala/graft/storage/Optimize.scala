@@ -116,4 +116,40 @@ object Optimize {
     if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
     (sizes.length, SnapshotCommit.readData(spark, table).inputFiles.length)
   }
+
+  /** `OPTIMIZE ... ZORDER BY` — the MAINTENANCE half of the clustering
+    * story (the reference's liquid clustering re-layout; b9/b14 cover
+    * the write-side half): rewrite the table's live view through the
+    * Z-order layout on `cols` and publish it as one atomic snapshot
+    * version, WITH a fresh multi-column `_stats` skipping sidecar for
+    * exactly those columns — so a table that was committed unclustered
+    * (every file spans every key range, nothing prunes) becomes
+    * query-proportional for point/range predicates on ANY clustered
+    * key, through the DEFAULT read path, without touching a single
+    * query. Values and schema are untouched: pure layout.
+    *
+    * Deletion vectors FOLD IN, same as [[compact]] (the rewrite reads
+    * the live view, the new version carries no sidecar — Delta's
+    * `REORG ... APPLY PURGE` trade); delete-version history before the
+    * re-layout stops being separable. Cost: one bounds-agg pass + one
+    * range shuffle of the live rows (ZOrder.layout), amortized over
+    * every later selective scan — the optimize-once/skip-forever
+    * economics the reference buys from liquid clustering.
+    */
+  def zorder(spark: SparkSession, table: String, cols: Seq[String],
+      partitions: Option[Int] = None): Unit = {
+    require(cols.nonEmpty, "zorder needs at least one clustering column")
+    val hadVectors = DeletionVectors.version(spark, table) > 0
+    StatsSkipping.commitWithStats(spark, table, cols) { dir =>
+      // Re-derived per attempt (commit write-closure contract): a lost
+      // claim re-invokes against the winner's version, folding ITS
+      // state.
+      val liveNow = if (DeletionVectors.version(spark, table) > 0)
+        DeletionVectors.read(spark, table)
+        else SnapshotCommit.readData(spark, table)
+      ZOrder.layout(liveNow, cols.take(4), partitions)
+        .write.parquet(dir)
+    }
+    if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
+  }
 }

@@ -1167,6 +1167,50 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER: a random-layout table gains default-path " +
+      "skipping on every clustered key; values and live view unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, Optimize, SnapshotCommit, StatsSkipping}
+    val tbl = "zopt_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 65536).select(
+          (col("id") / 256).cast("long").as("a"),
+          (col("id") % 256).as("b"))
+        .repartition(16) // random: every file spans both key ranges
+        .write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, tbl)
+    DeletionVectors.delete(spark, tbl, col("a") === 0L)
+    val expected = DeletionVectors.read(spark, tbl)
+      .filter(col("b").between(0, 15))
+      .agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+    StatsSkipping.installRule(spark)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles
+            .count(p => !p.contains("/_dv/") && !p.contains("__dv"))
+      }.sum
+    // Before: no sidecar, random layout — every file planned.
+    assert(scanned(spark.table(tbl).filter(col("b").between(0, 15))) === 16)
+    Optimize.zorder(spark, tbl, Seq("a", "b"), partitions = Some(16))
+    // After: a bound on the SECOND clustered key plans a strict subset
+    // through the DEFAULT path...
+    val q = spark.table(tbl).filter(col("b").between(0, 15))
+    val w = scanned(q)
+    assert(w > 0 && w < 16, s"zorder optimize planned $w/16 files")
+    // ...the deletion vector folded in (a=0 stays gone, sidecar
+    // dropped), and the live view is value-identical to pre-optimize.
+    assert(!spark.catalog.tableExists(s"${tbl}__dv"))
+    assert(q.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+      === expected, "zorder optimize changed the live view's values")
+    assert(q.filter(col("a") === 0L).count() === 0L,
+      "folded DV rows resurrected by the re-layout")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("clone properties ordering: a failed clone never clobbers an " +
       "existing destination's properties; success adopts the source's") {
     import org.apache.spark.sql.functions._
