@@ -270,15 +270,22 @@ class Pipeline {
     // the build plan itself (cheap builds — each consumer re-runs it),
     // or its staged copy (validateStaged — the build's joins run once,
     // main write AND quarantine split both read the staged parquet).
+    // A NON-DETERMINISTIC build with quarantine rules is FORCED onto
+    // the staged path: the main write and the quarantine routing are
+    // two separate jobs over the same plan, and a build that evaluates
+    // differently between them (rand()-derived columns, sampled
+    // inputs) could route a row into neither table (silently lost) or
+    // both — the same hazard the Incremental merge arm guards with its
+    // conditional source materialization.
     val preDrop =
       if ((warnFail.nonEmpty || qRules.nonEmpty) && !built.isStreaming &&
         d.materialize != Materialize.View) {
-        if (d.validateStaged)
+        if (d.validateStaged ||
+            (qRules.nonEmpty && Pipeline.nonDeterministic(built)))
           stageAndValidate(spark, built, warnFail, validateDir)
         else { Expectations.enforce(built, warnFail); built }
       } else built
     val df = applyDrops(preDrop, d.expectations)
-    val staged = df
     // Quarantine routing — the third DLT disposition as a
     // materialization arm: violating rows, tagged with the sorted names
     // of the rules they broke, land in `<name>__quarantine`; clean rows
@@ -349,16 +356,27 @@ class Pipeline {
                 // already-committed batch was already validated and
                 // counted — re-enforcing would re-run the aggregate and
                 // double-log its warns for data the table already holds.
-                Expectations.enforce(batch, warnFail)
-                // Quarantine routing per micro-batch, under the same
-                // idempotence marker as the main append (and the same
-                // crash-between-append-and-marker caveat).
-                if (qRules.nonEmpty)
-                  Expectations.violating(batch, qRules)
-                    .write.mode("append").format("parquet")
-                    .saveAsTable(qName)
-                clustered(applyDrops(batch, d.expectations), d.clusterBy)
-                  .write.mode("append").format("parquet").saveAsTable(name)
+                // A non-deterministic batch plan feeding BOTH the
+                // quarantine append and the main append must evaluate
+                // once (the same two-consumers hazard as the batch
+                // arms' forced staging) — pin it.
+                val mustPin =
+                  qRules.nonEmpty && Pipeline.nonDeterministic(batch)
+                val b = if (mustPin) batch.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                else batch
+                try {
+                  Expectations.enforce(b, warnFail)
+                  // Quarantine routing per micro-batch, under the same
+                  // idempotence marker as the main append (and the same
+                  // crash-between-append-and-marker caveat).
+                  if (qRules.nonEmpty)
+                    Expectations.violating(b, qRules)
+                      .write.mode("append").format("parquet")
+                      .saveAsTable(qName)
+                  clustered(applyDrops(b, d.expectations), d.clusterBy)
+                    .write.mode("append").format("parquet").saveAsTable(name)
+                } finally if (mustPin) b.unpersist(false)
                 fs.mkdirs(marker)
               }
               ()
@@ -387,7 +405,7 @@ class Pipeline {
           spark.table(name)
         case Materialize.Table =>
           dropOrphanLocation(spark, name)
-          clustered(staged, d.clusterBy)
+          clustered(df, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
           routeQuarantine()
           deleteDir(spark, validateDir)
@@ -396,7 +414,7 @@ class Pipeline {
           require(!df.isStreaming,
             s"materialized view $name cannot refresh from a streaming build")
           dropOrphanLocation(spark, name)
-          clustered(staged, d.clusterBy)
+          clustered(df, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
           routeQuarantine()
           deleteDir(spark, validateDir)
@@ -424,7 +442,7 @@ class Pipeline {
             // crashed, never-published first load) before restaging.
             sc.destroy(spark, name)
             sc.commit(spark, name) { dir =>
-              clustered(staged, d.clusterBy)
+              clustered(df, d.clusterBy)
                 .write.mode("overwrite").parquet(dir)
             }
           } else {
@@ -466,11 +484,11 @@ class Pipeline {
               // skips the persist: the extra materialization pass is
               // pure cost at scale (u4 at sf1.0 measured +~30% under an
               // unconditional persist).
-              val mustMaterialize = Pipeline.nonDeterministic(staged)
+              val mustMaterialize = Pipeline.nonDeterministic(df)
               val batch =
-                if (mustMaterialize) staged.persist(
+                if (mustMaterialize) df.persist(
                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                else staged
+                else df
               try {
                 val target = sc.readData(spark, name)
                 val liveFiles = target.inputFiles.map(local).toSet
@@ -502,7 +520,33 @@ class Pipeline {
               } finally if (mustMaterialize) batch.unpersist(false)
             }
           }
-          routeQuarantine()
+          // Incremental tables accumulate across runs — their
+          // quarantine must too, or each merge would DESTROY the prior
+          // runs' routed rows (a full-refresh overwrite only matches
+          // full-refresh arms). Same SCD1 semantics as the main merge:
+          // this run's violators replace same-key rows, other keys
+          // survive — so re-running one batch is idempotent and history
+          // is retained. Whole-table rewrite through a staging dir (the
+          // quarantine side is the bounded exception stream; the
+          // file-level merge stays on the main table), staged because a
+          // plan reading the table cannot overwrite it in place.
+          if (qRules.nonEmpty) {
+            val qName = s"${name}__quarantine"
+            graft.core.CatalogUtil.dropOrphanLocation(spark, qName)
+            val incoming = Expectations.violating(preDrop, qRules)
+            val merged =
+              if (!spark.catalog.tableExists(qName)) incoming
+              else incoming.unionByName(
+                spark.table(qName).join(
+                  incoming.select(keys.map(incoming.col): _*).distinct(),
+                  keys, "left_anti"))
+            val qStage = spark.conf.get("spark.sql.warehouse.dir") +
+              s"/_graft_staging/${qName}_merge"
+            merged.write.mode("overwrite").parquet(qStage)
+            spark.read.parquet(qStage)
+              .write.mode("overwrite").format("parquet").saveAsTable(qName)
+            deleteDir(spark, qStage)
+          }
           deleteDir(spark, validateDir)
           spark.table(name)
       }

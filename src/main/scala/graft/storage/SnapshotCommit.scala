@@ -963,6 +963,7 @@ object SnapshotCommit {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val root = rootDir(spark, table)
     resolvedSets.remove(root.toString) // rebuilt tables restart at v1
+    StatsSkipping.invalidate(root) // rebuilt v<N> paths re-probe sidecars
     val fs = fsOf(spark, root)
     if (fs.exists(root)) fs.delete(root, true)
   }

@@ -203,12 +203,36 @@ object StatsSkipping {
       case (INT32 | INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
         Some(("decimal", java.math.BigDecimal
           .valueOf(v.toString.toLong, d.getScale).toPlainString))
+      case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        // Catalyst timestamp literals are epoch MICROS — normalize the
+        // footer's unit to match, or record nothing. A raw MILLIS value
+        // compared against a micros bound would be a 1000x unit
+        // mismatch that prunes every file (silent zero-row results).
+        t.getUnit match {
+          case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some(("long", v.toString))
+          case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            scala.util.Try(math.multiplyExact(v.toString.toLong, 1000L))
+              .toOption.map(m => ("long", m.toString))
+          case _ => None // NANOS: catalyst micros floor-div loses exactness
+        }
+      case (INT32 | INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+        if !i.isSigned =>
+        // UINT32/UINT64 stats come back through SIGNED accessors — a
+        // value past the sign bit would decode negative and invert the
+        // ordering. No stats beats wrong stats.
+        None
       case (INT32 | INT64, _) =>
-        // Covers plain ints/longs, DATE (epoch days) and
-        // TIMESTAMP_MICROS/MILLIS (their catalyst literals are the same
-        // underlying integers, so "long" ordering is exact for all).
+        // Plain ints/longs, signed-int annotations, and DATE (epoch
+        // days — exactly the integer catalyst DateType literals carry).
         Some(("long", v.toString))
-      case (FLOAT | DOUBLE, _) => Some(("double", v.toString))
+      case (FLOAT, _) =>
+        // Widen BEFORE printing: Float.toString is the shortest FLOAT
+        // representation, which re-parsed as a double is a DIFFERENT
+        // number than the widened float — off by enough to wrongly
+        // skip files on exact-boundary predicates.
+        Some(("double", v.asInstanceOf[java.lang.Float].doubleValue.toString))
+      case (DOUBLE, _) => Some(("double", v.toString))
       case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
         Some(("string", java.net.URLEncoder.encode(
           v.asInstanceOf[org.apache.parquet.io.api.Binary]
@@ -258,18 +282,33 @@ object StatsSkipping {
   private def ordering(tpe: String): Ordering[String] =
     (x: String, y: String) => cmp(tpe, decode(tpe, x), decode(tpe, y))
 
-  /** Parse a `_stats` sidecar: file basename -> column -> range.
-    * Tolerant of the v1 single-column format (no header, 3 fields):
-    * those lines are ignored — "no stats" is the conservative answer,
-    * never a crash.
+  /** Column name recorded for upgraded v1 sidecar lines, which never
+    * carried one (v1 was implicitly single-column Long). The name
+    * cannot collide with a real column (backticks are not legal in the
+    * identifiers this engine writes), so v1 stats serve the Long
+    * [[survivingFiles]]/[[readRange]] API — whose callers know their
+    * column — through [[v1Fallback]], while the column-keyed default
+    * path simply never matches them (conservative).
     */
-  private[storage] def parseStats(
+  private[graft] val V1Col = "`v1`"
+
+  /** Parse a `_stats` sidecar: file basename -> column -> range.
+    * v1 lines (headerless, 3 fields: name\tmin\tmax, implicitly Long)
+    * upgrade in place under [[V1Col]] — a pre-upgrade table keeps its
+    * explicit-API skipping instead of silently losing the write-side
+    * clustering investment. Unparseable lines are ignored ("no stats"
+    * is the conservative answer, never a crash).
+    */
+  private[graft] def parseStats(
       txt: String): Map[String, Map[String, ColRange]] =
     txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
       .flatMap { l =>
         l.split("\t") match {
           case Array(name, col, tpe, mn, mx) =>
             Some((name, col, ColRange(tpe, mn, mx)))
+          case Array(name, mn, mx)
+            if scala.util.Try { mn.toLong; mx.toLong }.isSuccess =>
+            Some((name, V1Col, ColRange("long", mn, mx)))
           case _ => None
         }
       }
@@ -286,14 +325,42 @@ object StatsSkipping {
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long, Map[String, Map[String, ColRange]])]()
 
+  /** Directories known to carry NO sidecar. With [[StatsSkippingRule]]
+    * installed session-wide, EVERY filtered parquet read probes its
+    * parent dirs — without negative caching each optimizer pass pays a
+    * store round-trip (an exception-throwing one) per sidecar-less
+    * table. Version directories are immutable once published and a
+    * sidecar is only ever written into the PRIVATE staging dir before
+    * publish, so absence is permanent for a given path — except a
+    * destroy-and-rebuild landing on the identical `v<N>` path, which
+    * [[invalidate]] (hooked into SnapshotCommit.destroy) clears for
+    * this JVM; a cross-process rebuild can at worst suppress skipping
+    * (conservative), never mis-prune.
+    */
+  private val absentCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Forget cached sidecar state under `root` (table destroyed). */
+  private[storage] def invalidate(root: Path): Unit = {
+    val prefix = root.toString
+    absentCache.removeIf(_.startsWith(prefix))
+    statsCache.keySet.removeIf((k: String) => k.startsWith(prefix))
+  }
+
   private[storage] def loadStats(spark: SparkSession,
       dir: Path): Option[Map[String, Map[String, ColRange]]] = {
+    val key = dir.toString
+    if (absentCache.contains(key)) return None
     val p = new Path(dir, StatsFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st =
       try fs.getFileStatus(p)
-      catch { case _: java.io.FileNotFoundException => return None }
-    val key = dir.toString
+      catch {
+        case _: java.io.FileNotFoundException =>
+          if (absentCache.size > 4096) absentCache.clear() // bound
+          absentCache.add(key)
+          return None
+      }
     statsCache.get(key) match {
       case (m, l, parsed)
         if m == st.getModificationTime && l == st.getLen => Some(parsed)
@@ -309,7 +376,7 @@ object StatsSkipping {
   }
 
   /** Does `range` intersect [lo, hi] (each bound optional, decoded)? */
-  private[storage] def intersects(range: ColRange, lo: Option[Any],
+  private[graft] def intersects(range: ColRange, lo: Option[Any],
       hi: Option[Any]): Boolean = {
     val mn = decode(range.tpe, range.min)
     val mx = decode(range.tpe, range.max)
@@ -332,7 +399,9 @@ object StatsSkipping {
     SnapshotCommit.listData(spark, dir).collect {
       // Conservative on BOTH gaps: no stats row for the file/column, or
       // a non-long stat type under this Long-typed API -> read it.
-      case (name, path) if stats.get(name).flatMap(_.get(statsCol))
+      // v1 sidecars (no column names) answer through the V1Col upgrade.
+      case (name, path) if stats.get(name)
+        .flatMap(m => m.get(statsCol).orElse(m.get(V1Col)))
         .forall(r => r.tpe != "long" ||
           intersects(r, Some(lo), Some(hi))) => path
     }

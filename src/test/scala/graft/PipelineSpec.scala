@@ -687,6 +687,60 @@ class PipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("incremental quarantine retains history: each merge upserts this " +
+      "run's violators by key, prior runs' routed rows survive") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double, String)]): Unit =
+      new Pipeline().register(Dataset("inc_q_orders", Nil,
+        (s, _) => { import s.implicits._
+          rows.toDF("order_id", "amount", "status") },
+        expectations = Seq(
+          DQ.quarantine("nonneg_amount", col("amount") >= 0)),
+        materialize = Materialize.Incremental(Seq("order_id")))).run(spark)
+    graft.storage.SnapshotCommit.destroy(spark, "inc_q_orders")
+    spark.sql("DROP TABLE IF EXISTS inc_q_orders__quarantine")
+    // Run 1: v1 violates; run 2 (disjoint keys): v2 violates — BOTH
+    // must be present afterwards (an overwrite would destroy v1).
+    run(Seq(("o1", 10.0, "NEW"), ("v1", -4.0, "NEW")))
+    run(Seq(("o2", 20.0, "NEW"), ("v2", -9.0, "NEW")))
+    val q = spark.table("inc_q_orders__quarantine")
+      .select("order_id", "amount").as[(String, Double)]
+      .collect().sortBy(_._1)
+    assert(q.map(_._1).toSeq === Seq("v1", "v2"),
+      s"incremental quarantine lost history: ${q.toSeq}")
+    // Re-running run 2 is idempotent (SCD1 upsert, no duplicates), and
+    // a key that violates AGAIN replaces its prior routed row whole.
+    run(Seq(("o2", 20.0, "NEW"), ("v2", -7.0, "NEW")))
+    val q2 = spark.table("inc_q_orders__quarantine")
+      .select("order_id", "amount").as[(String, Double)]
+      .collect().sortBy(_._1)
+    assert(q2.toSeq === Seq(("v1", -4.0), ("v2", -7.0)))
+    // Main table: clean rows accumulate, violators never land.
+    assert(spark.table("inc_q_orders").select("order_id").as[String]
+      .collect().sorted === Array("o1", "o2"))
+    graft.storage.SnapshotCommit.destroy(spark, "inc_q_orders")
+    spark.sql("DROP TABLE IF EXISTS inc_q_orders__quarantine")
+  }
+
+  test("non-deterministic build with quarantine rules: the split is " +
+      "computed once — every row lands in exactly one table") {
+    import org.apache.spark.sql.functions._
+    val exps = Seq(graft.dq.Expectations.quarantine("coin",
+      col("v") >= 0.5))
+    new Pipeline().register(Dataset("nd_q_orders", Nil,
+      (s, _) => s.range(0, 1000).select(col("id"), rand().as("v")),
+      expectations = exps, materialize = Materialize.Table)).run(spark)
+    val main = spark.table("nd_q_orders").select("id")
+    val quar = spark.table("nd_q_orders__quarantine").select("id")
+    // Without forced staging the two writes would re-draw rand() and
+    // rows would vanish from (or duplicate into) the union.
+    assert(main.count() + quar.count() === 1000L,
+      "main + quarantine must exactly partition the input")
+    assert(main.intersect(quar).count() === 0L)
+    Seq("nd_q_orders", "nd_q_orders__quarantine").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming quarantine: per-batch routing rides the idempotence " +
       "markers — a re-run duplicates nothing on either side") {
     val p = new Pipeline()

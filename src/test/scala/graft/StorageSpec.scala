@@ -1167,6 +1167,59 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("stats skipping never mis-prunes on type edges: float stats " +
+      "widen exactly, MILLIS timestamps normalize to micros, v1 " +
+      "sidecars keep serving the Long API") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{SnapshotCommit, StatsSkipping}
+    // FLOAT: 0.1f widened-to-double differs from the double 0.1 — the
+    // sidecar must record the widened float so an exact-boundary
+    // equality never skips the matching file.
+    val tbl = "stats_float_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, "f") { stage =>
+      def slice(from: Long, to: Long) = spark.range(from, to)
+        // Divide promotes to double — cast back so the column (and its
+        // footer stats) are genuinely FLOAT.
+        .select(col("id"),
+          (col("id") / 1000.0).cast("float").as("f"))
+        .coalesce(1).write.mode("append").parquet(stage)
+      slice(0, 101)   // file 1: f max is EXACTLY 0.1f — the edge
+      slice(101, 200) // file 2: f min 0.101f
+    }
+    StatsSkipping.installRule(spark)
+    val hit = spark.table(tbl).filter(col("f") === lit(0.1f))
+    assert(hit.count() === 1L,
+      "float boundary equality lost its row to a mis-decoded stat")
+    SnapshotCommit.destroy(spark, tbl)
+    // TIMESTAMP_MILLIS: footer stats are millis; catalyst literals are
+    // micros — unnormalized they mismatch 1000x and prune everything.
+    val tbl2 = "stats_ts_millis_tbl"
+    SnapshotCommit.destroy(spark, tbl2)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MILLIS")
+    try StatsSkipping.commitWithStats(spark, tbl2, "ts") { stage =>
+      spark.range(0, 100)
+        .select(col("id"),
+          expr("timestampadd(HOUR, id, timestamp'2020-01-01')").as("ts"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(stage)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val late = spark.table(tbl2)
+      .filter(col("ts") >= lit("2020-01-03").cast("timestamp"))
+    assert(late.count() === 52L, // ids 48..99
+      "MILLIS timestamp stats mis-pruned against micros literals")
+    SnapshotCommit.destroy(spark, tbl2)
+    // v1 sidecar upgrade: headerless 3-field lines still serve the
+    // Long explicit API (no silent loss of pre-upgrade skipping).
+    val v1 = StatsSkipping.parseStats("part-a.parquet\t100\t200\n")
+    assert(v1("part-a.parquet").contains(StatsSkipping.V1Col))
+    assert(StatsSkipping.intersects(
+      v1("part-a.parquet")(StatsSkipping.V1Col), Some(150L), Some(300L)))
+    assert(!StatsSkipping.intersects(
+      v1("part-a.parquet")(StatsSkipping.V1Col), Some(201L), None))
+  }
+
   test("OPTIMIZE ZORDER: a random-layout table gains default-path " +
       "skipping on every clustered key; values and live view unchanged") {
     import org.apache.spark.sql.functions._
