@@ -1010,11 +1010,65 @@ object Relational3 {
           .as("credit_per_touch"))
   }
 
+  // ---- j22: FULL OUTER source reconciliation ----
+  /** The one join type the catalog lacked, in its canonical data-eng
+    * role: reconciling two overlapping copies of a feed (a migration
+    * cutover, a vendor re-delivery, u8's merge-sync precursor). FULL
+    * OUTER on the key, then a disposition per key: match / value
+    * mismatch / left-only / right-only, with the coalesced value a
+    * downstream consumer would take. Null-safe by construction — the
+    * presence flags come from key nullability on each side, never from
+    * value columns (a legitimately-NULL value must not read as
+    * "absent"). Scale: one shuffle per side on the join key; the
+    * disposition is a projection.
+    */
+  val j22FullOuter = withOracle(
+    "j22_full_outer",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS total_a
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(o_totalprice AS DOUBLE)
+      |           + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END
+      |           AS total_b
+      |  FROM orders WHERE o_orderkey % 2 <> 0)
+      |SELECT coalesce(a.k, b.k) AS o_orderkey,
+      |       a.k IS NOT NULL AS in_a,
+      |       b.k IS NOT NULL AS in_b,
+      |       total_a, total_b,
+      |       CASE WHEN a.k IS NULL THEN 'b_only'
+      |            WHEN b.k IS NULL THEN 'a_only'
+      |            WHEN total_a = total_b THEN 'match'
+      |            ELSE 'mismatch' END AS disposition,
+      |       coalesce(total_b, total_a) AS reconciled
+      |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+    val a = base.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("ka"),
+        col("o_totalprice").cast("double").as("total_a"))
+    val b = base.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey").as("kb"),
+        (col("o_totalprice").cast("double") +
+          when(col("o_orderkey") % 5 === 0, 1.0).otherwise(0.0))
+          .as("total_b"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        col("ka").isNotNull.as("in_a"),
+        col("kb").isNotNull.as("in_b"),
+        col("total_a"), col("total_b"),
+        when(col("ka").isNull, "b_only")
+          .when(col("kb").isNull, "a_only")
+          .when(col("total_a") === col("total_b"), "match")
+          .otherwise("mismatch").as("disposition"),
+        coalesce(col("total_b"), col("total_a")).as("reconciled"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
       w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments,
       w13M4Downsample, w14RollingAnomaly, e7Attribution,
-      e8LinearAttribution)
+      e8LinearAttribution, j22FullOuter)
 }

@@ -369,6 +369,43 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("stats sidecar under manifest carries: a DV delete's ref-carried " +
+      "version keeps default-path pruning across version directories") {
+    withManifestMode {
+      import graft.storage.StatsSkipping
+      val tbl = "m_stats_life_tbl"
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      SnapshotCommit.destroy(spark, tbl)
+      StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+        spark.range(0, 8000).select(col("id"))
+          .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(stage)
+      }
+      StatsSkipping.installRule(spark)
+      def scanned(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles
+              .count(p => !p.contains("/_dv/") && !p.contains("__dv"))
+        }.sum
+      // A DV delete carries every data file as a .graftref into v2 —
+      // the refreshed sidecar must key the REF names, and the rule must
+      // prune even though the physical files live in v1 while the
+      // logical file set resolves through the v2 manifest.
+      DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+      val q = DeletionVectors.read(spark, tbl)
+        .filter(col("id").between(100, 200))
+      assert(scanned(q) < 8,
+        "manifest-carried version shed its stats sidecar")
+      assert(q.count() === 90L)
+      // readRange (explicit API) masks the DV over the pruned refs too.
+      assert(StatsSkipping.readRange(spark, tbl, "id", 100L, 200L)
+        .count() === 90L)
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      SnapshotCommit.destroy(spark, tbl)
+    }
+  }
+
   test("clone in manifest mode: DV sidecar files COPY (the sidecar read " +
       "path cannot resolve .graftref pointers)") {
     withManifestMode {
