@@ -759,6 +759,19 @@ object PipelineQueries {
     Streams.streamQuarantine(s, d)
   }
 
+  // ---- st21: transactional streaming sink (exactly-once, no marker gap) ----
+  // Each micro-batch is ONE atomic SnapshotCommit version: rows +
+  // batch-id progress marker publish under a single pointer rename, so
+  // there is no instant where the data landed but the marker didn't —
+  // the crash window every non-transactional foreachBatch sink carries.
+  // The final table must equal the batch oracle however the stream was
+  // batched; PipelineSpec pins the replay idempotence directly.
+  val st21SnapshotSink = withOracle(
+    "st21_snapshot_sink",
+    "SELECT event_id, user_id, event_type, value FROM events") { (s, d) =>
+    Streams.streamSnapshotSink(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(m1MediaFeatures, m2FrameSample, m3CrossModal, m4PhashDedup,
       m5AudioSegments, m6Interleave, m7ShotDetection, st1HourlyAgg,
@@ -767,5 +780,5 @@ object PipelineQueries {
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
       st16SessionTimeoutTws, st17DedupGate, st18StreamObserve,
-      st19StreamAnomaly, st20StreamQuarantine)
+      st19StreamAnomaly, st20StreamQuarantine, st21SnapshotSink)
 }

@@ -691,6 +691,34 @@ object Streams {
         .drop("_violated"))
   }
 
+  /** st21 — the TRANSACTIONAL streaming sink ([[SnapshotSink]]): four
+    * micro-batches each commit as one atomic snapshot version (rows +
+    * batch-id marker under a single pointer rename — no marker gap, see
+    * the SnapshotSink scaladoc), and the read-back must equal the batch
+    * oracle however the input was batched. Rebuilt per run (fresh
+    * checkpoint + destroyed table) so the version history is
+    * deterministic.
+    */
+  def streamSnapshotSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val tbl = s"events_snap_${graft.core.Scratch.pathKey(sfDir)}"
+    graft.storage.SnapshotCommit.destroy(ss, tbl)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st21_ckpt").toString
+    val q = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SnapshotSink.append(ss, tbl, id, b); ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.storage.SnapshotCommit.readData(ss, tbl)
+  }
+
   /** The same watermark-clocked session close-out as [[sessionTimeout]],
     * re-expressed on Spark 4's `transformWithState` — the arbitrary-
     * stateful-processing successor to [[flatMapGroupsWithState]]: typed

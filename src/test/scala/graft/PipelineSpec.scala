@@ -741,6 +741,35 @@ class PipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("SnapshotSink: a replayed micro-batch commits nothing — rows and " +
+      "progress marker are one atomic version, no marker gap") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SnapshotSink
+    import graft.storage.SnapshotCommit
+    val tbl = "snap_sink_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    val b0 = spark.range(0, 100).select(col("id"))
+    val b1 = spark.range(100, 150).select(col("id"))
+    assert(SnapshotSink.append(spark, tbl, 0L, b0))
+    assert(SnapshotSink.lastBatchId(spark, tbl) === 0L)
+    assert(spark.table(tbl).count() === 100L)
+    // Crash-replay of the SAME batch (checkpoint behind the sink): the
+    // recorded batch id skips it — no new version, no duplicate rows.
+    val v1 = SnapshotCommit.currentVersion(spark, tbl)
+    assert(!SnapshotSink.append(spark, tbl, 0L, b0))
+    assert(SnapshotCommit.currentVersion(spark, tbl) === v1)
+    assert(spark.table(tbl).count() === 100L)
+    // The next batch commits: prior files carried, new rows appended.
+    assert(SnapshotSink.append(spark, tbl, 1L, b1))
+    assert(spark.table(tbl).count() === 150L)
+    assert(SnapshotSink.lastBatchId(spark, tbl) === 1L)
+    // An out-of-order replay of an OLDER id after newer progress also
+    // skips (ids are monotone per checkpoint).
+    assert(!SnapshotSink.append(spark, tbl, 0L, b0))
+    assert(spark.table(tbl).count() === 150L)
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("streaming quarantine: per-batch routing rides the idempotence " +
       "markers — a re-run duplicates nothing on either side") {
     val p = new Pipeline()
