@@ -94,10 +94,7 @@ object DeletionVectors {
     * rewrote). */
   private def linkDataFiles(spark: SparkSession, from: Path, to: Path,
       except: Set[String] = Set.empty): Unit =
-    SnapshotCommit.listData(spark, from).foreach { case (n, phys) =>
-      if (!except.contains(n))
-        SnapshotCommit.carry(spark, phys, new Path(to, n))
-    }
+    SnapshotCommit.carryData(spark, from, to, except)
 
   /** Adopt a plain (managed/external) table into snapshot-commit form:
     * version 1 = every current file carried by link. Metadata-only; the
@@ -193,8 +190,11 @@ object DeletionVectors {
       newSidecar.write.parquet(s"$dir/_dv")
       val cur = SnapshotCommit.currentLocation(spark, table).get
       linkDataFiles(spark, cur, new Path(dir))
-      // Skipping survives the delete: same basenames, unchanged bytes.
+      // Skipping and stream progress survive the delete: same
+      // basenames, unchanged bytes; a shed _batchid would re-open the
+      // sink's exactly-once hole after any delete.
       StatsSkipping.refreshStats(spark, cur, new Path(dir))
+      SnapshotCommit.carryBatchId(spark, cur, new Path(dir))
       committed = v
     }
     registerDv(spark, table)
@@ -280,6 +280,7 @@ object DeletionVectors {
         val cur = SnapshotCommit.currentLocation(spark, table).get
         linkDataFiles(spark, cur, new Path(dir))
         StatsSkipping.refreshStats(spark, cur, new Path(dir))
+        SnapshotCommit.carryBatchId(spark, cur, new Path(dir))
       }
       registerDv(spark, table)
     }
@@ -443,6 +444,7 @@ object DeletionVectors {
       // Carried files reuse their sidecar rows; the rewritten vacuum
       // groups get footer-recomputed stats (metadata-only).
       StatsSkipping.refreshStats(spark, cur, to)
+      SnapshotCommit.carryBatchId(spark, cur, to)
     } finally {
       folded.unpersist()
       sfs.delete(stagingPath, true)
@@ -461,9 +463,13 @@ object DeletionVectors {
       // in too instead of resurrecting its rows.
       read(spark, table).write.parquet(dir)
       // Every file is a rewrite here: stats recompute from the new
-      // footers when the folded version carried a sidecar.
-      SnapshotCommit.currentLocation(spark, table).foreach(cur =>
-        StatsSkipping.refreshStats(spark, cur, new Path(dir)))
+      // footers when the folded version carried a sidecar; the stream
+      // progress marker carries verbatim (maintenance moves no
+      // progress).
+      SnapshotCommit.currentLocation(spark, table).foreach { cur =>
+        StatsSkipping.refreshStats(spark, cur, new Path(dir))
+        SnapshotCommit.carryBatchId(spark, cur, new Path(dir))
+      }
     }
     spark.sql(s"DROP TABLE IF EXISTS ${dvName(table)}")
   }

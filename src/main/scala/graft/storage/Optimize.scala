@@ -109,9 +109,14 @@ object Optimize {
         .parquet(dir)
       // A compacted file is a rewrite: when the superseded version
       // carried a `_stats` skipping sidecar, recompute it from the new
-      // footers (metadata-only) so maintenance never sheds skipping.
-      SnapshotCommit.currentLocation(spark, table).foreach(cur =>
-        StatsSkipping.refreshStats(spark, cur, new Path(dir)))
+      // footers (metadata-only) so maintenance never sheds skipping —
+      // and the sink's `_batchid` progress marker carries verbatim
+      // (maintenance moves no progress; shedding it would re-open the
+      // exactly-once hole on the next crash-replay).
+      SnapshotCommit.currentLocation(spark, table).foreach { cur =>
+        StatsSkipping.refreshStats(spark, cur, new Path(dir))
+        SnapshotCommit.carryBatchId(spark, cur, new Path(dir))
+      }
     }
     if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
     (sizes.length, SnapshotCommit.readData(spark, table).inputFiles.length)
@@ -149,6 +154,8 @@ object Optimize {
         else SnapshotCommit.readData(spark, table)
       ZOrder.layout(liveNow, cols.take(4), partitions)
         .write.parquet(dir)
+      SnapshotCommit.currentLocation(spark, table).foreach(cur =>
+        SnapshotCommit.carryBatchId(spark, cur, new Path(dir)))
     }
     if (hadVectors) spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
   }

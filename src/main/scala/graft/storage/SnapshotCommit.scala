@@ -1122,6 +1122,40 @@ object SnapshotCommit {
     throw lastErr
   }
 
+  /** Carry every data file of version directory `from` into staged
+    * directory `to`, names preserved (hard links in link mode, metadata
+    * refs in manifest mode — [[carry]] decides); `except` filters by
+    * logical basename. ONE copy of the listData-then-carry loop —
+    * DeletionVectors' lifecycle commits and SnapshotSink's per-batch
+    * appends both route here, so carry-semantics fixes cannot silently
+    * miss a caller.
+    */
+  private[graft] def carryData(spark: SparkSession, from: Path, to: Path,
+      except: Set[String] = Set.empty): Unit =
+    listData(spark, from).foreach { case (n, phys) =>
+      if (!except.contains(n)) carry(spark, phys, new Path(to, n))
+    }
+
+  /** Carry the stream-progress marker ([[graft.streaming.SnapshotSink]]'s
+    * `_batchid`) from `from` into staged `to`, if present. EVERY
+    * version-producing path except clone calls this: maintenance
+    * (compact/zorder), DV lifecycle commits and sink appends must not
+    * shed the marker, or a crash-replay after maintenance would
+    * re-append an already-committed batch — the exactly-once hole.
+    * Clone deliberately does NOT carry it (a clone is a new table under
+    * a different checkpoint's numbering — the same reason Delta clones
+    * drop streaming transaction ids).
+    */
+  private[graft] def carryBatchId(spark: SparkSession, from: Path,
+      to: Path): Unit = {
+    val src = new Path(from, "_batchid")
+    val fs = fsOf(spark, src)
+    if (fs.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fsOf(spark, to),
+        new Path(to, "_batchid"), false, true,
+        spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Carry an unchanged file into a staged snapshot WITHOUT disturbing
     * the live version. Link mode: hard link on a local filesystem (a
     * directory entry, no IO), copy elsewhere; never a rename — the

@@ -48,11 +48,25 @@ object SnapshotSink {
       }
     }.getOrElse(-1L)
 
+  /** Control-flow signal: the closure found `batchId` already committed
+    * at the CURRENT version (a concurrent/zombie writer, or a replay
+    * that raced this call) — the append must become a no-op, not a
+    * duplicate version. */
+  private final class AlreadyCommitted extends RuntimeException
+
   /** Commit `batch` as the table's next version iff `batchId` has not
     * already been committed (idempotent under micro-batch replay).
     * Returns true when a commit happened. Intended as a foreachBatch
     * body: `.foreachBatch((b, id) => SnapshotSink.append(spark, tbl,
     * id, b))`.
+    *
+    * The idempotence check runs INSIDE the commit closure, against the
+    * version the claim will validate: two writers racing the same
+    * batchId (a failed-over driver's zombie and its replacement — the
+    * Delta txn-id scenario) cannot both land it, because the loser's
+    * closure re-invokes against the winner's version, re-reads the
+    * marker, and aborts. A pre-check outside the closure would leave
+    * exactly that window open.
     *
     * Batch ids are only meaningful relative to ONE checkpoint's
     * numbering (they restart at 0 if the checkpoint is reset) — a reset
@@ -61,29 +75,54 @@ object SnapshotSink {
     */
   def append(spark: SparkSession, table: String, batchId: Long,
       batch: DataFrame): Boolean = {
-    if (lastBatchId(spark, table) >= batchId) return false
-    SnapshotCommit.commit(spark, table) { stage =>
-      // 1. The batch's own rows (part names embed a job UUID — they can
-      //    never collide with carried names).
-      batch.write.mode("overwrite").parquet(stage)
-      // 2. Carry the previous version's files, resolved INSIDE the
-      //    closure (the rebase contract: a lost claim re-invokes
-      //    against the winner's version).
-      val stageP = new Path(stage)
-      SnapshotCommit.currentLocation(spark, table).foreach { prev =>
-        SnapshotCommit.listData(spark, prev).foreach { case (n, phys) =>
-          SnapshotCommit.carry(spark, phys, new Path(stageP, n))
+    if (lastBatchId(spark, table) >= batchId) return false // fast path
+    try {
+      SnapshotCommit.commit(spark, table) { stage =>
+        // Re-checked per attempt against the then-current version (see
+        // the scaladoc): a rebased retry after losing the claim to a
+        // concurrent writer of this same batch must abort, not
+        // re-append.
+        if (lastBatchId(spark, table) >= batchId)
+          throw new AlreadyCommitted
+        // 1. The batch's own rows (part names embed a job UUID — they
+        //    can never collide with carried names).
+        batch.write.mode("overwrite").parquet(stage)
+        val stageP = new Path(stage)
+        val fs =
+          stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // An EMPTY batch can write zero part files; a version with no
+        // data files is unreadable in manifest mode (readData requires
+        // paths) — guarantee one schema-bearing empty file.
+        if (!fs.listStatus(stageP).exists(
+            _.getPath.getName.endsWith(".parquet")))
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+            .repartition(1).write.mode("append").parquet(stage)
+        // 2. Carry the previous version's files AND its sidecars,
+        //    resolved INSIDE the closure (the rebase contract). The
+        //    deletion-vector directory carries file-by-file — an append
+        //    must never resurrect rows a DV delete masked; the skipping
+        //    sidecar refreshes (carried files reuse rows, the batch's
+        //    new files get footer stats).
+        SnapshotCommit.currentLocation(spark, table).foreach { prev =>
+          SnapshotCommit.carryData(spark, prev, stageP)
+          val dv = new Path(prev, "_dv")
+          val dvFs =
+            dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (dvFs.exists(dv))
+            dvFs.listStatus(dv).toSeq.filter(_.isFile)
+              .map(_.getPath).filterNot(_.getName.startsWith("."))
+              .foreach(p => SnapshotCommit.carry(spark, p,
+                new Path(new Path(stageP, "_dv"), p.getName)))
+          graft.storage.StatsSkipping.refreshStats(spark, prev, stageP)
         }
-        // The skipping sidecar (if the table was seeded via
-        // commitWithStats) rides along: carried files reuse rows, the
-        // batch's new files get footer stats.
-        graft.storage.StatsSkipping.refreshStats(spark, prev, stageP)
+        // 3. The progress marker, atomic WITH the rows it covers.
+        val out = fs.create(new Path(stageP, BatchIdFile), false)
+        try out.write(batchId.toString.getBytes("UTF-8"))
+        finally out.close()
       }
-      // 3. The progress marker, atomic WITH the rows it covers.
-      val fs = stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(new Path(stageP, BatchIdFile), false)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    }
-    true
+      true
+    } catch { case _: AlreadyCommitted => false }
   }
 }

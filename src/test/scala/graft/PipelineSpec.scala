@@ -767,6 +767,28 @@ class PipelineSpec extends SparkSpec {
     // skips (ids are monotone per checkpoint).
     assert(!SnapshotSink.append(spark, tbl, 0L, b0))
     assert(spark.table(tbl).count() === 150L)
+    // Sidecar composition across the lifecycle: a DV delete between
+    // batches must survive the NEXT append (the append carries _dv —
+    // no resurrection), and maintenance must not shed the progress
+    // marker (a compaction that dropped _batchid would re-open the
+    // exactly-once hole on the next crash-replay).
+    graft.storage.DeletionVectors.delete(spark, tbl, col("id") < 10)
+    assert(graft.storage.DeletionVectors.read(spark, tbl).count() === 140L)
+    assert(SnapshotSink.lastBatchId(spark, tbl) === 1L,
+      "DV delete shed the progress marker")
+    assert(SnapshotSink.append(spark, tbl, 2L, spark.range(150, 160)
+      .select(col("id"))))
+    assert(graft.storage.DeletionVectors.read(spark, tbl).count() === 150L,
+      "append resurrected DV-deleted rows or lost data")
+    assert(graft.storage.DeletionVectors.read(spark, tbl)
+      .filter(col("id") < 10).count() === 0L)
+    graft.storage.Optimize.compact(spark, tbl)
+    assert(SnapshotSink.lastBatchId(spark, tbl) === 2L,
+      "compaction shed the progress marker")
+    assert(!SnapshotSink.append(spark, tbl, 2L, b1),
+      "post-compaction replay re-appended a committed batch")
+    assert(spark.table(tbl).count() === 150L)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }
 
