@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // surviving files (see graft.storage.StatsSkippingRule). Live
     // sessions can instead call StatsSkipping.installRule.
     ext.injectOptimizerRule(_ => graft.storage.StatsSkippingRule)
+    // The maintenance SQL surface (OPTIMIZE [ZORDER BY] / RESTORE /
+    // VACUUM / SHALLOW CLONE — see GraftSqlParser): additive, delegates
+    // everything else to Spark's parser.
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -638,11 +638,53 @@ object StorageQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("total"))
   }
 
+  /** b16 — the maintenance SQL SURFACE end to end: the statements a
+    * reference user types on Databricks (`RESTORE TABLE ... TO VERSION
+    * AS OF`, `OPTIMIZE ... ZORDER BY`) parsed by
+    * [[graft.ext.GraftSqlParser]] (the same grammar `spark.sql` gets
+    * under `spark.sql.extensions=graft.ext.GraftExtensions`) and
+    * executed against the engine: two DV deletes accumulate, SQL
+    * RESTORE rolls back to version 1, SQL OPTIMIZE ZORDER re-lays the
+    * live view with fresh stats, and the default-path read prunes.
+    * Same oracle as b15 by construction — the SQL surface must land
+    * exactly where the Scala API does.
+    */
+  val b16MaintenanceSql = withOracle(
+    "b16_maintenance_sql",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_custkey BETWEEN 10 AND 60
+      |  AND NOT (o_orderkey % 5 = 0)""".stripMargin) { (s, d) =>
+    val tbl = s"orders_msql_${sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("total"))
+        .repartition(8)
+        .write.parquet(dir)
+    }
+    graft.storage.SnapshotCommit.register(s, tbl)
+    graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 5 === 0)
+    graft.storage.DeletionVectors.delete(s, tbl, col("o_orderkey") % 3 === 0)
+    graft.ext.GraftSqlParser.sql(s,
+      s"RESTORE TABLE $tbl TO VERSION AS OF 1")
+    graft.ext.GraftSqlParser.sql(s,
+      s"OPTIMIZE $tbl ZORDER BY (o_orderkey, o_custkey)")
+    graft.storage.StatsSkipping.installRule(s)
+    s.table(tbl)
+      .filter(col("o_custkey").between(10, 60))
+      .select(col("o_orderkey"), col("o_custkey"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
       b11ShallowClone, b12Compaction, b13StatsSkipping,
-      b14DefaultStatsPrune, b15ZorderOptimize)
+      b14DefaultStatsPrune, b15ZorderOptimize, b16MaintenanceSql)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

@@ -59,4 +59,62 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_dot(array(1.0D), array(2.0D))")
       .collect()(0).getDouble(0) === 2.0)
   }
+
+  test("maintenance SQL surface: the grammar parses to engine commands, " +
+      "delegates everything else, and runs the lifecycle end to end") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{GraftMaintenanceCommand, GraftSqlParser}
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    // Pure delegation for ordinary SQL: same plan shape as Spark's own
+    // parser (exprIds differ between parses — compare classes).
+    val dp = p.parsePlan("SELECT 1 AS x")
+    assert(!dp.isInstanceOf[GraftMaintenanceCommand])
+    assert(dp.getClass ===
+      spark.sessionState.sqlParser.parsePlan("SELECT 1 AS x").getClass)
+    // The maintenance grammar parses to commands (case-insensitive,
+    // backquotes tolerated).
+    assert(p.parsePlan("OPTIMIZE some_tbl")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("optimize `t` zorder by (`a`, b)")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("RESTORE TABLE t TO VERSION AS OF 2")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("VACUUM t RETAIN 1 VERSIONS")
+      .isInstanceOf[GraftMaintenanceCommand])
+    assert(p.parsePlan("CREATE TABLE d SHALLOW CLONE s")
+      .isInstanceOf[GraftMaintenanceCommand])
+    // A near-miss stays Spark's problem, not silently ours.
+    assert(!p.parsePlan("CREATE TABLE d (x INT) USING parquet")
+      .isInstanceOf[GraftMaintenanceCommand])
+    // End to end: commit, delete twice, SQL VACUUM folds v1, SQL CLONE
+    // snapshots, SQL OPTIMIZE compacts the clone — each returning its
+    // (item, value) metric rows.
+    val tbl = "sqlsurface_tbl"; val cln = "sqlsurface_cln"
+    Seq(tbl, cln).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      SnapshotCommit.destroy(spark, t)
+    }
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 1000).select(col("id")).repartition(8)
+        .write.parquet(dir)
+    }
+    SnapshotCommit.register(spark, tbl)
+    DeletionVectors.delete(spark, tbl, col("id") % 7 === 0)
+    DeletionVectors.delete(spark, tbl, col("id") % 5 === 0)
+    val live = DeletionVectors.read(spark, tbl).count()
+    GraftSqlParser.sql(spark, s"VACUUM $tbl RETAIN 1 VERSIONS")
+    assert(DeletionVectors.read(spark, tbl).count() === live,
+      "SQL VACUUM changed the live view")
+    GraftSqlParser.sql(spark, s"CREATE TABLE $cln SHALLOW CLONE $tbl")
+    assert(DeletionVectors.read(spark, cln).count() === live)
+    val m = GraftSqlParser.sql(spark, s"OPTIMIZE $cln").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("files_after").toInt <= m("files_before").toInt)
+    assert(DeletionVectors.read(spark, cln).count() === live)
+    Seq(tbl, cln).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      SnapshotCommit.destroy(spark, t)
+    }
+  }
 }
