@@ -72,13 +72,26 @@ def main(argv):
         floors = {}
 
     if mode == "--update":
-        added, lowered = 0, 0
+        added, lowered, suspect = 0, 0, 0
         for p in bench_paths:
             qs, _ = load(p)
             for name, sec in qs.items():
                 if name not in floors:
                     floors[name] = sec
                     added += 1
+                elif sec < floors[name] / 3:
+                    # A reading BELOW A THIRD of an established floor is
+                    # a freak minimum (cache/tenancy fluke), not a plan
+                    # improvement — adopting it would flag every later
+                    # NORMAL run (the r14 g6 incident: one 0.10 s read
+                    # against a four-round 0.75 s floor). Report, don't
+                    # adopt; a real 3x plan win re-measures consistently
+                    # and can be adopted by hand with its adjudication.
+                    suspect += 1
+                    print(f"SUSPECT {name}: {sec:.2f}s is < floor/3 "
+                          f"({floors[name]:.2f}s) — not adopted; if this "
+                          "is a real plan win, re-measure and adopt by "
+                          "hand with a BASELINE.md adjudication")
                 elif sec < floors[name]:
                     floors[name] = sec
                     lowered += 1
@@ -86,7 +99,8 @@ def main(argv):
             json.dump(dict(sorted(floors.items())), f, indent=1)
             f.write("\n")
         print(f"floors: {len(floors)} entries ({added} added, "
-              f"{lowered} lowered) -> {floors_path}")
+              f"{lowered} lowered, {suspect} suspect-skipped) "
+              f"-> {floors_path}")
         return 0
 
     # --check
