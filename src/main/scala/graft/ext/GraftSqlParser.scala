@@ -99,13 +99,32 @@ object GraftSqlParser {
       }))
     case RestoreRe(tbl, v) =>
       Some(GraftMaintenanceCommand(s"RESTORE $tbl", { spark =>
+        // RESTORE here rolls back DELETE-version history (the engine's
+        // time-travel axis — appends commit whole snapshot versions and
+        // are not rolled back by this statement). A table with no
+        // delete history must FAIL loudly, not report a success that
+        // changed nothing.
+        val hwm = graft.storage.DeletionVectors.version(spark, tbl)
+        require(hwm > 0,
+          s"RESTORE $tbl: table has no delete-version history to roll " +
+            "back (this statement restores DELETE history; appends are " +
+            "separate snapshot versions)")
         graft.storage.DeletionVectors.restore(spark, tbl, v.toLong)
         Seq("table" -> tbl, "restored_to_version" -> v)
       }))
     case VacuumRe(tbl, v) =>
       Some(GraftMaintenanceCommand(s"VACUUM $tbl", { spark =>
-        graft.storage.DeletionVectors.vacuum(spark, tbl, cutoff = v.toLong)
-        Seq("table" -> tbl, "vacuumed_through_version" -> v)
+        // RETAIN n VERSIONS = keep the n NEWEST delete versions
+        // separable, fold everything older: cutoff = high-water mark
+        // minus n (passing n directly would invert the semantics — a
+        // scheduled RETAIN 5 would stop reclaiming forever once the
+        // HWM passed 5).
+        val hwm = graft.storage.DeletionVectors.version(spark, tbl)
+        val cutoff = hwm - v.toLong
+        if (cutoff > 0)
+          graft.storage.DeletionVectors.vacuum(spark, tbl, cutoff)
+        Seq("table" -> tbl, "retained_versions" -> v,
+          "vacuumed_through_version" -> math.max(cutoff, 0L).toString)
       }))
     case CloneRe(dst, src) =>
       Some(GraftMaintenanceCommand(s"CLONE $src -> $dst", { spark =>

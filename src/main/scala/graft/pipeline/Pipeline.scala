@@ -517,6 +517,15 @@ class Pipeline {
                   sc.carry(spark, src, new org.apache.hadoop.fs.Path(
                     snapPath, s"carried-$i-${src.getName}"))
                 }
+                // A merge is a version-producing path too: shedding a
+                // SnapshotSink `_batchid` progress marker here would
+                // re-open the sink's exactly-once hole on the next
+                // crash-replay (the carryBatchId contract). Merge
+                // targets are Pipeline-owned tables — interleaving DV
+                // deletes with merges is outside this arm's contract
+                // (the rewrite reads the raw table, not the DV mask).
+                sc.currentLocation(spark, name).foreach(cur =>
+                  sc.carryBatchId(spark, cur, snapPath))
               } finally if (mustMaterialize) batch.unpersist(false)
             }
           }

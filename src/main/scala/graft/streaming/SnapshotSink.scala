@@ -90,21 +90,15 @@ object SnapshotSink {
         val stageP = new Path(stage)
         val fs =
           stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // An EMPTY batch can write zero part files; a version with no
-        // data files is unreadable in manifest mode (readData requires
-        // paths) — guarantee one schema-bearing empty file.
-        if (!fs.listStatus(stageP).exists(
-            _.getPath.getName.endsWith(".parquet")))
-          spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              batch.schema)
-            .repartition(1).write.mode("append").parquet(stage)
         // 2. Carry the previous version's files AND its sidecars,
         //    resolved INSIDE the closure (the rebase contract). The
-        //    deletion-vector directory carries file-by-file — an append
-        //    must never resurrect rows a DV delete masked; the skipping
-        //    sidecar refreshes (carried files reuse rows, the batch's
-        //    new files get footer stats).
+        //    deletion-vector directory must carry PHYSICALLY in
+        //    manifest mode (a .graftref inside _dv would be read as
+        //    parquet by the __dv registration, and prune's reference
+        //    counting never walks _dv — the clone() adjudication; link
+        //    mode links as usual): an append must never resurrect rows
+        //    a DV delete masked. The skipping sidecar refreshes
+        //    (carried files reuse rows, new files get footer stats).
         SnapshotCommit.currentLocation(spark, table).foreach { prev =>
           SnapshotCommit.carryData(spark, prev, stageP)
           val dv = new Path(prev, "_dv")
@@ -113,10 +107,29 @@ object SnapshotSink {
           if (dvFs.exists(dv))
             dvFs.listStatus(dv).toSeq.filter(_.isFile)
               .map(_.getPath).filterNot(_.getName.startsWith("."))
-              .foreach(p => SnapshotCommit.carry(spark, p,
-                new Path(new Path(stageP, "_dv"), p.getName)))
+              .foreach { p =>
+                val to = new Path(new Path(stageP, "_dv"), p.getName)
+                if (SnapshotCommit.manifestMode(spark))
+                  org.apache.hadoop.fs.FileUtil.copy(dvFs, p,
+                    to.getFileSystem(
+                      spark.sparkContext.hadoopConfiguration), to,
+                    false, spark.sparkContext.hadoopConfiguration)
+                else SnapshotCommit.carry(spark, p, to)
+              }
           graft.storage.StatsSkipping.refreshStats(spark, prev, stageP)
         }
+        // An EMPTY FIRST batch can leave a version with zero data
+        // files, which is unreadable in manifest mode (readData
+        // requires paths) — guarantee one schema-bearing file. AFTER
+        // the carry, so a later empty batch whose carried files
+        // already make the version readable adds nothing (an
+        // every-empty-batch filler would compound through carryData
+        // into unbounded file growth).
+        if (SnapshotCommit.listData(spark, stageP).isEmpty)
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+            .repartition(1).write.mode("append").parquet(stage)
         // 3. The progress marker, atomic WITH the rows it covers.
         val out = fs.create(new Path(stageP, BatchIdFile), false)
         try out.write(batchId.toString.getBytes("UTF-8"))

@@ -102,10 +102,29 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.register(spark, tbl)
     DeletionVectors.delete(spark, tbl, col("id") % 7 === 0)
     DeletionVectors.delete(spark, tbl, col("id") % 5 === 0)
+    DeletionVectors.delete(spark, tbl, col("id") % 11 === 0)
     val live = DeletionVectors.read(spark, tbl).count()
-    GraftSqlParser.sql(spark, s"VACUUM $tbl RETAIN 1 VERSIONS")
+    // RETAIN 1 on a HWM-3 table folds versions <= 2 (cutoff = HWM - n,
+    // NOT n — a direct pass-through would invert the retention window).
+    val vac = GraftSqlParser.sql(spark,
+      s"VACUUM $tbl RETAIN 1 VERSIONS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vac("vacuumed_through_version") === "2")
     assert(DeletionVectors.read(spark, tbl).count() === live,
       "SQL VACUUM changed the live view")
+    // The fold is real: restoring below the floor is now impossible,
+    // at the floor still works.
+    intercept[Exception](DeletionVectors.restore(spark, tbl, 1))
+    // RESTORE on a table with NO delete history fails loudly instead
+    // of reporting a success that changed nothing.
+    val bare = "sqlsurface_bare_tbl"
+    SnapshotCommit.destroy(spark, bare)
+    SnapshotCommit.commit(spark, bare) { dir =>
+      spark.range(0, 10).select(col("id")).coalesce(1).write.parquet(dir)
+    }
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"RESTORE TABLE $bare TO VERSION AS OF 1"))
+    SnapshotCommit.destroy(spark, bare)
     GraftSqlParser.sql(spark, s"CREATE TABLE $cln SHALLOW CLONE $tbl")
     assert(DeletionVectors.read(spark, cln).count() === live)
     val m = GraftSqlParser.sql(spark, s"OPTIMIZE $cln").collect()

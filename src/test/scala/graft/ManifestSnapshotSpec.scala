@@ -406,6 +406,29 @@ class ManifestSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("SnapshotSink under manifest carries: a DV delete between " +
+      "appends survives — the sidecar copies physically, never as refs") {
+    withManifestMode {
+      import graft.streaming.SnapshotSink
+      val tbl = "m_snap_sink_tbl"
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      SnapshotCommit.destroy(spark, tbl)
+      assert(SnapshotSink.append(spark, tbl, 0L,
+        spark.range(0, 100).select(col("id"))))
+      DeletionVectors.delete(spark, tbl, col("id") < 10)
+      assert(SnapshotSink.append(spark, tbl, 1L,
+        spark.range(100, 150).select(col("id"))))
+      // The mask survived the append (a .graftref inside _dv would
+      // break the __dv parquet registration or resurrect on prune).
+      assert(DeletionVectors.read(spark, tbl).count() === 140L)
+      assert(DeletionVectors.read(spark, tbl)
+        .filter(col("id") < 10).count() === 0L)
+      assert(SnapshotSink.lastBatchId(spark, tbl) === 1L)
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      SnapshotCommit.destroy(spark, tbl)
+    }
+  }
+
   test("clone in manifest mode: DV sidecar files COPY (the sidecar read " +
       "path cannot resolve .graftref pointers)") {
     withManifestMode {
