@@ -406,7 +406,39 @@ object CurationPipeline {
         (col("k") < 5).as("at_risk"))
   }
 
+  // ---- c15: l-diversity audit over the behavioral table ----
+  /** The companion privacy check to c14's k-anonymity: a class can be
+    * k-anonymous yet still leak if everyone in it shares the SAME
+    * sensitive value (the homogeneity attack k-anonymity famously
+    * misses — Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    * k-Anonymity", ICDE 2006). Here the quasi-identifier is the
+    * behavioral release key (event_type, day) and the sensitive
+    * attribute is user_id: a class with fewer than 3 distinct users is
+    * flagged — publishing per-type daily aggregates for it would let an
+    * observer who knows "Alice used feature X that day" attribute the
+    * rows. One hash aggregation, distinct-count exact (the release
+    * audit needs the exact l, not a sketch — classes are QI-bounded,
+    * |event types| x |days|, so the exact count is cheap at any SF;
+    * the per-class distinct rides the same map-side partial-agg shape
+    * as a1). Output: class, size n, diversity l, at_risk.
+    */
+  val c15LDiversity = withOracle(
+    "c15_l_diversity",
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS l,
+      |       count(DISTINCT user_id) < 3 AS at_risk
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        col("ts").cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("l"))
+      .select(col("event_type"), col("day"), col("n"), col("l"),
+        (col("l") < 3).as("at_risk"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(c8CorpusPipeline, c10RagAssembly, c11DatasetCard, c13StratifiedSplit,
-      c14KAnonymity)
+      c14KAnonymity, c15LDiversity)
 }

@@ -1064,11 +1064,101 @@ object Relational3 {
         coalesce(col("total_b"), col("total_a")).as("reconciled"))
   }
 
+  // ---- w15: time-series gap fill by LINEAR INTERPOLATION ----
+  /** w12's forward fill holds the last value flat through a gap; the
+    * feature-store / sensor-series alternative is linear interpolation
+    * between the surrounding observations (pandas' interpolate()).
+    * Same hourly spine as w12; interior gaps get
+    *   prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+    * and LEADING/TRAILING gaps stay null (no extrapolation — the
+    * standard contract, and the observable difference from w12).
+    *
+    * Determinism: hourly sums are DECIMAL(18,6) scaled to BIGINT
+    * micro-units, the interpolation is BIGINT arithmetic with `div`
+    * throughout — Spark's `div` and DuckDB's `//` BOTH truncate toward
+    * zero (verified including negative numerators, which (next-prev)
+    * produces on any falling series), so the engines agree bit-for-bit
+    * with no float anywhere.
+    *
+    * Scale: one shuffle for the hourly aggregate, one per-user window
+    * pass — the backward carry (last non-null before) and forward carry
+    * (first non-null after) are two frames over the SAME partitioning
+    * and ordering, so Catalyst plans them in a single Window operator
+    * on one sort, exactly w12's cost shape plus nothing.
+    */
+  val w15Interpolate = withOracle(
+    "w15_interpolate",
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |           AS hvm
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |j AS (
+      |  SELECT s.user_id, s.h,
+      |         CAST(epoch_ns(s.h) // 3600000000000 AS BIGINT) AS k, e.hvm
+      |  FROM spine s LEFT JOIN e ON e.user_id = s.user_id AND e.h = s.h),
+      |f AS (
+      |  SELECT user_id, h, k, hvm,
+      |         last_value(hvm IGNORE NULLS) OVER past AS pv,
+      |         last_value(CASE WHEN hvm IS NOT NULL THEN k END IGNORE NULLS)
+      |           OVER past AS pk,
+      |         first_value(hvm IGNORE NULLS) OVER fut AS nv,
+      |         first_value(CASE WHEN hvm IS NOT NULL THEN k END IGNORE NULLS)
+      |           OVER fut AS nk
+      |  FROM j
+      |  WINDOW past AS (PARTITION BY user_id ORDER BY h
+      |                  ROWS UNBOUNDED PRECEDING),
+      |         fut AS (PARTITION BY user_id ORDER BY h
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, CAST(epoch_ns(h) // 1000 AS BIGINT) AS hour_us, hvm,
+      |       CASE WHEN hvm IS NOT NULL THEN hvm
+      |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |            THEN pv + ((nv - pv) * (k - pk)) // (nk - pk)
+      |            END AS interp_micros
+      |FROM f""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long").as("hvm"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    val past = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fut = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(e, Seq("user_id", "h"), "left")
+      .withColumn("k", expr("unix_micros(h) div 3600000000"))
+      // Pre-project the masked hour index: window args that are bare
+      // columns let CollapseWindow fuse all four carries into ONE
+      // Window operator (an inline when() forces a projection between
+      // windows, splitting the node into three — measured; the pin in
+      // PlanSpec holds this at one).
+      .withColumn("mk", when(col("hvm").isNotNull, col("k")))
+      .withColumn("pv", last(col("hvm"), ignoreNulls = true).over(past))
+      .withColumn("pk", last(col("mk"), ignoreNulls = true).over(past))
+      .withColumn("nv", first(col("hvm"), ignoreNulls = true).over(fut))
+      .withColumn("nk", first(col("mk"), ignoreNulls = true).over(fut))
+      .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
+        col("hvm"),
+        when(col("hvm").isNotNull, col("hvm"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + expr("((nv - pv) * (k - pk)) div (nk - pk)"))
+          .as("interp_micros"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
       w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments,
       w13M4Downsample, w14RollingAnomaly, e7Attribution,
-      e8LinearAttribution, j22FullOuter)
+      e8LinearAttribution, j22FullOuter, w15Interpolate)
 }

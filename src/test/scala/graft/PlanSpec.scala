@@ -625,6 +625,59 @@ class PlanSpec extends SparkSpec {
       s"no rank window may appear in the unbounded-safe plan:\n$plan")
   }
 
+  test("w15_interpolate: ONE Window operator — all four carries fuse " +
+      "on one sort; exactly two exchanges") {
+    // The backward (pv, pk) and forward (nv, nk) carries share the
+    // user_id partitioning and h ordering, so CollapseWindow must fuse
+    // them into a single Window node — a second node means a window
+    // argument stopped being a bare column (each split re-walks every
+    // partition buffer); a third exchange means the window stopped
+    // riding the spine aggregation's user_id partitioning.
+    val df = Catalog.queries("w15_interpolate")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val w = "Window \\[".r.findAllIn(plan).length
+    assert(w == 1, s"expected one fused Window operator, found $w:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2,
+      s"expected the hourly-agg + spine exchanges only, found $n:\n$plan")
+  }
+
+  test("c15_l_diversity: two-phase distinct aggregation — no Expand, " +
+      "no join") {
+    // The exact-l audit is one groupBy with a single distinct column:
+    // Spark plans it as partial-on-(QI, user) then merge — an Expand
+    // node appearing means a second distinct crept in (row blow-up per
+    // distinct column); a Join means the diversity count stopped riding
+    // the class aggregation.
+    val df = Catalog.queries("c15_l_diversity")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"), s"Expand leaked into c15:\n$plan")
+    assert(!plan.contains("Join"), s"join leaked into c15:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 2, s"expected <= 2 exchanges, found $n:\n$plan")
+  }
+
+  test("pr3_triangle_count: every join is an equi-join — no nested " +
+      "loop, no cartesian anywhere in the wedge/closure plan") {
+    // Degree orientation only bounds the WEDGE count; the plan must
+    // still close wedges by hash-joining on the (v, w) composite key.
+    // A BroadcastNestedLoopJoin or CartesianProduct appearing means the
+    // closure predicate stopped being an equi-join and the entry went
+    // all-pairs — the exact shape this algorithm exists to avoid.
+    val df = Catalog.queries("pr3_triangle_count")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into pr3:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join leaked into pr3:\n$plan")
+  }
+
   test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
       "plan is local-relation only") {
     // The returned frame is the greedy re-rank over the collected
