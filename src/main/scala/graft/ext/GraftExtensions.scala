@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // surviving files (see graft.storage.StatsSkippingRule). Live
     // sessions can instead call StatsSkipping.installRule.
     ext.injectOptimizerRule(_ => graft.storage.StatsSkippingRule)
+    // Metadata-only aggregates: global min/max/count(*) over a
+    // stats-bearing table answers from the sidecar with no scan (see
+    // graft.storage.MetadataAggRule for the exactness bail-outs).
+    ext.injectOptimizerRule(_ => graft.storage.MetadataAggRule)
     // The maintenance SQL surface (OPTIMIZE [ZORDER BY] / RESTORE /
     // VACUUM / SHALLOW CLONE — see GraftSqlParser): additive, delegates
     // everything else to Spark's parser.

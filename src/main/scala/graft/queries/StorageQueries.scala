@@ -680,11 +680,58 @@ object StorageQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("total"))
   }
 
+  /** b17 — METADATA-ONLY aggregates (Delta's metadata-only query
+    * optimization): a global `min` / `max` / `count(*)` over a
+    * stats-bearing committed table is answered from the `_stats`
+    * sidecar alone — [[graft.storage.MetadataAggRule]] rewrites the
+    * whole Aggregate to a one-row projection of literals, and the plan
+    * contains NO scan at all (StorageSpec pins the absence of any
+    * FileSourceScan plus the exactness bail-outs). At 100 TB this is
+    * "count the fact table" in one sidecar read instead of a petabyte
+    * scan. The query is an ORDINARY `spark.table(...).agg(...)` — no
+    * engine API — and covers the answered type family: BIGINT key,
+    * DATE (epoch-day stats), DECIMAL money, count(*). The driver's
+    * hash gate proves the sidecar-computed answers equal DuckDB
+    * scanning the raw data.
+    */
+  val b17MetadataAgg = withOracle(
+    "b17_metadata_agg",
+    """SELECT CAST(min(l_orderkey) AS BIGINT) AS min_key,
+      |       CAST(max(l_orderkey) AS BIGINT) AS max_key,
+      |       CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS first_ship,
+      |       CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS last_ship,
+      |       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |         AS max_price,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val tbl = s"lineitem_magg_${sfName(d)}"
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.StatsSkipping.commitWithStats(s, tbl,
+      Seq("l_orderkey", "ship_date", "price_dec")) { stage =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(stage)
+    }
+    graft.storage.StatsSkipping.installRule(s)
+    s.table(tbl).agg(
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"),
+      min(col("ship_date")).cast("string").as("first_ship"),
+      max(col("ship_date")).cast("string").as("last_ship"),
+      max(col("price_dec")).cast("double").as("max_price"),
+      count(lit(1)).as("n"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
       b11ShallowClone, b12Compaction, b13StatsSkipping,
-      b14DefaultStatsPrune, b15ZorderOptimize, b16MaintenanceSql)
+      b14DefaultStatsPrune, b15ZorderOptimize, b16MaintenanceSql,
+      b17MetadataAgg)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

@@ -1,0 +1,210 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.storage.StatsSkipping.ColRange
+
+/** METADATA-ONLY aggregates from the manifest stats sidecar — the
+  * engine's analogue of Delta's metadata-only query optimization:
+  * a global (ungrouped, unfiltered) `min(col)` / `max(col)` /
+  * `count(*)` over a sidecar-bearing parquet table is answered from
+  * the `_stats` sidecar alone, with NO data scan in the plan. At
+  * 100 TB this is the difference between "count the fact table" being
+  * a petabyte scan and a one-sidecar-read constant: per-file row
+  * counts sum, per-file min/max fold, and the whole Aggregate rewrites
+  * to a one-row projection of literals.
+  *
+  * ANSWERING is held to a stricter standard than SKIPPING: a skip
+  * decision tolerates conservative-wide stats (extra IO, same rows);
+  * an answer must be EXACT. Hence every bail-out below:
+  *
+  *  - only `Aggregate` with NO grouping, over a bare relation or a
+  *    column-pruning `Project` of it — any `Filter`, join, or grouping
+  *    in between means stats cannot answer, and the pattern simply
+  *    does not match;
+  *  - only `min`/`max` on columns whose recorded stat type is `long`
+  *    (ints, dates as epoch days, timestamps as micros) or `decimal` —
+  *    exactly the reference's clustering-key types. `double`/`float`
+  *    stats are NOT answered: parquet footer min/max ordering for
+  *    floating point is unreliable in the presence of NaN (parquet-mr
+  *    drops or mis-orders such stats; see PARQUET-1222) and Spark
+  *    orders NaN greatest — a skip survives that (wide never wrong),
+  *    an answer does not. `string` stats are not answered either:
+  *    footer binary stats may be dropped or truncated for long values,
+  *    and a truncated max is not the max;
+  *  - only `count(<non-null literal>)` (count(*) arrives as count(1));
+  *    `count(col)` needs per-file null counts the sidecar does not
+  *    record, and any DISTINCT or FILTER clause bails;
+  *  - EVERY data file of the relation must carry the needed sidecar
+  *    line (`#rows` for count, the column line for min/max — a file
+  *    whose column chunk was all-null or stats-less records no line,
+  *    which is indistinguishable from "unknown" and therefore bails);
+  *  - min/max answers additionally require the file range to be exact
+  *    for the file's bytes, which the sidecar lifecycle guarantees:
+  *    commit and maintenance REWRITES recompute from footers, and
+  *    carries reuse rows only for byte-identical files. Deletion
+  *    vectors do not break this rule's correctness because this rule
+  *    rewrites the RAW relation the pattern matched: a DV-masked read
+  *    (DeletionVectors.read/readAt) is an anti-join ABOVE the scan, so
+  *    the Aggregate-over-relation shape never matches it, and a raw
+  *    `spark.table` read of a DV-bearing table sees exactly the raw
+  *    file bytes the stats describe.
+  *
+  * Semantics preserved: SQL min/max ignore nulls, and so do parquet
+  * footer stats (a non-null-bearing file contributes its non-null
+  * range; an all-null file has no line and bails the rewrite); count(1)
+  * counts every row, which is what `#rows` records.
+  *
+  * Registered with [[StatsSkippingRule]] via GraftExtensions or
+  * [[StatsSkipping.installRule]].
+  */
+object MetadataAggRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val rel = agg.child match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(ps, lr: LogicalRelation)
+        if ps.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+      case _ => None
+    }
+    rel.flatMap(answerAll(agg, _))
+  }
+
+  private def answerAll(agg: Aggregate,
+      lr: LogicalRelation): Option[LogicalPlan] = lr.relation match {
+    case rel: HadoopFsRelation
+      if rel.partitionSchema.isEmpty &&
+        rel.fileFormat.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+      val spark = rel.sparkSession
+      val files = rel.location.inputFiles
+      if (files.isEmpty) return None // a scan of nothing is already free
+      // Stats row per file, from its parent directory's sidecar (a
+      // manifest version's files span directories; each carries the
+      // stats for its own basenames).
+      val parents = files.map(f => new Path(f).getParent.toString).distinct
+      val statsByDir: Map[String, Map[String, Map[String, ColRange]]] =
+        parents.flatMap { p =>
+          StatsSkipping.loadStats(spark, new Path(p)).map(p -> _)
+        }.toMap
+      val perFile: Seq[Map[String, ColRange]] = files.toSeq.map { fp =>
+        val p = new Path(fp)
+        statsByDir.getOrElse(p.getParent.toString, Map.empty)
+          .getOrElse(p.getName, Map.empty)
+      }
+
+      // count(*): every file must record #rows; exact sum.
+      lazy val totalRows: Option[Long] = {
+        val counts = perFile.map(_.get(StatsSkipping.RowsCol))
+        if (counts.exists(c => c.isEmpty || c.get.tpe != "rows")) None
+        else scala.util.Try(counts.map(_.get.min.toLong).sum).toOption
+      }
+
+      // min/max(col): every file must record the column, one stat type,
+      // and the (stat type, catalyst type) pair must answer exactly.
+      def foldMinMax(a: AttributeReference, wantMax: Boolean
+          ): Option[Literal] = {
+        val ranges = perFile.map(_.get(a.name))
+        if (ranges.exists(_.isEmpty)) return None
+        val rs = ranges.map(_.get)
+        val tpe = rs.head.tpe
+        if (!rs.forall(_.tpe == tpe)) return None
+        val enc = if (wantMax)
+          rs.map(_.max).maxBy(identity)(statOrdering(tpe))
+        else rs.map(_.min).minBy(identity)(statOrdering(tpe))
+        toLiteral(a.dataType, tpe, enc)
+      }
+
+      def answer(ae: AggregateExpression): Option[Literal] =
+        if (ae.isDistinct || ae.filter.isDefined) None
+        else ae.aggregateFunction match {
+          case Min(a: AttributeReference) => foldMinMax(a, wantMax = false)
+          case Max(a: AttributeReference) => foldMinMax(a, wantMax = true)
+          case c: Count => c.children match {
+            case Seq(Literal(v, _)) if v != null =>
+              totalRows.map(Literal(_, LongType))
+            case _ => None
+          }
+          case _ => None
+        }
+
+      // All-or-nothing: one unanswerable aggregate keeps the whole node
+      // (a half-rewritten Aggregate would still scan, gaining nothing).
+      var ok = true
+      val projected = agg.aggregateExpressions.map { ne =>
+        ne.transform {
+          case ae: AggregateExpression =>
+            answer(ae) match {
+              case Some(l) => l
+              case None => ok = false; ae
+            }
+        }
+      }
+      if (!ok) None
+      else Some(Project(
+        projected.map(_.asInstanceOf[NamedExpression]), OneRowRelation()))
+    case _ => None
+  }
+
+  /** Ordering of ENCODED stat strings under one stat type. */
+  private def statOrdering(tpe: String): Ordering[String] =
+    (x: String, y: String) => tpe match {
+      case "long" => java.lang.Long.compare(x.toLong, y.toLong)
+      case "decimal" => new java.math.BigDecimal(x)
+        .compareTo(new java.math.BigDecimal(y))
+      case _ => // never answered; any total order keeps fold defined
+        x.compareTo(y)
+    }
+
+  /** The folded encoded stat as an EXACT literal of the column's
+    * catalyst type — None when the pair has no exact mapping (which
+    * keeps the scan; see the scaladoc's answering-vs-skipping bar).
+    */
+  private def toLiteral(dt: DataType, tpe: String,
+      enc: String): Option[Literal] = (dt, tpe) match {
+    case (LongType, "long") =>
+      scala.util.Try(Literal(enc.toLong, LongType)).toOption
+    case (IntegerType, "long") =>
+      scala.util.Try(
+        Literal(Math.toIntExact(enc.toLong), IntegerType)).toOption
+    case (ShortType, "long") =>
+      scala.util.Try {
+        val v = enc.toLong
+        require(v >= Short.MinValue && v <= Short.MaxValue)
+        Literal(v.toShort, ShortType)
+      }.toOption
+    case (ByteType, "long") =>
+      scala.util.Try {
+        val v = enc.toLong
+        require(v >= Byte.MinValue && v <= Byte.MaxValue)
+        Literal(v.toByte, ByteType)
+      }.toOption
+    case (DateType, "long") =>
+      scala.util.Try(
+        Literal(Math.toIntExact(enc.toLong), DateType)).toOption
+    case (TimestampType, "long") =>
+      scala.util.Try(Literal(enc.toLong, TimestampType)).toOption
+    case (TimestampNTZType, "long") =>
+      scala.util.Try(Literal(enc.toLong, TimestampNTZType)).toOption
+    case (d: DecimalType, "decimal") =>
+      scala.util.Try {
+        val bd = BigDecimal(new java.math.BigDecimal(enc))
+          .setScale(d.scale) // throws if it would round: exactness bar
+        require(bd.precision <= d.precision,
+          "stat value outside the column's decimal precision")
+        Literal(Decimal(bd, d.precision, d.scale), d)
+      }.toOption
+    case _ => None
+  }
+}

@@ -51,6 +51,20 @@ object StatsSkipping {
   private val StatsFile = "_stats"
   private[storage] val Header = "#graft-stats-v2"
 
+  /** Pseudo-column under which a data file's ROW COUNT is recorded
+    * (`<base>\t#rows\trows\t<n>\t<n>`): `#` cannot appear in an
+    * engine-written identifier, so it can never collide with a real
+    * column, and the pruning reader only ever looks up predicate
+    * columns, so these lines are invisible to skipping. They exist for
+    * [[MetadataAggRule]] — answering `count(*)` (and, with the min/max
+    * lines, `min`/`max`) from the manifest alone, Delta's
+    * metadata-only-query behavior. Lifecycle: [[footerLines]] emits the
+    * line for every file it stats (commit AND maintenance rewrites);
+    * [[refreshStats]] carries it verbatim for carried basenames (same
+    * bytes, same rows).
+    */
+  private[storage] val RowsCol = "#rows"
+
   /** One column's recorded range in one file: a type tag plus encoded
     * min/max (see [[decode]] for the encodings). */
   private[storage] final case class ColRange(tpe: String, min: String,
@@ -115,7 +129,14 @@ object StatsSkipping {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      cols.flatMap { col =>
+      // The file's exact row count, from the same footer — free here,
+      // and the one number [[MetadataAggRule]] needs for count(*).
+      // Emitted unconditionally (even 0 for an empty schema-bearing
+      // part file): a rewrite during maintenance keeps metadata
+      // aggregates answerable instead of silently degrading them.
+      val rows = blocks.map(_.getRowCount).sum
+      val rowsLine = s"${file.getName}\t$RowsCol\trows\t$rows\t$rows"
+      rowsLine +: cols.filterNot(_ == RowsCol).flatMap { col =>
         val ranges = blocks.flatMap { block =>
           block.getColumns.asScala
             .find(_.getPath.toDotString == col)
@@ -429,8 +450,12 @@ object StatsSkipping {
     * built with `spark.sql.extensions=graft.ext.GraftExtensions` get
     * the rule without calling this.
     */
-  def installRule(spark: SparkSession): Unit =
+  def installRule(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(StatsSkippingRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ StatsSkippingRule
+    if (!spark.experimental.extraOptimizations.contains(MetadataAggRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MetadataAggRule
+  }
 }

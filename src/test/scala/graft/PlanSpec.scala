@@ -678,6 +678,21 @@ class PlanSpec extends SparkSpec {
       s"nested-loop join leaked into pr3:\n$plan")
   }
 
+  test("b17_metadata_agg: the answer plan contains NO scan — the " +
+      "aggregate is a one-row projection of sidecar literals") {
+    // The entry's whole point is that min/max/count over the committed
+    // table never touches data: a Scan parquet appearing means the
+    // MetadataAggRule stopped matching this query (type drift, a
+    // missing #rows line, or a pattern change) and the entry silently
+    // degraded to a full scan that still hashes green.
+    val df = Catalog.queries("b17_metadata_agg")(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Scan parquet"),
+      s"b17 should answer from the sidecar, not scan:\n$plan")
+  }
+
   test("s17_mmr_rerank: the corpus stage is TakeOrdered; the re-rank " +
       "plan is local-relation only") {
     // The returned frame is the greedy re-rank over the collected

@@ -1326,4 +1326,100 @@ class StorageSpec extends SparkSpec {
       "failed fresh-dst clone left an orphan _properties sidecar")
     Seq(src, dst, dst2, dst3, dst4).foreach(SnapshotCommit.destroy(spark, _))
   }
+
+  test("metadata-only aggregates: global min/max/count answer from the " +
+      "sidecar with NO scan; every exactness bail-out keeps the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, Optimize, SnapshotCommit, StatsSkipping}
+    val tbl = "magg_rule_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, Seq("id", "d", "m", "x")) {
+      stage =>
+        spark.range(0, 8000).select(col("id"),
+            date_add(lit("2020-01-01").cast("date"),
+              (col("id") / 10).cast("int")).as("d"),
+            (col("id").cast("decimal(18,4)") / 4)
+              .cast("decimal(12,2)").as("m"),
+            // a double column, and one that is null on a whole file's
+            // id range — both bail-out probes below
+            when(col("id") >= 1000, col("id").cast("double")).as("x"))
+          .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(stage)
+    }
+    StatsSkipping.installRule(spark)
+    // String probe, not a collect over the plan tree: a real aggregate
+    // runs under AdaptiveSparkPlanExec, whose inner stages a tree
+    // collect does not traverse — the FINAL plan string shows them.
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan
+        .toString.split("== Initial Plan ==")(0)).length
+    }
+
+    // The answered family: BIGINT, DATE, DECIMAL, count(*) — no scan,
+    // and the answers equal the scan-computed truth.
+    val meta = spark.table(tbl).agg(
+      min(col("id")).as("a"), max(col("id")).as("b"),
+      min(col("d")).as("c"), max(col("d")).as("e"),
+      max(col("m")).as("f"), count(lit(1)).as("g"))
+    assert(scans(meta) === 0,
+      s"metadata agg still scans:\n${meta.queryExecution.executedPlan}")
+    val row = meta.collect()(0)
+    assert(row.getLong(0) === 0L && row.getLong(1) === 7999L)
+    assert(row.getDate(2).toString === "2020-01-01")
+    assert(row.getDate(3).toString === "2022-03-10") // 2020-01-01 + 799d
+    assert(row.getDecimal(4).toString === "1999.75")
+    assert(row.getLong(5) === 8000L)
+
+    // Bail-outs — each must KEEP the scan and stay correct:
+    // a filter underneath (stats cannot see filtered rows),
+    val filtered = spark.table(tbl).filter(col("id") < 100)
+      .agg(count(lit(1)).as("n"))
+    assert(scans(filtered) === 1, "filtered agg must scan")
+    assert(filtered.collect()(0).getLong(0) === 100L)
+    // count(col) (needs null counts the sidecar lacks),
+    val countCol = spark.table(tbl).agg(count(col("x")).as("n"))
+    assert(scans(countCol) === 1, "count(col) must scan")
+    assert(countCol.collect()(0).getLong(0) === 7000L)
+    // count(DISTINCT),
+    val cd = spark.table(tbl).agg(countDistinct(col("d")).as("n"))
+    assert(scans(cd) === 1, "count(distinct) must scan")
+    // min/max on a double column (float-ordering answering bar),
+    val dbl = spark.table(tbl).agg(max(col("x")).as("n"))
+    assert(scans(dbl) === 1, "double max must scan")
+    assert(dbl.collect()(0).getDouble(0) === 7999.0)
+    // grouped aggregation,
+    val grouped = spark.table(tbl).groupBy(col("d"))
+      .agg(count(lit(1)).as("n"))
+    assert(scans(grouped) === 1, "grouped agg must scan")
+    // a sum (not an answerable function) mixed in: ALL-or-nothing.
+    val mixed = spark.table(tbl)
+      .agg(min(col("id")).as("a"), sum(col("id")).as("s"))
+    assert(scans(mixed) === 1, "mixed answerable+sum must scan")
+
+    // Lifecycle: the rewrite answers the RAW relation's semantics. A
+    // DV delete does not change what a raw spark.table scan returns
+    // (masking is the DV read API's join, which never matches this
+    // pattern), so the metadata count must equal the raw scan before
+    // AND after; compaction folds the DV in, rewrites files, and the
+    // recomputed sidecar serves the new live truth — still scanless.
+    DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    val rawAfterDv = spark.table(tbl).agg(count(lit(1)).as("n"))
+    assert(scans(rawAfterDv) === 0, "raw count after DV should still answer")
+    assert(rawAfterDv.collect()(0).getLong(0) === 8000L,
+      "raw-relation semantics: DV does not mask a raw table read")
+    assert(DeletionVectors.read(spark, tbl).count() === 7200L,
+      "the masked API is where deletes surface")
+    Optimize.compact(spark, tbl)
+    val afterCompact = spark.table(tbl).agg(
+      count(lit(1)).as("n"), min(col("id")).as("a"), max(col("m")).as("f"))
+    assert(scans(afterCompact) === 0,
+      s"post-compact metadata agg should answer:\n${afterCompact.queryExecution.executedPlan}")
+    val r2 = afterCompact.collect()(0)
+    assert(r2.getLong(0) === 7200L)
+    assert(r2.getLong(1) === 1L)
+    assert(r2.getDecimal(2).toString === "1999.75")
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }
