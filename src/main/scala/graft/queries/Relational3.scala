@@ -1154,11 +1154,55 @@ object Relational3 {
           .as("interp_micros"))
   }
 
+  // ---- w16: month-over-month growth (the BI trend staple) ----
+  /** Monthly revenue with month-over-month growth — the consumption-
+    * layer KPI every revenue dashboard leads with. Revenue sums as
+    * DECIMAL cents (exact, order-independent); growth is expressed in
+    * BASIS POINTS as BIGINT — `(cur - prev) * 10000 div prev` — so the
+    * engines agree bit-for-bit (both truncate toward zero, negative
+    * deltas included; a double ratio would hash-diverge on summation
+    * order). First month's growth is null (no prior). Scale: one
+    * month-grain aggregate (map-side partials) and a lag window over
+    * |months| rows — the window input is the AGGREGATE, not the fact
+    * table, so the single-partition global window is bounded by the
+    * calendar, not the data (the e6 rationale).
+    */
+  val w16MomGrowth = withOracle(
+    "w16_mom_growth",
+    """WITH m AS (
+      |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |              AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT month, rev_cents,
+      |         lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+      |  FROM m)
+      |SELECT month, CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+      |       CASE WHEN prev_cents IS NOT NULL
+      |            THEN ((rev_cents - prev_cents) * 10000) // prev_cents
+      |            END AS growth_bps
+      |FROM g""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate").cast("date"), "yyyy-MM")
+        .as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    m.withColumn("prev_cents",
+        lag(col("rev_cents"), 1).over(Window.orderBy(col("month"))))
+      .select(col("month"),
+        (col("rev_cents").cast("double") / 100).as("revenue"),
+        when(col("prev_cents").isNotNull,
+          expr("((rev_cents - prev_cents) * 10000) div prev_cents"))
+          .as("growth_bps"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(j17Lateral, j18CorrelatedAgg, f7ArrayHof, e2Sessionize, u5MergeDelete,
       u8MergeSync, f10TryArithmetic, w9SessionWindow, f8StringFuncs,
       w10ValuePick, e3Funnel, j19IntervalOverlap, e4RetentionCohorts,
       w11EventPattern, e5TransitionMatrix, w12ForwardFill, e6RfmSegments,
       w13M4Downsample, w14RollingAnomaly, e7Attribution,
-      e8LinearAttribution, j22FullOuter, w15Interpolate)
+      e8LinearAttribution, j22FullOuter, w15Interpolate, w16MomGrowth)
 }
