@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   RESTORE TABLE t TO VERSION AS OF v  -> DeletionVectors.restore
   *   VACUUM t RETAIN v VERSIONS          -> DeletionVectors.vacuum
   *   CREATE TABLE d SHALLOW CLONE s      -> SnapshotCommit.clone
+  *   MERGE INTO t USING s ON t.k = s.k   -> snapshot-rewrite merge
+  *     WHEN MATCHED THEN UPDATE SET *       (upsert; + NOT MATCHED BY
+  *     WHEN NOT MATCHED THEN INSERT *        SOURCE THEN DELETE = full
+  *     [WHEN NOT MATCHED BY SOURCE            sync; WHEN MATCHED THEN
+  *      THEN DELETE]                          DELETE = keyed delete)
   *
   * Wiring, two ways (the GraftExtensions pattern): sessions built with
   * `spark.sql.extensions=graft.ext.GraftExtensions` get this parser
@@ -81,6 +86,42 @@ object GraftSqlParser {
     s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*".r
   private val CloneRe =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident\\s*".r
+  // MERGE — the three canonical Delta forms on a single same-named key:
+  //   upsert   (MATCHED UPDATE SET * / NOT MATCHED INSERT *)
+  //   full sync (upsert + NOT MATCHED BY SOURCE DELETE)
+  //   keyed delete (MATCHED DELETE)
+  // Optional aliases on both relations; the ON clause must be one
+  // equality between the two relations' qualifiers.
+  private val MergeHead =
+    s"(?is)\\s*MERGE\\s+INTO\\s+$Ident(?:\\s+(?:AS\\s+)?$Ident)?" +
+      s"\\s+USING\\s+$Ident(?:\\s+(?:AS\\s+)?$Ident)?" +
+      s"\\s+ON\\s+$Ident\\s*\\.\\s*$Ident\\s*=\\s*$Ident\\s*\\.\\s*$Ident"
+  private val MergeUpsertRe =
+    (MergeHead +
+      "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
+      "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*" +
+      "(\\s+WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+DELETE)?\\s*").r
+  private val MergeDeleteRe =
+    (MergeHead + "\\s+WHEN\\s+MATCHED\\s+THEN\\s+DELETE\\s*").r
+
+  /** Resolve the ON clause's single equality to the SHARED key column:
+    * each side's qualifier must be the target or the source (name or
+    * alias), one of each, and the two column names must agree — the
+    * rename-on-merge case is out of this subset's scope and fails
+    * loudly rather than guessing.
+    */
+  private def mergeKey(tgt: String, tgtAlias: String, src: String,
+      srcAlias: String, q1: String, c1: String, q2: String,
+      c2: String): String = {
+    def isTgt(q: String) = q == tgt || q == tgtAlias
+    def isSrc(q: String) = q == src || q == srcAlias
+    require((isTgt(q1) && isSrc(q2)) || (isSrc(q1) && isTgt(q2)),
+      s"MERGE ON clause must join $tgt to $src (got $q1.$c1 = $q2.$c2)")
+    require(c1 == c2,
+      s"MERGE subset requires the same key column name on both sides " +
+        s"(got $c1 vs $c2)")
+    c1
+  }
 
   /** The maintenance grammar; None -> not ours, delegate. */
   def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -132,7 +173,81 @@ object GraftSqlParser {
         Seq("table" -> dst, "cloned_from" -> src,
           "location" -> loc.toString)
       }))
+    case MergeUpsertRe(tgt, tA, src, sA, q1, c1, q2, c2, bySource) =>
+      val key = mergeKey(tgt, tA, src, sA, q1, c1, q2, c2)
+      val sync = bySource != null
+      Some(GraftMaintenanceCommand(
+        s"MERGE $src -> $tgt${if (sync) " (full sync)" else ""}", { spark =>
+          val v = runMerge(spark, tgt, src, key, sync, delete = false)
+          Seq("table" -> tgt, "merged_from" -> src, "key" -> key,
+            "mode" -> (if (sync) "sync" else "upsert"),
+            "version" -> v.toString)
+        }))
+    case MergeDeleteRe(tgt, tA, src, sA, q1, c1, q2, c2) =>
+      val key = mergeKey(tgt, tA, src, sA, q1, c1, q2, c2)
+      Some(GraftMaintenanceCommand(s"MERGE DELETE $src -> $tgt", { spark =>
+        val v = runMerge(spark, tgt, src, key, sync = false, delete = true)
+        Seq("table" -> tgt, "merged_from" -> src, "key" -> key,
+          "mode" -> "delete", "version" -> v.toString)
+      }))
     case _ => None
+  }
+
+  /** Execute one parsed MERGE as a snapshot REWRITE commit (the Delta
+    * execution model: merge produces a new version; readers of older
+    * versions are untouched — u-family entries prove the same algebra
+    * at plan level, this is the table-mutating twin).
+    *
+    *  - The target is read through its LIVE view
+    *    ([[graft.storage.DeletionVectors.read]] — a DV-bearing target
+    *    must merge its live rows, not resurrect deleted ones; the
+    *    rewritten version then carries no DVs, exactly like compaction).
+    *  - Delta's cardinality rule is enforced: a source with duplicate
+    *    keys would make UPDATE SET * nondeterministic, so it fails
+    *    loudly BEFORE any write.
+    *  - upsert: target-minus-matched ∪ source (source columns aligned
+    *    to the target schema by NAME — a source missing a target column
+    *    fails the select, loudly). sync: the source IS the desired
+    *    state (matched update + unmatched-source insert + unmatched-
+    *    target delete ≡ source). delete: target anti-join source keys.
+    *
+    * Scale: one key-partitioned anti-join plus the rewrite — the same
+    * shuffle budget as the plan-level u3/u5; the commit itself is the
+    * engine's atomic pointer publish.
+    */
+  private def runMerge(spark: SparkSession, tgt: String, src: String,
+      key: String, sync: Boolean, delete: Boolean): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.storage.SnapshotCommit.register(spark, tgt)
+    val srcDf = spark.table(src)
+    require(srcDf.columns.contains(key),
+      s"MERGE source $src has no column $key")
+    val dup = srcDf.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(dup == 0,
+      s"MERGE source $src has duplicate keys on $key — UPDATE SET * " +
+        "would be nondeterministic (Delta's multiple-matches error)")
+    val tgtDf = graft.storage.DeletionVectors.read(spark, tgt)
+    val merged =
+      if (delete)
+        tgtDf.join(srcDf.select(col(key)), Seq(key), "left_anti")
+      else {
+        val aligned = srcDf.select(tgtDf.columns.toSeq.map(col): _*)
+        if (sync) aligned
+        else tgtDf.join(aligned.select(col(key)), Seq(key), "left_anti")
+          .unionByName(aligned)
+      }
+    // Materialize the new state BEFORE the commit closure opens: the
+    // closure's writer reads the CURRENT version's files while the
+    // staged dir fills — safe (immutable files, fresh directory) — but
+    // a lazy plan that re-registered the table inside the closure
+    // could observe the in-flight claim; localCheckpoint pins the rows.
+    val pinned = merged.localCheckpoint(true)
+    graft.storage.SnapshotCommit.commit(spark, tgt) { dir =>
+      pinned.write.parquet(dir)
+    }
+    graft.storage.SnapshotCommit.register(spark, tgt)
+      .getOrElse(sys.error(s"MERGE into $tgt left no published version"))
   }
 
   /** Run a statement on a LIVE session (whose parser was fixed at

@@ -204,5 +204,69 @@ object ChangeDataQueries {
           lit(v2).as("commit_version"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(u6Scd2, u7ChangeFeed, u9VersionDiff)
+  /** u10 — MERGE INTO as SQL against a COMMITTED table: the statement a
+    * reference user types on Databricks, parsed by
+    * [[graft.ext.GraftSqlParser]] and executed as a snapshot-rewrite
+    * commit (u3/u5/u8 prove the same algebra at plan level; this is the
+    * table-MUTATING twin, with each MERGE publishing an atomic new
+    * version). The entry drives two statements — the canonical upsert
+    * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`)
+    * and a keyed delete (`WHEN MATCHED THEN DELETE`, aliased relations)
+    * — then reads the final table state under the hash gate. Delta's
+    * duplicate-source-keys error and the live-view (DV-masked) target
+    * read are pinned in ExtensionsSpec.
+    */
+  val u10MergeSql = withOracle(
+    "u10_merge_sql",
+    """WITH target AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |source AS (
+      |  SELECT c_custkey, c_mktsegment || '_m' AS c_mktsegment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 5.00
+      |              AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |upserted AS (
+      |  SELECT t.* FROM target t
+      |  WHERE t.c_custkey NOT IN (SELECT c_custkey FROM source)
+      |  UNION ALL SELECT * FROM source)
+      |SELECT c_custkey, c_mktsegment, CAST(bal AS DOUBLE) AS bal
+      |FROM upserted WHERE c_custkey % 5 <> 0""".stripMargin) { (s, d) =>
+    val k = graft.queries.StorageQueries.sfName(d)
+    val tbl = s"cust_merge_$k"
+    val srcV = s"cust_merge_src_$k"
+    val delV = s"cust_merge_del_$k"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    val c = Tables.customer(s, d)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        .write.parquet(dir)
+    }
+    c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("_m")).as("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)")
+          + lit("5.00").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("bal"))
+      .createOrReplaceTempView(srcV)
+    c.filter(col("c_custkey") % 5 === 0).select(col("c_custkey"))
+      .createOrReplaceTempView(delV)
+    graft.ext.GraftSqlParser.sql(s,
+      s"MERGE INTO $tbl USING $srcV ON $tbl.c_custkey = $srcV.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    graft.ext.GraftSqlParser.sql(s,
+      s"MERGE INTO $tbl t USING $delV d ON t.c_custkey = d.c_custkey " +
+        "WHEN MATCHED THEN DELETE")
+    graft.storage.SnapshotCommit.register(s, tbl)
+    s.table(tbl).select(col("c_custkey"), col("c_mktsegment"),
+      col("bal").cast("double").as("bal"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql)
 }

@@ -136,4 +136,87 @@ class ExtensionsSpec extends SparkSpec {
       SnapshotCommit.destroy(spark, t)
     }
   }
+
+  test("MERGE SQL: upsert + sync + delete arms, duplicate-source error " +
+      "before any write, DV-masked live-view target") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "merge_sql_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10)
+        .select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(1).write.parquet(dir)
+    }
+    // upsert: ids 5..14 with v = id*100 — 5 updates, 5 inserts.
+    spark.range(5, 15).select(col("id"), (col("id") * 100).as("v"))
+      .createOrReplaceTempView("merge_sql_src")
+    GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_sql_src " +
+        s"ON $tbl.id = merge_sql_src.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    SnapshotCommit.register(spark, tbl)
+    val afterUpsert = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterUpsert.size === 15)
+    assert(afterUpsert(3) === 30L, "unmatched target row must keep")
+    assert(afterUpsert(7) === 700L, "matched row must update")
+    assert(afterUpsert(14) === 1400L, "unmatched source row must insert")
+
+    // duplicate source keys: Delta's multiple-matches error, and the
+    // table version must NOT advance (fails before any write).
+    val vBefore = SnapshotCommit.register(spark, tbl).get
+    spark.range(0, 2).select(lit(7L).as("id"), col("id").as("v"))
+      .createOrReplaceTempView("merge_sql_dup")
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_sql_dup " +
+        s"ON $tbl.id = merge_sql_dup.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(SnapshotCommit.register(spark, tbl).get === vBefore,
+      "failed MERGE must not publish a version")
+
+    // keyed delete with aliases; then DV-masked target: a DV delete
+    // hides rows from the live view, and a following MERGE must merge
+    // the LIVE rows, not resurrect the DV-deleted ones.
+    spark.range(12, 15).select(col("id"))
+      .createOrReplaceTempView("merge_sql_del")
+    GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl t USING merge_sql_del d ON t.id = d.id " +
+        "WHEN MATCHED THEN DELETE")
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).count() === 12)
+    DeletionVectors.delete(spark, tbl, col("id") < 2) // DV-hide 0, 1
+    spark.range(20, 22).select(col("id"), (col("id") * 7).as("v"))
+      .createOrReplaceTempView("merge_sql_src2")
+    GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_sql_src2 " +
+        s"ON $tbl.id = merge_sql_src2.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    SnapshotCommit.register(spark, tbl)
+    val ids = spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(0L) && !ids.contains(1L),
+      "MERGE must not resurrect DV-deleted rows")
+    assert(ids.contains(20L) && ids.contains(21L))
+    assert(ids.size === 12) // 10 live survivors + 2 inserts
+
+    // full sync: the source IS the desired state.
+    spark.range(100, 103).select(col("id"), (col("id") + 1).as("v"))
+      .createOrReplaceTempView("merge_sql_sync")
+    GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_sql_sync " +
+        s"ON $tbl.id = merge_sql_sync.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+      === Set(100L, 101L, 102L))
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }
