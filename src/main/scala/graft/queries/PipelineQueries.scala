@@ -478,6 +478,29 @@ object PipelineQueries {
     Streams.applyChanges(s, d)
   }
 
+  // ---- st22: streaming upsert through the SQL MERGE surface ----
+  // [[graft.streaming.Streams.streamMergeSql]]: the Databricks
+  // `foreachBatch { MERGE INTO }` idiom verbatim — each time-ordered
+  // micro-batch reduces to latest-per-key, the SQL upsert arm applies
+  // live rows and the WHEN MATCHED DELETE arm applies 'error'
+  // (apply-as-delete) markers, every statement an atomic snapshot
+  // version. Same latest-non-error-per-key semantics as st12 (which
+  // proves the out-of-order contract with a hand-built staged rewrite;
+  // here the arrival axis is time-ordered and the subject is the SQL
+  // surface composing with the commit protocol).
+  val st22StreamMergeSql = withOracle(
+    "st22_stream_merge_sql",
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |             ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+      |       event_id, event_type, value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin) {
+    (s, d) => Streams.streamMergeSql(s, d)
+  }
+
   // ---- st13: CDC apply, SCD TYPE 2 (APPLY CHANGES … STORED AS SCD 2) ----
   // Full change history with [valid_from, valid_to) sequence intervals;
   // 'error' rows are APPLY-AS-DELETE markers that close the preceding
@@ -780,5 +803,6 @@ object PipelineQueries {
       st8StreamDedupWm, st9StreamStatic, st10Sliding, st11MultiBatch,
       st12ApplyChanges, st13Scd2, st14StreamLeftJoin, st15SessionTimeout,
       st16SessionTimeoutTws, st17DedupGate, st18StreamObserve,
-      st19StreamAnomaly, st20StreamQuarantine, st21SnapshotSink)
+      st19StreamAnomaly, st20StreamQuarantine, st21SnapshotSink,
+      st22StreamMergeSql)
 }

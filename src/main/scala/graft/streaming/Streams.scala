@@ -1109,4 +1109,86 @@ object Streams {
     runToMemory(admitted, "graft_stream_dedup_gate", OutputMode.Append())
       .select(col("doc_id"), col("fp"))
   }
+
+  /** Streaming upsert through the SQL MERGE surface — the canonical
+    * Databricks `foreachBatch { MERGE INTO }` pattern, run verbatim
+    * against this engine's committed snapshot tables: each time-ordered
+    * micro-batch reduces to its latest change per key, then two MERGE
+    * statements apply it — the upsert arm for live rows, the
+    * `WHEN MATCHED THEN DELETE` arm for 'error' (apply-as-delete)
+    * markers — each publishing an atomic snapshot version. st12 proves
+    * the same CDC contract with a hand-built staged rewrite; this entry
+    * proves the user-facing SQL idiom composes with the commit
+    * protocol, and SHARES st12's oracle semantics (latest non-error
+    * change per key) verbatim.
+    *
+    * Batches are time-ORDERED (orderedSplit — range-split on ts with
+    * stamped mtimes), so upsert-wins-later holds by arrival order; the
+    * out-of-order arrival axis is st12/st13's job, sequence-windowed
+    * inside their apply. Scale: per batch, one dedup window over the
+    * batch + the MERGE's key anti-join against the table — the Delta
+    * streaming-merge cost model.
+    */
+  def streamMergeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = eventsSession(spark)
+    val k = saneKey(sfDir).replaceAll("[^A-Za-z0-9_]", "_")
+    val tbl = s"st22_merge_$k"
+    ss.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(ss, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(ss, tbl)
+    // Seed v1 EMPTY but schema-bearing (one empty part file carries the
+    // footer schema — the SnapshotSink empty-batch rationale): the first
+    // micro-batch's MERGE then inserts into a real, readable table.
+    val shape = ss.read.parquet(s"$sfDir/events.parquet").limit(0)
+    graft.storage.SnapshotCommit.commit(ss, tbl) { dir =>
+      graft.core.Tables.normalizeTs(shape)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .coalesce(1).write.parquet(dir)
+    }
+    val src = eventsStream(ss, sfDir, splitFiles = 4, maxFilesPerTrigger = 2,
+      orderedSplit = true)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val byKeyDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sess = batch.sparkSession
+          val latest = batch
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_id"), col("event_type"), col("value"))
+            .withColumn("rn", row_number().over(byKeyDesc))
+            .filter(col("rn") === 1).drop("rn")
+            .localCheckpoint(true) // two consumers below, one compute
+          val ups = latest.filter(col("event_type") =!= "error")
+          val dels = latest.filter(col("event_type") === "error")
+            .select(col("user_id"))
+          if (!ups.isEmpty) {
+            ups.createOrReplaceTempView(s"${tbl}_ups")
+            graft.ext.GraftSqlParser.sql(sess,
+              s"MERGE INTO $tbl USING ${tbl}_ups " +
+                s"ON $tbl.user_id = ${tbl}_ups.user_id " +
+                "WHEN MATCHED THEN UPDATE SET * " +
+                "WHEN NOT MATCHED THEN INSERT *")
+          }
+          if (!dels.isEmpty) {
+            dels.createOrReplaceTempView(s"${tbl}_dels")
+            graft.ext.GraftSqlParser.sql(sess,
+              s"MERGE INTO $tbl USING ${tbl}_dels " +
+                s"ON $tbl.user_id = ${tbl}_dels.user_id " +
+                "WHEN MATCHED THEN DELETE")
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.storage.SnapshotCommit.register(ss, tbl)
+    ss.table(tbl).select(col("user_id"), col("ts_us"), col("event_id"),
+      col("event_type"), col("value"))
+  }
 }
