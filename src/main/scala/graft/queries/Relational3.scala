@@ -1080,11 +1080,19 @@ object Relational3 {
     * produces on any falling series), so the engines agree bit-for-bit
     * with no float anywhere.
     *
-    * Scale: one shuffle for the hourly aggregate, one per-user window
-    * pass — the backward carry (last non-null before) and forward carry
-    * (first non-null after) are two frames over the SAME partitioning
-    * and ordering, so Catalyst plans them in a single Window operator
-    * on one sort, exactly w12's cost shape plus nothing.
+    * Scale: one shuffle for the hourly aggregate, then TWO running-
+    * frame window passes over the same user_id partitioning — the
+    * backward carry ascending, the forward carry as a running frame
+    * over DESCENDING hour order. The forward carry must NOT be the
+    * "natural" `first(...) over (ROWS CURRENT..UNBOUNDED FOLLOWING)`:
+    * Spark executes unbounded-FOLLOWING frames by re-scanning the
+    * partition remainder for EVERY row (UnboundedFollowingWindow-
+    * FunctionFrame), O(rows²) per partition — measured 28.5 s at
+    * sf0.1 vs 1.0 s for this desc-running shape, and quadratic means
+    * a 100 TB partition never finishes. A running (unbounded-
+    * PRECEDING) frame is streaming, O(rows); the second sort is the
+    * price and it's the cheap one. PlanSpec pins the absence of any
+    * unbounded-following frame.
     */
   val w15Interpolate = withOracle(
     "w15_interpolate",
@@ -1132,20 +1140,24 @@ object Relational3 {
           expr("interval 1 hour"))).as("h"))
     val past = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fut = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The forward carry, expressed as a RUNNING frame over desc order:
+    // at each row it yields the most recent non-null seen scanning from
+    // the partition's largest h down to (and including) this row — i.e.
+    // the next observed value at h' >= h. Same answer as
+    // first(..., ignoreNulls) over CURRENT..UNBOUNDED FOLLOWING, O(n)
+    // instead of O(n²) (see the scaladoc).
+    val futDesc = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(e, Seq("user_id", "h"), "left")
       .withColumn("k", expr("unix_micros(h) div 3600000000"))
-      // Pre-project the masked hour index: window args that are bare
-      // columns let CollapseWindow fuse all four carries into ONE
-      // Window operator (an inline when() forces a projection between
-      // windows, splitting the node into three — measured; the pin in
-      // PlanSpec holds this at one).
+      // Pre-project the masked hour index: bare-column window args let
+      // CollapseWindow fuse same-ordering carries into one Window node
+      // (an inline when() forces a projection between windows).
       .withColumn("mk", when(col("hvm").isNotNull, col("k")))
       .withColumn("pv", last(col("hvm"), ignoreNulls = true).over(past))
       .withColumn("pk", last(col("mk"), ignoreNulls = true).over(past))
-      .withColumn("nv", first(col("hvm"), ignoreNulls = true).over(fut))
-      .withColumn("nk", first(col("mk"), ignoreNulls = true).over(fut))
+      .withColumn("nv", last(col("hvm"), ignoreNulls = true).over(futDesc))
+      .withColumn("nk", last(col("mk"), ignoreNulls = true).over(futDesc))
       .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
         col("hvm"),
         when(col("hvm").isNotNull, col("hvm"))

@@ -625,20 +625,23 @@ class PlanSpec extends SparkSpec {
       s"no rank window may appear in the unbounded-safe plan:\n$plan")
   }
 
-  test("w15_interpolate: ONE Window operator — all four carries fuse " +
-      "on one sort; exactly two exchanges") {
-    // The backward (pv, pk) and forward (nv, nk) carries share the
-    // user_id partitioning and h ordering, so CollapseWindow must fuse
-    // them into a single Window node — a second node means a window
-    // argument stopped being a bare column (each split re-walks every
-    // partition buffer); a third exchange means the window stopped
-    // riding the spine aggregation's user_id partitioning.
+  test("w15_interpolate: two RUNNING-frame Window passes, no " +
+      "unbounded-following frame anywhere; exactly two exchanges") {
+    // The forward carry must be a running frame over DESC order: an
+    // unbounded-FOLLOWING frame re-scans the partition remainder per
+    // row (UnboundedFollowingWindowFunctionFrame — O(rows²); measured
+    // 28.5 s vs 1.0 s at sf0.1, and quadratic never finishes at
+    // 100 TB). Two Window nodes (asc + desc carries), two sorts, and
+    // both ride the same user_id partitioning — a third exchange means
+    // a carry stopped riding the spine aggregation's partitioning.
     val df = Catalog.queries("w15_interpolate")(spark, Sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
+    assert(!plan.contains("unboundedfollowing"),
+      s"quadratic unbounded-following frame leaked into w15:\n$plan")
     val w = "Window \\[".r.findAllIn(plan).length
-    assert(w == 1, s"expected one fused Window operator, found $w:\n$plan")
+    assert(w == 2, s"expected asc+desc Window passes, found $w:\n$plan")
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 2,
       s"expected the hourly-agg + spine exchanges only, found $n:\n$plan")
