@@ -1139,9 +1139,12 @@ object Streams {
     // Seed v1 EMPTY but schema-bearing (one empty part file carries the
     // footer schema — the SnapshotSink empty-batch rationale): the first
     // micro-batch's MERGE then inserts into a real, readable table.
-    val shape = ss.read.parquet(s"$sfDir/events.parquet").limit(0)
+    // Tables.events, not a raw parquet read: the generator's
+    // TIMESTAMP(NANOS) physical type throws on a fresh session until
+    // the canonical reader sets the legacy conf (an entry must never
+    // depend on a sibling entry having read events first).
     graft.storage.SnapshotCommit.commit(ss, tbl) { dir =>
-      graft.core.Tables.normalizeTs(shape)
+      graft.core.Tables.events(ss, sfDir).limit(0)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
         .coalesce(1).write.parquet(dir)
