@@ -227,24 +227,28 @@ object GraftSqlParser {
     require(dup == 0,
       s"MERGE source $src has duplicate keys on $key — UPDATE SET * " +
         "would be nondeterministic (Delta's multiple-matches error)")
-    val tgtDf = graft.storage.DeletionVectors.read(spark, tgt)
-    val merged =
-      if (delete)
-        tgtDf.join(srcDf.select(col(key)), Seq(key), "left_anti")
-      else {
-        val aligned = srcDf.select(tgtDf.columns.toSeq.map(col): _*)
-        if (sync) aligned
-        else tgtDf.join(aligned.select(col(key)), Seq(key), "left_anti")
-          .unionByName(aligned)
-      }
-    // Materialize the new state BEFORE the commit closure opens: the
-    // closure's writer reads the CURRENT version's files while the
-    // staged dir fills — safe (immutable files, fresh directory) — but
-    // a lazy plan that re-registered the table inside the closure
-    // could observe the in-flight claim; localCheckpoint pins the rows.
-    val pinned = merged.localCheckpoint(true)
     graft.storage.SnapshotCommit.commit(spark, tgt) { dir =>
-      pinned.write.parquet(dir)
+      // The merge is DERIVED INSIDE the staging closure, target read
+      // first: on a lost claim the commit protocol re-points the
+      // catalog at the winner's version and RE-INVOKES this closure,
+      // so the re-derivation rebases the merge onto the winner's rows.
+      // Deriving (or pinning) the merged state before commit() would
+      // replay PRE-RACE rows on the retry — a whole-table lost update
+      // that silently erases the concurrent writer's merge
+      // (ExtensionsSpec races two merges to pin this). Reading the
+      // current version while staging is safe: version files are
+      // immutable and the stage directory is fresh.
+      val tgtDf = graft.storage.DeletionVectors.read(spark, tgt)
+      val merged =
+        if (delete)
+          tgtDf.join(srcDf.select(col(key)), Seq(key), "left_anti")
+        else {
+          val aligned = srcDf.select(tgtDf.columns.toSeq.map(col): _*)
+          if (sync) aligned
+          else tgtDf.join(aligned.select(col(key)), Seq(key), "left_anti")
+            .unionByName(aligned)
+        }
+      merged.write.parquet(dir)
     }
     graft.storage.SnapshotCommit.register(spark, tgt)
       .getOrElse(sys.error(s"MERGE into $tgt left no published version"))

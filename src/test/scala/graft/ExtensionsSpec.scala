@@ -219,4 +219,44 @@ class ExtensionsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }
+
+  test("concurrent MERGEs rebase instead of erasing each other: both " +
+      "sources' effects land whoever wins the claim") {
+    // A MERGE is a whole-table rewrite, so a loser that replayed rows
+    // derived BEFORE the race would erase the winner's merge wholesale
+    // — the lost-update failure this test exists to catch. The fix:
+    // the merge derives inside the staging closure, which the commit
+    // protocol re-invokes after re-pointing at the winner's version.
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.SnapshotCommit
+    val tbl = "merge_race_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(1).write.parquet(dir)
+    }
+    spark.range(1000, 1005).select(col("id"), col("id").as("v"))
+      .createOrReplaceTempView("merge_race_a")
+    spark.range(2000, 2005).select(col("id"), col("id").as("v"))
+      .createOrReplaceTempView("merge_race_b")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_race_a ON $tbl.id = merge_race_a.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    val fb = Future(GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_race_b ON $tbl.id = merge_race_b.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    SnapshotCommit.register(spark, tbl)
+    val ids = spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+    assert((1000L to 1004L).forall(ids.contains),
+      s"merge A's rows were erased by the concurrent merge: $ids")
+    assert((2000L to 2004L).forall(ids.contains),
+      s"merge B's rows were erased by the concurrent merge: $ids")
+    assert(ids.size === 20)
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }
