@@ -338,6 +338,73 @@ object GraphQueries {
           coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
   }
 
+  // ---- g14: market-basket association rules ----
+  /** Support/confidence/lift over order baskets — the classic
+    * association-rule mine (Agrawal & Srikant's Apriori at the 2-item
+    * level, which is where basket analytics on a lakehouse actually
+    * runs): parts co-purchased in one order form a pair candidate,
+    * a SUPPORT FLOOR (>= 2 orders) prunes the long tail before any
+    * join — the Apriori property doing the scale work — and surviving
+    * rules pick up item supports and the basket total to score
+    * confidence = P(v|u) and lift = P(u,v)/(P(u)P(v)).
+    *
+    * Determinism: every count is exact BIGINT; confidence and lift
+    * are each ONE IEEE division of exact integer products
+    * (`pair*n / (cnt_u*cnt_v)`), bit-identical across engines — no
+    * float accumulation anywhere.
+    *
+    * Scale: per-order pair expansion is bounded by the basket size
+    * (TPC-H orders have <= 7 lines, so <= 21 pairs/order — linear in
+    * lineitem); one (u, v) shuffle aggregates pair counts, the floor
+    * shrinks the rule table to the interesting head, and the two item-
+    * support joins key on single part ids (broadcastable when the part
+    * dim is small, plain hash joins when it is not). The basket count
+    * is a 1-row broadcast scalar (the pr1/e6 pattern).
+    */
+  val g14BasketRules = withOracle(
+    "g14_basket_rules",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |item AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS pair_cnt
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT u, v, pair_cnt, iu.cnt AS cnt_u, iv.cnt AS cnt_v,
+      |       CAST(pair_cnt AS DOUBLE) / CAST(iu.cnt AS DOUBLE)
+      |         AS confidence,
+      |       CAST(pair_cnt * n_orders AS DOUBLE)
+      |         / CAST(iu.cnt * iv.cnt AS DOUBLE) AS lift
+      |FROM pairs JOIN item iu ON iu.p = u JOIN item iv ON iv.p = v
+      |CROSS JOIN n""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(false) // pairs + item supports + basket count
+    val n = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val pairs = li.select(col("ok"), col("p").as("u"))
+      .join(li.select(col("ok").as("ok2"), col("p").as("v")),
+        col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    pairs
+      .join(item.select(col("p").as("pu"), col("cnt").as("cnt_u")),
+        col("u") === col("pu"))
+      .join(item.select(col("p").as("pv"), col("cnt").as("cnt_v")),
+        col("v") === col("pv"))
+      .crossJoin(broadcast(n))
+      .select(col("u"), col("v"), col("pair_cnt"), col("cnt_u"),
+        col("cnt_v"),
+        (col("pair_cnt").cast("double") / col("cnt_u").cast("double"))
+          .as("confidence"),
+        ((col("pair_cnt") * col("n_orders")).cast("double")
+          / (col("cnt_u") * col("cnt_v")).cast("double")).as("lift"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(pr1PageRank, pr2PersonalizedPageRank, pr3TriangleCount)
+    Seq(pr1PageRank, pr2PersonalizedPageRank, pr3TriangleCount,
+      g14BasketRules)
 }
