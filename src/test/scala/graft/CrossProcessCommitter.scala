@@ -160,6 +160,45 @@ object CrossProcessCommitter {
       spark.stop()
       return
     }
+    if (mode == "merge") {
+      // SQL MERGE racers: each writer upserts a DISJOINT key range
+      // through GraftSqlParser. The merge is a whole-table rewrite that
+      // derives INSIDE the commit closure, so a lost claim re-invokes
+      // the closure against the winner's version and the rebase keeps
+      // the winner's rows — a writer's range missing from the final
+      // table means the merge replayed rows derived before the race
+      // (the lost-update bug ExtensionsSpec pins in-JVM; this proves it
+      // across real processes, where no shared lock object exists).
+      val base = if (writerId == "A") 1000L else 2000L
+      for (i <- 1 to n) {
+        spark.range(base + (i - 1) * 5, base + i * 5)
+          .select(col("id"), lit(writerId).as("writer"))
+          .createOrReplaceTempView("merge_src")
+        // Caller-level bounded retry on an exhausted claim budget —
+        // nothing was committed, re-issuing is the documented recovery
+        // (the dv-mode rationale).
+        var done = false
+        var tries = 0
+        while (!done) {
+          tries += 1
+          try {
+            graft.ext.GraftSqlParser.sql(spark,
+              s"MERGE INTO $table USING merge_src " +
+                s"ON $table.id = merge_src.id " +
+                "WHEN MATCHED THEN UPDATE SET * " +
+                "WHEN NOT MATCHED THEN INSERT *")
+            done = true
+          } catch {
+            case e: graft.storage.ConcurrentCommitException =>
+              if (tries >= 8) throw e
+          }
+        }
+      }
+      Files.writeString(Paths.get(barrierDir, s"staged-count-$writerId"),
+        stagedCount.toString)
+      spark.stop()
+      return
+    }
     for (i <- 1 to n) {
       // High retry budget: with two writers hammering the same table,
       // losing several consecutive claims is expected, not exceptional.

@@ -118,6 +118,22 @@ class CrossProcessSpec extends SparkSpec {
             s"residue $r survived a committed delete — lost DV update"))
         assert(graft.storage.DeletionVectors.version(spark, tbl) === 2L * n)
         assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n + 1))
+      } else if (mode == "merge") {
+        // Both writers' disjoint upsert ranges AND the seed must all
+        // land exactly once: a missing range is the whole-table lost
+        // update a pre-derived merge replay would cause.
+        val rows = spark.table(tbl).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        val expected =
+          (0L until 10L).map(id => (id, "seed")).toSet ++
+            (for (w <- Seq("A", "B"); i <- 1 to n; k <- 0 until 5)
+              yield ((if (w == "A") 1000L else 2000L) + (i - 1) * 5 + k,
+                w)).toSet
+        assert(rows === expected,
+          s"lost/duplicated merge: ${expected.diff(rows)} missing, " +
+            s"${rows.diff(expected)} unexpected")
+        // seed v1 + one version per successful MERGE, exactly.
+        assert(SnapshotCommit.currentVersion(spark, tbl) === Some(2L * n + 1))
       } else {
         val rows = spark.table(tbl).collect()
           .map(r => (r.getString(0), r.getInt(1))).toSet
@@ -175,6 +191,19 @@ class CrossProcessSpec extends SparkSpec {
       spark.range(0, 1000).toDF("id").repartition(2).write.parquet(dir)
     }
     raceTwoProcesses(tbl, manifest = false, mode = "dv")
+  }
+
+  test("two JVM processes race SQL MERGEs: both writers' upserts land — " +
+      "no whole-table lost update") {
+    val tbl = "xproc_merge_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    // Seed v1 so both children's first MERGE stages against the same
+    // real version (the forced-conflict rendezvous needs a shared base).
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 10).selectExpr("id", "'seed' as writer")
+        .coalesce(1).write.parquet(dir)
+    }
+    raceTwoProcesses(tbl, manifest = false, mode = "merge")
   }
 
   test("kill -9 of a writer with fully staged work: table stays readable, " +
