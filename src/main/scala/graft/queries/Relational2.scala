@@ -892,11 +892,68 @@ object Relational2 {
         col("e.n").as("n"))
   }
 
+  // ---- a18: exact WEIGHTED median (quantity-weighted price) ----
+  /** The third leg of the robust-stats family: a16 is the exact
+    * unweighted median/MAD, a17 the unbounded-group histogram swap —
+    * a18 is the exact WEIGHTED median (each row counts `l_quantity`
+    * times), the estimator price/revenue analyses actually want when
+    * line items carry volumes. Definition: the lower weighted median —
+    * the smallest value whose running weight reaches half the group's
+    * total (2*cum >= total with integer arithmetic, so no midpoint
+    * interpolation and no float threshold).
+    *
+    * Determinism: values are exact price cents (BIGINT), weights exact
+    * BIGINT quantities; the crossing rule compares integers, and value
+    * ties cannot perturb the selected VALUE whatever intra-tie order
+    * the cumulative sum visits. Scale: one hash exchange on the group
+    * key; the running sum is a streaming frame and the group total is
+    * Spark's O(n) whole-partition frame — both ride the same sort, and
+    * the final min-where-crossed is a plain hash aggregate. Same
+    * rows-per-group caveat as a16 (the window sorts each group); t12 /
+    * a17's mergeable-histogram shape is the unbounded swap.
+    */
+  val a18WeightedMedian = withOracle(
+    "a18_weighted_median",
+    """WITH r AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           AS cents,
+      |         CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_returnflag, l_linestatus, cents, w,
+      |         sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+      |                      ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cw,
+      |         sum(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tw
+      |  FROM r)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS DOUBLE)
+      |         / 100 AS w_median,
+      |       CAST(max(tw) AS BIGINT) AS total_weight
+      |FROM c GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val grp = Seq(col("l_returnflag"), col("l_linestatus"))
+    val run = Window.partitionBy(grp: _*).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(grp: _*)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .withColumn("cw", sum(col("w")).over(run))
+      .withColumn("tw", sum(col("w")).over(whole))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg((min(when(lit(2) * col("cw") >= col("tw"), col("cents")))
+        .cast("double") / 100).as("w_median"),
+        max(col("tw")).as("total_weight"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     w3LeadLag, w4Running, w5Rank, w6Distribution, w7RangeFrame, a8Rollup,
     a9Cube, a10Pivot, a11SaltedAgg, a12GroupingSets, a13Unpivot,
     u1SetOps, u2SetOpsAll, u3UpsertScd1, j13RangeJoin, j14AsOf,
     j15ShuffleHash, j16Exists, e1Explode, c2StratifiedSample,
     r1RecursiveCte, j20RuntimeBloom, a14StatsAgg, a15BitwiseAgg,
-    j21SaltedSkewJoin, a16ExactMad, a17HistogramMad)
+    j21SaltedSkewJoin, a16ExactMad, a17HistogramMad, a18WeightedMedian)
 }
