@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   RESTORE TABLE t TO VERSION AS OF v  -> DeletionVectors.restore
   *   VACUUM t RETAIN v VERSIONS          -> DeletionVectors.vacuum
   *   CREATE TABLE d SHALLOW CLONE s      -> SnapshotCommit.clone
+  *   DESCRIBE HISTORY t                  -> per-version audit rows
   *   MERGE INTO t USING s ON t.k = s.k   -> snapshot-rewrite merge
   *     WHEN MATCHED THEN UPDATE SET *       (upsert; + NOT MATCHED BY
   *     WHEN NOT MATCHED THEN INSERT *        SOURCE THEN DELETE = full
@@ -71,6 +72,38 @@ final case class GraftMaintenanceCommand(label: String,
   override def simpleString(maxFields: Int): String = s"GraftMaintenance $label"
 }
 
+/** `DESCRIBE HISTORY t` — the Delta audit statement: one row per still-
+  * resolvable snapshot version (vacuum/prune may have reaped older
+  * ones) with its resolved file count, total live bytes and
+  * current-flag. Metadata-only: version resolution + file listing +
+  * `getFileStatus` per data file — no data read, so the statement costs
+  * the same on a 100 TB table as on a test fixture.
+  */
+final case class GraftHistoryCommand(table: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{BooleanType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("is_current", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sc = graft.storage.SnapshotCommit
+    val cur = sc.register(spark, table).getOrElse(sys.error(
+      s"DESCRIBE HISTORY $table: table has no published version"))
+    (1L to cur).flatMap { v =>
+      sc.resolveDir(spark, table, v).map { d =>
+        val files = sc.listData(spark, d)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = files.map(f => fs.getFileStatus(f._2).getLen).sum
+        Row(v, files.size.toLong, bytes, v == cur)
+      }
+    }
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftHistory $table"
+}
+
 object GraftSqlParser {
 
   // Table names: the engine's snapshot tables are single-part
@@ -103,6 +136,8 @@ object GraftSqlParser {
       "(\\s+WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+DELETE)?\\s*").r
   private val MergeDeleteRe =
     (MergeHead + "\\s+WHEN\\s+MATCHED\\s+THEN\\s+DELETE\\s*").r
+  private val HistoryRe =
+    s"(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*".r
 
   /** Resolve the ON clause's single equality to the SHARED key column:
     * each side's qualifier must be the target or the source (name or
@@ -190,6 +225,7 @@ object GraftSqlParser {
         Seq("table" -> tgt, "merged_from" -> src, "key" -> key,
           "mode" -> "delete", "version" -> v.toString)
       }))
+    case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
     case _ => None
   }
 
@@ -260,7 +296,7 @@ object GraftSqlParser {
     * `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame =
     maintenance(text) match {
-      case Some(cmd: GraftMaintenanceCommand) =>
+      case Some(cmd: org.apache.spark.sql.execution.command.RunnableCommand) =>
         import scala.jdk.CollectionConverters._
         val rows = cmd.run(spark)
         spark.createDataFrame(rows.asJava, StructType(cmd.output.map(a =>

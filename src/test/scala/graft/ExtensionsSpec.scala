@@ -220,6 +220,34 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("DESCRIBE HISTORY: one audit row per resolvable version, " +
+      "metadata-only, current flagged") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.SnapshotCommit
+    val tbl = "history_sql_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    for (i <- 1 to 3)
+      SnapshotCommit.commit(spark, tbl) { dir =>
+        spark.range(0, i * 10).select(col("id"))
+          .coalesce(i).write.parquet(dir)
+      }
+    val h = GraftSqlParser.sql(spark, s"DESCRIBE HISTORY $tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // Commit prune retains (current, current-1): v1's directory is
+    // reaped, and HISTORY reports exactly the still-resolvable tail —
+    // absence of reaped versions IS the documented semantics.
+    assert(h.map(_._1).toSeq === Seq(2L, 3L))
+    assert(h.count(_._4) === 1 && h.last._4, "exactly v3 is current")
+    assert(h.forall(_._3 > 0), "every version reports live bytes")
+    assert(h.last._2 === 3L, "v3 wrote 3 part files")
+    // A table with no published version fails loudly, not empty.
+    intercept[Exception](
+      GraftSqlParser.sql(spark, "DESCRIBE HISTORY history_sql_missing"))
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("concurrent MERGEs rebase instead of erasing each other: both " +
       "sources' effects land whoever wins the claim") {
     // A MERGE is a whole-table rewrite, so a loser that replayed rows
