@@ -152,7 +152,7 @@ object SnapshotCommit {
     * store flake) forces the slow path on every call instead of
     * silently degrading the guard to mtime-only — mirroring the
     * mtime==-1 cache-bypass rule. */
-  private val UnreadableIncarnation = " unreadable"
+  private val UnreadableIncarnation = "\u0000unreadable"
 
   /** The root's incarnation nonce; "" when ABSENT (pre-marker roots, or
     * a root destroyed under us — both answer "no incarnation", which
