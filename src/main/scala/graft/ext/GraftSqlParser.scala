@@ -148,11 +148,15 @@ object GraftSqlParser {
   private def mergeKey(tgt: String, tgtAlias: String, src: String,
       srcAlias: String, q1: String, c1: String, q2: String,
       c2: String): String = {
-    def isTgt(q: String) = q == tgt || q == tgtAlias
-    def isSrc(q: String) = q == src || q == srcAlias
+    // Identifiers compare case-insensitively, like Spark's resolver —
+    // the grammar itself matches (?is), so 'ON T.K = S.K' must resolve,
+    // not fail a case-sensitive require.
+    def eq(a: String, b: String) = a != null && a.equalsIgnoreCase(b)
+    def isTgt(q: String) = eq(q, tgt) || eq(q, tgtAlias)
+    def isSrc(q: String) = eq(q, src) || eq(q, srcAlias)
     require((isTgt(q1) && isSrc(q2)) || (isSrc(q1) && isTgt(q2)),
       s"MERGE ON clause must join $tgt to $src (got $q1.$c1 = $q2.$c2)")
-    require(c1 == c2,
+    require(c1.equalsIgnoreCase(c2),
       s"MERGE subset requires the same key column name on both sides " +
         s"(got $c1 vs $c2)")
     c1
@@ -229,64 +233,131 @@ object GraftSqlParser {
     case _ => None
   }
 
-  /** Execute one parsed MERGE as a snapshot REWRITE commit (the Delta
-    * execution model: merge produces a new version; readers of older
-    * versions are untouched — u-family entries prove the same algebra
-    * at plan level, this is the table-mutating twin).
+  /** Execute one parsed MERGE as a snapshot commit (the Delta execution
+    * model: merge produces a new version; readers of older versions are
+    * untouched — u-family entries prove the same algebra at plan level,
+    * this is the table-mutating twin).
     *
-    *  - The target is read through its LIVE view
-    *    ([[graft.storage.DeletionVectors.read]] — a DV-bearing target
-    *    must merge its live rows, not resurrect deleted ones; the
-    *    rewritten version then carries no DVs, exactly like compaction).
+    * TOUCHED-FILE WRITE IO (the Delta MERGE shape, same machinery as
+    * the Pipeline incremental arm, `pipeline/Pipeline.scala`): the
+    * upsert and delete arms first PROBE which data files hold a matched
+    * key (a column-pruned scan of the key column plus file provenance,
+    * semi-joined against the source's keys), REWRITE only those files'
+    * live rows merged with the source, and CARRY every untouched file
+    * by name (hard link / manifest ref — a directory entry, no data
+    * IO). Write IO is therefore proportional to touched files + source,
+    * not table size — a nightly 0.1%-key upsert against a 100 TB table
+    * rewrites ~0.1% of it, not 100 TB. Only the `sync` form (NOT
+    * MATCHED BY SOURCE DELETE) remains a full rewrite, by definition:
+    * the source IS the desired state.
+    *
+    *  - Matched-file detection runs on the LIVE view
+    *    ([[graft.storage.DeletionVectors.readWithProvenance]]): a key
+    *    whose every row in a file is already DV-deleted does not drag
+    *    that file into the rewrite, and the rewrite of a touched file
+    *    merges its LIVE rows — deleted rows are never resurrected.
+    *  - Untouched files keep their BASENAMES (DV coordinates key on
+    *    them) and the `_dv` sidecar carries with the version, its
+    *    entries for rewritten files dropped
+    *    ([[graft.storage.DeletionVectors.carrySidecarDropping]]); the
+    *    `_stats` skipping sidecar and the streaming `_batchid` progress
+    *    marker carry too, so skipping and exactly-once sink replay
+    *    survive a MERGE exactly as they survive compaction. Carried
+    *    basenames cannot collide with the rewrite's fresh part files:
+    *    Spark embeds a per-job UUID in every part-file name.
     *  - Delta's cardinality rule is enforced: a source with duplicate
     *    keys would make UPDATE SET * nondeterministic, so it fails
-    *    loudly BEFORE any write.
-    *  - upsert: target-minus-matched ∪ source (source columns aligned
-    *    to the target schema by NAME — a source missing a target column
-    *    fails the select, loudly). sync: the source IS the desired
-    *    state (matched update + unmatched-source insert + unmatched-
-    *    target delete ≡ source). delete: target anti-join source keys.
+    *    loudly BEFORE any write. The pure-DELETE form skips the check,
+    *    as Delta does — anti-join semantics are unaffected by source
+    *    duplicates.
+    *  - upsert rewrite: touched-live-minus-matched ∪ source (source
+    *    columns aligned to the target schema by NAME — a source missing
+    *    a target column fails the select, loudly). delete rewrite:
+    *    touched live rows anti-join source keys.
     *
-    * Scale: one key-partitioned anti-join plus the rewrite — the same
-    * shuffle budget as the plan-level u3/u5; the commit itself is the
-    * engine's atomic pointer publish.
+    * Scale: one column-pruned probe + one key-partitioned anti-join
+    * over the TOUCHED subset + the bounded rewrite; the commit itself
+    * is the engine's atomic pointer publish, and every phase derives
+    * inside the staging closure so a lost optimistic claim rebases onto
+    * the winner's rows (ExtensionsSpec races two merges to pin this).
     */
   private def runMerge(spark: SparkSession, tgt: String, src: String,
       key: String, sync: Boolean, delete: Boolean): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    graft.storage.SnapshotCommit.register(spark, tgt)
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    sc.register(spark, tgt)
     val srcDf = spark.table(src)
     require(srcDf.columns.contains(key),
       s"MERGE source $src has no column $key")
-    val dup = srcDf.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).count()
-    require(dup == 0,
-      s"MERGE source $src has duplicate keys on $key — UPDATE SET * " +
-        "would be nondeterministic (Delta's multiple-matches error)")
-    graft.storage.SnapshotCommit.commit(spark, tgt) { dir =>
-      // The merge is DERIVED INSIDE the staging closure, target read
+    if (!delete) {
+      val dup = srcDf.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dup == 0,
+        s"MERGE source $src has duplicate keys on $key — UPDATE SET * " +
+          "would be nondeterministic (Delta's multiple-matches error)")
+    }
+    sc.commit(spark, tgt) { dir =>
+      // EVERYTHING derives INSIDE the staging closure, target read
       // first: on a lost claim the commit protocol re-points the
       // catalog at the winner's version and RE-INVOKES this closure,
       // so the re-derivation rebases the merge onto the winner's rows.
-      // Deriving (or pinning) the merged state before commit() would
-      // replay PRE-RACE rows on the retry — a whole-table lost update
-      // that silently erases the concurrent writer's merge
-      // (ExtensionsSpec races two merges to pin this). Reading the
-      // current version while staging is safe: version files are
-      // immutable and the stage directory is fresh.
-      val tgtDf = graft.storage.DeletionVectors.read(spark, tgt)
-      val merged =
-        if (delete)
-          tgtDf.join(srcDf.select(col(key)), Seq(key), "left_anti")
-        else {
-          val aligned = srcDf.select(tgtDf.columns.toSeq.map(col): _*)
-          if (sync) aligned
-          else tgtDf.join(aligned.select(col(key)), Seq(key), "left_anti")
-            .unionByName(aligned)
+      // Reading the current version while staging is safe: version
+      // files are immutable and the stage directory is fresh.
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      if (sync) {
+        val aligned = srcDf.select(
+          dv.read(spark, tgt).columns.toSeq.map(col): _*)
+        aligned.write.parquet(dir)
+        // Full rewrite: no files carried, so no sidecar entries can
+        // survive (the source is the whole state) — but stats columns
+        // recompute for the fresh files and stream progress carries.
+        sc.currentLocation(spark, tgt).foreach { cur =>
+          graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
+          sc.carryBatchId(spark, cur, stage)
         }
-      merged.write.parquet(dir)
+      } else {
+        val cur = sc.currentLocation(spark, tgt).getOrElse(
+          sys.error(s"MERGE target $tgt has no published version"))
+        val allFiles = sc.listData(spark, cur) // (basename, physical)
+        val srcKeys = srcDf.select(col(key)).distinct()
+        // Phase 1 — probe: which files hold a LIVE matched key.
+        val touched: Set[String] = dv
+          .readWithProvenance(spark, tgt, "_graft_file")
+          .select(col(key), col("_graft_file"))
+          .join(srcKeys, Seq(key), "left_semi")
+          .select("_graft_file").distinct()
+          .collect().map(_.getString(0)).toSet
+        // Phase 2 — rewrite ONLY the touched files' live rows.
+        val rawSchema = sc.readData(spark, tgt).schema
+        val touchedPhys = allFiles.collect {
+          case (n, p) if touched(n) => p.toString }
+        val touchedLive =
+          if (touchedPhys.isEmpty) sc.readData(spark, tgt).limit(0)
+          else dv.mask(spark, tgt, spark.read.schema(rawSchema)
+            .parquet(touchedPhys: _*))
+        val merged =
+          if (delete)
+            touchedLive.join(srcKeys, Seq(key), "left_anti")
+          else {
+            val aligned = srcDf.select(rawSchema.fieldNames.toSeq.map(col): _*)
+            touchedLive.join(srcKeys, Seq(key), "left_anti")
+              .unionByName(aligned)
+          }
+        merged.write.parquet(dir)
+        // Phase 3 — carry the untouched files by name (no data IO) plus
+        // the DV / stats / stream-progress sidecars.
+        allFiles.foreach { case (n, p) =>
+          if (!touched(n))
+            sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
+        }
+        dv.carrySidecarDropping(spark, tgt, touched, stage)
+        graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
+        sc.carryBatchId(spark, cur, stage)
+      }
     }
-    graft.storage.SnapshotCommit.register(spark, tgt)
+    dv.realign(spark, tgt) // re-point (or drop) the <tgt>__dv table
+    sc.register(spark, tgt)
       .getOrElse(sys.error(s"MERGE into $tgt left no published version"))
   }
 

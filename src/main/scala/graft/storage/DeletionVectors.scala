@@ -220,8 +220,50 @@ object DeletionVectors {
     * row index, so a scan over any subset of the version's files masks
     * correctly; a table with no sidecar passes through untouched.
     */
-  private[storage] def mask(spark: SparkSession, table: String,
+  private[graft] def mask(spark: SparkSession, table: String,
       base: DataFrame): DataFrame = maskAt(spark, table, base, Long.MaxValue)
+
+  /** The LIVE view with per-row file provenance: each surviving row
+    * carries its data file's BASENAME in `fileCol` — the probe input a
+    * touched-file MERGE needs (which files hold a matched key must be
+    * decided on live rows: a key whose every row in a file is already
+    * DV-deleted must NOT drag that file into the rewrite). Column-prunes
+    * like any scan — a caller selecting (key, fileCol) reads only the
+    * key column plus metadata.
+    */
+  private[graft] def readWithProvenance(spark: SparkSession, table: String,
+      fileCol: String): DataFrame =
+    maskAt(spark, table,
+      withCoords(SnapshotCommit.readData(spark, table))
+        .withColumnRenamed("_dv_file", fileCol)
+        .drop("_dv_pos"),
+      Long.MaxValue)
+
+  /** Carry the table's live sidecar into staged `to`, DROPPING the data
+    * entries of `dropped` basenames (files a rewrite just removed from
+    * the version — their coordinates would dangle) while keeping
+    * sentinel rows (p = -1), so the delete-version high-water mark stays
+    * monotone across rewrites. Maintains the invariant that every
+    * non-sentinel sidecar entry references a live basename (what lets
+    * [[graft.storage.MetadataAggRule]] answer count(*) from sidecars
+    * alone). The sidecar is bounded between compactions, so the rewrite
+    * is metadata-scale. No-op when the table carries no sidecar.
+    */
+  private[graft] def carrySidecarDropping(spark: SparkSession,
+      table: String, dropped: Set[String], to: Path): Unit =
+    sidecarDf(spark, table).foreach { sc =>
+      val kept =
+        if (dropped.isEmpty) sc
+        else sc.filter(col("p") === -1L ||
+          !col("f").isin(dropped.toSeq: _*))
+      kept.write.parquet(new Path(to, "_dv").toString)
+    }
+
+  /** Re-point (or drop) the `<table>__dv` catalog table after an
+    * externally-committed version change (SQL MERGE) — the same
+    * post-commit alignment [[delete]]/[[restore]]/[[vacuum]] do. */
+  private[graft] def realign(spark: SparkSession, table: String): Unit =
+    registerDv(spark, table)
 
   private def maskAt(spark: SparkSession, table: String, base: DataFrame,
       v: Long): DataFrame = {

@@ -198,7 +198,11 @@ class ExtensionsSpec extends SparkSpec {
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
     SnapshotCommit.register(spark, tbl)
-    val ids = spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+    // Touched-file MERGE carries untouched files AND their deletion
+    // vectors (Delta's shape) — the LIVE view is the contract; the DV
+    // mask, not a fold-in rewrite, keeps 0 and 1 invisible.
+    val ids = DeletionVectors.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSet
     assert(!ids.contains(0L) && !ids.contains(1L),
       "MERGE must not resurrect DV-deleted rows")
     assert(ids.contains(20L) && ids.contains(21L))

@@ -1422,4 +1422,58 @@ class StorageSpec extends SparkSpec {
     assert(r2.getDecimal(2).toString === "1999.75")
     SnapshotCommit.destroy(spark, tbl)
   }
+
+  test("touched-file SQL MERGE: 1 of N files rewritten, N-1 carried by " +
+      "name; DV and stats sidecars survive the merge") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    val tbl = "merge_touch_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    // 4 range-clustered files over disjoint id ranges, with an `id`
+    // stats sidecar — the committed-and-clustered layout a MERGE
+    // target has in production.
+    StatsSkipping.commitWithStats(spark, tbl, "id") { dir =>
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    val before = SnapshotCommit
+      .listData(spark, SnapshotCommit.currentLocation(spark, tbl).get)
+      .map(_._1).toSet
+    assert(before.size === 4, s"fixture wants 4 files, got $before")
+    // DV-hide a row in a file the merge will NOT touch: the carried
+    // sidecar (not a fold-in rewrite) must keep masking it after.
+    DeletionVectors.delete(spark, tbl, col("id") === 99)
+    // Source touches keys 0..9 only — exactly ONE of the 4 range files.
+    spark.range(0, 10).select(col("id"), lit(-1L).as("v"))
+      .createOrReplaceTempView("merge_touch_src")
+    GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING merge_touch_src " +
+        s"ON $tbl.id = merge_touch_src.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    SnapshotCommit.register(spark, tbl)
+    val after = SnapshotCommit
+      .listData(spark, SnapshotCommit.currentLocation(spark, tbl).get)
+      .map(_._1).toSet
+    // THE 100 TB PROPERTY: write IO proportional to touched files, not
+    // table size — N-1 files carried BY NAME, exactly one rewritten.
+    assert((after intersect before).size === 3,
+      s"expected 3 of 4 files carried by name; before=$before after=$after")
+    assert((before diff after).size === 1,
+      "exactly the touched file leaves the version")
+    val live = DeletionVectors.read(spark, tbl)
+    assert(live.count() === 99, "100 rows, one DV-masked")
+    assert(live.filter(col("v") === -1L).count() === 10, "10 rows updated")
+    assert(live.filter(col("id") === 99).count() === 0,
+      "carried DV must still mask the untouched file's deleted row")
+    // The skipping sidecar carried too: a clustered-key range probe
+    // still plans a strict file subset after the merge.
+    val pruned = StatsSkipping.survivingFiles(spark, tbl, "id", 60L, 70L)
+    assert(pruned.size === 1,
+      s"stats skipping must survive a MERGE, got ${pruned.size} files")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }
