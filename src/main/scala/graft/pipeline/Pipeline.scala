@@ -441,7 +441,7 @@ class Pipeline {
             // The destroy here clears a version-less root (e.g. a
             // crashed, never-published first load) before restaging.
             sc.destroy(spark, name)
-            sc.commit(spark, name) { dir =>
+            sc.commit(spark, name) { dir =>  // first load: plain WRITE
               clustered(df, d.clusterBy)
                 .write.mode("overwrite").parquet(dir)
             }
@@ -468,7 +468,7 @@ class Pipeline {
             // after the catalog is re-pointed at the winner's version,
             // so the retry rebases the SAME batch onto the new base —
             // no lost update in either direction.
-            sc.commit(spark, name) { dir =>
+            sc.commit(spark, name, operation = "MERGE") { dir =>
               def local(u: String) = new org.apache.hadoop.fs.Path(u)
                 .toUri.getPath
               // MATERIALIZE a NON-DETERMINISTIC merge source once per

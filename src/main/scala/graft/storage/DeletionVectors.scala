@@ -123,7 +123,7 @@ object DeletionVectors {
         s"cannot adopt $table: its files span multiple directories " +
           "(partitioned or bucketed-by-path layout); adoption carries a " +
           "single flat directory")
-      SnapshotCommit.commit(spark, table) { dir =>
+      SnapshotCommit.commit(spark, table, operation = "CONVERT") { dir =>
         // Re-derived per attempt (commit may re-invoke after a lost
         // claim; the file list must reflect the then-current catalog).
         val to = new Path(dir)
@@ -163,7 +163,7 @@ object DeletionVectors {
   def delete(spark: SparkSession, table: String, pred: Column): Long = {
     ensureSnapshot(spark, table)
     var committed = 0L
-    SnapshotCommit.commit(spark, table) { dir =>
+    SnapshotCommit.commit(spark, table, operation = "DELETE") { dir =>
       // Derived INSIDE the closure, per attempt: two concurrent deletes
       // race the optimistic version claim; the loser re-invokes here
       // against the winner's (version, sidecar) pair, so its delete
@@ -306,7 +306,7 @@ object DeletionVectors {
         s"cannot restore $table to delete version $v: vacuum folded " +
           s"versions <= $floor into the data files; states below the " +
           "floor are no longer reconstructible")
-      SnapshotCommit.commit(spark, table) { dir =>
+      SnapshotCommit.commit(spark, table, operation = "RESTORE") { dir =>
         // Re-derived per attempt (see the commit write-closure contract).
         // SENTINEL rows (p < 0: the vacuum floor and the _hwm version
         // stamps) are kept REGARDLESS of their stamp — they carry the
@@ -474,7 +474,8 @@ object DeletionVectors {
     // rebasing), and without the finally the staged rewrite — a full
     // copy of every affected file — would sit in _graft_staging until
     // the next vacuum of this table happened to reclaim it.
-    try SnapshotCommit.commit(spark, table, maxAttempts = 1) { dir =>
+    try SnapshotCommit.commit(spark, table, maxAttempts = 1,
+        operation = "VACUUM") { dir =>
       newSidecar.write.parquet(s"$dir/_dv")
       val to = new Path(dir)
       gfIdx.foreach { case (f, i) =>
@@ -499,7 +500,7 @@ object DeletionVectors {
     * survivors and carries no sidecar (REORG ... APPLY PURGE). */
   def compact(spark: SparkSession, table: String): Unit = {
     ensureSnapshot(spark, table)
-    SnapshotCommit.commit(spark, table) { dir =>
+    SnapshotCommit.commit(spark, table, operation = "OPTIMIZE") { dir =>
       // Re-derived per attempt: the live view subtracts the then-current
       // sidecar, so a retry after a concurrent delete folds THAT delete
       // in too instead of resurrecting its rows.

@@ -96,7 +96,7 @@ object Optimize {
     // (data, sidecar) pair fully readable. Tables not yet under
     // snapshot management are adopted in place (their current catalog
     // location keeps serving reads until the commit lands).
-    SnapshotCommit.commit(spark, table) { dir =>
+    SnapshotCommit.commit(spark, table, operation = "OPTIMIZE") { dir =>
       // The live view is re-derived per attempt: a lost optimistic claim
       // re-invokes this closure against the concurrent winner's version,
       // so the compaction rewrites THAT state (the sizing estimates
@@ -145,7 +145,8 @@ object Optimize {
       partitions: Option[Int] = None): Unit = {
     require(cols.nonEmpty, "zorder needs at least one clustering column")
     val hadVectors = DeletionVectors.version(spark, table) > 0
-    StatsSkipping.commitWithStats(spark, table, cols) { dir =>
+    StatsSkipping.commitWithStats(spark, table, cols,
+      operation = "OPTIMIZE ZORDER") { dir =>
       // Re-derived per attempt (commit write-closure contract): a lost
       // claim re-invokes against the winner's version, folding ITS
       // state.

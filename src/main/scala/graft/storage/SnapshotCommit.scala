@@ -359,7 +359,8 @@ object SnapshotCommit {
     * scaladoc) up to `maxAttempts` times. Returns the published
     * location.
     */
-  def commit(spark: SparkSession, table: String, maxAttempts: Int = 5)(
+  def commit(spark: SparkSession, table: String, maxAttempts: Int = 5,
+      operation: String = "WRITE")(
       write: String => Unit): Path = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val root = rootDir(spark, table)
@@ -405,6 +406,7 @@ object SnapshotCommit {
       try {
         val t1 = t()
         write(stage.toString)
+        writeVersionMeta(spark, stage, operation)
         val t2 = t()
         failpoint("staged")
         val v = base + 1
@@ -484,6 +486,87 @@ object SnapshotCommit {
     throw new ConcurrentCommitException(
       s"commit of $table lost the version claim $maxAttempts time(s) " +
         "to concurrent writers; rebase-and-retry budget exhausted")
+  }
+
+  /** One published version's commit-time audit record — what DESCRIBE
+    * HISTORY serves without touching data files. `bytes`/`rows` are -1
+    * when unknown (see [[writeVersionMeta]]). */
+  private[graft] final case class VersionMeta(tsMs: Long, operation: String,
+      nFiles: Long, bytes: Long, rows: Long)
+
+  private val MetaFile = "_meta"
+
+  /** Record the staged version's audit sidecar: ONE `listStatus` of the
+    * stage directory (never a per-file `getFileStatus`) yields the data
+    * file count and, in link mode, their exact total bytes — carried
+    * files are physical there. A manifest-mode stage holds `.graftref`
+    * pointers whose physical sizes live elsewhere; rather than pay a
+    * status RPC per carried file on EVERY commit, bytes records -1 and
+    * DESCRIBE HISTORY falls back to per-file resolution for exactly
+    * those versions (an object-store deployment would extend the ref
+    * content with the size, Delta's add-file economics). Rows come free
+    * from the `_stats` skipping sidecar when the closure wrote one and
+    * it covers every data file; -1 otherwise. Best-effort: a failure
+    * here must never fail the commit — history just degrades to the
+    * legacy listing for this version.
+    */
+  private def writeVersionMeta(spark: SparkSession, stage: Path,
+      operation: String): Unit = scala.util.Try {
+    val fs = fsOf(spark, stage)
+    val entries = fs.listStatus(stage).toSeq.filter(_.isFile).filterNot { s =>
+      val n = s.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val anyRef = entries.exists(_.getPath.getName.endsWith(RefSuffix))
+    val bytes = if (anyRef) -1L else entries.map(_.getLen).sum
+    val rows: Long = StatsSkipping.loadStats(spark, stage) match {
+      case Some(stats) =>
+        val names = entries.map { s =>
+          val n = s.getPath.getName
+          if (n.endsWith(RefSuffix)) n.dropRight(RefSuffix.length) else n
+        }
+        val perFile = names.map(n =>
+          stats.get(n).flatMap(_.get(StatsSkipping.RowsCol)))
+        if (perFile.exists(r => r.isEmpty || r.get.tpe != "rows")) -1L
+        else scala.util.Try(perFile.map(_.get.min.toLong).sum).getOrElse(-1L)
+      case None => -1L
+    }
+    val op = operation.replace("\t", " ").replace("\n", " ")
+    val line = s"${System.currentTimeMillis()}\t$op\t${entries.size}" +
+      s"\t$bytes\t$rows\n"
+    val out = fs.create(new Path(stage, MetaFile), true)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+  }.failed.foreach(e => System.err.println(
+    s"[snapshot] version meta for $stage not recorded " +
+      s"(history falls back to listing): $e"))
+
+  /** The version directory's commit-time audit record, if recorded. */
+  private[graft] def versionMeta(spark: SparkSession,
+      dir: Path): Option[VersionMeta] = scala.util.Try {
+    val p = new Path(dir, MetaFile)
+    val in = fsOf(spark, p).open(p)
+    val line = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    line.split("\t") match {
+      case Array(ts, op, nf, by, rows) =>
+        VersionMeta(ts.toLong, op, nf.toLong, by.toLong, rows.toLong)
+      case _ => sys.error(s"unparseable $MetaFile: $line")
+    }
+  }.toOption
+
+  /** Every version number with a pointer in `_commits`, ascending — ONE
+    * directory listing, not a per-version existence probe (a streaming
+    * sink publishing a version per batch makes 1..current probing
+    * O(total versions) of filesystem round-trips). Pointers whose
+    * directories were pruned still appear here; callers resolve the
+    * survivors. */
+  def publishedVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val root = rootDir(spark, table)
+    val fs = fsOf(spark, root)
+    val c = commitsPath(root)
+    if (!fs.exists(c)) Seq.empty
+    else fs.listStatus(c).toSeq
+      .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
   /** Rename a freshly-claimed version's staging directory to its stable

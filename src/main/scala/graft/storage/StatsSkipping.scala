@@ -89,8 +89,9 @@ object StatsSkipping {
     * skipping to none — so it is rejected loudly instead.
     */
   def commitWithStats(spark: SparkSession, table: String,
-      statsCols: Seq[String])(write: String => Unit): Path =
-    SnapshotCommit.commit(spark, table) { stage =>
+      statsCols: Seq[String], operation: String = "WRITE")(
+      write: String => Unit): Path =
+    SnapshotCommit.commit(spark, table, operation = operation) { stage =>
       write(stage)
       import scala.jdk.CollectionConverters._
       val hconf = spark.sparkContext.hadoopConfiguration

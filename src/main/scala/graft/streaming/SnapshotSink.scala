@@ -77,7 +77,8 @@ object SnapshotSink {
       batch: DataFrame): Boolean = {
     if (lastBatchId(spark, table) >= batchId) return false // fast path
     try {
-      SnapshotCommit.commit(spark, table) { stage =>
+      SnapshotCommit.commit(spark, table,
+        operation = "STREAMING UPDATE") { stage =>
         // Re-checked per attempt against the then-current version (see
         // the scaladoc): a rebased retry after losing the claim to a
         // concurrent writer of this same batch must abort, not
