@@ -74,34 +74,67 @@ final case class GraftMaintenanceCommand(label: String,
 
 /** `DESCRIBE HISTORY t` — the Delta audit statement: one row per still-
   * resolvable snapshot version (vacuum/prune may have reaped older
-  * ones) with its resolved file count, total live bytes and
-  * current-flag. Metadata-only: version resolution + file listing +
-  * `getFileStatus` per data file — no data read, so the statement costs
-  * the same on a 100 TB table as on a test fixture.
+  * ones) with its commit timestamp, operation, file count, total live
+  * bytes, row count and current-flag. CONSTANT-TIME per version: every
+  * column is served from the `_meta` audit sidecar the commit recorded
+  * at stage time (one tiny file read per version, no per-data-file
+  * `getFileStatus`), and the candidate versions come from ONE listing
+  * of the `_commits` directory rather than probing 1..current — at a
+  * million files x V versions the old shape was millions of
+  * NameNode/blob round-trips per statement; this is V+1. Versions
+  * predating the sidecar (or manifest-mode versions, whose carried
+  * refs record no physical size) fall back to the legacy per-file
+  * listing for the missing columns — counted in [[legacyStatusCalls]]
+  * so a test can pin that a `_meta`-bearing table issues none.
   */
 final case class GraftHistoryCommand(table: String)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.types.{BooleanType, LongType}
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
     AttributeReference("is_current", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val sc = graft.storage.SnapshotCommit
     val cur = sc.register(spark, table).getOrElse(sys.error(
       s"DESCRIBE HISTORY $table: table has no published version"))
-    (1L to cur).flatMap { v =>
+    val fs = sc.rootDir(spark, table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sc.publishedVersions(spark, table).flatMap { v =>
       sc.resolveDir(spark, table, v).map { d =>
-        val files = sc.listData(spark, d)
-        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bytes = files.map(f => fs.getFileStatus(f._2).getLen).sum
-        Row(v, files.size.toLong, bytes, v == cur)
+        def legacyBytes(): Long = {
+          val files = sc.listData(spark, d)
+          GraftHistoryCommand.legacyStatusCalls.addAndGet(files.size)
+          files.map(f => fs.getFileStatus(f._2).getLen).sum
+        }
+        sc.versionMeta(spark, d) match {
+          case Some(m) =>
+            val bytes = if (m.bytes >= 0) m.bytes else legacyBytes()
+            Row(v, m.tsMs, m.operation, m.nFiles, bytes, m.rows, v == cur)
+          case None => // pre-_meta version: degrade, don't fail
+            val files = sc.listData(spark, d)
+            GraftHistoryCommand.legacyStatusCalls.addAndGet(files.size)
+            val bytes = files.map(f => fs.getFileStatus(f._2).getLen).sum
+            val ts = scala.util.Try(
+              fs.getFileStatus(d).getModificationTime).getOrElse(-1L)
+            Row(v, ts, "UNKNOWN", files.size.toLong, bytes, -1L, v == cur)
+        }
       }
     }
   }
   override def simpleString(maxFields: Int): String =
     s"GraftHistory $table"
+}
+
+object GraftHistoryCommand {
+  /** Per-data-file status calls made by legacy fallbacks — a test probe
+    * pinning that `_meta`-served history makes NONE. */
+  private[graft] val legacyStatusCalls =
+    new java.util.concurrent.atomic.AtomicLong()
 }
 
 object GraftSqlParser {
@@ -138,6 +171,15 @@ object GraftSqlParser {
     (MergeHead + "\\s+WHEN\\s+MATCHED\\s+THEN\\s+DELETE\\s*").r
   private val HistoryRe =
     s"(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*".r
+  // Any other MERGE INTO routes to the GENERAL grammar below (multi-key
+  // ON, conditional WHEN clauses, explicit SET / INSERT column lists) —
+  // and fails loudly there on anything not understood, never silently
+  // delegating a MERGE to Spark's (v2-only) parser.
+  private val MergeGeneralHead = ("(?is)\\s*MERGE\\s+INTO\\s+" +
+    s"$Ident(?:\\s+(?:AS\\s+)?$Ident)?\\s+USING\\s+" +
+    s"$Ident(?:\\s+(?:AS\\s+)?$Ident)?\\s+ON\\s+(.*?)" +
+    "\\s+(WHEN\\s+(?:NOT\\s+)?MATCHED\\b.*)").r
+  private val MergeAnyRe = "(?is)\\s*MERGE\\s+INTO\\b.*".r
 
   /** Resolve the ON clause's single equality to the SHARED key column:
     * each side's qualifier must be the target or the source (name or
@@ -230,7 +272,329 @@ object GraftSqlParser {
           "mode" -> "delete", "version" -> v.toString)
       }))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
+    case text if MergeAnyRe.matches(text) =>
+      // Not one of the canonical star forms above: the general grammar
+      // (which throws, with the offending clause named, on anything it
+      // does not understand — a MERGE never silently delegates).
+      Some(parseGeneralMerge(text))
     case _ => None
+  }
+
+  // ----- general MERGE grammar (multi-key ON, conditional clauses,
+  // ----- explicit SET assignments and INSERT column lists) -----
+
+  private sealed trait MatchedAction
+  private case object UpdateAll extends MatchedAction
+  private final case class UpdateSet(sets: Seq[(String, String)])
+    extends MatchedAction
+  private case object DeleteRow extends MatchedAction
+  private final case class MatchedClause(cond: Option[String],
+    action: MatchedAction)
+
+  private sealed trait InsertAction
+  private case object InsertAll extends InsertAction
+  private final case class InsertCols(cols: Seq[String], vals: Seq[String])
+    extends InsertAction
+  private final case class NotMatchedClause(cond: Option[String],
+    action: InsertAction)
+
+  /** Split on a separator at paren-depth 0, outside string literals —
+    * `sep` is either a single char (",") or a word ("AND", matched
+    * case-insensitively at word boundaries). */
+  private def splitTop(s: String, sep: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var last = 0; var i = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && sep.length == 1 && ch == sep.charAt(0) =>
+          out += s.substring(last, i); last = i + 1; i += 1
+        case _ if depth == 0 && sep.length > 1 &&
+            s.regionMatches(true, i, sep, 0, sep.length) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + sep.length >= s.length ||
+              !isWordChar(s.charAt(i + sep.length))) =>
+          out += s.substring(last, i); last = i + sep.length
+          i += sep.length
+        case _ => i += 1
+      }
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
+
+  private val OnEqRe =
+    s"(?is)\\s*$Ident\\s*\\.\\s*$Ident\\s*=\\s*$Ident\\s*\\.\\s*$Ident\\s*".r
+  private val MatchedClauseRe =
+    "(?is)\\s*WHEN\\s+MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*?)\\s*".r
+  private val NotMatchedClauseRe =
+    "(?is)\\s*WHEN\\s+NOT\\s+MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*?)\\s*".r
+  private val BySourceRe =
+    "(?is)\\s*WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\b.*".r
+  private val UpdateAllRe = "(?is)\\s*UPDATE\\s+SET\\s+\\*\\s*".r
+  private val UpdateSetRe = "(?is)\\s*UPDATE\\s+SET\\s+(.+?)\\s*".r
+  private val DeleteActRe = "(?is)\\s*DELETE\\s*".r
+  private val InsertAllRe = "(?is)\\s*INSERT\\s+\\*\\s*".r
+  private val InsertColsRe =
+    "(?is)\\s*INSERT\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*".r
+  private val AssignRe =
+    s"(?is)\\s*(?:$Ident\\s*\\.\\s*)?$Ident\\s*=\\s*(.+?)\\s*".r
+
+  /** Parse the general MERGE form. The grammar accepts what Databricks
+    * users actually write — `MERGE INTO t [AS a] USING s [AS b] ON
+    * <conjunction of same-named key equalities> (WHEN [NOT] MATCHED
+    * [AND <cond>] THEN <action>)+` with actions `UPDATE SET *`,
+    * `UPDATE SET c = expr, ...`, `DELETE`, `INSERT *`, `INSERT (cols)
+    * VALUES (exprs)` — and FAILS LOUDLY, naming the clause, on
+    * everything else (rename-on-merge ON clauses, conditional NOT
+    * MATCHED BY SOURCE, CASE expressions containing a bare THEN in a
+    * clause condition). Clause semantics are Delta's: per matched pair
+    * the FIRST clause whose condition holds applies (none → row kept
+    * unchanged); per unmatched source row the first holding NOT MATCHED
+    * clause inserts (none → dropped). */
+  private def parseGeneralMerge(text: String): LogicalPlan = text match {
+    case MergeGeneralHead(tgt, tA, src, sA, onText, clausesText) =>
+      // ON: conjunction of equalities, each resolving to one SHARED key
+      // column (the same-name rule and loud failure as mergeKey).
+      val keys = splitTop(onText, "AND").map {
+        case OnEqRe(q1, c1, q2, c2) => mergeKey(tgt, tA, src, sA, q1, c1, q2, c2)
+        case other => sys.error(
+          s"MERGE ON clause not understood (need `t.k = s.k [AND ...]`): " +
+            s"'${other.trim}'")
+      }
+      require(keys.nonEmpty, "MERGE needs at least one ON key")
+      require(keys.map(_.toLowerCase).distinct.size == keys.size,
+        s"MERGE ON clause repeats a key: ${keys.mkString(", ")}")
+      // Clause boundaries: top-level `WHEN [NOT] MATCHED` tokens.
+      val whenRe = "(?i)\\bWHEN\\s+(?:NOT\\s+)?MATCHED\\b".r
+      val starts = whenRe.findAllMatchIn(clausesText).map(_.start).toSeq
+      val pieces = starts.zipAll(starts.drop(1), 0, clausesText.length)
+        .map { case (a, b) => clausesText.substring(a, b).trim }
+      val matched = scala.collection.mutable.ArrayBuffer.empty[MatchedClause]
+      val notMatched =
+        scala.collection.mutable.ArrayBuffer.empty[NotMatchedClause]
+      pieces.foreach {
+        case BySourceRe() => sys.error(
+          "WHEN NOT MATCHED BY SOURCE is supported only in the canonical " +
+            "full-sync form (UPDATE SET * / INSERT * / THEN DELETE, " +
+            "unconditional)")
+        case NotMatchedClauseRe(cond, action) =>
+          notMatched += NotMatchedClause(Option(cond).map(_.trim),
+            parseInsertAction(action))
+        case MatchedClauseRe(cond, action) =>
+          matched += MatchedClause(Option(cond).map(_.trim),
+            parseMatchedAction(action, tgt, tA))
+        case other => sys.error(s"MERGE clause not understood: '$other'")
+      }
+      require(matched.nonEmpty || notMatched.nonEmpty,
+        "MERGE needs at least one WHEN clause")
+      GraftMaintenanceCommand(s"MERGE $src -> $tgt (general)", { spark =>
+        val v = runMergeGeneral(spark, tgt, Option(tA).getOrElse(tgt),
+          src, Option(sA).getOrElse(src), keys.toList, matched.toList,
+          notMatched.toList)
+        Seq("table" -> tgt, "merged_from" -> src,
+          "keys" -> keys.mkString(","), "mode" -> "general",
+          "version" -> v.toString)
+      })
+    case _ => sys.error(
+      "MERGE statement not understood: expected `MERGE INTO t [AS a] " +
+        "USING s [AS b] ON t.k = s.k [AND ...] WHEN ...`")
+  }
+
+  private def parseMatchedAction(a: String, tgt: String,
+      tA: String): MatchedAction = a match {
+    case UpdateAllRe() => UpdateAll
+    case DeleteActRe() => DeleteRow
+    case UpdateSetRe(sets) =>
+      val parsed = splitTop(sets, ",").map {
+        case AssignRe(q, c, e) =>
+          // A qualified assignment lhs must qualify the TARGET — silently
+          // treating `SET s.c = ...` as the target's `c` would mask a
+          // user error Delta rejects.
+          require(q == null || q.equalsIgnoreCase(tgt) ||
+            (tA != null && q.equalsIgnoreCase(tA)),
+            s"MERGE UPDATE SET lhs must name a target column, got $q.$c")
+          (c, e)
+        case other => sys.error(
+          s"MERGE UPDATE SET assignment not understood: '${other.trim}'")
+      }
+      require(parsed.map(_._1.toLowerCase).distinct.size == parsed.size,
+        s"MERGE UPDATE SET assigns a column twice: $sets")
+      UpdateSet(parsed)
+    case other => sys.error(s"MERGE MATCHED action not understood: '$other'")
+  }
+
+  private def parseInsertAction(a: String): InsertAction = a match {
+    case InsertAllRe() => InsertAll
+    case InsertColsRe(cols, vals) =>
+      val cs = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      val vs = splitTop(vals, ",").map(_.trim)
+      require(cs.nonEmpty && cs.size == vs.size,
+        s"MERGE INSERT column/value arity mismatch: ($cols) vs ($vals)")
+      require(cs.map(_.toLowerCase).distinct.size == cs.size,
+        s"MERGE INSERT repeats a column: $cols")
+      InsertCols(cs, vs)
+    case other =>
+      sys.error(s"MERGE NOT MATCHED action not understood: '$other'")
+  }
+
+  /** Execute a general MERGE with the same touched-file economics as
+    * [[runMerge]]: probe which files hold a live matched key (skipped
+    * entirely when no WHEN MATCHED clause exists — an insert-only MERGE
+    * touches nothing), rewrite only those files' live rows through the
+    * clause cascade, carry everything else by name. Row algebra is
+    * Delta's:
+    *
+    *  - each matched (target, source) pair takes the FIRST matched
+    *    clause whose condition holds — implemented as one clause-index
+    *    column (`when(c1, 1).when(c2, 2)... else 0`) driving a per-column
+    *    CASE cascade; index 0 (no clause) keeps the target row verbatim,
+    *    delete-clause indices filter the row out;
+    *  - unmatched target rows in touched files rewrite unchanged;
+    *  - each unmatched SOURCE row takes the first NOT MATCHED clause
+    *    whose condition holds (none → dropped); explicit INSERT column
+    *    lists null-fill unnamed target columns, and every value casts to
+    *    the target column's type (Delta's implicit cast-on-write).
+    *
+    * Unmatched-source detection anti-joins the source against the FULL
+    * live key set (column-pruned scan) — a key matched only by
+    * DV-deleted rows legitimately inserts. Delta's cardinality rule is
+    * enforced whenever a matched clause could apply (skipped for the
+    * pure unconditional-DELETE form): duplicate source keys fail loudly
+    * BEFORE any write.
+    */
+  private def runMergeGeneral(spark: SparkSession, tgt: String, tA: String,
+      src: String, sA: String, keys: Seq[String],
+      matched: Seq[MatchedClause], notMatched: Seq[NotMatchedClause]): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, count, expr, lit, when}
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    val IdxCol = "_graft_clause"
+    sc.register(spark, tgt)
+    val srcDf = spark.table(src)
+    keys.foreach(k => require(
+      srcDf.columns.exists(_.equalsIgnoreCase(k)),
+      s"MERGE source $src has no key column $k"))
+    val needDupCheck = matched.exists(c =>
+      c.cond.isDefined || c.action != DeleteRow)
+    if (needDupCheck) {
+      val dup = srcDf.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dup == 0,
+        s"MERGE source $src has duplicate keys on ${keys.mkString(",")} — " +
+          "updates would be nondeterministic (Delta's multiple-matches " +
+          "error)")
+    }
+    sc.commit(spark, tgt, operation = "MERGE") { dir =>
+      // All phases derive inside the staging closure — a lost claim
+      // rebases onto the winner's rows (see runMerge).
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      val cur = sc.currentLocation(spark, tgt).getOrElse(
+        sys.error(s"MERGE target $tgt has no published version"))
+      val allFiles = sc.listData(spark, cur)
+      val rawSchema = sc.readData(spark, tgt).schema
+      keys.foreach(k => require(
+        rawSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"MERGE target $tgt has no key column $k"))
+      val srcKeys = srcDf.select(keys.map(col): _*).distinct()
+      // Probe — only when a matched clause can change a target row.
+      val touched: Set[String] =
+        if (matched.isEmpty) Set.empty
+        else dv.readWithProvenance(spark, tgt, "_graft_file")
+          .select(keys.map(col) :+ col("_graft_file"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("_graft_file").distinct()
+          .collect().map(_.getString(0)).toSet
+      val touchedPhys = allFiles.collect {
+        case (n, p) if touched(n) => p.toString }
+      val touchedLive =
+        if (touchedPhys.isEmpty) sc.readData(spark, tgt).limit(0)
+        else dv.mask(spark, tgt, spark.read.schema(rawSchema)
+          .parquet(touchedPhys: _*))
+      def clauseIndex(conds: Seq[Option[String]]): Column = {
+        var idx: Column = lit(0)
+        for (i <- conds.indices.reverse)
+          idx = when(conds(i).map(expr).getOrElse(lit(true)), lit(i + 1))
+            .otherwise(idx)
+        idx
+      }
+      // Matched pairs through the clause cascade.
+      val matchedOut: org.apache.spark.sql.DataFrame = if (matched.isEmpty)
+        touchedLive.limit(0)
+      else {
+        val t = touchedLive.alias(tA)
+        val s = srcDf.alias(sA)
+        val keyCond = keys.map(k =>
+          col(s"$tA.$k") === col(s"$sA.$k")).reduce(_ && _)
+        val withIdx = t.join(s, keyCond, "inner")
+          .withColumn(IdxCol, clauseIndex(matched.map(_.cond)))
+        val deleteIdx = matched.zipWithIndex.collect {
+          case (MatchedClause(_, DeleteRow), i) => i + 1 }
+        val survivors =
+          if (deleteIdx.isEmpty) withIdx
+          else withIdx.filter(!col(IdxCol).isin(deleteIdx.map(Int.box): _*))
+        survivors.select(rawSchema.fields.toSeq.map { f =>
+          var v: Column = col(s"$tA.${f.name}")
+          for ((cl, i) <- matched.zipWithIndex) cl.action match {
+            case UpdateAll =>
+              v = when(col(IdxCol) === i + 1,
+                col(s"$sA.${f.name}").cast(f.dataType)).otherwise(v)
+            case UpdateSet(sets) =>
+              sets.find(_._1.equalsIgnoreCase(f.name)).foreach {
+                case (_, e) => v = when(col(IdxCol) === i + 1,
+                  expr(e).cast(f.dataType)).otherwise(v)
+              }
+            case DeleteRow => ()
+          }
+          v.as(f.name)
+        }: _*)
+      }
+      // Unmatched target rows of touched files rewrite unchanged.
+      val keptTarget = touchedLive.join(srcKeys, keys, "left_anti")
+      // Unmatched SOURCE rows vs the FULL live key set.
+      val insertOut: org.apache.spark.sql.DataFrame = if (notMatched.isEmpty)
+        touchedLive.limit(0)
+      else {
+        val liveKeys = dv.read(spark, tgt)
+          .select(keys.map(col): _*).distinct()
+        val unmatched = srcDf.alias(sA).join(liveKeys, keys, "left_anti")
+          .withColumn(IdxCol, clauseIndex(notMatched.map(_.cond)))
+          .filter(col(IdxCol) > 0)
+        unmatched.select(rawSchema.fields.toSeq.map { f =>
+          var v: Column = lit(null).cast(f.dataType)
+          for ((cl, i) <- notMatched.zipWithIndex) {
+            val e: Option[Column] = cl.action match {
+              case InsertAll => Some(col(s"$sA.${f.name}"))
+              case InsertCols(cols, vals) =>
+                val j = cols.indexWhere(_.equalsIgnoreCase(f.name))
+                if (j >= 0) Some(expr(vals(j))) else None
+            }
+            e.foreach(c => v = when(col(IdxCol) === i + 1,
+              c.cast(f.dataType)).otherwise(v))
+          }
+          v.as(f.name)
+        }: _*)
+      }
+      matchedOut.unionByName(keptTarget).unionByName(insertOut)
+        .write.parquet(dir)
+      allFiles.foreach { case (n, p) =>
+        if (!touched(n))
+          sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
+      }
+      dv.carrySidecarDropping(spark, tgt, touched, stage)
+      graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
+      sc.carryBatchId(spark, cur, stage)
+    }
+    dv.realign(spark, tgt)
+    sc.register(spark, tgt)
+      .getOrElse(sys.error(s"MERGE into $tgt left no published version"))
   }
 
   /** Execute one parsed MERGE as a snapshot commit (the Delta execution
@@ -297,7 +661,7 @@ object GraftSqlParser {
         s"MERGE source $src has duplicate keys on $key — UPDATE SET * " +
           "would be nondeterministic (Delta's multiple-matches error)")
     }
-    sc.commit(spark, tgt) { dir =>
+    sc.commit(spark, tgt, operation = "MERGE") { dir =>
       // EVERYTHING derives INSIDE the staging closure, target read
       // first: on a lost claim the commit protocol re-points the
       // catalog at the winner's version and RE-INVOKES this closure,

@@ -267,6 +267,89 @@ object ChangeDataQueries {
       col("bal").cast("double").as("bal"))
   }
 
+  /** u11 — the MERGE grammar users actually write, against a committed
+    * table: multi-column ON key, conditional `WHEN MATCHED AND ...`
+    * clauses with FIRST-MATCH semantics, an explicit `UPDATE SET col =
+    * expr` that leaves unnamed columns untouched, a conditional DELETE
+    * as the fallthrough matched clause, and a conditional `INSERT
+    * (cols) VALUES (exprs)` that null-fills the unnamed target column.
+    * Parsed by [[graft.ext.GraftSqlParser]]'s general grammar and
+    * executed with the same touched-file write economics as u10 (probe
+    * matched files, rewrite only those, carry the rest by name —
+    * StorageSpec pins the counts). The oracle replays Delta's clause
+    * algebra relationally: matched pairs take the first holding clause,
+    * unmatched target rows survive, unmatched source rows insert only
+    * where their clause condition holds.
+    */
+  val u11MergeConditional = withOracle(
+    "u11_merge_conditional",
+    """WITH t0 AS (
+      |  SELECT c_custkey % 97 AS k1,
+      |         CAST(floor(c_custkey / 97) AS BIGINT) AS k2,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+      |         c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |s0 AS (
+      |  SELECT c_custkey % 97 AS k1,
+      |         CAST(floor(c_custkey / 97) AS BIGINT) AS k2,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 10.00
+      |              AS DECIMAL(18,2)) AS bal,
+      |         c_mktsegment || '_s' AS seg
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |m_out AS (
+      |  SELECT t0.k1, t0.k2, s0.bal, upper(s0.seg) AS seg
+      |  FROM t0 JOIN s0 ON t0.k1 = s0.k1 AND t0.k2 = s0.k2
+      |  WHERE s0.bal > 3000.00),
+      |kept AS (
+      |  SELECT t0.* FROM t0
+      |  WHERE NOT EXISTS (SELECT 1 FROM s0
+      |                    WHERE s0.k1 = t0.k1 AND s0.k2 = t0.k2)),
+      |ins AS (
+      |  SELECT s0.k1, s0.k2,
+      |         CAST(s0.bal - 1.50 AS DECIMAL(18,2)) AS bal,
+      |         CAST(NULL AS VARCHAR) AS seg
+      |  FROM s0
+      |  WHERE NOT EXISTS (SELECT 1 FROM t0
+      |                    WHERE t0.k1 = s0.k1 AND t0.k2 = s0.k2)
+      |    AND s0.bal <= 5000.00)
+      |SELECT k1, k2, CAST(bal AS DOUBLE) AS bal, seg
+      |FROM (SELECT * FROM m_out UNION ALL SELECT * FROM kept
+      |      UNION ALL SELECT * FROM ins)""".stripMargin) { (s, d) =>
+    val k = graft.queries.StorageQueries.sfName(d)
+    val tbl = s"cust_cmerge_$k"
+    val srcV = s"cust_cmerge_src_$k"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    val c = Tables.customer(s, d)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      (col("c_custkey") % 97).as("k1"),
+      floor(col("c_custkey") / lit(97)).cast("bigint").as("k2"),
+      col("c_acctbal").cast("decimal(18,2)").as("bal"),
+      col("c_mktsegment").as("seg"))
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      keyed(c.filter(col("c_custkey") % 2 === 1)).write.parquet(dir)
+    }
+    keyed(c.filter(col("c_custkey") % 3 === 0))
+      .withColumn("bal", (col("bal") + lit("10.00").cast("decimal(18,2)"))
+        .cast("decimal(18,2)"))
+      .withColumn("seg", concat(col("seg"), lit("_s")))
+      .createOrReplaceTempView(srcV)
+    graft.ext.GraftSqlParser.sql(s,
+      s"""MERGE INTO $tbl AS tt USING $srcV AS ss
+         |ON tt.k1 = ss.k1 AND tt.k2 = ss.k2
+         |WHEN MATCHED AND ss.bal > 3000.00
+         |  THEN UPDATE SET bal = ss.bal, seg = upper(ss.seg)
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND ss.bal <= 5000.00
+         |  THEN INSERT (k1, k2, bal) VALUES (ss.k1, ss.k2, ss.bal - 1.50)
+         |""".stripMargin)
+    graft.storage.SnapshotCommit.register(s, tbl)
+    s.table(tbl).select(col("k1"), col("k2"),
+      col("bal").cast("double").as("bal"), col("seg"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql)
+    Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
+      u11MergeConditional)
 }

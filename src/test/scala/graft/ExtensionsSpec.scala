@@ -224,31 +224,118 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
-  test("DESCRIBE HISTORY: one audit row per resolvable version, " +
-      "metadata-only, current flagged") {
+  test("DESCRIBE HISTORY: one audit row per resolvable version, served " +
+      "from the _meta sidecar with ZERO per-data-file status calls") {
     import org.apache.spark.sql.functions._
-    import graft.ext.GraftSqlParser
+    import graft.ext.{GraftHistoryCommand, GraftSqlParser}
     import graft.storage.SnapshotCommit
     val tbl = "history_sql_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
     for (i <- 1 to 3)
       SnapshotCommit.commit(spark, tbl) { dir =>
         spark.range(0, i * 10).select(col("id"))
           .coalesce(i).write.parquet(dir)
       }
+    graft.storage.DeletionVectors.delete(spark, tbl, col("id") === 0)
+    val calls0 = GraftHistoryCommand.legacyStatusCalls.get()
     val h = GraftSqlParser.sql(spark, s"DESCRIBE HISTORY $tbl").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
       .sortBy(_._1)
-    // Commit prune retains (current, current-1): v1's directory is
+    // CONSTANT-TIME pin: _meta-bearing versions never getFileStatus a
+    // data file — a million-file table costs the same as this fixture.
+    assert(GraftHistoryCommand.legacyStatusCalls.get() === calls0,
+      "history over _meta-bearing versions must issue no per-file status")
+    // Commit prune retains (current, current-1): older directories are
     // reaped, and HISTORY reports exactly the still-resolvable tail —
     // absence of reaped versions IS the documented semantics.
-    assert(h.map(_._1).toSeq === Seq(2L, 3L))
-    assert(h.count(_._4) === 1 && h.last._4, "exactly v3 is current")
-    assert(h.forall(_._3 > 0), "every version reports live bytes")
-    assert(h.last._2 === 3L, "v3 wrote 3 part files")
+    assert(h.map(_._1).toSeq === Seq(3L, 4L))
+    assert(h.count(_._7) === 1 && h.last._7, "exactly v4 is current")
+    assert(h.forall(_._5 > 0), "every version reports live bytes")
+    assert(h.forall(_._2 > 0), "every version reports a commit timestamp")
+    assert(h.map(_._3).toSeq === Seq("WRITE", "DELETE"),
+      "operations are recorded at commit time")
+    assert(h.forall(_._4 === 3L), "both versions hold v3's 3 part files")
+    // Bytes from _meta equal bytes from physically statting the files.
+    val d = SnapshotCommit.currentLocation(spark, tbl).get
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val physical = SnapshotCommit.listData(spark, d)
+      .map(f => fs.getFileStatus(f._2).getLen).sum
+    assert(h.last._5 === physical, "recorded bytes must be exact")
     // A table with no published version fails loudly, not empty.
     intercept[Exception](
       GraftSqlParser.sql(spark, "DESCRIBE HISTORY history_sql_missing"))
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("general MERGE grammar: multi-key ON, first-match conditional " +
+      "clauses, explicit SET/INSERT lists; ambiguous forms rejected") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.SnapshotCommit
+    val tbl = "merge_gen_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    // target: ids 0..29 keyed (k1 = id%10, k2 = id/10), v = id, w = "t"
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 30).select((col("id") % 10).as("k1"),
+          (col("id") / 10).cast("bigint").as("k2"),
+          col("id").as("v"), lit("t").as("w"))
+        .coalesce(1).write.parquet(dir)
+    }
+    // source: ids 20..49, v = 2*id, w = "s"
+    spark.range(20, 50).select((col("id") % 10).as("k1"),
+        (col("id") / 10).cast("bigint").as("k2"),
+        (col("id") * 2).as("v"), lit("s").as("w"))
+      .createOrReplaceTempView("merge_gen_src")
+    GraftSqlParser.sql(spark,
+      s"""MERGE INTO $tbl t USING merge_gen_src s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED AND s.v >= 50 THEN UPDATE SET v = s.v + 1
+         |WHEN MATCHED THEN UPDATE SET w = 'low'
+         |WHEN NOT MATCHED AND s.v < 90
+         |  THEN INSERT (k1, k2, v) VALUES (s.k1, s.k2, -s.v)
+         |""".stripMargin)
+    SnapshotCommit.register(spark, tbl)
+    val rows = spark.table(tbl)
+      .select((col("k2") * 10 + col("k1")).as("id"), col("v"), col("w"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    // ids 0..19: untouched. 20..24: clause 2 (w only, v kept). 25..29:
+    // clause 1 FIRST-MATCH (v = 2id+1, w untouched — explicit SET must
+    // not touch unnamed columns). 30..44: conditional insert, w
+    // null-filled. 45..49: no insert clause holds -> dropped.
+    assert(rows.size === 45)
+    assert((0L to 19L).forall(i => rows(i) === (i, "t")))
+    assert((20L to 24L).forall(i => rows(i) === (i, "low")))
+    assert((25L to 29L).forall(i => rows(i) === (2 * i + 1, "t")))
+    assert((30L to 44L).forall(i => rows(i) === (-2 * i, null)))
+    assert(!(45L to 49L).exists(rows.contains))
+
+    // Rejections — every not-understood shape fails loudly, named.
+    def rejected(sql: String): Unit =
+      intercept[Exception](GraftSqlParser.sql(spark, sql))
+    rejected(s"MERGE INTO $tbl t USING merge_gen_src s ON t.k1 = s.k2 " +
+      "WHEN MATCHED THEN DELETE") // rename-on-merge key
+    rejected(s"MERGE INTO $tbl t USING merge_gen_src s ON t.k1 = s.k1 " +
+      "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE") // cond BY SOURCE
+    rejected(s"MERGE INTO $tbl t USING merge_gen_src s ON t.k1 = s.k1 " +
+      "WHEN MATCHED THEN UPDATE SET s.v = 1") // source-qualified lhs
+    rejected(s"MERGE INTO $tbl t USING merge_gen_src s ON t.k1 = s.k1 " +
+      "WHEN NOT MATCHED THEN INSERT (k1) VALUES (s.k1, s.k2)") // arity
+    rejected(s"MERGE INTO $tbl t USING merge_gen_src s " +
+      "ON t.k1 = s.k1 OR t.k2 = s.k2 WHEN MATCHED THEN DELETE") // OR key
+    // Cardinality: duplicate source keys + a conditional clause error
+    // BEFORE any write (the version must not advance).
+    val vBefore = SnapshotCommit.register(spark, tbl).get
+    spark.range(0, 2).select(lit(1L).as("k1"), lit(0L).as("k2"),
+      col("id").as("v"), lit("d").as("w"))
+      .createOrReplaceTempView("merge_gen_dup")
+    rejected(s"MERGE INTO $tbl t USING merge_gen_dup s " +
+      "ON t.k1 = s.k1 AND t.k2 = s.k2 " +
+      "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v")
+    assert(SnapshotCommit.register(spark, tbl).get === vBefore)
     SnapshotCommit.destroy(spark, tbl)
   }
 
