@@ -180,6 +180,11 @@ object GraftSqlParser {
     s"$Ident(?:\\s+(?:AS\\s+)?$Ident)?\\s+ON\\s+(.*?)" +
     "\\s+(WHEN\\s+(?:NOT\\s+)?MATCHED\\b.*)").r
   private val MergeAnyRe = "(?is)\\s*MERGE\\s+INTO\\b.*".r
+  // The statement every reference gold file opens with
+  // (`/root/reference/scripts/gold/fact_order_items.sql:1`).
+  private val CreateMvRe =
+    "(?is)\\s*CREATE\\s+OR\\s+REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "([\\w.`]+)\\s+(.*)" match { case p => p.r }
 
   /** Resolve the ON clause's single equality to the SHARED key column:
     * each side's qualifier must be the target or the source (name or
@@ -272,6 +277,8 @@ object GraftSqlParser {
           "mode" -> "delete", "version" -> v.toString)
       }))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
+    case CreateMvRe(name, rest) =>
+      Some(parseCreateMv(name.replace("`", ""), rest))
     case text if MergeAnyRe.matches(text) =>
       // Not one of the canonical star forms above: the general grammar
       // (which throws, with the offending clause named, on anything it
@@ -442,6 +449,151 @@ object GraftSqlParser {
       InsertCols(cs, vs)
     case other =>
       sys.error(s"MERGE NOT MATCHED action not understood: '$other'")
+  }
+
+  // ----- CREATE OR REFRESH MATERIALIZED VIEW -----
+
+  /** Index of the first occurrence of `word` at paren-depth 0, outside
+    * single- and double-quoted strings; -1 if none. */
+  private def topLevelIndexOf(s: String, word: String): Int = {
+    var depth = 0; var q1 = false; var q2 = false; var i = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (q1) { if (ch == '\'') q1 = false }
+      else if (q2) { if (ch == '"') q2 = false }
+      else ch match {
+        case '\'' => q1 = true
+        case '"' => q2 = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            s.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + word.length >= s.length ||
+              !isWordChar(s.charAt(i + word.length))) =>
+          return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index just past the ')' matching the '(' at `open`. */
+  private def pastBalanced(s: String, open: Int): Int = {
+    var depth = 0; var q1 = false; var q2 = false; var i = open
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (q1) { if (ch == '\'') q1 = false }
+      else if (q2) { if (ch == '"') q2 = false }
+      else ch match {
+        case '\'' => q1 = true
+        case '"' => q2 = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parentheses in: $s")
+  }
+
+  private val ConstraintRe =
+    ("(?is)\\s*CONSTRAINT\\s+`?(\\w+)`?\\s+EXPECT\\s*\\((.*)\\)" +
+      "\\s*(?:ON\\s+VIOLATION\\s+(FAIL\\s+UPDATE|DROP\\s+ROW))?\\s*").r
+  private val ClusterByRe = "(?is)^CLUSTER\\s+BY\\s*\\(([^)]*)\\)\\s*(.*)".r
+  private val CommentRe =
+    "(?is)^COMMENT\\s+(?:\"([^\"]*)\"|'([^']*)')\\s*(.*)".r
+  private val TblPropsStartRe = "(?is)^TBLPROPERTIES\\s*\\(.*".r
+  private val PropPairRe = "(?is)\\s*'([^']*)'\\s*=\\s*'([^']*)'\\s*".r
+
+  /** Parse `CREATE OR REFRESH MATERIALIZED VIEW name (CONSTRAINT ...)?
+    * CLUSTER BY (...)? COMMENT "..."? TBLPROPERTIES (...)? AS <query>` —
+    * the reference's gold-file statement form
+    * (`fact_order_items.sql:1-19`) — and execute it through the
+    * Pipeline's MaterializedView arm: EXPECT constraints become the
+    * expectations triad (`ON VIOLATION FAIL UPDATE` → fail, which
+    * aborts the refresh BEFORE the catalog is touched so the prior
+    * version survives; `ON VIOLATION DROP ROW` → drop; bare EXPECT →
+    * warn), CLUSTER BY takes the range/Z-order clustered write path,
+    * COMMENT and TBLPROPERTIES are recorded as table properties. In the
+    * query body, the DLT virtual schema `LIVE.x` resolves to the
+    * session-visible dataset `x` (prefix stripped — DLT's own
+    * resolution rule); real 2/3-part names pass through to the session
+    * catalog untouched. The statement is idempotent: each run is a full
+    * refresh (CREATE **OR REFRESH** semantics).
+    */
+  private def parseCreateMv(name: String, rest: String): LogicalPlan = {
+    val body = rest.trim.stripSuffix(";")
+    val asIdx = topLevelIndexOf(body, "AS")
+    require(asIdx >= 0, "CREATE MATERIALIZED VIEW needs AS <query>")
+    var header = body.substring(0, asIdx).trim
+    val query = body.substring(asIdx + 2)
+    // optional (CONSTRAINT ..., ...) block
+    val constraints =
+      if (!header.startsWith("(")) Seq.empty[(String, String, String)]
+      else {
+        val end = pastBalanced(header, 0)
+        val block = header.substring(1, end - 1)
+        header = header.substring(end).trim
+        splitTop(block, ",").map {
+          case ConstraintRe(n, e, viol) =>
+            (n, e, Option(viol).map(_.replaceAll("\\s+", " ").toUpperCase)
+              .getOrElse("WARN"))
+          case other => sys.error(
+            s"MATERIALIZED VIEW constraint not understood: '${other.trim}'")
+        }
+      }
+    var clusterCols = Seq.empty[String]
+    var comment = Option.empty[String]
+    var props = Map.empty[String, String]
+    while (header.nonEmpty) header match {
+      case ClusterByRe(cols, tail) =>
+        clusterCols = cols.split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        header = tail.trim
+      case CommentRe(c1, c2, tail) =>
+        comment = Option(c1).orElse(Option(c2))
+        header = tail.trim
+      case h if TblPropsStartRe.matches(h) =>
+        val open = h.indexOf('(')
+        val end = pastBalanced(h, open)
+        props = splitTop(h.substring(open + 1, end - 1), ",").map {
+          case PropPairRe(k, v) => k -> v
+          case other => sys.error(
+            s"TBLPROPERTIES entry not understood: '${other.trim}'")
+        }.toMap
+        header = h.substring(end).trim
+      case other =>
+        sys.error(s"MATERIALIZED VIEW header not understood at: '$other'")
+    }
+    val liveResolved = query.replaceAll("(?i)\\bLIVE\\s*\\.\\s*", "")
+    GraftMaintenanceCommand(s"CREATE MV $name", { spark =>
+      import org.apache.spark.sql.functions.expr
+      val dq = graft.dq.Expectations
+      val exps = constraints.map { case (n, e, viol) =>
+        if (viol.startsWith("FAIL")) dq.fail(n, expr(e))
+        else if (viol.startsWith("DROP")) dq.drop(n, expr(e))
+        else dq.warn(n, expr(e))
+      }
+      new graft.pipeline.Pipeline()
+        .register(graft.pipeline.Dataset(name, Nil,
+          (sp, _) => sp.sql(liveResolved),
+          expectations = exps,
+          materialize = graft.pipeline.Materialize.MaterializedView,
+          clusterBy = clusterCols,
+          tableProperties = props ++ comment.map("comment" -> _),
+          // One build pass: gold MVs are multi-join facts — validate
+          // against the staged copy, never re-run the join tree.
+          validateStaged = exps.nonEmpty))
+        .run(spark)
+      Seq("table" -> name,
+        "operation" -> "CREATE OR REFRESH MATERIALIZED VIEW",
+        "constraints" -> exps.size.toString,
+        "clustered_by" -> clusterCols.mkString(","))
+    })
   }
 
   /** Execute a general MERGE with the same touched-file economics as

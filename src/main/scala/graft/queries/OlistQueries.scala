@@ -406,9 +406,107 @@ object OlistQueries {
         max(col("n")).as("n_orders"))
   }
 
+  /** Register the session-visible dataset names the reference's gold
+    * SQL expects: the DLT `LIVE.` schema's silver tables as temp views
+    * over the committed medallion, and the `gold` database's dims as
+    * catalog views — so a reference user's 2-part `gold.dim_*` names
+    * resolve against the session catalog untouched. */
+  private def registerReferenceNames(s: SparkSession,
+      names: OlistMaterialized.Names): Unit = {
+    Seq(
+      "silver_order_items" -> names.silverItems,
+      "silver_orders" -> names.silverOrders,
+      "silver_order_customers" -> names.silverCustomers,
+      "silver_order_payments" -> names.silverPayments,
+      "silver_order_reviews" -> names.silverReviews)
+      .foreach { case (ref, tbl) =>
+        s.table(tbl).createOrReplaceTempView(ref) }
+    s.sql("CREATE DATABASE IF NOT EXISTS gold")
+    Seq("dim_orders" -> names.dimOrders,
+      "dim_customers" -> names.dimCustomers,
+      "dim_products" -> names.dimProducts,
+      "dim_sellers" -> names.dimSellers,
+      "dim_date" -> names.dimDate)
+      .foreach { case (ref, tbl) =>
+        s.sql(s"CREATE OR REPLACE VIEW gold.$ref AS SELECT * FROM $tbl") }
+  }
+
+  private def referenceGoldSql(file: String, from: String,
+      to: String): String = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/reference/scripts/gold/$file")),
+      "UTF-8")
+    raw.replace(from, to)
+  }
+
+  /** g15 — the reference's OWN gold fact file, executed near-verbatim:
+    * `/root/reference/scripts/gold/fact_order_items.sql:1-116` is read
+    * from disk, its target renamed (catalog-prefix-only change), and run
+    * through [[graft.ext.GraftSqlParser]]'s `CREATE OR REFRESH
+    * MATERIALIZED VIEW` — CONSTRAINT/EXPECT/ON VIOLATION FAIL UPDATE →
+    * the expectations triad, CLUSTER BY (4 keys) → the Z-order write
+    * path, TBLPROPERTIES carried, `LIVE.silver_*` resolved to the
+    * committed silver tables and `gold.dim_*` against the session
+    * catalog. The gate: the statement's committed output hash-matches
+    * the SAME oracle as g6 (one shared truth for the Scala build and
+    * the reference's SQL text). The final select only aligns types to
+    * the driver convention (ints → BIGINT, money → DOUBLE — the same
+    * casts g6's Scala build applies inline).
+    */
+  val g15ReferenceSql = withOracle(
+    "g15_reference_sql", OlistOracle.sql("gold_fact_order_items")) { (s, d) =>
+    val names = OlistMaterialized.ensure(s, d)
+    registerReferenceNames(s, names)
+    val mv = s"olist_gold_fact_ref_${names.suffix}"
+    graft.ext.GraftSqlParser.sql(s,
+      referenceGoldSql("fact_order_items.sql", "gold.fact_order_items", mv))
+    s.table(mv).select(
+      col("order_item_key"), col("order_key"), col("customer_key"),
+      col("product_key"), col("seller_key"), col("order_date_key"),
+      col("delivered_date_key"), col("order_natural_key"),
+      col("order_item_id").cast("long").as("order_item_id"),
+      col("item_price").cast("double").as("item_price"),
+      col("item_freight_value").cast("double").as("item_freight_value"),
+      col("item_total_value").cast("double").as("item_total_value"),
+      col("total_payment_value").cast("double").as("total_payment_value"),
+      col("payment_type_count").cast("long").as("payment_type_count"),
+      col("max_installments").cast("long").as("max_installments"),
+      col("payment_types"),
+      col("review_score").cast("long").as("review_score"),
+      col("is_positive_review"),
+      col("actual_delivery_days").cast("long").as("actual_delivery_days"),
+      col("estimated_delivery_days").cast("long")
+        .as("estimated_delivery_days"),
+      col("shipping_limit_date"), col("order_purchase_timestamp"),
+      col("order_estimated_delivery_date"),
+      col("order_delivered_customer_date"))
+  }
+
+  /** g16 — the reference's dim_orders.sql executed the same way (the
+    * dim-file case: COMMENT + TBLPROPERTIES header, no constraints,
+    * `DATE_DIFF(end, start)` two-arg Databricks semantics). Shares g4's
+    * oracle. */
+  val g16ReferenceSqlDim = withOracle(
+    "g16_reference_sql_dim", OlistOracle.sql("gold_dim_orders")) { (s, d) =>
+    val names = OlistMaterialized.ensure(s, d)
+    registerReferenceNames(s, names)
+    val mv = s"olist_gold_dimord_ref_${names.suffix}"
+    graft.ext.GraftSqlParser.sql(s,
+      referenceGoldSql("dim_orders.sql", "gold.dim_orders", mv))
+    s.table(mv).select(
+      col("order_key"), col("order_natural_key"), col("order_status"),
+      col("order_purchase_timestamp"), col("order_approved_at"),
+      col("order_delivered_carrier_date"),
+      col("order_delivered_customer_date"),
+      col("order_estimated_delivery_date"),
+      col("delivery_days_vs_estimate").cast("long")
+        .as("delivery_days_vs_estimate"),
+      col("is_on_time_delivery"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
     g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
-    g10CategoryKpis, g11GeoJoin, g12DeliverySla,
-    st6CsvBronze, u4IncrementalSilver)
+    g10CategoryKpis, g11GeoJoin, g12DeliverySla, g15ReferenceSql,
+    g16ReferenceSqlDim, st6CsvBronze, u4IncrementalSilver)
 }

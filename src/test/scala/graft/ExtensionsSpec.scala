@@ -270,6 +270,70 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("CREATE OR REFRESH MATERIALIZED VIEW: constraints become " +
+      "expectations, FAIL UPDATE aborts keeping the prior version, " +
+      "CLUSTER BY + COMMENT + TBLPROPERTIES recorded, LIVE. resolves") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    val tbl = "mv_sql_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    spark.range(0, 50).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("mv_sql_src")
+    val stmt =
+      s"""CREATE OR REFRESH MATERIALIZED VIEW $tbl
+         |(
+         |  CONSTRAINT non_negative EXPECT (v >= 0) ON VIOLATION FAIL UPDATE,
+         |  CONSTRAINT keep_small   EXPECT (v < 200) ON VIOLATION DROP ROW,
+         |  CONSTRAINT informational EXPECT (k IS NOT NULL)
+         |)
+         |CLUSTER BY (k)
+         |COMMENT "test materialized view"
+         |TBLPROPERTIES (
+         |  'quality' = 'gold',
+         |  'delta.targetFileSize' = '268435456'
+         |)
+         |AS
+         |SELECT k, v FROM LIVE.mv_sql_src
+         |WHERE k IS NOT NULL
+         |;""".stripMargin
+    val out = GraftSqlParser.sql(spark, stmt).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("constraints") === "3")
+    assert(out("clustered_by") === "k")
+    // DROP ROW filtered v >= 200 (k >= 100 never occurs here; v < 200
+    // drops k >= 100 -> none; use the row count to pin the drop arm).
+    assert(spark.table(tbl).count() === 50)
+    // v>=200 would be dropped: re-refresh over a wider source.
+    spark.range(0, 150).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("mv_sql_src")
+    GraftSqlParser.sql(spark, stmt)
+    assert(spark.table(tbl).count() === 100,
+      "ON VIOLATION DROP ROW must filter violating rows on refresh")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("quality").contains("gold"))
+    // 'comment' is a RESERVED table property: the catalog stores it as
+    // the table comment and SHOW TBLPROPERTIES filters it — read the
+    // catalog metadata instead.
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(meta.comment.contains("test materialized view") ||
+      meta.properties.get("comment").contains("test materialized view"))
+    // FAIL UPDATE: a violating refresh aborts BEFORE the catalog is
+    // touched — the previously committed version survives intact.
+    spark.range(0, 10).select(col("id").as("k"), (col("id") - 5).as("v"))
+      .createOrReplaceTempView("mv_sql_src")
+    intercept[Exception](GraftSqlParser.sql(spark, stmt))
+    assert(spark.table(tbl).count() === 100,
+      "failed refresh must keep the prior committed version")
+    // Unknown header syntax fails loudly, named.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"CREATE OR REFRESH MATERIALIZED VIEW $tbl PARTITIONED BY (k) " +
+        "AS SELECT 1 AS k"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("general MERGE grammar: multi-key ON, first-match conditional " +
       "clauses, explicit SET/INSERT lists; ambiguous forms rejected") {
     import org.apache.spark.sql.functions._
