@@ -726,12 +726,58 @@ object StorageQueries {
       count(lit(1)).as("n"))
   }
 
+  /** b18 — metadata-only `count(*)` for a DV-BEARING table. b17 answers
+    * raw-relation aggregates from the stats sidecar, but the most common
+    * aggregate on a table that has ever seen a DELETE is a count of the
+    * LIVE view — whose plan is an anti-join above the scan, which b17's
+    * pattern rightly never matches. [[graft.storage.MetadataAggRule]]
+    * now recognizes exactly the DV-mask shape and answers `Σ #rows −
+    * count(DISTINCT f, p)` from the two sidecars alone: the data scan
+    * disappears (StorageSpec pins the plan before/after delete, across
+    * RESTORE, and for time travel), and only the bounded deletion-vector
+    * sidecar is read. At 100 TB, "how many live rows" after a nightly
+    * DELETE is a metadata question, not a petabyte scan. The entry
+    * returns live, as-of-v1 and raw counts in one row — all three
+    * scan-free — against a DuckDB oracle that recomputes them
+    * relationally.
+    */
+  val b18MetadataAggDv = withOracle(
+    "b18_metadata_agg_dv",
+    """SELECT
+      |  CAST((SELECT count(*) FROM lineitem
+      |        WHERE l_orderkey % 7 <> 0 AND l_orderkey % 5 <> 0)
+      |    AS BIGINT) AS live_rows,
+      |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey % 7 <> 0)
+      |    AS BIGINT) AS v1_rows,
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS raw_rows"""
+      .stripMargin) { (s, d) =>
+    val tbl = s"lineitem_maggdv_${sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.StatsSkipping.commitWithStats(s, tbl, "l_orderkey") {
+      stage =>
+        Tables.lineitem(s, d).select(col("l_orderkey"))
+          .repartition(8).write.mode("overwrite").parquet(stage)
+    }
+    graft.storage.StatsSkipping.installRule(s)
+    val v1 = graft.storage.DeletionVectors
+      .delete(s, tbl, col("l_orderkey") % 7 === 0)
+    graft.storage.DeletionVectors.delete(s, tbl, col("l_orderkey") % 5 === 0)
+    val live = graft.storage.DeletionVectors.read(s, tbl)
+      .agg(count(lit(1)).as("live_rows"))
+    val atV1 = graft.storage.DeletionVectors.readAt(s, tbl, v1)
+      .agg(count(lit(1)).as("v1_rows"))
+    val raw = s.table(tbl).agg(count(lit(1)).as("raw_rows"))
+    live.crossJoin(atV1).crossJoin(raw)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(b1BucketedJoin, b2PartitionPruning, b3DeletionVectors, b4TimeTravel,
       b5Dpp, b6Vacuum, b7BloomIndex, b9ZOrderProbe, b10SchemaEvolution,
       b11ShallowClone, b12Compaction, b13StatsSkipping,
       b14DefaultStatsPrune, b15ZorderOptimize, b16MaintenanceSql,
-      b17MetadataAgg)
+      b17MetadataAgg, b18MetadataAggDv)
 
   /** Per-row-group `[min, max]` footer statistics of a string column
     * across every parquet file in `dir` — the stats a data-skipping

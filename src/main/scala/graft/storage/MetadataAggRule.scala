@@ -2,8 +2,9 @@ package graft.storage
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
@@ -68,7 +69,172 @@ object MetadataAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      rewrite(agg).getOrElse(agg)
+      rewrite(agg).orElse(rewriteDvCount(agg)).getOrElse(agg)
+  }
+
+  /** Metadata-only `count(*)` THROUGH the deletion-vector mask: the most
+    * common aggregate on a table that has ever seen a DELETE. The DV
+    * read plans as `scan LEFT ANTI JOIN (dv sidecar)` — this recognizes
+    * exactly the shape [[DeletionVectors.read]] produces after
+    * optimization and answers `Σ #rows (stats sidecar) − count(DISTINCT
+    * f, p) over the DV sidecar` — the DATA scan disappears; only the
+    * bounded sidecar (metadata-scale between compactions) is read.
+    * Exact-or-bail, like everything here:
+    *
+    *  - only ungrouped `count(<non-null literal>)` aggregates (a min/max
+    *    cannot be answered under deletes — the deleted rows might hold
+    *    the extremum — so ANY other aggregate keeps the scan);
+    *  - the anti-join's LEFT must be a pure coordinate projection of a
+    *    flat parquet relation — every projected expression derives ONLY
+    *    from the `_metadata` struct (file/row coordinates), so left row
+    *    count = raw file row count, with NO Filter in between;
+    *  - the RIGHT must be (a projection of, optionally a Filter over)
+    *    the SAME version directory's `_dv` sidecar — verified by path:
+    *    one distinct left parent D, right files under D/_dv. The
+    *    sidecar's own `v <= bound` time-travel Filter is KEPT in the
+    *    rewrite, so `readAt(v)` counts answer exactly as of v;
+    *  - sentinel rows (p = -1, which match no data row) are filtered;
+    *    `count(DISTINCT f, p)` collapses re-deleted coordinates and
+    *    drops null coordinates — mirroring the anti-join's semantics
+    *    exactly. Every non-sentinel entry references a live basename
+    *    (the carrySidecarDropping invariant), so each distinct pair
+    *    subtracts exactly one live row.
+    */
+  private def rewriteDvCount(agg: Aggregate): Option[LogicalPlan] = {
+    // Strip a pure column-pruning Project above the join, if any.
+    val joined = agg.child match {
+      case j: Join => Some(j)
+      case Project(ps, j: Join)
+        if ps.forall(_.isInstanceOf[AttributeReference]) => Some(j)
+      case _ => None
+    }
+    joined.flatMap {
+      case j @ Join(left, right, LeftAnti, Some(cond), _) =>
+        for {
+          (leftRel, leftProj) <- left match {
+            case p @ Project(ps, lr: LogicalRelation)
+              if ps.nonEmpty && ps.forall(ne =>
+                ne.references.nonEmpty &&
+                  ne.references.forall(_.name == "_metadata")) =>
+              Some((lr, p))
+            case _ => None
+          }
+          rel <- leftRel.relation match {
+            case r: HadoopFsRelation
+              if r.partitionSchema.isEmpty && r.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet
+                  .ParquetFileFormat] => Some(r)
+            case _ => None
+          }
+          // condition: conjunction of 2 equalities between the two sides
+          _ <- {
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case And(a, b) => conjuncts(a) ++ conjuncts(b)
+              case x => Seq(x)
+            }
+            val cs = conjuncts(cond)
+            val ok = cs.length == 2 && cs.forall {
+              case EqualTo(a, b) =>
+                (a.references.subsetOf(leftProj.outputSet) &&
+                  b.references.subsetOf(right.outputSet)) ||
+                  (b.references.subsetOf(leftProj.outputSet) &&
+                    a.references.subsetOf(right.outputSet))
+              case _ => false
+            }
+            if (ok) Some(()) else None
+          }
+          // right: Project of bare f/p attrs over (Filter over)? the
+          // SAME version's _dv sidecar relation
+          (fOut, pOut, rightRel) <- right match {
+            case p @ Project(ps, child) if ps.length == 2 =>
+              val named = ps.flatMap {
+                case al @ Alias(ar: AttributeReference, _) =>
+                  Some(ar.name -> al.toAttribute)
+                case ar: AttributeReference => Some(ar.name -> ar)
+                case _ => None
+              }.toMap
+              val relOpt = child match {
+                case lr: LogicalRelation => Some(lr)
+                case Filter(fc, lr: LogicalRelation)
+                  if fc.references.subsetOf(lr.outputSet) => Some(lr)
+                case _ => None
+              }
+              for {
+                f <- named.get("f"); pp <- named.get("p"); lr <- relOpt
+                r <- lr.relation match {
+                  case hr: HadoopFsRelation
+                    if hr.partitionSchema.isEmpty => Some(hr)
+                  case _ => None
+                }
+              } yield (f, pp, r)
+            case _ => None
+          }
+          // path check: left lives in ONE directory D; right in D/_dv
+          _ <- {
+            val lp = rel.location.inputFiles
+              .map(f => new Path(f).getParent.toString).distinct
+            val rp = rightRel.location.inputFiles
+              .map(f => new Path(f).getParent.toString).distinct
+            if (lp.length == 1 && rp.length == 1 &&
+              rp.head == new Path(lp.head, "_dv").toString) Some(())
+            else None
+          }
+          // every left data file carries #rows in the stats sidecar
+          total <- totalRowsOf(rel)
+          // every aggregate must be count(<non-null literal>)
+          _ <- {
+            val offending = agg.aggregateExpressions.exists(_.exists {
+              case ae: AggregateExpression =>
+                ae.isDistinct || ae.filter.isDefined ||
+                  (ae.aggregateFunction match {
+                    case c: Count => c.children match {
+                      case Seq(Literal(v, _)) => v == null
+                      case _ => true
+                    }
+                    case _ => true
+                  })
+              case _ => false
+            })
+            if (offending) None else Some(())
+          }
+        } yield {
+          val dvCount = AggregateExpression(
+            Count(Seq(fOut, pOut)), Complete, isDistinct = true)
+          // transformUp, NOT transformDown: the replacement itself
+          // contains an AggregateExpression (the sidecar count), which
+          // a top-down transform would re-match forever.
+          val projected = agg.aggregateExpressions.map(_.transformUp {
+            case _: AggregateExpression =>
+              Subtract(Literal(total, LongType), dvCount)
+          }.asInstanceOf[NamedExpression])
+          Aggregate(Nil, projected,
+            Filter(GreaterThanOrEqual(pOut, Literal(0L)), right))
+        }
+      case _ => None
+    }
+  }
+
+  /** Σ `#rows` over every data file of the relation, None unless every
+    * file records it (the count(*) building block, shared by the bare
+    * and DV-masked rewrites). */
+  private def totalRowsOf(rel: HadoopFsRelation): Option[Long] = {
+    val spark = rel.sparkSession
+    val files = rel.location.inputFiles
+    if (files.isEmpty) return None
+    val parents = files.map(f => new Path(f).getParent.toString).distinct
+    val statsByDir = parents.flatMap { p =>
+      val dir = new Path(p)
+      if (!StatsSkipping.probeAllowed(spark, dir)) None
+      else StatsSkipping.loadStats(spark, dir).map(p -> _)
+    }.toMap
+    val counts = files.toSeq.map { fp =>
+      val p = new Path(fp)
+      statsByDir.getOrElse(p.getParent.toString, Map.empty)
+        .getOrElse(p.getName, Map.empty)
+        .get(StatsSkipping.RowsCol)
+    }
+    if (counts.exists(c => c.isEmpty || c.get.tpe != "rows")) None
+    else scala.util.Try(counts.map(_.get.min.toLong).sum).toOption
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
@@ -92,11 +258,14 @@ object MetadataAggRule extends Rule[LogicalPlan] {
       if (files.isEmpty) return None // a scan of nothing is already free
       // Stats row per file, from its parent directory's sidecar (a
       // manifest version's files span directories; each carries the
-      // stats for its own basenames).
+      // stats for its own basenames). Foreign dirs (outside the
+      // warehouse) are never probed — see StatsSkipping.probeAllowed.
       val parents = files.map(f => new Path(f).getParent.toString).distinct
       val statsByDir: Map[String, Map[String, Map[String, ColRange]]] =
         parents.flatMap { p =>
-          StatsSkipping.loadStats(spark, new Path(p)).map(p -> _)
+          val dir = new Path(p)
+          if (!StatsSkipping.probeAllowed(spark, dir)) None
+          else StatsSkipping.loadStats(spark, dir).map(p -> _)
         }.toMap
       val perFile: Seq[Map[String, ColRange]] = files.toSeq.map { fp =>
         val p = new Path(fp)

@@ -369,6 +369,64 @@ object StatsSkipping {
     statsCache.keySet.removeIf((k: String) => k.startsWith(prefix))
   }
 
+  /** Build `_stats` sidecars for a HIVE-PARTITIONED layout: one sidecar
+    * per leaf directory holding parquet files, from footers only (the
+    * same metadata-IO budget as commitWithStats, proportional to file
+    * count). With [[StatsSkippingRule]] installed the two prunings then
+    * COMPOSE on an ordinary read: Spark's partition pruning picks the
+    * directories, the sidecars prune files WITHIN each surviving
+    * directory — Delta's partition-columns-plus-file-stats behavior.
+    * Partitioned tables cannot take the snapshot-commit path (partition
+    * values live in directory names a flat carry would lose), so this
+    * is their explicit indexing hook; re-running re-indexes (sidecars
+    * are overwritten, caches invalidated). Returns the number of leaf
+    * directories indexed.
+    */
+  def indexLeafDirs(spark: SparkSession, dir: Path,
+      statsCols: Seq[String]): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(hconf)
+    def walk(d: Path): Seq[Path] = {
+      val st = fs.listStatus(d).toSeq
+      val subdirs = st.filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      val hasParquet = st.exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      (if (hasParquet) Seq(d) else Nil) ++
+        subdirs.flatMap(s => walk(s.getPath))
+    }
+    val leaves = walk(dir)
+    leaves.foreach { leaf =>
+      val lines = fs.listStatus(leaf).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .flatMap(f => footerLines(hconf, f.getPath, statsCols))
+      fs.delete(new Path(leaf, StatsFile), false) // idempotent re-index
+      writeSidecar(hconf, leaf, lines)
+    }
+    invalidate(dir) // absent-cache may remember pre-index misses
+    leaves.size
+  }
+
+  /** May the OPTIMIZER RULES probe `dir` for a sidecar? Graft only ever
+    * writes sidecars under the session warehouse (snapshot stages and
+    * committed table dirs live there), so the default-path rules skip
+    * the existence probe for everything else — planning an ungrouped
+    * aggregate or a filter over a foreign parquet table (a raw source
+    * dir, someone else's lake) must not cost store round-trips, even
+    * negative-cached ones (ADVICE r14). `spark.graft.stats.probeForeign
+    * = true` restores universal probing for hand-placed sidecars.
+    * Direct API paths (survivingFiles/readRange) are unaffected — they
+    * only ever target snapshot directories. */
+  private[storage] def probeAllowed(spark: SparkSession, dir: Path): Boolean =
+    spark.conf.getOption("spark.graft.stats.probeForeign")
+      .contains("true") || {
+      val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+        .toUri.getPath
+      val d = dir.toUri.getPath
+      wh != null && d != null && d.startsWith(wh)
+    }
+
   private[storage] def loadStats(spark: SparkSession,
       dir: Path): Option[Map[String, Map[String, ColRange]]] = {
     val key = dir.toString

@@ -52,8 +52,7 @@ object StatsSkippingRule extends Rule[LogicalPlan] {
   private def pruned(cond: Expression,
       lr: LogicalRelation): Option[LogicalRelation] = lr.relation match {
     case rel: HadoopFsRelation
-      if rel.partitionSchema.isEmpty &&
-        rel.fileFormat.isInstanceOf[
+      if rel.fileFormat.isInstanceOf[
           org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
       val spark = rel.sparkSession
       val files = rel.location.inputFiles
@@ -65,7 +64,9 @@ object StatsSkippingRule extends Rule[LogicalPlan] {
       val parents = files.map(f => new Path(f).getParent.toString).distinct
       val statsByDir: Map[String, Map[String, Map[String, ColRange]]] =
         parents.flatMap { p =>
-          StatsSkipping.loadStats(spark, new Path(p)).map(p -> _)
+          val dir = new Path(p)
+          if (!StatsSkipping.probeAllowed(spark, dir)) None
+          else StatsSkipping.loadStats(spark, dir).map(p -> _)
         }.toMap
       if (statsByDir.isEmpty) return None
       // The stat type each constrained column compares under — taken
@@ -90,12 +91,38 @@ object StatsSkippingRule extends Rule[LogicalPlan] {
         }
       }
       if (surviving.length == files.length) None
-      else {
+      else if (rel.partitionSchema.isEmpty) {
         val idx = new InMemoryFileIndex(spark,
           surviving.map(new Path(_)).toSeq, rel.options,
           Some(rel.dataSchema))
         Some(lr.copy(relation =
           rel.copy(location = idx)(spark)))
+      } else {
+        // PARTITIONED relation (sidecars written per leaf directory by
+        // StatsSkipping.indexLeafDirs): the rebuilt index must carry
+        // the PARTITION VALUES, which live in directory names — so the
+        // original index's partition spec (already partition-pruned by
+        // Spark's own rules, which run before this batch) is narrowed
+        // to the directories that still hold a surviving file and
+        // handed to the new index explicitly. Partition pruning first,
+        // sidecar skipping second — the two compose, Delta-style. A
+        // non-partitioning-aware index shape bails (conservative).
+        import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, PartitionSpec}
+        rel.location match {
+          case pa: PartitioningAwareFileIndex =>
+            val spec = pa.partitionSpec()
+            val survivingDirs = surviving
+              .map(f => new Path(f).getParent.toString).toSet
+            val prunedSpec = PartitionSpec(spec.partitionColumns,
+              spec.partitions.filter(p =>
+                survivingDirs.contains(p.path.toString)))
+            val idx = new InMemoryFileIndex(spark,
+              surviving.map(new Path(_)).toSeq, rel.options,
+              Some(rel.dataSchema),
+              userSpecifiedPartitionSpec = Some(prunedSpec))
+            Some(lr.copy(relation = rel.copy(location = idx)(spark)))
+          case _ => None
+        }
       }
     case _ => None
   }

@@ -1423,6 +1423,111 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("partitioned layout: partition pruning and sidecar file skipping " +
+      "COMPOSE on an ordinary filtered read") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.StatsSkipping
+    val tbl = "part_stats_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    // 4 hive partitions x 4 range-clustered files each: (p, id) ranges
+    // are disjoint per file, so a point-ish id probe within one
+    // partition should land in ONE of its 4 files.
+    spark.range(0, 8000)
+      .select((col("id") % 4).as("p"), col("id"), (col("id") * 3).as("v"))
+      .repartitionByRange(16, col("p"), col("id"))
+      .sortWithinPartitions(col("p"), col("id"))
+      .write.partitionBy("p").format("parquet").saveAsTable(tbl)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+    val leaves = StatsSkipping.indexLeafDirs(spark, loc, Seq("id"))
+    assert(leaves === 4, s"expected 4 partition leaf dirs, got $leaves")
+    StatsSkipping.installRule(spark)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(sys.error("no file scan in plan"))
+    }
+    // Partition pruning alone (no data-column bound) reads every file
+    // of p=2 — Spark's own pruning, intact under the rule. The file
+    // count per partition is sample-driven (repartitionByRange), so
+    // measure it rather than assume it.
+    val pOnly = spark.table(tbl).filter(col("p") === 2)
+    val pFiles = scannedFiles(pOnly)
+    assert(pFiles >= 3, s"fixture wants several files in p=2, got $pFiles")
+    assert(pOnly.count() === 2000)
+    // id % 4 == 2 rows live only in partition p=2; a narrow id window
+    // intersects at most a couple of its range files — the composed
+    // read scans a STRICT subset of the partition's files.
+    val q = spark.table(tbl)
+      .filter(col("p") === 2 && col("id").between(4000, 4200))
+    val n = scannedFiles(q)
+    assert(n <= 2 && n < pFiles,
+      s"partition pruning + stats skipping should compose: " +
+        s"$n of $pFiles files scanned")
+    assert(q.count() ===
+      spark.range(4000, 4201).filter(col("id") % 4 === 2).count())
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("metadata-only count THROUGH the DV mask: scan-free after a " +
+      "delete, exact across restore and time travel, bails on non-count") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    val tbl = "magg_dv_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+      spark.range(0, 5000).select(col("id"), (col("id") % 7).as("g"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(stage)
+    }
+    StatsSkipping.installRule(spark)
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan
+        .toString.split("== Initial Plan ==")(0)).length
+    }
+    val v1 = DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    DeletionVectors.delete(spark, tbl, col("id") % 9 === 0) // overlaps at %90
+    // LIVE count: scan-free — only the bounded _dv sidecar is read
+    // (the sidecar relation still counts as one "Scan parquet"; the
+    // DATA relation's scan must be gone, so exactly 1 scan survives
+    // where the unrewritten plan has 2).
+    val live = DeletionVectors.read(spark, tbl).agg(count(lit(1)).as("n"))
+    assert(scans(live) === 1,
+      s"DV-masked count should lose the data scan:\n${live.queryExecution.executedPlan}")
+    // 5000 - multiples of 10 (500) - multiples of 9 (556) + multiples
+    // of 90 (56): distinct-coordinate subtraction, re-deleted rows
+    // counted once.
+    assert(live.collect()(0).getLong(0) === 5000L - 500L - 556L + 56L)
+    // Time travel: readAt(v1) keeps its v <= v1 filter in the rewrite.
+    val at1 = DeletionVectors.readAt(spark, tbl, v1)
+      .agg(count(lit(1)).as("n"))
+    assert(scans(at1) === 1, "time-travel count should also be scan-free")
+    assert(at1.collect()(0).getLong(0) === 4500L)
+    // RESTORE drops the second delete: exact again, still scan-free.
+    DeletionVectors.restore(spark, tbl, v1)
+    val restored = DeletionVectors.read(spark, tbl)
+      .agg(count(lit(1)).as("n"))
+    assert(scans(restored) === 1)
+    assert(restored.collect()(0).getLong(0) === 4500L)
+    // Bail-outs: min/max under deletes must SCAN (a deleted row might
+    // hold the extremum); so must a filtered count.
+    val mm = DeletionVectors.read(spark, tbl).agg(max(col("id")).as("m"))
+    assert(scans(mm) === 2, "min/max under DVs must keep the data scan")
+    val filtered = DeletionVectors.read(spark, tbl)
+      .filter(col("g") === 3).agg(count(lit(1)).as("n"))
+    assert(filtered.collect()(0).getLong(0) ===
+      spark.range(0, 5000).filter(col("id") % 10 =!= 0 && col("id") % 7 === 3)
+        .count())
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("touched-file SQL MERGE: 1 of N files rewritten, N-1 carried by " +
       "name; DV and stats sidecars survive the merge") {
     import org.apache.spark.sql.functions._
