@@ -1123,11 +1123,17 @@ object Streams {
     * change per key) verbatim.
     *
     * Batches are time-ORDERED (orderedSplit — range-split on ts with
-    * stamped mtimes), so upsert-wins-later holds by arrival order; the
-    * out-of-order arrival axis is st12/st13's job, sequence-windowed
-    * inside their apply. Scale: per batch, one dedup window over the
-    * batch + the MERGE's key anti-join against the table — the Delta
-    * streaming-merge cost model.
+    * stamped mtimes), and BOTH merge arms are SEQUENCE-GUARDED (`WHEN
+    * MATCHED AND src later-than-stored by (ts_us, event_id)`): the
+    * range split keys on raw nanosecond ts, so two same-key events
+    * sharing a microsecond can land in different micro-batches, and an
+    * unguarded later batch would win regardless of event_id — the
+    * guard makes the winner the DATA's total order, batch boundaries
+    * irrelevant (and exercises the conditional MERGE grammar on the
+    * streaming path). Deeper out-of-order arrival is st12/st13's job,
+    * sequence-windowed inside their apply. Scale: per batch, one dedup
+    * window over the batch + the MERGE's touched-file anti-join
+    * against the table — the Delta streaming-merge cost model.
     */
   def streamMergeSql(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = eventsSession(spark)
@@ -1168,13 +1174,25 @@ object Streams {
             .localCheckpoint(true) // two consumers below, one compute
           val ups = latest.filter(col("event_type") =!= "error")
           val dels = latest.filter(col("event_type") === "error")
-            .select(col("user_id"))
+            .select(col("user_id"), col("ts_us"), col("event_id"))
+          // SEQUENCE-GUARDED clauses (Databricks' CDC merge idiom, now
+          // expressible through the conditional grammar): a matched row
+          // only applies when it is at least as late as the stored one
+          // by (ts_us, event_id) — so the winner per key is determined
+          // by the DATA's total order, not by which micro-batch a
+          // microsecond-tied event landed in (batches range-split on
+          // raw nanosecond ts, which can split a microsecond tie
+          // across batches; the oracle orders by (ts_us, event_id)).
+          def laterThanStored(src: String) =
+            s"($src.ts_us > $tbl.ts_us OR ($src.ts_us = $tbl.ts_us " +
+              s"AND $src.event_id >= $tbl.event_id))"
           if (!ups.isEmpty) {
             ups.createOrReplaceTempView(s"${tbl}_ups")
             graft.ext.GraftSqlParser.sql(sess,
               s"MERGE INTO $tbl USING ${tbl}_ups " +
                 s"ON $tbl.user_id = ${tbl}_ups.user_id " +
-                "WHEN MATCHED THEN UPDATE SET * " +
+                s"WHEN MATCHED AND ${laterThanStored(s"${tbl}_ups")} " +
+                "THEN UPDATE SET * " +
                 "WHEN NOT MATCHED THEN INSERT *")
           }
           if (!dels.isEmpty) {
@@ -1182,7 +1200,8 @@ object Streams {
             graft.ext.GraftSqlParser.sql(sess,
               s"MERGE INTO $tbl USING ${tbl}_dels " +
                 s"ON $tbl.user_id = ${tbl}_dels.user_id " +
-                "WHEN MATCHED THEN DELETE")
+                s"WHEN MATCHED AND ${laterThanStored(s"${tbl}_dels")} " +
+                "THEN DELETE")
           }
         }
         ()
