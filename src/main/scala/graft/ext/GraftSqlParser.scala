@@ -8,12 +8,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{StringType, StructType}
 
-/** The MAINTENANCE SQL surface — the statements a user of the reference
-  * actually types on Databricks (`OPTIMIZE ... ZORDER BY`, `RESTORE
-  * TABLE ... TO VERSION AS OF`, `VACUUM`, `CREATE TABLE ... SHALLOW
-  * CLONE`) parsed into this engine's own maintenance commands, so the
-  * reference's operational vocabulary runs here AS SQL, not only as
-  * Scala calls:
+/** The MAINTENANCE + DDL SQL surface — the statements a user of the
+  * reference actually types on Databricks, parsed into this engine's
+  * own commands so the reference's operational vocabulary runs here AS
+  * SQL, not only as Scala calls:
   *
   *   OPTIMIZE t                          -> Optimize.compact
   *   OPTIMIZE t ZORDER BY (a, b)         -> Optimize.zorder
@@ -21,11 +19,27 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   VACUUM t RETAIN v VERSIONS          -> DeletionVectors.vacuum
   *   CREATE TABLE d SHALLOW CLONE s      -> SnapshotCommit.clone
   *   DESCRIBE HISTORY t                  -> per-version audit rows
-  *   MERGE INTO t USING s ON t.k = s.k   -> snapshot-rewrite merge
+  *                                          (constant-time, from the
+  *                                          commit-time _meta sidecar)
+  *   CREATE OR REFRESH MATERIALIZED VIEW n
+  *     (CONSTRAINT c EXPECT (expr)
+  *        [ON VIOLATION FAIL UPDATE|DROP ROW], ...)?
+  *     (CLUSTER BY (cols))? (COMMENT "...")? (TBLPROPERTIES (...))?
+  *     AS query                          -> Pipeline MaterializedView arm
+  *                                          (the reference's gold files
+  *                                          run near-verbatim — see
+  *                                          g15/g16 and [[parseCreateMv]])
+  *   MERGE INTO t USING s ON t.k = s.k   -> TOUCHED-FILE merge commit
   *     WHEN MATCHED THEN UPDATE SET *       (upsert; + NOT MATCHED BY
   *     WHEN NOT MATCHED THEN INSERT *        SOURCE THEN DELETE = full
   *     [WHEN NOT MATCHED BY SOURCE            sync; WHEN MATCHED THEN
   *      THEN DELETE]                          DELETE = keyed delete)
+  *   MERGE INTO t [AS a] USING s [AS b]  -> the GENERAL grammar:
+  *     ON t.k1 = s.k1 AND t.k2 = s.k2       multi-column keys,
+  *     WHEN MATCHED AND cond THEN            first-match conditional
+  *       UPDATE SET c = expr, ... | DELETE   clauses, explicit SET
+  *     WHEN NOT MATCHED AND cond THEN        assignments, INSERT column
+  *       INSERT (cols) VALUES (exprs)        lists with null-fill
   *
   * Wiring, two ways (the GraftExtensions pattern): sessions built with
   * `spark.sql.extensions=graft.ext.GraftExtensions` get this parser
@@ -710,12 +724,19 @@ object GraftSqlParser {
       }
       // Unmatched target rows of touched files rewrite unchanged.
       val keptTarget = touchedLive.join(srcKeys, keys, "left_anti")
-      // Unmatched SOURCE rows vs the FULL live key set.
+      // Unmatched SOURCE rows. When the probe ran, the touched subset
+      // contains EVERY live matched key by construction (a matched
+      // key's rows make their file touched) — so the anti-join needs
+      // only the touched files' keys, not a second full-table key
+      // scan; an insert-only MERGE (no probe) pays the full live-key
+      // scan, its only target read.
       val insertOut: org.apache.spark.sql.DataFrame = if (notMatched.isEmpty)
         touchedLive.limit(0)
       else {
-        val liveKeys = dv.read(spark, tgt)
-          .select(keys.map(col): _*).distinct()
+        val liveKeys =
+          (if (matched.nonEmpty) touchedLive
+           else dv.read(spark, tgt))
+            .select(keys.map(col): _*).distinct()
         val unmatched = srcDf.alias(sA).join(liveKeys, keys, "left_anti")
           .withColumn(IdxCol, clauseIndex(notMatched.map(_.cond)))
           .filter(col(IdxCol) > 0)
