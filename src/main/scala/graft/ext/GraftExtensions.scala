@@ -35,7 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // The maintenance SQL surface (OPTIMIZE [ZORDER BY] / RESTORE /
     // VACUUM / SHALLOW CLONE — see GraftSqlParser): additive, delegates
     // everything else to Spark's parser.
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(delegate, session))
   }
 }
 

@@ -51,10 +51,18 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * Everything that is not a maintenance statement delegates verbatim
   * to Spark's own parser, so the extension is purely additive.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: SparkSession = null) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.maintenance(sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.maintenance(sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      // `FROM t VERSION AS OF v` parses into RelationTimeTravel, which
+      // v1 analysis rejects — resolve it against the engine's
+      // deletion-vector history instead (the session is the one the
+      // extension was built for; a bare-delegate construction skips).
+      if (session == null) plan
+      else GraftSqlParser.resolveTimeTravel(session, plan)
+    }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =
@@ -185,6 +193,13 @@ object GraftSqlParser {
     (MergeHead + "\\s+WHEN\\s+MATCHED\\s+THEN\\s+DELETE\\s*").r
   private val HistoryRe =
     s"(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*".r
+  // Row-level DML: DELETE marks rows dead in the deletion-vector
+  // sidecar (no data rewrite — Delta's DV-enabled DELETE); UPDATE is a
+  // touched-file rewrite like MERGE.
+  private val DeleteRe =
+    s"(?is)\\s*DELETE\\s+FROM\\s+$Ident(?:\\s+WHERE\\s+(.+?))?\\s*".r
+  private val UpdateHeadRe =
+    s"(?is)\\s*UPDATE\\s+$Ident\\s+SET\\s+(.+)".r
   // Any other MERGE INTO routes to the GENERAL grammar below (multi-key
   // ON, conditional WHEN clauses, explicit SET / INSERT column lists) —
   // and fails loudly there on anything not understood, never silently
@@ -291,6 +306,43 @@ object GraftSqlParser {
           "mode" -> "delete", "version" -> v.toString)
       }))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
+    case DeleteRe(tbl, pred) =>
+      Some(GraftMaintenanceCommand(s"DELETE FROM $tbl", { spark =>
+        import org.apache.spark.sql.functions.{expr, lit}
+        // DV delete: data files untouched, matched coordinates land in
+        // the sidecar — Delta's deletion-vector DELETE. No WHERE =
+        // delete everything (still metadata + a coordinate scan, never
+        // a rewrite); time travel to the pre-delete state stays free.
+        val p = Option(pred).map(expr).getOrElse(lit(true))
+        val v = graft.storage.DeletionVectors.delete(spark, tbl, p)
+        Seq("table" -> tbl, "operation" -> "DELETE",
+          "delete_version" -> v.toString)
+      }))
+    case UpdateHeadRe(tbl, setsAndWhere) =>
+      // Split SET assignments from the optional WHERE at top level (an
+      // '=' RHS may itself contain WHERE only inside parens/strings).
+      val wIdx = topLevelIndexOf(setsAndWhere, "WHERE")
+      val setsText =
+        if (wIdx < 0) setsAndWhere else setsAndWhere.substring(0, wIdx)
+      val predText =
+        if (wIdx < 0) None
+        else Some(setsAndWhere.substring(wIdx + "WHERE".length).trim)
+      val sets = splitTop(setsText, ",").map {
+        case AssignRe(q, c, e) =>
+          require(q == null || q.equalsIgnoreCase(tbl),
+            s"UPDATE SET lhs must name a column of $tbl, got $q.$c")
+          (c, e)
+        case other =>
+          sys.error(s"UPDATE SET assignment not understood: '${other.trim}'")
+      }
+      require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+      require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
+        s"UPDATE SET assigns a column twice: $setsText")
+      Some(GraftMaintenanceCommand(s"UPDATE $tbl", { spark =>
+        val v = runUpdate(spark, tbl, sets, predText)
+        Seq("table" -> tbl, "operation" -> "UPDATE",
+          "version" -> v.toString)
+      }))
     case CreateMvRe(name, rest) =>
       Some(parseCreateMv(name.replace("`", ""), rest))
     case text if MergeAnyRe.matches(text) =>
@@ -898,6 +950,93 @@ object GraftSqlParser {
       .getOrElse(sys.error(s"MERGE into $tgt left no published version"))
   }
 
+  /** Execute `UPDATE t SET c = e, ... [WHERE pred]` as a TOUCHED-FILE
+    * rewrite commit (Delta's UPDATE shape): probe which files hold a
+    * LIVE row matching the predicate, rewrite only those files' live
+    * rows (matching rows take the assignments, each cast to its
+    * column's type; non-matching rows pass through verbatim), carry
+    * every untouched file plus the `_dv`/`_stats`/`_batchid` sidecars
+    * by name. Write IO ∝ files holding matched rows; no WHERE updates
+    * everything (a full rewrite, by definition). Assignments may
+    * reference the row's own columns (`SET v = v + 1`). All phases
+    * derive inside the staging closure — a lost optimistic claim
+    * rebases onto the winner's rows, like MERGE.
+    */
+  private def runUpdate(spark: SparkSession, tbl: String,
+      sets: Seq[(String, String)], predText: Option[String]): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    sc.register(spark, tbl)
+    sc.commit(spark, tbl, operation = "UPDATE") { dir =>
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      val cur = sc.currentLocation(spark, tbl).getOrElse(
+        sys.error(s"UPDATE target $tbl has no published version"))
+      val allFiles = sc.listData(spark, cur)
+      val rawSchema = sc.readData(spark, tbl).schema
+      sets.foreach { case (c, _) =>
+        require(rawSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE target $tbl has no column $c") }
+      def pred: Column = predText.map(expr).getOrElse(lit(true))
+      val touched: Set[String] = dv
+        .readWithProvenance(spark, tbl, "_graft_file")
+        .filter(pred)
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      val touchedPhys = allFiles.collect {
+        case (n, p) if touched(n) => p.toString }
+      val touchedLive =
+        if (touchedPhys.isEmpty) sc.readData(spark, tbl).limit(0)
+        else dv.mask(spark, tbl, spark.read.schema(rawSchema)
+          .parquet(touchedPhys: _*))
+      val updated = touchedLive.select(rawSchema.fields.toSeq.map { f =>
+        sets.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            when(pred, expr(e).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      updated.write.parquet(dir)
+      allFiles.foreach { case (n, p) =>
+        if (!touched(n))
+          sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
+      }
+      dv.carrySidecarDropping(spark, tbl, touched, stage)
+      graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
+      sc.carryBatchId(spark, cur, stage)
+    }
+    dv.realign(spark, tbl)
+    sc.register(spark, tbl)
+      .getOrElse(sys.error(s"UPDATE of $tbl left no published version"))
+  }
+
+  /** Resolve `FROM t VERSION AS OF v` (which Spark parses into a
+    * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]] node
+    * that v1 analysis rejects) against the engine's own time-travel
+    * axis: the node rewrites to [[graft.storage.DeletionVectors.readAt]]
+    * over the named table — version 0 is the pre-delete state, version
+    * v the table as of delete version v (b4's semantics, now reachable
+    * as plain SQL). `TIMESTAMP AS OF` stays unsupported and fails with
+    * Spark's own error. Non-numeric versions and multipart names
+    * delegate to Spark's error path untouched.
+    */
+  private[graft] def resolveTimeTravel(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+      (tt.relation, tt.timestamp, tt.version) match {
+        case (u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+            None, Some(v))
+          if u.multipartIdentifier.length == 1 &&
+            v.forall(_.isDigit) && v.nonEmpty =>
+          graft.storage.DeletionVectors
+            .readAt(spark, u.multipartIdentifier.head, v.toLong)
+            .queryExecution.analyzed
+        case _ => tt
+      }
+  }
+
   /** Run a statement on a LIVE session (whose parser was fixed at
     * build): maintenance statements execute through the same grammar
     * the injected parser uses; anything else falls through to
@@ -910,6 +1049,20 @@ object GraftSqlParser {
         spark.createDataFrame(rows.asJava, StructType(cmd.output.map(a =>
           org.apache.spark.sql.types.StructField(a.name, a.dataType,
             a.nullable))))
+      case _ if "(?is).*\\bVERSION\\s+AS\\s+OF\\b.*".r.matches(text) =>
+        // Same time-travel semantics the injected parser resolves at
+        // plan level; a live session cannot hand Spark a raw plan, so
+        // each `FROM t VERSION AS OF v` is bound to a temp view over
+        // the readAt frame and the query runs with the view in place.
+        val TtRe = s"(?is)\\b(FROM|JOIN)\\s+$Ident\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+        val rewritten = TtRe.replaceAllIn(text, m => {
+          val (kw, tbl, v) = (m.group(1), m.group(2), m.group(3))
+          val view = s"${tbl}_asof_$v"
+          graft.storage.DeletionVectors.readAt(spark, tbl, v.toLong)
+            .createOrReplaceTempView(view)
+          s"$kw $view"
+        })
+        spark.sql(rewritten)
       case _ => spark.sql(text)
     }
 }

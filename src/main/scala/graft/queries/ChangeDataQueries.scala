@@ -349,7 +349,81 @@ object ChangeDataQueries {
       col("bal").cast("double").as("bal"), col("seg"))
   }
 
+  /** u12 — row-level DML as SQL: `DELETE FROM ... WHERE` (a
+    * deletion-vector mark — no data rewrite, StorageSpec/ExtensionsSpec
+    * pin the files carrying by name) followed by `UPDATE ... SET ...
+    * WHERE` (a touched-file rewrite, Delta's UPDATE shape — only files
+    * holding a matching live row rewrite; assignments cast to the
+    * column's type and may reference the row's own columns). The gated
+    * frame is the final LIVE view; the oracle replays both statements
+    * relationally. Completes the DML triad with u10/u11's MERGE.
+    */
+  val u12DmlSql = withOracle(
+    "u12_dml_sql",
+    """SELECT o_orderkey AS k,
+      |       CAST(CASE WHEN o_orderstatus = 'F'
+      |                 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100.00
+      |                 ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+      |            AS DOUBLE) AS total,
+      |       o_orderstatus AS status
+      |FROM orders WHERE o_orderkey % 6 <> 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_dml_${graft.queries.StorageQueries.sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("total"),
+          col("o_orderstatus").as("status"))
+        // status-clustered layout: the UPDATE below touches only the
+        // files holding 'F' rows, the rest carry by name.
+        .repartitionByRange(6, col("status"), col("k"))
+        .sortWithinPartitions(col("status"), col("k"))
+        .write.parquet(dir)
+    }
+    graft.ext.GraftSqlParser.sql(s,
+      s"DELETE FROM $tbl WHERE k % 6 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"UPDATE $tbl SET total = total + 100.00 WHERE status = 'F'")
+    graft.storage.SnapshotCommit.register(s, tbl)
+    graft.storage.DeletionVectors.read(s, tbl)
+      .select(col("k"), col("total").cast("double").as("total"),
+        col("status"))
+  }
+
+  /** u13 — time travel as plain SQL: `SELECT ... FROM t VERSION AS OF v`
+    * resolves against the deletion-vector history (version 0 = the
+    * pre-delete table; b4 proves the same semantics through the Scala
+    * API). Two DV deletes accumulate; the gated read is AS OF the
+    * first — the second delete must be invisible to it. Works on both
+    * wiring paths: the injected parser rewrites the RelationTimeTravel
+    * node at plan level, a live session binds the readAt frame under
+    * the statement (GraftSqlParser.sql).
+    */
+  val u13VersionAsOfSql = withOracle(
+    "u13_version_as_of_sql",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_asof_${graft.queries.StorageQueries.sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.parquet(dir)
+    }
+    graft.ext.GraftSqlParser.sql(s, s"DELETE FROM $tbl WHERE k % 7 = 0")
+    graft.ext.GraftSqlParser.sql(s, s"DELETE FROM $tbl WHERE k % 5 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"SELECT k, status, total FROM $tbl VERSION AS OF 1")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
-      u11MergeConditional)
+      u11MergeConditional, u12DmlSql, u13VersionAsOfSql)
 }

@@ -270,6 +270,71 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("SQL DML: DELETE FROM is a DV mark (files untouched), UPDATE is " +
+      "a touched-file rewrite, VERSION AS OF reads time-travel") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "dml_sql_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    val before = SnapshotCommit
+      .listData(spark, SnapshotCommit.currentLocation(spark, tbl).get)
+      .map(_._1).toSet
+    // DELETE: a DV mark — live view shrinks, DATA FILES carry by name.
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id % 10 = 0")
+    val afterDel = SnapshotCommit
+      .listData(spark, SnapshotCommit.currentLocation(spark, tbl).get)
+      .map(_._1).toSet
+    assert(afterDel === before, "DELETE must not rewrite any data file")
+    assert(DeletionVectors.read(spark, tbl).count() === 90)
+    // VERSION AS OF through plain SQL (live-session path): version 0 is
+    // the pre-delete state.
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
+      .collect()(0).getLong(0) === 100L)
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) === 90L)
+    // The injected-parser path resolves the same node at plan level.
+    val resolved = GraftSqlParser.resolveTimeTravel(spark,
+      spark.sessionState.sqlParser.parsePlan(
+        s"SELECT count(*) FROM $tbl VERSION AS OF 1"))
+    assert(resolved.collectFirst {
+      case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => t
+    }.isEmpty, "RelationTimeTravel must resolve against the DV history")
+    // UPDATE: touched-file rewrite — ids 0..20 live in the first range
+    // file(s); the rest carry by name. Updated rows take the new value,
+    // DV-deleted rows stay invisible, untouched rows pass through.
+    GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET v = v + 1 WHERE id <= 20")
+    val afterUpd = SnapshotCommit
+      .listData(spark, SnapshotCommit.currentLocation(spark, tbl).get)
+      .map(_._1).toSet
+    assert((afterUpd intersect before).nonEmpty,
+      "UPDATE must carry untouched files by name")
+    assert((before diff afterUpd).size < before.size,
+      "UPDATE must rewrite only the touched subset")
+    val live = DeletionVectors.read(spark, tbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live.size === 90)
+    assert(live(7) === 71L, "matched row takes the assignment")
+    assert(live(55) === 550L, "unmatched row passes through")
+    assert(!live.contains(10L), "DV-deleted row stays invisible")
+    // Rejections: assigning a column twice / unknown column fail loudly.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET v = 1, v = 2 WHERE id = 1"))
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET nope = 1"))
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("CREATE OR REFRESH MATERIALIZED VIEW: constraints become " +
       "expectations, FAIL UPDATE aborts keeping the prior version, " +
       "CLUSTER BY + COMMENT + TBLPROPERTIES recorded, LIVE. resolves") {
