@@ -238,8 +238,15 @@ object GraftSqlParser {
     c1
   }
 
-  /** The maintenance grammar; None -> not ours, delegate. */
-  def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+  /** The maintenance grammar; None -> not ours, delegate. A trailing
+    * statement terminator is stripped up front — every reference SQL
+    * file ends with one, and each arm's regex anchors to the end. */
+  def maintenance(sqlText0: String): Option[LogicalPlan] = {
+    val sqlText = sqlText0.replaceFirst("(?s);\\s*$", "")
+    maintenanceStmt(sqlText)
+  }
+
+  private def maintenanceStmt(sqlText: String): Option[LogicalPlan] = sqlText match {
     case ZorderRe(tbl, cols) =>
       val cs = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq
@@ -696,7 +703,19 @@ object GraftSqlParser {
     val dv = graft.storage.DeletionVectors
     val IdxCol = "_graft_clause"
     sc.register(spark, tgt)
-    val srcDf = spark.table(src)
+    // Materialize a NON-DETERMINISTIC source once per statement — the
+    // source feeds the dup-check, the probe and the rewrite as SEPARATE
+    // jobs, and one that evaluates differently between them (rand()-
+    // derived views, sampled inputs) could disagree with its own key
+    // set: a key probed but absent from the rewrite silently drops the
+    // target row it displaced from the carried files. Deterministic
+    // sources (the common case) skip the persist — the same conditional
+    // the Pipeline incremental arm applies (Delta's materializeSource).
+    val srcDf0 = spark.table(src)
+    val mustPin = graft.pipeline.Pipeline.nonDeterministic(srcDf0)
+    val srcDf = if (mustPin) srcDf0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else srcDf0
+    try {
     keys.foreach(k => require(
       srcDf.columns.exists(_.equalsIgnoreCase(k)),
       s"MERGE source $src has no key column $k"))
@@ -817,6 +836,7 @@ object GraftSqlParser {
       graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
       sc.carryBatchId(spark, cur, stage)
     }
+    } finally if (mustPin) srcDf.unpersist(false)
     dv.realign(spark, tgt)
     sc.register(spark, tgt)
       .getOrElse(sys.error(s"MERGE into $tgt left no published version"))
@@ -876,7 +896,14 @@ object GraftSqlParser {
     val sc = graft.storage.SnapshotCommit
     val dv = graft.storage.DeletionVectors
     sc.register(spark, tgt)
-    val srcDf = spark.table(src)
+    // Conditional source materialization — see runMergeGeneral: the
+    // source feeds the dup-check, the probe and the rewrite as separate
+    // jobs, so a non-deterministic one must evaluate once.
+    val srcDf0 = spark.table(src)
+    val mustPin = graft.pipeline.Pipeline.nonDeterministic(srcDf0)
+    val srcDf = if (mustPin) srcDf0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else srcDf0
+    try {
     require(srcDf.columns.contains(key),
       s"MERGE source $src has no column $key")
     if (!delete) {
@@ -945,6 +972,7 @@ object GraftSqlParser {
         sc.carryBatchId(spark, cur, stage)
       }
     }
+    } finally if (mustPin) srcDf.unpersist(false)
     dv.realign(spark, tgt) // re-point (or drop) the <tgt>__dv table
     sc.register(spark, tgt)
       .getOrElse(sys.error(s"MERGE into $tgt left no published version"))
@@ -979,9 +1007,17 @@ object GraftSqlParser {
         require(rawSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"UPDATE target $tbl has no column $c") }
       def pred: Column = predText.map(expr).getOrElse(lit(true))
-      val touched: Set[String] = dv
-        .readWithProvenance(spark, tbl, "_graft_file")
+      val probe = dv.readWithProvenance(spark, tbl, "_graft_file")
         .filter(pred)
+      // The predicate evaluates in TWO jobs (file probe, then the
+      // per-row rewrite inside touched files): a non-deterministic one
+      // could match rows in files the probe never selected — a silent
+      // lost update. Fail loudly instead (Delta rejects these too).
+      require(!graft.pipeline.Pipeline.nonDeterministic(probe.toDF()),
+        s"UPDATE $tbl: WHERE predicate must be deterministic " +
+          "(rand()/sampled subqueries evaluate differently between the " +
+          "file probe and the rewrite)")
+      val touched: Set[String] = probe
         .select("_graft_file").distinct()
         .collect().map(_.getString(0)).toSet
       val touchedPhys = allFiles.collect {

@@ -326,11 +326,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(live(7) === 71L, "matched row takes the assignment")
     assert(live(55) === 550L, "unmatched row passes through")
     assert(!live.contains(10L), "DV-deleted row stays invisible")
-    // Rejections: assigning a column twice / unknown column fail loudly.
+    // Rejections: assigning a column twice / unknown column fail loudly,
+    // and a non-deterministic predicate is refused (it would evaluate
+    // differently between the file probe and the rewrite — lost update).
     intercept[Exception](GraftSqlParser.sql(spark,
       s"UPDATE $tbl SET v = 1, v = 2 WHERE id = 1"))
     intercept[Exception](GraftSqlParser.sql(spark,
       s"UPDATE $tbl SET nope = 1"))
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET v = 0 WHERE rand() < 0.5"))
+    // Statement terminators parse (every reference SQL file ends in one).
+    assert(GraftSqlParser.sql(spark, s"DESCRIBE HISTORY $tbl;")
+      .count() >= 1)
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }
