@@ -504,9 +504,58 @@ object OlistQueries {
       col("is_on_time_delivery"))
   }
 
+  /** g17 — the remaining four reference gold files (dim_customers,
+    * dim_sellers, dim_products, dim_date) executed through the MV SQL
+    * surface, completing the literal surface: EVERY `CREATE OR REFRESH
+    * MATERIALIZED VIEW` file the reference ships now runs here
+    * near-verbatim. Rewrites are catalog-prefix-only: the target names,
+    * and `olist_cat.silver.silver_geolocations` (dim_customers.sql:37,
+    * dim_sellers.sql:34 — a 3-part Unity-Catalog name) → the session's
+    * committed geolocation table. The gated frame is the dim_customers
+    * output against g1's oracle (the deepest of the four: window-dedup
+    * + ANY_VALUE geo subquery + broadcast-left-join); the other three
+    * must still EXECUTE (a parse/abort anywhere fails the entry).
+    */
+  val g17ReferenceSqlAllDims = withOracle(
+    "g17_reference_sql_dims", OlistOracle.sql("gold_dim_customers")) {
+    (s, d) =>
+      val names = OlistMaterialized.ensure(s, d)
+      registerReferenceNames(s, names)
+      s.table(names.silverProducts)
+        .createOrReplaceTempView("silver_products")
+      s.table(names.silverSellers)
+        .createOrReplaceTempView("silver_sellers")
+      val geo = s"olist_silver_geolocations_view_${names.suffix}"
+      s.table(names.silverGeo).createOrReplaceTempView(geo)
+      def run(file: String, from: String, to: String): Unit =
+        graft.ext.GraftSqlParser.sql(s,
+          referenceGoldSql(file, from, to)
+            .replace("olist_cat.silver.silver_geolocations", geo))
+      val sfx = names.suffix
+      run("dim_customers.sql", "gold.dim_customers", s"olist_gold_dimcust_ref_$sfx")
+      run("dim_sellers.sql", "gold.dim_sellers", s"olist_gold_dimsell_ref_$sfx")
+      run("dim_products.sql", "gold.dim_products", s"olist_gold_dimprod_ref_$sfx")
+      run("dim_date.sql", "gold.dim_date", s"olist_gold_dimdate_ref_$sfx")
+      // Execution proof for the ungated three: committed and non-empty.
+      Seq(s"olist_gold_dimsell_ref_$sfx", s"olist_gold_dimprod_ref_$sfx",
+        s"olist_gold_dimdate_ref_$sfx").foreach { t =>
+        require(s.table(t).limit(1).count() == 1,
+          s"reference dim file for $t committed no rows")
+      }
+      s.table(s"olist_gold_dimcust_ref_$sfx").select(
+        col("customer_key"), col("customer_natural_key"),
+        col("customer_unique_id"),
+        col("customer_zip_code_prefix").cast("long")
+          .as("customer_zip_code_prefix"),
+        col("customer_city"), col("customer_state"),
+        col("customer_state_full"),
+        col("geolocation_lat"), col("geolocation_lng"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     g1DimCustomers, g2DimSellers, g3DimProducts, g4DimOrders, g5DimDate,
     g6FactOrderItems, g7MedallionPipeline, g8DimProductsSql, g9RevenueRollup,
     g10CategoryKpis, g11GeoJoin, g12DeliverySla, g15ReferenceSql,
-    g16ReferenceSqlDim, st6CsvBronze, u4IncrementalSilver)
+    g16ReferenceSqlDim, g17ReferenceSqlAllDims, st6CsvBronze,
+    u4IncrementalSilver)
 }
