@@ -21,6 +21,15 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   DESCRIBE HISTORY t                  -> per-version audit rows
   *                                          (constant-time, from the
   *                                          commit-time _meta sidecar)
+  *   DESCRIBE DETAIL t                   -> one row of table facts
+  *                                          (same sidecars, same cost)
+  *   DELETE FROM t [WHERE pred]          -> DeletionVectors.delete (a
+  *                                          DV mark, no data rewrite)
+  *   UPDATE t SET c = e, ... [WHERE p]   -> touched-file rewrite commit
+  *   SELECT ... FROM t VERSION AS OF v   -> DV-history time travel
+  *                                          (plan-level on the injected
+  *                                          parser; view-bound on live
+  *                                          sessions)
   *   CREATE OR REFRESH MATERIALIZED VIEW n
   *     (CONSTRAINT c EXPECT (expr)
   *        [ON VIOLATION FAIL UPDATE|DROP ROW], ...)?
@@ -193,6 +202,8 @@ object GraftSqlParser {
     (MergeHead + "\\s+WHEN\\s+MATCHED\\s+THEN\\s+DELETE\\s*").r
   private val HistoryRe =
     s"(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*".r
+  private val DetailRe =
+    s"(?is)\\s*DESCRIBE\\s+DETAIL\\s+$Ident\\s*".r
   // Row-level DML: DELETE marks rows dead in the deletion-vector
   // sidecar (no data rewrite — Delta's DV-enabled DELETE); UPDATE is a
   // touched-file rewrite like MERGE.
@@ -313,6 +324,35 @@ object GraftSqlParser {
           "mode" -> "delete", "version" -> v.toString)
       }))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
+    case DetailRe(tbl) =>
+      // Delta's `DESCRIBE DETAIL`: one row of table-level facts, served
+      // from the CURRENT version's `_meta` audit sidecar plus the root
+      // sidecars — constant-time like HISTORY (no per-data-file status;
+      // a pre-_meta or manifest version reports -1 bytes rather than
+      // paying a per-file walk).
+      Some(GraftMaintenanceCommand(s"DETAIL $tbl", { spark =>
+        val sc = graft.storage.SnapshotCommit
+        val v = sc.register(spark, tbl).getOrElse(sys.error(
+          s"DESCRIBE DETAIL $tbl: table has no published version"))
+        val dir = sc.resolveDir(spark, tbl, v).getOrElse(sys.error(
+          s"DESCRIBE DETAIL $tbl: version v$v has no directory"))
+        val meta = sc.versionMeta(spark, dir)
+        val props = sc.properties(spark, tbl)
+        Seq(
+          "name" -> tbl,
+          "format" -> "parquet (graft snapshot)",
+          "location" -> dir.toString,
+          "version" -> v.toString,
+          "numFiles" -> meta.map(_.nFiles.toString).getOrElse("-1"),
+          "sizeInBytes" -> meta.map(_.bytes.toString).getOrElse("-1"),
+          "numRows" -> meta.map(_.rows.toString).getOrElse("-1"),
+          "lastModified" -> meta.map(_.tsMs.toString).getOrElse("-1"),
+          "lastOperation" -> meta.map(_.operation).getOrElse("UNKNOWN"),
+          "deleteVersion" ->
+            graft.storage.DeletionVectors.version(spark, tbl).toString
+        ) ++ props.toSeq.sortBy(_._1).map { case (k, vv) =>
+          s"properties.$k" -> vv }
+      }))
     case DeleteRe(tbl, pred) =>
       Some(GraftMaintenanceCommand(s"DELETE FROM $tbl", { spark =>
         import org.apache.spark.sql.functions.{expr, lit}

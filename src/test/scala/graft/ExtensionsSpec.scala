@@ -266,6 +266,18 @@ class ExtensionsSpec extends SparkSpec {
     // A table with no published version fails loudly, not empty.
     intercept[Exception](
       GraftSqlParser.sql(spark, "DESCRIBE HISTORY history_sql_missing"))
+    // DESCRIBE DETAIL: one row of table facts from the same sidecars —
+    // still zero per-data-file status calls.
+    val callsD = GraftHistoryCommand.legacyStatusCalls.get()
+    val detail = GraftSqlParser.sql(spark, s"DESCRIBE DETAIL $tbl")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(GraftHistoryCommand.legacyStatusCalls.get() === callsD)
+    assert(detail("numFiles") === "3" && detail("version") === "4")
+    assert(detail("lastOperation") === "DELETE")
+    assert(detail("sizeInBytes").toLong > 0)
+    assert(detail("deleteVersion") === "1")
+    intercept[Exception](
+      GraftSqlParser.sql(spark, "DESCRIBE DETAIL history_sql_missing"))
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }
