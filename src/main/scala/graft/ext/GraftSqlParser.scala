@@ -181,6 +181,26 @@ object GraftSqlParser {
     s"(?is)\\s*RESTORE\\s+TABLE\\s+$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*".r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*".r
+  // Delta's actual retention form: fold delete versions whose commit
+  // timestamp (the sidecar's `_ts:` sentinels) is older than n hours.
+  private val VacuumHoursRe =
+    s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*".r
+  // CTAS through the commit protocol: every created table is versioned
+  // (time travel, DESCRIBE HISTORY, stats skipping) out of the box.
+  // Multipart names never match (the '.' breaks the ident) and delegate.
+  private val CtasRe =
+    (s"(?is)\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$Ident" +
+      "\\s+AS\\s+(.+)").r
+  // INSERT INTO as an append COMMIT (new files + previous files carried
+  // by name). The body must open with a query keyword; a column-list
+  // INSERT parses to a loud exec-time error on versioned targets (a
+  // silent delegate would write raw files INTO the immutable version
+  // directory).
+  private val InsertRe =
+    (s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident" +
+      "\\s+((?:SELECT|VALUES|TABLE|FROM|WITH)\\b.*)").r
+  private val InsertColListRe =
+    s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident\\s*\\(.*".r
   private val CloneRe =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident\\s*".r
   // MERGE — the three canonical Delta forms on a single same-named key:
@@ -286,6 +306,13 @@ object GraftSqlParser {
         graft.storage.DeletionVectors.restore(spark, tbl, v.toLong)
         Seq("table" -> tbl, "restored_to_version" -> v)
       }))
+    case VacuumHoursRe(tbl, h) =>
+      Some(GraftMaintenanceCommand(s"VACUUM $tbl (hours)", { spark =>
+        val cutoff = graft.storage.DeletionVectors
+          .vacuumRetainHours(spark, tbl, h.toLong)
+        Seq("table" -> tbl, "retained_hours" -> h,
+          "vacuumed_through_version" -> cutoff.toString)
+      }))
     case VacuumRe(tbl, v) =>
       Some(GraftMaintenanceCommand(s"VACUUM $tbl", { spark =>
         // RETAIN n VERSIONS = keep the n NEWEST delete versions
@@ -306,6 +333,29 @@ object GraftSqlParser {
         Seq("table" -> dst, "cloned_from" -> src,
           "location" -> loc.toString)
       }))
+    case CtasRe(orReplace, tbl, query) =>
+      Some(GraftMaintenanceCommand(s"CTAS $tbl", { spark =>
+        val v = runCtas(spark, tbl, query, replace = orReplace != null)
+        Seq("table" -> tbl,
+          "operation" -> (if (orReplace != null) "REPLACE TABLE AS SELECT"
+                          else "CREATE TABLE AS SELECT"),
+          "version" -> v.toString)
+      }))
+    case InsertRe(tbl, query) =>
+      Some(GraftMaintenanceCommand(s"INSERT INTO $tbl", { spark =>
+        val v = runInsert(spark, tbl, query)
+        Seq("table" -> tbl, "operation" -> "INSERT",
+          "version" -> v.toString)
+      }))
+    case InsertColListRe(tbl) =>
+      // Loud at parse time, like every not-understood MERGE clause: a
+      // silent delegate on a VERSIONED target would let Spark write raw
+      // part files INTO the immutable version directory (corruption),
+      // and parse time has no session to tell versioned from plain.
+      sys.error(
+        s"INSERT INTO $tbl (columns...) is not supported on the " +
+          "versioned surface: name every column in the SELECT instead " +
+          "(positional `INSERT INTO t SELECT ...` commits a version)")
     case MergeUpsertRe(tgt, tA, src, sA, q1, c1, q2, c2, bySource) =>
       val key = mergeKey(tgt, tA, src, sA, q1, c1, q2, c2)
       val sync = bySource != null
@@ -593,6 +643,87 @@ object GraftSqlParser {
     -1
   }
 
+  /** Strip the DLT virtual-schema prefix `LIVE.` (DLT's own resolution
+    * rule: `LIVE.x` names the pipeline-visible dataset `x`) — but only
+    * OUTSIDE string literals, backquoted identifiers and SQL comments: a
+    * regex replaceAll also rewrote matches inside literals (`'LIVE.x'`
+    * silently became `'x'` — data alteration, ADVICE r15). Same scanner
+    * discipline as [[topLevelIndexOf]]/[[splitTop]].
+    */
+  private[graft] def stripLivePrefix(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var q1 = false; var q2 = false; var bt = false
+    var lineC = false; var blockC = false
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (lineC) { if (ch == '\n') lineC = false; out += ch; i += 1 }
+      else if (blockC) {
+        if (ch == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          out ++= "*/"; blockC = false; i += 2
+        } else { out += ch; i += 1 }
+      }
+      else if (q1) { if (ch == '\'') q1 = false; out += ch; i += 1 }
+      else if (q2) { if (ch == '"') q2 = false; out += ch; i += 1 }
+      else if (bt) { if (ch == '`') bt = false; out += ch; i += 1 }
+      else if (ch == '\'') { q1 = true; out += ch; i += 1 }
+      else if (ch == '"') { q2 = true; out += ch; i += 1 }
+      else if (ch == '`') { bt = true; out += ch; i += 1 }
+      else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        lineC = true; out += ch; i += 1
+      }
+      else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        blockC = true; out += ch; i += 1
+      }
+      else if (s.regionMatches(true, i, "LIVE", 0, 4) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+        // The prefix only strips when the token is followed (over
+        // optional whitespace) by '.': `LIVE` as a plain identifier or
+        // `LIVES.x` pass through untouched.
+        var j = i + 4
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '.') {
+          var k = j + 1
+          while (k < s.length && s.charAt(k).isWhitespace) k += 1
+          i = k // drop "LIVE . " entirely
+        } else { out += ch; i += 1 }
+      }
+      else { out += ch; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Is position `pos` of `s` inside a single/double-quoted literal or a
+    * SQL comment? (Backquoted identifiers cannot legally contain the
+    * statement keywords the callers guard, so they are not tracked.) */
+  private def inQuotedOrComment(s: String, pos: Int): Boolean = {
+    var i = 0
+    var q1 = false; var q2 = false; var lineC = false; var blockC = false
+    while (i < pos && i < s.length) {
+      val ch = s.charAt(i)
+      if (lineC) { if (ch == '\n') lineC = false }
+      else if (blockC) {
+        if (ch == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          blockC = false; i += 1
+        }
+      }
+      else if (q1) { if (ch == '\'') q1 = false }
+      else if (q2) { if (ch == '"') q2 = false }
+      else ch match {
+        case '\'' => q1 = true
+        case '"' => q2 = true
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          lineC = true
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          blockC = true
+        case _ => ()
+      }
+      i += 1
+    }
+    q1 || q2 || lineC || blockC
+  }
+
   /** Index just past the ')' matching the '(' at `open`. */
   private def pastBalanced(s: String, open: Int): Int = {
     var depth = 0; var q1 = false; var q2 = false; var i = open
@@ -682,7 +813,7 @@ object GraftSqlParser {
       case other =>
         sys.error(s"MATERIALIZED VIEW header not understood at: '$other'")
     }
-    val liveResolved = query.replaceAll("(?i)\\bLIVE\\s*\\.\\s*", "")
+    val liveResolved = stripLivePrefix(query)
     GraftMaintenanceCommand(s"CREATE MV $name", { spark =>
       import org.apache.spark.sql.functions.expr
       val dq = graft.dq.Expectations
@@ -707,6 +838,23 @@ object GraftSqlParser {
         "constraints" -> exps.size.toString,
         "clustered_by" -> clusterCols.mkString(","))
     })
+  }
+
+  /** The source keys' per-column [min, max] envelope as a pushable
+    * predicate — the probe-pruning bounds (see the runMerge probe
+    * comment). One 1-row aggregate over the source. None when ANY key
+    * column has no non-null value: such a source equi-matches nothing,
+    * so the caller can skip the probe scan outright. */
+  private def sourceKeyRange(src: DataFrame,
+      keys: Seq[String]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
+    val r = src.agg(aggs.head, aggs.tail: _*).head()
+    if (keys.indices.exists(i => r.isNullAt(2 * i))) None
+    else Some(keys.zipWithIndex.map { case (k, i) =>
+      col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
+    }.reduce(_ && _))
   }
 
   /** Execute a general MERGE with the same touched-file economics as
@@ -782,13 +930,21 @@ object GraftSqlParser {
         s"MERGE target $tgt has no key column $k"))
       val srcKeys = srcDf.select(keys.map(col): _*).distinct()
       // Probe — only when a matched clause can change a target row.
+      // Pre-restricted to the source keys' per-column [min, max] (the
+      // runMerge source-stats pruning, one conjunct per key) so a
+      // clustered target's stats sidecar prunes the probe scan.
       val touched: Set[String] =
         if (matched.isEmpty) Set.empty
-        else dv.readWithProvenance(spark, tgt, "_graft_file")
-          .select(keys.map(col) :+ col("_graft_file"): _*)
-          .join(srcKeys, keys, "left_semi")
-          .select("_graft_file").distinct()
-          .collect().map(_.getString(0)).toSet
+        else sourceKeyRange(srcDf, keys) match {
+          case None => Set.empty
+          case Some(rangePred) =>
+            dv.readWithProvenance(spark, tgt, "_graft_file")
+              .filter(rangePred)
+              .select(keys.map(col) :+ col("_graft_file"): _*)
+              .join(srcKeys, keys, "left_semi")
+              .select("_graft_file").distinct()
+              .collect().map(_.getString(0)).toSet
+        }
       val touchedPhys = allFiles.collect {
         case (n, p) if touched(n) => p.toString }
       val touchedLive =
@@ -977,13 +1133,27 @@ object GraftSqlParser {
           sys.error(s"MERGE target $tgt has no published version"))
         val allFiles = sc.listData(spark, cur) // (basename, physical)
         val srcKeys = srcDf.select(col(key)).distinct()
-        // Phase 1 — probe: which files hold a LIVE matched key.
-        val touched: Set[String] = dv
-          .readWithProvenance(spark, tgt, "_graft_file")
-          .select(col(key), col("_graft_file"))
-          .join(srcKeys, Seq(key), "left_semi")
-          .select("_graft_file").distinct()
-          .collect().map(_.getString(0)).toSet
+        // Phase 1 — probe: which files hold a LIVE matched key. The
+        // semi-join carries no literal bounds StatsSkippingRule could
+        // prune with, so the probe scan is pre-restricted to the SOURCE
+        // KEYS' [min, max] — Delta's source-stats file pruning: one
+        // tiny agg on the source buys a range that pushdown lands on
+        // the scan, where a clustered target's `_stats` sidecar prunes
+        // to the intersecting files (StorageSpec pins the file count).
+        // Semantically redundant (the semi-join already implies it) —
+        // pure IO. Null keys never equi-match; an all-null/empty source
+        // matches nothing and skips the probe scan entirely.
+        val touched: Set[String] =
+          sourceKeyRange(srcDf, Seq(key)) match {
+            case None => Set.empty
+            case Some(rangePred) => dv
+              .readWithProvenance(spark, tgt, "_graft_file")
+              .filter(rangePred)
+              .select(col(key), col("_graft_file"))
+              .join(srcKeys, Seq(key), "left_semi")
+              .select("_graft_file").distinct()
+              .collect().map(_.getString(0)).toSet
+          }
         // Phase 2 — rewrite ONLY the touched files' live rows.
         val rawSchema = sc.readData(spark, tgt).schema
         val touchedPhys = allFiles.collect {
@@ -1088,15 +1258,118 @@ object GraftSqlParser {
       .getOrElse(sys.error(s"UPDATE of $tbl left no published version"))
   }
 
-  /** Resolve `FROM t VERSION AS OF v` (which Spark parses into a
+  /** Execute `CREATE [OR REPLACE] TABLE t AS <query>` as a snapshot
+    * commit — the statement that previously fell through to Spark's
+    * plain `saveAsTable` and bypassed the commit protocol entirely (no
+    * version chain, no stats, no time travel). Here every CTAS'd table
+    * is a versioned table out of the box: the query's output commits as
+    * the next version through [[graft.storage.StatsSkipping
+    * .commitWithStats]] with per-file stats on EVERY output column
+    * (Delta records stats on its leading columns at write; the sidecar
+    * encoder simply skips types it cannot stat), so DESCRIBE HISTORY,
+    * VERSION AS OF and default-path skipping work immediately.
+    * Plain CREATE fails on an existing table (Delta's TABLE_OR_VIEW_
+    * ALREADY_EXISTS); OR REPLACE commits a full-overwrite version —
+    * history survives, the deletion-vector sidecar does not carry (its
+    * coordinates name the replaced files).
+    */
+  private def runCtas(spark: SparkSession, tbl: String, query: String,
+      replace: Boolean): Long = {
+    val sc = graft.storage.SnapshotCommit
+    val existing = sc.register(spark, tbl)
+    require(replace || (existing.isEmpty && !spark.catalog.tableExists(tbl)),
+      s"CREATE TABLE $tbl: table already exists " +
+        "(use CREATE OR REPLACE TABLE to commit a replacing version)")
+    val df = spark.sql(query)
+    require(!df.isStreaming, s"CTAS $tbl cannot run a streaming query")
+    val statsCols = df.schema.fieldNames.toSeq
+    val op =
+      if (replace && existing.isDefined) "REPLACE TABLE AS SELECT"
+      else "CREATE TABLE AS SELECT"
+    graft.storage.StatsSkipping.commitWithStats(spark, tbl, statsCols,
+      operation = op) { stage =>
+      df.write.mode("overwrite").parquet(stage)
+    }
+    graft.storage.DeletionVectors.realign(spark, tbl) // replace drops _dv
+    sc.register(spark, tbl)
+      .getOrElse(sys.error(s"CTAS of $tbl left no published version"))
+  }
+
+  /** Execute `INSERT INTO t <query>` as an APPEND commit: the query's
+    * rows write as new files, every previous file carries by name (hard
+    * link / manifest ref — no data IO), and the `_dv`/`_stats`/
+    * `_batchid` sidecars ride along exactly as they do through MERGE —
+    * deleted rows stay deleted, skipping keeps pruning, exactly-once
+    * sink replay survives. A plain catalog table is ADOPTED into the
+    * versioned surface on its first INSERT (version 1 = its files
+    * carried, the Delta CONVERT shape). Columns align to the target BY
+    * POSITION with a cast to the target type — SQL INSERT semantics —
+    * and arity mismatches fail loudly.
+    */
+  private def runInsert(spark: SparkSession, tbl: String,
+      query: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    dv.ensureSnapshot(spark, tbl) // adopt a plain table on first INSERT
+    sc.register(spark, tbl)
+    val src = spark.sql(query)
+    require(!src.isStreaming, s"INSERT INTO $tbl cannot run a streaming query")
+    sc.commit(spark, tbl, operation = "WRITE") { dir =>
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      // Aligned INSIDE the closure: a rebase re-reads the then-current
+      // target schema (a concurrent widening commit could change it).
+      val target = sc.readData(spark, tbl).schema
+      require(src.schema.length == target.length,
+        s"INSERT INTO $tbl: query produces ${src.schema.length} columns, " +
+          s"table has ${target.length}")
+      val aligned = src.toDF(target.fieldNames.toIndexedSeq: _*)
+        .select(target.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      aligned.write.mode("overwrite").parquet(dir)
+      sc.currentLocation(spark, tbl).foreach { prev =>
+        sc.carryData(spark, prev, stage)
+        sc.carryDvDir(spark, prev, stage)
+        graft.storage.StatsSkipping.refreshStats(spark, prev, stage)
+        sc.carryBatchId(spark, prev, stage)
+      }
+    }
+    dv.realign(spark, tbl)
+    sc.register(spark, tbl)
+      .getOrElse(sys.error(s"INSERT into $tbl left no published version"))
+  }
+
+  /** Parse a SQL timestamp string ('yyyy-MM-dd[ HH:mm:ss[.SSS]]') to
+    * epoch millis in the SESSION time zone — the zone Spark itself
+    * would cast the literal under. */
+  private[graft] def parseTsMs(spark: SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(spark.conf.get(
+      "spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+    val t = s.trim
+    val ldt =
+      if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+        java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    ldt.atZone(zone).toInstant.toEpochMilli
+  }
+
+  /** Resolve `FROM t VERSION AS OF v` / `FROM t TIMESTAMP AS OF ts`
+    * (which Spark parses into a
     * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]] node
     * that v1 analysis rejects) against the engine's own time-travel
     * axis: the node rewrites to [[graft.storage.DeletionVectors.readAt]]
     * over the named table — version 0 is the pre-delete state, version
     * v the table as of delete version v (b4's semantics, now reachable
-    * as plain SQL). `TIMESTAMP AS OF` stays unsupported and fails with
-    * Spark's own error. Non-numeric versions and multipart names
-    * delegate to Spark's error path untouched.
+    * as plain SQL). A TIMESTAMP anchor resolves to the latest delete
+    * version committed at or before it (Delta's rule) through the
+    * sidecar's `_ts:` sentinels
+    * ([[graft.storage.DeletionVectors.versionAtTimestamp]] — loud
+    * failure before the table's first commit or on a pre-sentinel
+    * timeline). `table_changes(t, v1, v2)` — Delta's CDC TVF — rewrites
+    * to [[graft.storage.DeletionVectors.changesBetween]]. Non-numeric
+    * versions, unparseable timestamps and multipart names delegate to
+    * Spark's error path untouched.
     */
   private[graft] def resolveTimeTravel(spark: SparkSession,
       plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -1109,7 +1382,40 @@ object GraftSqlParser {
           graft.storage.DeletionVectors
             .readAt(spark, u.multipartIdentifier.head, v.toLong)
             .queryExecution.analyzed
+        case (u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+            Some(ts), None) if u.multipartIdentifier.length == 1 =>
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          import org.apache.spark.sql.types.{StringType, TimestampType}
+          val ms: Option[Long] = ts match {
+            case Literal(s, StringType) =>
+              scala.util.Try(parseTsMs(spark, s.toString)).toOption
+            case Literal(us: Long, TimestampType) => Some(us / 1000L)
+            case Cast(Literal(s, StringType), TimestampType, _, _) =>
+              scala.util.Try(parseTsMs(spark, s.toString)).toOption
+            case _ => None
+          }
+          ms.map(m => graft.storage.DeletionVectors
+            .readAtTimestamp(spark, u.multipartIdentifier.head, m)
+            .queryExecution.analyzed).getOrElse(tt)
         case _ => tt
+      }
+    case tvf: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedTableValuedFunction
+      if tvf.name.length == 1 &&
+        tvf.name.head.equalsIgnoreCase("table_changes") =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      tvf.functionArgs match {
+        case Seq(Literal(t, org.apache.spark.sql.types.StringType),
+            Literal(v1, _), Literal(v2, _))
+          if scala.util.Try(v1.toString.toLong).isSuccess &&
+            scala.util.Try(v2.toString.toLong).isSuccess =>
+          graft.storage.DeletionVectors
+            .changesBetween(spark, t.toString, v1.toString.toLong,
+              v2.toString.toLong)
+            .queryExecution.analyzed
+        case _ => sys.error(
+          "table_changes takes (table-name string, from-version, " +
+            s"to-version) literals; got: ${tvf.functionArgs}")
       }
   }
 
@@ -1125,20 +1431,58 @@ object GraftSqlParser {
         spark.createDataFrame(rows.asJava, StructType(cmd.output.map(a =>
           org.apache.spark.sql.types.StructField(a.name, a.dataType,
             a.nullable))))
-      case _ if "(?is).*\\bVERSION\\s+AS\\s+OF\\b.*".r.matches(text) =>
-        // Same time-travel semantics the injected parser resolves at
-        // plan level; a live session cannot hand Spark a raw plan, so
-        // each `FROM t VERSION AS OF v` is bound to a temp view over
-        // the readAt frame and the query runs with the view in place.
-        val TtRe = s"(?is)\\b(FROM|JOIN)\\s+$Ident\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
-        val rewritten = TtRe.replaceAllIn(text, m => {
-          val (kw, tbl, v) = (m.group(1), m.group(2), m.group(3))
-          val view = s"${tbl}_asof_$v"
-          graft.storage.DeletionVectors.readAt(spark, tbl, v.toLong)
-            .createOrReplaceTempView(view)
-          s"$kw $view"
-        })
-        spark.sql(rewritten)
-      case _ => spark.sql(text)
+      case _ =>
+        // Time-travel / CDC-TVF phrases on a live session: the injected
+        // parser resolves these at plan level; a live session cannot
+        // hand Spark a raw plan, so each phrase is bound to a temp view
+        // over the engine frame and the query runs with the views in
+        // place. Matches inside string literals/comments are left
+        // VERBATIM and register no view (ADVICE r15: the raw
+        // replaceAllIn silently altered a query that merely CONTAINED
+        // the phrase in a literal, and registered temp views as a side
+        // effect). Sequential single pass — never recursive, so a
+        // literal-only occurrence cannot loop.
+        val TtRe =
+          s"(?is)\\b(FROM|JOIN)\\s+$Ident\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+        val TsRe = (s"(?is)\\b(FROM|JOIN)\\s+$Ident\\s+TIMESTAMP\\s+AS" +
+          "\\s+OF\\s+'([^']+)'").r
+        val TvfRe = ("(?is)\\btable_changes\\s*\\(\\s*'" +
+          "([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)").r
+        def verbatim(m: scala.util.matching.Regex.Match) =
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        var cur = text
+        cur = TtRe.replaceAllIn(cur, m =>
+          if (inQuotedOrComment(cur, m.start)) verbatim(m)
+          else {
+            val (kw, tbl, v) = (m.group(1), m.group(2), m.group(3))
+            val view = s"${tbl}_asof_$v"
+            graft.storage.DeletionVectors.readAt(spark, tbl, v.toLong)
+              .createOrReplaceTempView(view)
+            s"$kw $view"
+          })
+        cur = TsRe.replaceAllIn(cur, m =>
+          if (inQuotedOrComment(cur, m.start)) verbatim(m)
+          else {
+            // Resolution is versionAtTimestamp's latest-version-<=-ts
+            // rule (Delta's), against the sidecar's `_ts:` sentinels.
+            val (kw, tbl, ts) = (m.group(1), m.group(2), m.group(3))
+            val v = graft.storage.DeletionVectors
+              .versionAtTimestamp(spark, tbl, parseTsMs(spark, ts))
+            val view = s"${tbl}_asof_$v"
+            graft.storage.DeletionVectors.readAt(spark, tbl, v)
+              .createOrReplaceTempView(view)
+            s"$kw $view"
+          })
+        cur = TvfRe.replaceAllIn(cur, m =>
+          if (inQuotedOrComment(cur, m.start)) verbatim(m)
+          else {
+            val (tbl, v1, v2) = (m.group(1), m.group(2), m.group(3))
+            val view = s"${tbl}_changes_${v1}_$v2"
+            graft.storage.DeletionVectors
+              .changesBetween(spark, tbl, v1.toLong, v2.toLong)
+              .createOrReplaceTempView(view)
+            view
+          })
+        spark.sql(cur)
     }
 }

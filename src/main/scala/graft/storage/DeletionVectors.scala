@@ -58,6 +58,24 @@ object DeletionVectors {
 
   private def dvName(table: String) = s"${table}__dv"
 
+  /** Wall clock for delete-version timestamp sentinels — a test hook
+    * (specs pin TIMESTAMP AS OF / RETAIN n HOURS resolution against
+    * injected instants); production never touches it. */
+  private[graft] var clockMs: () => Long = () => System.currentTimeMillis()
+
+  /** Sentinel prefix recording WHEN a delete version committed:
+    * `(_ts:<epochMillis>, -1, v)` rides in the sidecar next to the
+    * `_hwm` stamp — synthetic coordinates (p = -1) match no data row,
+    * restore keeps them (p < 0), carries keep them, and vacuum restates
+    * the ones above its cutoff — so the (version, timestamp) map
+    * survives every lifecycle op that keeps the version readable. This
+    * is the resolution axis for `TIMESTAMP AS OF` and `VACUUM ...
+    * RETAIN n HOURS` (Delta serves both from its commit log; the
+    * engine's log IS the sidecar + `_meta`, and `_meta` dies with
+    * pruned snapshot directories, so the timestamps must live in the
+    * sidecar that survives). */
+  private[graft] val TsPrefix = "_ts:"
+
   /** Coordinates key on BASENAME: hard-link carries preserve it across
     * snapshot versions, while the full path changes with each version
     * directory. Basenames are unique within a table (Spark part files
@@ -106,7 +124,7 @@ object DeletionVectors {
     * bytes — a flat carry would silently drop them (or nest-collide).
     * Misuse fails fast here instead of corrupting data.
     */
-  private def ensureSnapshot(spark: SparkSession, table: String): Path =
+  private[graft] def ensureSnapshot(spark: SparkSession, table: String): Path =
     SnapshotCommit.currentLocation(spark, table).getOrElse {
       if (spark.catalog.tableExists(table)) {
         val meta = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
@@ -181,7 +199,8 @@ object DeletionVectors {
       // call already returned — a later readAt(v) would then subtract
       // that other delete's rows, silently changing what the returned
       // anchor means. Synthetic coordinates (p = -1) match no data row.
-      val stamp = spark.createDataFrame(Seq(("_hwm", -1L, v)))
+      val stamp = spark.createDataFrame(
+          Seq(("_hwm", -1L, v), (s"$TsPrefix${clockMs()}", -1L, v)))
         .toDF("f", "p", "v")
       val newSidecar = (sidecarDf(spark, table) match {
         case Some(sc) => sc.unionByName(coords)
@@ -456,8 +475,14 @@ object DeletionVectors {
       Seq(("_floor", -1L, cutoff),
           ("_hwm", -1L, math.max(cutoff, version(spark, table)))))
       .toDF("f", "p", "v")
+    // Timestamp sentinels of versions ABOVE the cutoff survive the
+    // fold: those versions stay readable, so their TIMESTAMP AS OF
+    // anchors must keep resolving (folded versions' stamps go with
+    // their history, like everything below the floor).
+    val keptTs = sidecar.filter(col("p") < 0 && col("v") > cutoff &&
+      col("f").startsWith(TsPrefix))
     val newSidecar = untouchedEntries.unionByName(rebasedAffected)
-      .unionByName(sentinels)
+      .unionByName(keptTs).unionByName(sentinels)
 
     // ONE atomic publish: rebased sidecar + rewritten groups + carried
     // links. The sidecar write executes first (it reads the old files
@@ -494,6 +519,118 @@ object DeletionVectors {
     }
     registerDv(spark, table)
     spark.sql(s"REFRESH TABLE $table")
+  }
+
+  /** The (delete version, commit epoch-millis) map recorded by the
+    * `_ts:` sentinels, ascending by version. Deletes predating the
+    * sentinel (pre-r16 sidecars) are absent from it. */
+  private def tsAnchors(spark: SparkSession,
+      table: String): Seq[(Long, Long)] =
+    sidecarDf(spark, table) match {
+      case None => Seq.empty
+      case Some(sc) => sc
+        .filter(col("p") < 0 && col("f").startsWith(TsPrefix))
+        .select(col("v"), col("f"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getString(1).substring(TsPrefix.length).toLong)
+        .toSeq.sortBy(_._1)
+    }
+
+  /** Resolve `TIMESTAMP AS OF <tsMs>` on the delete-version axis: the
+    * LATEST delete version committed at or before `tsMs` (Delta's
+    * latest-version-<=-timestamp rule), 0 (the pre-delete state) for a
+    * timestamp between table creation and the first delete. Loud
+    * failures, Delta-style:
+    *  - a timestamp BEFORE the table existed (earlier than the snapshot
+    *    root's `_incarnation` marker, stamped at first commit) errors —
+    *    there is no version to serve;
+    *  - a table whose delete history PREDATES timestamp recording (a
+    *    delete version with no `_ts:` sentinel) errors rather than
+    *    silently resolving against a partial timeline.
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMs: Long): Long = {
+    val root = SnapshotCommit.rootDir(spark, table)
+    val marker = new Path(root, SnapshotCommit.IncarnationMarker)
+    val mfs = fs(spark, marker)
+    require(mfs.exists(marker),
+      s"TIMESTAMP AS OF on $table: table has no commit timeline " +
+        "(not snapshot-committed, or never committed)")
+    val created = mfs.getFileStatus(marker).getModificationTime
+    require(tsMs >= created,
+      s"TIMESTAMP AS OF on $table: $tsMs is before the table's first " +
+        s"commit ($created) — no version existed then")
+    val anchors = tsAnchors(spark, table)
+    // Every delete version must carry a timestamp, or resolution would
+    // silently skip the unstamped ones. Delete versions are exactly the
+    // `_hwm` stamps (one per delete; vacuum restates only the HWM).
+    sidecarDf(spark, table).foreach { sc =>
+      val stamped = anchors.map(_._1).toSet
+      val hwms = sc.filter(col("f") === "_hwm").select(col("v"))
+        .collect().map(_.getLong(0)).toSet
+      val missing = hwms -- stamped
+      require(missing.isEmpty,
+        s"TIMESTAMP AS OF on $table: delete version(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} predate timestamp " +
+          "recording — the timeline is partial; use VERSION AS OF")
+    }
+    anchors.filter(_._2 <= tsMs).map(_._1).maxOption.getOrElse(0L)
+  }
+
+  /** The table as of wall-clock `tsMs` — [[readAt]] through
+    * [[versionAtTimestamp]]. */
+  def readAtTimestamp(spark: SparkSession, table: String,
+      tsMs: Long): DataFrame =
+    readAt(spark, table, versionAtTimestamp(spark, table, tsMs))
+
+  /** `VACUUM t RETAIN n HOURS` (Delta's actual retention form): fold
+    * every delete version whose commit timestamp is older than
+    * `now - hours` — cutoff = the newest version outside the retention
+    * window, resolved from the `_ts:` sentinels; versions inside the
+    * window (and unstamped legacy versions, conservatively) survive.
+    * Returns the cutoff folded (0 = nothing old enough). */
+  def vacuumRetainHours(spark: SparkSession, table: String,
+      hours: Long): Long = {
+    val horizon = clockMs() - hours * 3600L * 1000L
+    val cutoff = tsAnchors(spark, table)
+      .filter(_._2 <= horizon).map(_._1).maxOption.getOrElse(0L)
+    if (cutoff > 0) vacuum(spark, table, cutoff)
+    cutoff
+  }
+
+  /** Delta's `table_changes(t, v1, v2)` on the delete-version axis: the
+    * rows REMOVED in versions (v1, v2], each tagged
+    * `change_type = 'delete'` and `commit_version = <the version that
+    * first deleted it>`. One scan + a broadcast of the bounded sidecar
+    * — never a per-version diff loop: a coordinate's FIRST delete
+    * version decides membership (re-deleting an already-dead row adds a
+    * later stamp that must not re-emit it; [[delete]] matches on the
+    * raw scan, so re-deletes do occur). DV versions only remove rows,
+    * so the feed's insert/update arms are empty by construction — u7
+    * covers that vocabulary relationally.
+    */
+  def changesBetween(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV,
+      s"table_changes($table, $fromV, $toV): empty/negative range")
+    val base = withCoords(SnapshotCommit.readData(spark, table))
+    sidecarDf(spark, table) match {
+      case None => base.drop("_dv_file", "_dv_pos").limit(0)
+        .withColumn("change_type", lit(""))
+        .withColumn("commit_version", lit(0L))
+      case Some(sc) =>
+        val firstDel = sc.filter(col("p") >= 0)
+          .groupBy(col("f").as("_dv_f"), col("p").as("_dv_p"))
+          .agg(min(col("v")).as("commit_version"))
+          .filter(col("commit_version") > fromV &&
+            col("commit_version") <= toV)
+        base.join(broadcast(firstDel),
+            col("_dv_file") === col("_dv_f") &&
+              col("_dv_pos") === col("_dv_p"))
+          .drop("_dv_file", "_dv_pos", "_dv_f", "_dv_p")
+          .withColumn("change_type", lit("delete"))
+    }
   }
 
   /** Fold the vectors into the files: one commit that rewrites the

@@ -126,23 +126,6 @@ object MetadataAggRule extends Rule[LogicalPlan] {
                   .ParquetFileFormat] => Some(r)
             case _ => None
           }
-          // condition: conjunction of 2 equalities between the two sides
-          _ <- {
-            def conjuncts(e: Expression): Seq[Expression] = e match {
-              case And(a, b) => conjuncts(a) ++ conjuncts(b)
-              case x => Seq(x)
-            }
-            val cs = conjuncts(cond)
-            val ok = cs.length == 2 && cs.forall {
-              case EqualTo(a, b) =>
-                (a.references.subsetOf(leftProj.outputSet) &&
-                  b.references.subsetOf(right.outputSet)) ||
-                  (b.references.subsetOf(leftProj.outputSet) &&
-                    a.references.subsetOf(right.outputSet))
-              case _ => false
-            }
-            if (ok) Some(()) else None
-          }
           // right: Project of bare f/p attrs over (Filter over)? the
           // SAME version's _dv sidecar relation
           (fOut, pOut, rightRel) <- right match {
@@ -168,6 +151,64 @@ object MetadataAggRule extends Rule[LogicalPlan] {
                 }
               } yield (f, pp, r)
             case _ => None
+          }
+          // condition: EXACTLY the anti-join maskAt builds — two
+          // equalities, one binding the right `f` attribute to the
+          // left projection's FILE-BASENAME expression (derives from
+          // `_metadata.file_path` only) and the other binding `p` to
+          // the ROW-INDEX expression (`_metadata.row_index` only).
+          // Structural, per attribute (ADVICE r15): a hand-built
+          // anti-join with CROSSED or duplicated keys (f against the
+          // row index, or both equalities on f) passes a looser
+          // reference-set check but subtracts the wrong rows — it must
+          // keep its scan, not rewrite to a wrong count.
+          _ <- {
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case And(a, b) => conjuncts(a) ++ conjuncts(b)
+              case x => Seq(x)
+            }
+            // The left attribute's defining expression, resolved through
+            // the projection; the `_metadata` struct fields it reads.
+            val defOf: Map[ExprId, Expression] = leftProj.projectList.map {
+              case al: Alias => al.exprId -> al.child
+              case ne => ne.exprId -> ne
+            }.toMap
+            def metaFields(e: Expression): Set[String] = e.collect {
+              case g: GetStructField => g.extractFieldName
+            }.toSet
+            // Normalize each equality to (left side, right attr); bail
+            // on any other shape.
+            def sides(c: Expression): Option[(Expression, Attribute)] =
+              c match {
+                case EqualTo(a, b)
+                  if a.references.subsetOf(leftProj.outputSet) &&
+                    b.isInstanceOf[Attribute] &&
+                    b.references.subsetOf(right.outputSet) =>
+                  Some((a, b.asInstanceOf[Attribute]))
+                case EqualTo(a, b)
+                  if b.references.subsetOf(leftProj.outputSet) &&
+                    a.isInstanceOf[Attribute] &&
+                    a.references.subsetOf(right.outputSet) =>
+                  Some((b, a.asInstanceOf[Attribute]))
+                case _ => None
+              }
+            def leftReads(e: Expression): Option[Set[String]] = e match {
+              case ar: AttributeReference =>
+                defOf.get(ar.exprId).map(metaFields)
+              case _ => None
+            }
+            val cs = conjuncts(cond).map(sides)
+            val ok = cs.length == 2 && cs.forall(_.isDefined) && {
+              val pairs = cs.flatten.flatMap { case (l, r) =>
+                leftReads(l).map(fields => (fields, r.exprId))
+              }
+              pairs.length == 2 &&
+                pairs.exists { case (fields, id) =>
+                  fields == Set("file_path") && id == fOut.exprId } &&
+                pairs.exists { case (fields, id) =>
+                  fields == Set("row_index") && id == pOut.exprId }
+            }
+            if (ok) Some(()) else None
           }
           // path check: left lives in ONE directory D; right in D/_dv
           _ <- {

@@ -380,10 +380,20 @@ object StatsSkipping {
     * values live in directory names a flat carry would lose), so this
     * is their explicit indexing hook; re-running re-indexes (sidecars
     * are overwritten, caches invalidated). Returns the number of leaf
-    * directories indexed.
+    * directories indexed. Calling this also REGISTERS `dir` as a
+    * probe-allowed root for the optimizer rules, so indexed tables
+    * outside the session warehouse prune without setting
+    * `spark.graft.stats.probeForeign` (see [[probeAllowed]]).
     */
   def indexLeafDirs(spark: SparkSession, dir: Path,
       statsCols: Seq[String]): Int = {
+    // Record the indexed root so [[probeAllowed]] lets the optimizer
+    // rules probe under it even when it lives OUTSIDE the session
+    // warehouse — the common case for an explicitly-indexed partitioned
+    // table (ADVICE r15: without this, sidecars built here were silently
+    // ignored by StatsSkippingRule/MetadataAggRule unless the global
+    // probeForeign conf was set). Bounded: one entry per explicit call.
+    indexedRoots.add(dir.toUri.getPath)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(hconf)
     def walk(d: Path): Seq[Path] = {
@@ -408,23 +418,45 @@ object StatsSkipping {
     leaves.size
   }
 
-  /** May the OPTIMIZER RULES probe `dir` for a sidecar? Graft only ever
-    * writes sidecars under the session warehouse (snapshot stages and
-    * committed table dirs live there), so the default-path rules skip
-    * the existence probe for everything else — planning an ungrouped
-    * aggregate or a filter over a foreign parquet table (a raw source
-    * dir, someone else's lake) must not cost store round-trips, even
-    * negative-cached ones (ADVICE r14). `spark.graft.stats.probeForeign
-    * = true` restores universal probing for hand-placed sidecars.
-    * Direct API paths (survivingFiles/readRange) are unaffected — they
-    * only ever target snapshot directories. */
+  /** Roots explicitly indexed via [[indexLeafDirs]] in this JVM — the
+    * optimizer rules may probe under them wherever they live. */
+  private val indexedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Path containment with a SEPARATOR BOUNDARY: `/wh-backup` must not
+    * count as under `/wh` (ADVICE r15 — a bare startsWith did). */
+  private def underRoot(d: String, root: String): Boolean = {
+    val r = root.stripSuffix("/")
+    d == r || d.startsWith(r + "/")
+  }
+
+  /** May the OPTIMIZER RULES probe `dir` for a sidecar? Graft writes
+    * sidecars under the session warehouse (snapshot stages and committed
+    * table dirs live there) and under roots explicitly handed to
+    * [[indexLeafDirs]] — the default-path rules skip the existence probe
+    * for everything else: planning an ungrouped aggregate or a filter
+    * over a foreign parquet table (a raw source dir, someone else's
+    * lake) must not cost store round-trips, even negative-cached ones
+    * (ADVICE r14). `spark.graft.stats.probeForeign = true` restores
+    * universal probing for hand-placed sidecars. Direct API paths
+    * (survivingFiles/readRange) are unaffected — they only ever target
+    * snapshot directories. A RELATIVE warehouse conf value is resolved
+    * against the process working directory (the session does the same)
+    * before comparing — a raw relative string never prefix-matches the
+    * absolute data paths and would silently disable skipping everywhere. */
   private[storage] def probeAllowed(spark: SparkSession, dir: Path): Boolean =
     spark.conf.getOption("spark.graft.stats.probeForeign")
       .contains("true") || {
-      val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val whRaw = new Path(spark.conf.get("spark.sql.warehouse.dir"))
         .toUri.getPath
+      val wh =
+        if (whRaw == null || whRaw.startsWith("/")) whRaw
+        else new java.io.File(whRaw).getAbsolutePath
       val d = dir.toUri.getPath
-      wh != null && d != null && d.startsWith(wh)
+      d != null && ((wh != null && underRoot(d, wh)) || {
+        import scala.jdk.CollectionConverters._
+        indexedRoots.asScala.exists(r => underRoot(d, r))
+      })
     }
 
   private[storage] def loadStats(spark: SparkSession,

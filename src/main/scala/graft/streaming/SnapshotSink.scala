@@ -102,21 +102,7 @@ object SnapshotSink {
         //    (carried files reuse rows, new files get footer stats).
         SnapshotCommit.currentLocation(spark, table).foreach { prev =>
           SnapshotCommit.carryData(spark, prev, stageP)
-          val dv = new Path(prev, "_dv")
-          val dvFs =
-            dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (dvFs.exists(dv))
-            dvFs.listStatus(dv).toSeq.filter(_.isFile)
-              .map(_.getPath).filterNot(_.getName.startsWith("."))
-              .foreach { p =>
-                val to = new Path(new Path(stageP, "_dv"), p.getName)
-                if (SnapshotCommit.manifestMode(spark))
-                  org.apache.hadoop.fs.FileUtil.copy(dvFs, p,
-                    to.getFileSystem(
-                      spark.sparkContext.hadoopConfiguration), to,
-                    false, spark.sparkContext.hadoopConfiguration)
-                else SnapshotCommit.carry(spark, p, to)
-              }
+          SnapshotCommit.carryDvDir(spark, prev, stageP)
           graft.storage.StatsSkipping.refreshStats(spark, prev, stageP)
         }
         // An EMPTY FIRST batch can leave a version with zero data

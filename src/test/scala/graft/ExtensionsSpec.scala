@@ -526,4 +526,202 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids.size === 20)
     SnapshotCommit.destroy(spark, tbl)
   }
+
+  test("LIVE. prefix strips outside quotes/comments only; literal " +
+      "VERSION AS OF phrases are untouched and register no view") {
+    import graft.ext.GraftSqlParser
+    // The quote-aware scanner (ADVICE r15): literals and comments keep
+    // their text; real references resolve.
+    assert(GraftSqlParser.stripLivePrefix("SELECT * FROM LIVE.t") ===
+      "SELECT * FROM t")
+    assert(GraftSqlParser.stripLivePrefix("SELECT * FROM live . t") ===
+      "SELECT * FROM t")
+    assert(GraftSqlParser.stripLivePrefix("SELECT 'LIVE.x' FROM LIVE.t") ===
+      "SELECT 'LIVE.x' FROM t")
+    assert(GraftSqlParser.stripLivePrefix("SELECT \"LIVE.x\" FROM t") ===
+      "SELECT \"LIVE.x\" FROM t")
+    assert(GraftSqlParser.stripLivePrefix(
+      "-- LIVE.c stays\nSELECT 1 FROM LIVE.t") ===
+      "-- LIVE.c stays\nSELECT 1 FROM t")
+    assert(GraftSqlParser.stripLivePrefix(
+      "/* LIVE.c */ SELECT olive.x, LIVES.y FROM `LIVE.q`") ===
+      "/* LIVE.c */ SELECT olive.x, LIVES.y FROM `LIVE.q`")
+    // Live-session time travel: a query that merely CONTAINS the phrase
+    // in a string literal runs verbatim and binds no temp view.
+    spark.catalog.dropTempView("nope_asof_9")
+    val out = GraftSqlParser.sql(spark,
+      "SELECT 'FROM nope VERSION AS OF 9' AS s").collect()
+    assert(out(0).getString(0) === "FROM nope VERSION AS OF 9")
+    assert(spark.sessionState.catalog.getTempView("nope_asof_9").isEmpty,
+      "a literal-only match must not register a view")
+  }
+
+  test("TIMESTAMP AS OF: latest delete version <= ts (Delta's rule) on " +
+      "both wiring paths; loud before the first commit; VACUUM RETAIN " +
+      "n HOURS folds only versions outside the window") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "ts_asof_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    // Injected clocks AFTER the real creation instant (the before-first
+    // check compares against the _incarnation marker's mtime).
+    val t0 = System.currentTimeMillis()
+    val tV1 = t0 + 1000L
+    val tV2 = t0 + 8L * 3600 * 1000 // 8h later
+    val prevClock = DeletionVectors.clockMs
+    try {
+      DeletionVectors.clockMs = () => tV1
+      GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id % 10 = 0")
+      DeletionVectors.clockMs = () => tV2
+      GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id % 7 = 0")
+      // Resolution: before v1 (but after creation) -> 0; between -> 1;
+      // at/after v2 -> 2.
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl, tV1 - 1) === 0)
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl, tV1) === 1)
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl,
+        tV2 - 1000) === 1)
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl,
+        tV2 + 1000) === 2)
+      // Before the table existed: loud.
+      intercept[Exception](
+        DeletionVectors.versionAtTimestamp(spark, tbl, t0 - 3600_000L))
+      // Live-session SQL path (the u14 wiring).
+      def fmt(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime.toString
+        .replace('T', ' ')
+      assert(GraftSqlParser.sql(spark,
+        s"SELECT count(*) AS n FROM $tbl TIMESTAMP AS OF '${fmt(tV2 - 60000)}'")
+        .collect()(0).getLong(0) === 90L)
+      // Injected-parser path: the RelationTimeTravel node resolves.
+      val resolved = GraftSqlParser.resolveTimeTravel(spark,
+        spark.sessionState.sqlParser.parsePlan(
+          s"SELECT count(*) FROM $tbl TIMESTAMP AS OF '${fmt(tV1 + 60000)}'"))
+      assert(resolved.collectFirst {
+        case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => t
+      }.isEmpty, "TIMESTAMP AS OF must resolve against the _ts timeline")
+      // VACUUM RETAIN 9 HOURS at now = t0 + 10h: v1 (10h old) folds,
+      // v2 (2h old) survives with its timestamp anchor.
+      DeletionVectors.clockMs = () => t0 + 10L * 3600 * 1000
+      val out = GraftSqlParser.sql(spark,
+        s"VACUUM $tbl RETAIN 9 HOURS").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out("vacuumed_through_version") === "1")
+      // Live view unchanged; v1's state is now the floor; v2 anchor kept.
+      assert(DeletionVectors.read(spark, tbl).count() === 77L)
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl,
+        tV2 + 1000) === 2)
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl,
+        tV2 - 1000) === 0, "folded v1's anchor goes with its history")
+      intercept[Exception](DeletionVectors.restore(spark, tbl, 0))
+    } finally DeletionVectors.clockMs = prevClock
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("table_changes TVF: the delete feed between two versions, first-" +
+      "delete semantics, both wiring paths") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "tcf_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(2).write.parquet(dir)
+    }
+    DeletionVectors.delete(spark, tbl, col("id") % 7 === 0)  // v1: 15 rows
+    DeletionVectors.delete(spark, tbl, col("id") % 5 === 0)  // v2: %5∖%7=17
+    // (1, 2]: only rows FIRST deleted at v2 — %5 minus the %35 overlap.
+    val feed = GraftSqlParser.sql(spark,
+      s"SELECT id, v, change_type, commit_version " +
+        s"FROM table_changes('$tbl', 1, 2)").collect()
+    assert(feed.length === 17)
+    assert(feed.forall(_.getString(2) === "delete"))
+    assert(feed.forall(_.getLong(3) === 2L))
+    assert(feed.map(_.getLong(0)).forall(id => id % 5 == 0 && id % 7 != 0))
+    // (0, 2]: both versions' removals, each stamped with its FIRST
+    // deleting version (re-deletes collapse).
+    val all = GraftSqlParser.sql(spark,
+      s"SELECT commit_version, count(*) AS n " +
+        s"FROM table_changes('$tbl', 0, 2) GROUP BY 1 ORDER BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all === Map(1L -> 15L, 2L -> 17L))
+    // Injected-parser path: the TVF node resolves at plan level.
+    val resolved = GraftSqlParser.resolveTimeTravel(spark,
+      spark.sessionState.sqlParser.parsePlan(
+        s"SELECT count(*) FROM table_changes('$tbl', 0, 2)"))
+    assert(resolved.collectFirst {
+      case t: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction => t
+    }.isEmpty, "table_changes must resolve against the change feed")
+    // A literal-only occurrence is untouched.
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT 'table_changes(''x'', 1, 2)' AS s").collect()(0)
+      .getString(0) === "table_changes('x', 1, 2)")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("CTAS + INSERT INTO commit through the snapshot protocol: " +
+      "versioned, stats-skipping and DV-safe out of the box") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    val tbl = "ctas_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    GraftSqlParser.sql(spark,
+      s"CREATE TABLE $tbl AS SELECT id, id * 2 AS v FROM range(100)")
+    assert(spark.table(tbl).count() === 100)
+    // Versioned from birth: history serves, stats sidecar answers a
+    // range probe with a strict file subset (range() splits are
+    // contiguous, so per-file id ranges are disjoint).
+    assert(GraftSqlParser.sql(spark, s"DESCRIBE HISTORY $tbl").count() >= 1)
+    val allFiles = SnapshotCommit.dataFiles(spark, tbl).size
+    if (allFiles > 1)
+      assert(StatsSkipping.survivingFiles(spark, tbl, "id", 5L, 10L).size
+        < allFiles, "CTAS must record per-file stats")
+    // Plain CREATE on an existing table: loud; OR REPLACE: a new version.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"CREATE TABLE $tbl AS SELECT 1 AS x"))
+    GraftSqlParser.sql(spark, s"CREATE OR REPLACE TABLE $tbl AS " +
+      "SELECT id, id * 3 AS v FROM range(150)")
+    assert(spark.table(tbl).count() === 150)
+    assert(GraftSqlParser.sql(spark, s"DESCRIBE HISTORY $tbl").count() >= 2)
+    // INSERT: an append commit — previous files carry BY NAME.
+    val before = SnapshotCommit.dataFiles(spark, tbl).map(_._1).toSet
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, id * 3 AS v FROM range(150, 200)")
+    val after = SnapshotCommit.dataFiles(spark, tbl).map(_._1).toSet
+    assert(before.subsetOf(after), "INSERT must carry previous files")
+    assert(spark.table(tbl).count() === 200)
+    // Positional alignment with cast; arity mismatch is loud.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl SELECT id FROM range(5)"))
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl (id, v) SELECT id, id FROM range(5)"))
+    // VALUES body; DV mask survives a later INSERT.
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (1000, 1)")
+    assert(spark.table(tbl).count() === 201)
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 1000")
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (1001, 2)")
+    val live = DeletionVectors.read(spark, tbl)
+    assert(live.filter(col("id") === 1000).count() === 0,
+      "INSERT must carry the DV sidecar — deleted rows stay deleted")
+    assert(live.filter(col("id") === 1001).count() === 1)
+    // Time travel works on the CTAS'd table's delete axis.
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
+      .collect()(0).getLong(0) === 202L)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
 }

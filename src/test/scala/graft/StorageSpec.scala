@@ -1528,6 +1528,159 @@ class StorageSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("DML probe IO prunes through stats skipping: DELETE/UPDATE/MERGE " +
+      "on a clustered key read a file subset, not the table") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    // Identical 8-file range-clustered fixtures, one WITH the stats
+    // sidecar and one WITHOUT: the same statements run on both under a
+    // bytes-read meter, so "probe prunes" is pinned as a before/after
+    // IO ratio (the r15 verdict's open scale term — write IO was proven
+    // file-proportional, probe READ IO was not).
+    val tblS = "dml_probe_stats_tbl"
+    val tblN = "dml_probe_nostats_tbl"
+    def build(tbl: String, withStats: Boolean): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+      SnapshotCommit.destroy(spark, tbl)
+      def write(dir: String): Unit =
+        spark.range(0, 320000)
+          .select(col("id"), (col("id") * 3).as("v"))
+          .repartitionByRange(32, col("id")).sortWithinPartitions("id")
+          .write.parquet(dir)
+      if (withStats) StatsSkipping.commitWithStats(spark, tbl, "id")(write)
+      else SnapshotCommit.commit(spark, tbl)(write)
+    }
+    build(tblS, withStats = true)
+    build(tblN, withStats = false)
+    StatsSkipping.installRule(spark)
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      })
+    def measured(f: => Unit): Long = {
+      Thread.sleep(100); bytes.set(0L)
+      f
+      Thread.sleep(200) // drain the async listener bus
+      bytes.get()
+    }
+    // The probe SHAPE the optimizer must prune: the UPDATE/DELETE
+    // predicate pushes through the provenance projection to the scan,
+    // where the sidecar leaves only the intersecting file(s).
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val ns = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }
+      assert(ns.nonEmpty, "no file scan in plan"); ns.max
+    }
+    // Shuffle-free shape (no distinct) so the scan is directly visible
+    // in the executed plan — the distinct only dedups the probe OUTPUT,
+    // never what it reads.
+    val probe = DeletionVectors.readWithProvenance(spark, tblS, "_gf")
+      .filter(col("id").between(10000L, 19999L))
+      .select("_gf")
+    // A ~3% id window over 32 range files intersects 1-2 files plus
+    // range-sampling wobble: a strict subset is the property.
+    val probeFiles = scannedFiles(probe)
+    assert(probeFiles <= 3,
+      s"UPDATE/DELETE probe must plan a pruned file list, got $probeFiles/32")
+    // End-to-end: the SAME statements, stats vs no stats. Each touches
+    // one file's id range; the stats table's IO must be well under the
+    // no-stats table's (which scans all 8 files in its probes).
+    def statements(tbl: String): Seq[String] = Seq(
+      s"DELETE FROM $tbl WHERE id >= 70000 AND id < 70100",
+      s"UPDATE $tbl SET v = v + 1 WHERE id >= 10000 AND id < 10100",
+      s"MERGE INTO $tbl USING dml_probe_src ON $tbl.id = " +
+        "dml_probe_src.id WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    spark.range(20000, 20100).select(col("id"), lit(-1L).as("v"))
+      .createOrReplaceTempView("dml_probe_src")
+    val ioS = statements(tblS).map(s =>
+      measured(GraftSqlParser.sql(spark, s)))
+    val ioN = statements(tblN).map(s =>
+      measured(GraftSqlParser.sql(spark, s)))
+    Seq("DELETE", "UPDATE", "MERGE").zip(ioS.zip(ioN)).foreach {
+      case (op, (s, n)) =>
+        info(f"$op statement IO: $s bytes with stats sidecar vs $n " +
+          f"without (${s.toDouble / n}%.2fx)")
+        assert(s < n * 0.6,
+          s"$op probe must prune through stats: $s bytes with sidecar " +
+            s"vs $n without")
+    }
+    // Same final state on both tables — pruning is IO-only.
+    val liveS = DeletionVectors.read(spark, tblS)
+    val liveN = DeletionVectors.read(spark, tblN)
+    assert(liveS.count() === liveN.count())
+    assert(liveS.agg(sum(col("v"))).head().getLong(0) ===
+      liveN.agg(sum(col("v"))).head().getLong(0))
+    Seq(tblS, tblN).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      SnapshotCommit.destroy(spark, t)
+    }
+  }
+
+  test("metadata-only DV count bails on a mis-keyed hand-built " +
+      "anti-join (duplicated key columns keep their scan)") {
+    import org.apache.spark.sql.functions._
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    val tbl = "magg_miskey_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    StatsSkipping.commitWithStats(spark, tbl, "id") { stage =>
+      spark.range(0, 1000).select(col("id"), (col("id") % 7).as("g"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .write.parquet(stage)
+    }
+    StatsSkipping.installRule(spark)
+    DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan
+        .toString.split("== Initial Plan ==")(0)).length
+    }
+    // A hand-built anti-join that binds BOTH equalities to the file
+    // column (ADVICE r15's mis-keyed shape): it anti-joins away every
+    // row of any file with a DV entry — a DIFFERENT aggregate than the
+    // DV count, so the rule must keep its scan and serve the join's own
+    // (correct-for-this-join) value, never rewrite to `total - dv`.
+    val dir = SnapshotCommit.currentLocation(spark, tbl).get
+    val raw = spark.read.parquet(
+      SnapshotCommit.listData(spark, dir).map(_._2.toString): _*)
+    val dv = spark.read.parquet(new org.apache.hadoop.fs.Path(dir, "_dv")
+        .toString)
+      .filter(col("p") >= 0)
+      .select(col("f"), col("p"))
+    val misKeyed = raw
+      .withColumn("_dv_file",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(dv.select(col("f").as("_dv_f"),
+          col("p").as("_dv_p"))),
+        col("_dv_file") === col("_dv_f") &&
+          col("_dv_file") === col("_dv_f"),
+        "left_anti")
+      .drop("_dv_file", "_dv_pos")
+      .agg(count(lit(1)).as("n"))
+    assert(scans(misKeyed) === 2,
+      s"mis-keyed anti-join must keep the data scan:\n" +
+        s"${misKeyed.queryExecution.executedPlan}")
+    // Every file holds a multiple of 10 -> the file-keyed anti-join
+    // removes everything; the true DV count would be 900.
+    assert(misKeyed.collect()(0).getLong(0) === 0L)
+    // The PROPERLY-keyed read still rewrites scan-free.
+    val good = DeletionVectors.read(spark, tbl).agg(count(lit(1)).as("n"))
+    assert(scans(good) === 1)
+    assert(good.collect()(0).getLong(0) === 900L)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("touched-file SQL MERGE: 1 of N files rewritten, N-1 carried by " +
       "name; DV and stats sidecars survive the merge") {
     import org.apache.spark.sql.functions._
