@@ -15,4 +15,34 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The batch frame re-rooted as a STREAMING plan — what a v1
+    * streaming Source's getBatch must return (MicroBatchExecution
+    * asserts `isStreaming` on it). FileStreamSource does exactly this
+    * re-rooting internally (`LogicalRelation(..., isStreaming = true)`);
+    * the constructor surface is private[sql], hence this bridge.
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
+
+  /** An empty STREAMING frame of the given schema (a micro-batch with
+    * no new files still needs a well-typed plan). */
+  def emptyStreaming(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.types.DataTypeUtils
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LocalRelation(DataTypeUtils.toAttributes(schema), Nil,
+        isStreaming = true))
+  }
 }
