@@ -201,6 +201,12 @@ object GraftSqlParser {
       "\\s+((?:SELECT|VALUES|TABLE|FROM|WITH)\\b.*)").r
   private val InsertColListRe =
     s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident\\s*\\(.*".r
+  // INSERT OVERWRITE = a full-replace commit under the SAME schema
+  // (positional alignment like INSERT INTO); history survives, the DV
+  // sidecar does not carry (its coordinates name the replaced files).
+  private val InsertOverwriteRe =
+    (s"(?is)\\s*INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?$Ident" +
+      "\\s+((?:SELECT|VALUES|TABLE|FROM|WITH)\\b.*)").r
   private val CloneRe =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident\\s*".r
   // MERGE — the three canonical Delta forms on a single same-named key:
@@ -339,6 +345,12 @@ object GraftSqlParser {
         Seq("table" -> tbl,
           "operation" -> (if (orReplace != null) "REPLACE TABLE AS SELECT"
                           else "CREATE TABLE AS SELECT"),
+          "version" -> v.toString)
+      }))
+    case InsertOverwriteRe(tbl, query) =>
+      Some(GraftMaintenanceCommand(s"INSERT OVERWRITE $tbl", { spark =>
+        val v = runInsert(spark, tbl, query, overwrite = true)
+        Seq("table" -> tbl, "operation" -> "INSERT OVERWRITE",
           "version" -> v.toString)
       }))
     case InsertRe(tbl, query) =>
@@ -1304,30 +1316,43 @@ object GraftSqlParser {
     * versioned surface on its first INSERT (version 1 = its files
     * carried, the Delta CONVERT shape). Columns align to the target BY
     * POSITION with a cast to the target type — SQL INSERT semantics —
-    * and arity mismatches fail loudly.
+    * and arity mismatches fail loudly. `overwrite = true` (INSERT
+    * OVERWRITE) commits a FULL-REPLACE version instead: nothing
+    * carries (the DV sidecar's coordinates name the replaced files, so
+    * it is dropped with them), stats recompute for the new files, and
+    * history keeps the replaced version readable until prune.
     */
   private def runInsert(spark: SparkSession, tbl: String,
-      query: String): Long = {
+      query: String, overwrite: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val sc = graft.storage.SnapshotCommit
     val dv = graft.storage.DeletionVectors
+    val stmt = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
     dv.ensureSnapshot(spark, tbl) // adopt a plain table on first INSERT
     sc.register(spark, tbl)
     val src = spark.sql(query)
-    require(!src.isStreaming, s"INSERT INTO $tbl cannot run a streaming query")
-    sc.commit(spark, tbl, operation = "WRITE") { dir =>
+    require(!src.isStreaming, s"$stmt $tbl cannot run a streaming query")
+    sc.commit(spark, tbl,
+      operation = if (overwrite) "INSERT OVERWRITE" else "WRITE") { dir =>
       val stage = new org.apache.hadoop.fs.Path(dir)
       // Aligned INSIDE the closure: a rebase re-reads the then-current
       // target schema (a concurrent widening commit could change it).
       val target = sc.readData(spark, tbl).schema
       require(src.schema.length == target.length,
-        s"INSERT INTO $tbl: query produces ${src.schema.length} columns, " +
+        s"$stmt $tbl: query produces ${src.schema.length} columns, " +
           s"table has ${target.length}")
       val aligned = src.toDF(target.fieldNames.toIndexedSeq: _*)
         .select(target.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
       aligned.write.mode("overwrite").parquet(dir)
-      sc.currentLocation(spark, tbl).foreach { prev =>
+      if (overwrite) {
+        // Replace semantics: fresh content, fresh stats, progress
+        // marker carried (maintenance/replace moves no stream progress).
+        graft.storage.StatsSkipping.recomputeStats(spark, stage,
+          target.fieldNames.toSeq)
+        sc.currentLocation(spark, tbl).foreach(prev =>
+          sc.carryBatchId(spark, prev, stage))
+      } else sc.currentLocation(spark, tbl).foreach { prev =>
         sc.carryData(spark, prev, stage)
         sc.carryDvDir(spark, prev, stage)
         graft.storage.StatsSkipping.refreshStats(spark, prev, stage)
@@ -1336,7 +1361,7 @@ object GraftSqlParser {
     }
     dv.realign(spark, tbl)
     sc.register(spark, tbl)
-      .getOrElse(sys.error(s"INSERT into $tbl left no published version"))
+      .getOrElse(sys.error(s"$stmt $tbl left no published version"))
   }
 
   /** Parse a SQL timestamp string ('yyyy-MM-dd[ HH:mm:ss[.SSS]]') to

@@ -185,6 +185,20 @@ object StatsSkipping {
     *
     * No-op (one existence probe) when `from` carries no sidecar.
     */
+  /** Write a FRESH `_stats` sidecar for every parquet file in `stage`
+    * (footer metadata only, no data scan) — the replace-commit path
+    * (INSERT OVERWRITE): the previous sidecar describes files the
+    * version no longer contains, so it is recomputed, never carried. */
+  private[graft] def recomputeStats(spark: SparkSession, stage: Path,
+      cols: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = stage.getFileSystem(hconf)
+    val lines = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap(s => footerLines(hconf, s.getPath, cols))
+    writeSidecar(hconf, stage, lines)
+  }
+
   private[graft] def refreshStats(spark: SparkSession, from: Path,
       stage: Path): Unit = {
     val old = loadStats(spark, from).getOrElse(return)

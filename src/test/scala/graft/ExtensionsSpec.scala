@@ -721,6 +721,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftSqlParser.sql(spark,
       s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
       .collect()(0).getLong(0) === 202L)
+    // INSERT OVERWRITE: a full-replace version under the same schema —
+    // nothing carries (the DV goes with the files it described), stats
+    // recompute, history keeps growing.
+    val histBefore = GraftSqlParser.sql(spark,
+      s"DESCRIBE HISTORY $tbl").count()
+    GraftSqlParser.sql(spark,
+      s"INSERT OVERWRITE $tbl SELECT id, id * 7 AS v FROM range(40)")
+    assert(spark.table(tbl).count() === 40)
+    assert(DeletionVectors.read(spark, tbl).count() === 40,
+      "the replaced files' DV entries must not survive the overwrite")
+    assert(GraftSqlParser.sql(spark, s"DESCRIBE HISTORY $tbl").count()
+      >= histBefore, "overwrite is a version, not a destroy")
+    val ovFiles = SnapshotCommit.dataFiles(spark, tbl).size
+    if (ovFiles > 1)
+      assert(StatsSkipping.survivingFiles(spark, tbl, "id", 1L, 3L).size
+        < ovFiles, "INSERT OVERWRITE must recompute per-file stats")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }
