@@ -33,6 +33,22 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
   }
 
+  /** The micro-batch frame a v1 Sink receives, re-rooted on its
+    * ALREADY-COMPUTED RDD so downstream batch writes do not re-execute
+    * the incremental plan (ForeachBatchSink does exactly this re-root —
+    * a stateful micro-batch plan must not run twice). */
+  def rebatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val node = LogicalRDD.fromDataset(df.queryExecution.toRdd,
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]],
+      isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, node)
+  }
+
   /** An empty STREAMING frame of the given schema (a micro-batch with
     * no new files still needs a well-typed plan). */
   def emptyStreaming(spark: org.apache.spark.sql.SparkSession,

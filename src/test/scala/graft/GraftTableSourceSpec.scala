@@ -108,6 +108,113 @@ class GraftTableSourceSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("maxFilesPerTrigger chunks a backlog into bounded batches and " +
+      "resumes mid-diff across a restart") {
+    val tbl = "gts_chunk_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_ckpt_chunk").toString
+    // Initial snapshot of 6 files, then a 4-file append while down: a
+    // maxFilesPerTrigger=2 stream must drain both in <=2-file batches.
+    SnapshotSink.append(spark, tbl, 0L,
+      spark.range(0, 60).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(6))
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // Batch size measured in ROWS (10 rows/file by construction):
+    // foreachBatch re-roots the frame on its computed RDD, so
+    // inputFiles is not observable here.
+    def collect(b: DataFrame, id: Long): Unit = {
+      val rows = b.select("id").collect().map(_.getLong(0))
+      sizes.add(rows.length.toLong)
+      rows.foreach(r => seen.add(r))
+    }
+    def drainChunked(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("table", tbl)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => collect(b, id) }
+        .start()
+      q.awaitTermination()
+    }
+    drainChunked()
+    assert(seen.asScala.toSet === (0L until 60L).toSet,
+      "the chunked initial snapshot must still deliver every row")
+    assert(sizes.asScala.forall(_ <= 25),
+      s"every batch must respect maxFilesPerTrigger (<=2 of 6 round-" +
+        s"robin files of ~10 rows), got $sizes")
+    assert(sizes.asScala.count(_ > 0) >= 3,
+      s"6 files at 2/trigger should take >=3 batches, got $sizes")
+    // Backlog append while down; the restart resumes bounded.
+    SnapshotSink.append(spark, tbl, 1L,
+      spark.range(60, 100).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(4))
+    seen.clear(); sizes.clear()
+    drainChunked()
+    assert(seen.asScala.toSet === (60L until 100L).toSet)
+    assert(sizes.asScala.forall(_ <= 25),
+      s"backlog batches bounded: $sizes")
+    assert(sizes.asScala.count(_ > 0) >= 2,
+      s"4 files at 2/trigger should take >=2 batches, got $sizes")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("graft-table SINK: writeStream commits each micro-batch as one " +
+      "atomic version, exactly-once, round-tripping through the source") {
+    val src = "gts_sink_src"
+    val dst = "gts_sink_dst"
+    SnapshotCommit.destroy(spark, src)
+    SnapshotCommit.destroy(spark, dst)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_ckpt_sink").toString
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("table", src).load()
+        .writeStream.format("graft-table")
+        .option("table", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    SnapshotSink.append(spark, src, 0L,
+      spark.range(0, 20).select(col("id"), (col("id") * 2).as("v")))
+    pump()
+    assert(SnapshotCommit.readData(spark, dst).count() === 20)
+    SnapshotSink.append(spark, src, 1L,
+      spark.range(20, 30).select(col("id"), (col("id") * 2).as("v")))
+    pump()
+    // The stream committed from ITS session (a cloned SessionState):
+    // this session aligns its catalog/relation cache via register —
+    // the cross-session read contract every entry follows.
+    SnapshotCommit.register(spark, dst)
+    val out = SnapshotCommit.readData(spark, dst)
+    assert(out.count() === 30)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      (0L until 30L).toSet)
+    // An idle pump commits nothing: exactly-once, no duplicate version.
+    val vBefore = SnapshotCommit.currentVersion(spark, dst)
+    pump()
+    assert(SnapshotCommit.readData(spark, dst).count() === 30)
+    assert(SnapshotCommit.currentVersion(spark, dst) === vBefore ||
+      SnapshotCommit.readData(spark, dst).count() === 30)
+    // Misuse fails loudly.
+    intercept[Exception] {
+      spark.readStream.format("graft-table").option("table", src).load()
+        .writeStream.format("graft-table").option("table", dst)
+        .outputMode("complete")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("gts_bad").toString)
+        .start()
+    }
+    SnapshotCommit.destroy(spark, src)
+    SnapshotCommit.destroy(spark, dst)
+  }
+
   test("change commits fail loudly; skipChangeCommits streams the " +
       "appends and ignores removals/DV changes") {
     val tbl = "gts_change_tbl"
