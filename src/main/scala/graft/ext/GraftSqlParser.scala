@@ -943,11 +943,16 @@ object GraftSqlParser {
       val srcKeys = srcDf.select(keys.map(col): _*).distinct()
       // Probe — only when a matched clause can change a target row.
       // Pre-restricted to the source keys' per-column [min, max] (the
-      // runMerge source-stats pruning, one conjunct per key) so a
-      // clustered target's stats sidecar prunes the probe scan.
+      // runMerge source-stats pruning, one conjunct per key) when the
+      // target carries a stats sidecar; stats-less targets skip the
+      // range agg (it could prune nothing there).
+      val rangeOpt =
+        if (graft.storage.StatsSkipping.loadStats(spark, cur)
+            .exists(_.nonEmpty)) sourceKeyRange(srcDf, keys)
+        else Some(lit(true))
       val touched: Set[String] =
         if (matched.isEmpty) Set.empty
-        else sourceKeyRange(srcDf, keys) match {
+        else rangeOpt match {
           case None => Set.empty
           case Some(rangePred) =>
             dv.readWithProvenance(spark, tgt, "_graft_file")
@@ -1147,16 +1152,25 @@ object GraftSqlParser {
         val srcKeys = srcDf.select(col(key)).distinct()
         // Phase 1 — probe: which files hold a LIVE matched key. The
         // semi-join carries no literal bounds StatsSkippingRule could
-        // prune with, so the probe scan is pre-restricted to the SOURCE
-        // KEYS' [min, max] — Delta's source-stats file pruning: one
-        // tiny agg on the source buys a range that pushdown lands on
-        // the scan, where a clustered target's `_stats` sidecar prunes
-        // to the intersecting files (StorageSpec pins the file count).
-        // Semantically redundant (the semi-join already implies it) —
-        // pure IO. Null keys never equi-match; an all-null/empty source
-        // matches nothing and skips the probe scan entirely.
+        // prune with, so when the target HAS a stats sidecar the probe
+        // scan is pre-restricted to the SOURCE KEYS' [min, max] —
+        // Delta's source-stats file pruning: one tiny agg on the source
+        // buys a range that pushdown lands on the scan, where the
+        // sidecar prunes to the intersecting files (StorageSpec pins
+        // the file count). Semantically redundant (the semi-join
+        // already implies it) — pure IO; a stats-less target skips the
+        // agg outright (the range could prune nothing there, and the
+        // extra job per statement is real cost in per-micro-batch
+        // MERGE loops — st22's shape). Null keys never equi-match; an
+        // all-null/empty source matches nothing and skips the probe
+        // scan entirely.
+        val statsPresent = graft.storage.StatsSkipping
+          .loadStats(spark, cur).exists(_.nonEmpty)
+        val range =
+          if (statsPresent) sourceKeyRange(srcDf, Seq(key))
+          else Some(lit(true))
         val touched: Set[String] =
-          sourceKeyRange(srcDf, Seq(key)) match {
+          range match {
             case None => Set.empty
             case Some(rangePred) => dv
               .readWithProvenance(spark, tgt, "_graft_file")

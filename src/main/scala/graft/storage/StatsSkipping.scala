@@ -473,7 +473,7 @@ object StatsSkipping {
       })
     }
 
-  private[storage] def loadStats(spark: SparkSession,
+  private[graft] def loadStats(spark: SparkSession,
       dir: Path): Option[Map[String, Map[String, ColRange]]] = {
     val key = dir.toString
     if (absentCache.contains(key)) return None
