@@ -179,6 +179,16 @@ object GraftSqlParser {
     s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*".r
   private val RestoreRe =
     s"(?is)\\s*RESTORE\\s+TABLE\\s+$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*".r
+  private val RestoreTsRe =
+    (s"(?is)\\s*RESTORE\\s+TABLE\\s+$Ident\\s+TO\\s+TIMESTAMP\\s+AS" +
+      "\\s+OF\\s+'([^']+)'\\s*").r
+  // ALTER ... SET TBLPROPERTIES on the versioned surface: properties
+  // live in the snapshot-root `_properties` sidecar (what OPTIMIZE and
+  // clones consult) AND, when a catalog entry exists, in the catalog —
+  // one statement keeps both in step.
+  private val SetPropsRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+SET\\s+TBLPROPERTIES" +
+      "\\s*\\((.*)\\)\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*".r
   // Delta's actual retention form: fold delete versions whose commit
@@ -311,6 +321,43 @@ object GraftSqlParser {
             "separate snapshot versions)")
         graft.storage.DeletionVectors.restore(spark, tbl, v.toLong)
         Seq("table" -> tbl, "restored_to_version" -> v)
+      }))
+    case RestoreTsRe(tbl, ts) =>
+      Some(GraftMaintenanceCommand(s"RESTORE $tbl (timestamp)", { spark =>
+        // Same delete-history semantics as the VERSION form, anchored
+        // by the `_ts:` timeline (latest version <= ts, Delta's rule);
+        // the no-history and sub-floor failures come from the shared
+        // machinery.
+        val hwm = graft.storage.DeletionVectors.version(spark, tbl)
+        require(hwm > 0,
+          s"RESTORE $tbl: table has no delete-version history to roll " +
+            "back (this statement restores DELETE history; appends are " +
+            "separate snapshot versions)")
+        val v = graft.storage.DeletionVectors
+          .versionAtTimestamp(spark, tbl, parseTsMs(spark, ts))
+        graft.storage.DeletionVectors.restore(spark, tbl, v)
+        Seq("table" -> tbl, "restored_to_version" -> v.toString,
+          "anchor" -> ts)
+      }))
+    case SetPropsRe(tbl, pairs) =>
+      val props = splitTop(pairs, ",").map {
+        case PropPairRe(k, v) => k -> v
+        case other => sys.error(
+          s"TBLPROPERTIES entry not understood: '${other.trim}'")
+      }.toMap
+      require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+      Some(GraftMaintenanceCommand(s"SET TBLPROPERTIES $tbl", { spark =>
+        graft.storage.SnapshotCommit.setProperties(spark, tbl, props)
+        // Keep the catalog entry (when one exists) in step — SHOW
+        // TBLPROPERTIES reads it; absent-table is fine (properties
+        // declared before first adoption are a documented path).
+        if (spark.catalog.tableExists(tbl)) scala.util.Try {
+          val kv = props.map { case (k, v) =>
+            s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+          }.mkString(", ")
+          spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ($kv)")
+        }
+        Seq("table" -> tbl, "properties_set" -> props.size.toString)
       }))
     case VacuumHoursRe(tbl, h) =>
       Some(GraftMaintenanceCommand(s"VACUUM $tbl (hours)", { spark =>
@@ -946,7 +993,7 @@ object GraftSqlParser {
       // runMerge source-stats pruning, one conjunct per key) when the
       // target carries a stats sidecar; stats-less targets skip the
       // range agg (it could prune nothing there).
-      val rangeOpt =
+      lazy val rangeOpt = // lazy: an insert-only MERGE never probes
         if (graft.storage.StatsSkipping.loadStats(spark, cur)
             .exists(_.nonEmpty)) sourceKeyRange(srcDf, keys)
         else Some(lit(true))

@@ -556,6 +556,52 @@ class ExtensionsSpec extends SparkSpec {
       "a literal-only match must not register a view")
   }
 
+  test("RESTORE TO TIMESTAMP AS OF rolls back via the _ts timeline; " +
+      "ALTER TABLE SET TBLPROPERTIES lands in sidecar AND catalog") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "restore_ts_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    SnapshotCommit.commit(spark, tbl) { dir =>
+      spark.range(0, 100).select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(2).write.parquet(dir)
+    }
+    val t0 = System.currentTimeMillis()
+    val prevClock = DeletionVectors.clockMs
+    try {
+      DeletionVectors.clockMs = () => t0 + 1000L
+      GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id % 10 = 0")
+      DeletionVectors.clockMs = () => t0 + 60000L
+      GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id % 7 = 0")
+      assert(DeletionVectors.read(spark, tbl).count() === 100 - 10 - 15 + 2)
+      // Anchor between the deletes -> restore to v1: the second
+      // delete's rows come back.
+      val mid = java.time.Instant.ofEpochMilli(t0 + 30000L)
+        .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime.toString
+        .replace('T', ' ')
+      val out = GraftSqlParser.sql(spark,
+        s"RESTORE TABLE $tbl TO TIMESTAMP AS OF '$mid'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out("restored_to_version") === "1")
+      assert(DeletionVectors.read(spark, tbl).count() === 90)
+    } finally DeletionVectors.clockMs = prevClock
+    // SET TBLPROPERTIES: sidecar (what OPTIMIZE consults) + catalog.
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('delta.targetFileSize' = '1024', 'quality' = 'silver')")
+    val side = SnapshotCommit.properties(spark, tbl)
+    assert(side.get("delta.targetFileSize").contains("1024"))
+    assert(side.get("quality").contains("silver"))
+    val cat = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cat.get("quality").contains("silver"))
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl SET TBLPROPERTIES (bad = 1)"))
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("TIMESTAMP AS OF: latest delete version <= ts (Delta's rule) on " +
       "both wiring paths; loud before the first commit; VACUUM RETAIN " +
       "n HOURS folds only versions outside the window") {
