@@ -209,8 +209,17 @@ object GraftSqlParser {
   private val InsertRe =
     (s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident" +
       "\\s+((?:SELECT|VALUES|TABLE|FROM|WITH)\\b.*)").r
-  private val InsertColListRe =
-    s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident\\s*\\(.*".r
+  // `INSERT INTO t (a, b) <query>` — a COLUMN LIST (identifiers only,
+  // no nested parens) followed by a query body: unnamed target columns
+  // null-fill, Spark's semantics. Distinguished from the parenthesized-
+  // query form below by requiring a non-empty body after the ')'.
+  private val InsertColsListRe =
+    (s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident" +
+      "\\s*\\(([^()]*)\\)\\s*((?:SELECT|VALUES|TABLE|FROM|WITH|\\().*)").r
+  // `INSERT INTO t (SELECT ...)` — Spark's parenthesized-query body.
+  private val InsertParenRe =
+    (s"(?is)\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?$Ident" +
+      "\\s*(\\(\\s*(?:SELECT|WITH|VALUES|TABLE|FROM)\\b.*)").r
   // INSERT OVERWRITE = a full-replace commit under the SAME schema
   // (positional alignment like INSERT INTO); history survives, the DV
   // sidecar does not carry (its coordinates name the replaced files).
@@ -350,12 +359,20 @@ object GraftSqlParser {
         graft.storage.SnapshotCommit.setProperties(spark, tbl, props)
         // Keep the catalog entry (when one exists) in step — SHOW
         // TBLPROPERTIES reads it; absent-table is fine (properties
-        // declared before first adoption are a documented path).
-        if (spark.catalog.tableExists(tbl)) scala.util.Try {
-          val kv = props.map { case (k, v) =>
-            s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
-          }.mkString(", ")
-          spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ($kv)")
+        // declared before first adoption are a documented path). A
+        // REAL catalog failure propagates — swallowing it would leave
+        // sidecar and catalog silently out of step (the sidecar write
+        // above is durable either way, and re-running the statement is
+        // idempotent).
+        if (spark.sessionState.catalog.getTempView(tbl).isEmpty &&
+            spark.catalog.tableExists(tbl)) {
+          // Through the catalog API, never spark.sql — an ALTER
+          // statement would re-enter this very parser on an injected
+          // session (infinite recursion).
+          val cat = spark.sessionState.catalog
+          val meta = cat.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          cat.alterTable(meta.copy(properties = meta.properties ++ props))
         }
         Seq("table" -> tbl, "properties_set" -> props.size.toString)
       }))
@@ -395,26 +412,21 @@ object GraftSqlParser {
           "version" -> v.toString)
       }))
     case InsertOverwriteRe(tbl, query) =>
-      Some(GraftMaintenanceCommand(s"INSERT OVERWRITE $tbl", { spark =>
-        val v = runInsert(spark, tbl, query, overwrite = true)
-        Seq("table" -> tbl, "operation" -> "INSERT OVERWRITE",
-          "version" -> v.toString)
-      }))
+      Some(insertCommand(tbl, query, cols = None, overwrite = true))
     case InsertRe(tbl, query) =>
-      Some(GraftMaintenanceCommand(s"INSERT INTO $tbl", { spark =>
-        val v = runInsert(spark, tbl, query)
-        Seq("table" -> tbl, "operation" -> "INSERT",
-          "version" -> v.toString)
-      }))
-    case InsertColListRe(tbl) =>
-      // Loud at parse time, like every not-understood MERGE clause: a
-      // silent delegate on a VERSIONED target would let Spark write raw
-      // part files INTO the immutable version directory (corruption),
-      // and parse time has no session to tell versioned from plain.
-      sys.error(
-        s"INSERT INTO $tbl (columns...) is not supported on the " +
-          "versioned surface: name every column in the SELECT instead " +
-          "(positional `INSERT INTO t SELECT ...` commits a version)")
+      Some(insertCommand(tbl, query, cols = None))
+    case InsertColsListRe(tbl, colsTxt, query) =>
+      val cols = colsTxt.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty &&
+        cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        s"INSERT INTO $tbl: column list not understood: ($colsTxt)")
+      require(cols.map(_.toLowerCase).distinct.size == cols.size,
+        s"INSERT INTO $tbl repeats a column: ($colsTxt)")
+      Some(insertCommand(tbl, query, cols = Some(cols)))
+    case InsertParenRe(tbl, query) =>
+      Some(insertCommand(tbl, query, cols = None))
     case MergeUpsertRe(tgt, tA, src, sA, q1, c1, q2, c2, bySource) =>
       val key = mergeKey(tgt, tA, src, sA, q1, c1, q2, c2)
       val sync = bySource != null
@@ -1362,11 +1374,48 @@ object GraftSqlParser {
     graft.storage.StatsSkipping.commitWithStats(spark, tbl, statsCols,
       operation = op) { stage =>
       df.write.mode("overwrite").parquet(stage)
+      // A REPLACE moves no stream progress: shed the _batchid marker
+      // here and the sink's next crash-replay re-appends an already-
+      // committed batch (the carryBatchId contract — INSERT OVERWRITE
+      // carries it for the same reason).
+      sc.currentLocation(spark, tbl).foreach(prev =>
+        sc.carryBatchId(spark, prev, new org.apache.hadoop.fs.Path(stage)))
     }
     graft.storage.DeletionVectors.realign(spark, tbl) // replace drops _dv
     sc.register(spark, tbl)
       .getOrElse(sys.error(s"CTAS of $tbl left no published version"))
   }
+
+  /** The INSERT command wrapper: versioned path when the target is (or
+    * can become) snapshot-managed, Spark's own insertInto otherwise. */
+  private def insertCommand(tbl: String, query: String,
+      cols: Option[Seq[String]], overwrite: Boolean = false)
+      : GraftMaintenanceCommand = {
+    val op = if (overwrite) "INSERT OVERWRITE" else "INSERT"
+    GraftMaintenanceCommand(s"$op $tbl", { spark =>
+      val v = runInsert(spark, tbl, query, overwrite, cols)
+      Seq("table" -> tbl, "operation" -> op,
+        (if (v >= 0) "version" -> v.toString
+         else "mode" -> "delegated (plain catalog table)"))
+    })
+  }
+
+  /** Can `tbl` be adopted into the versioned surface — an existing,
+    * non-view, unpartitioned catalog table whose files live in one flat
+    * directory ([[graft.storage.DeletionVectors.ensureSnapshot]]'s
+    * requirements, probed instead of thrown)? */
+  private def canAdopt(spark: SparkSession, tbl: String): Boolean =
+    spark.sessionState.catalog.getTempView(tbl).isEmpty &&
+      spark.catalog.tableExists(tbl) && scala.util.Try {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        meta.partitionColumnNames.isEmpty && {
+          val files = spark.table(tbl).inputFiles
+          files.nonEmpty && files.map(f =>
+            new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath)
+            .distinct.sizeIs == 1
+        }
+      }.getOrElse(false)
 
   /** Execute `INSERT INTO t <query>` as an APPEND commit: the query's
     * rows write as new files, every previous file carries by name (hard
@@ -1375,42 +1424,78 @@ object GraftSqlParser {
     * deleted rows stay deleted, skipping keeps pruning, exactly-once
     * sink replay survives. A plain catalog table is ADOPTED into the
     * versioned surface on its first INSERT (version 1 = its files
-    * carried, the Delta CONVERT shape). Columns align to the target BY
-    * POSITION with a cast to the target type — SQL INSERT semantics —
-    * and arity mismatches fail loudly. `overwrite = true` (INSERT
-    * OVERWRITE) commits a FULL-REPLACE version instead: nothing
-    * carries (the DV sidecar's coordinates name the replaced files, so
-    * it is dropped with them), stats recompute for the new files, and
-    * history keeps the replaced version readable until prune.
+    * carried, the Delta CONVERT shape) — and when it CANNOT adopt
+    * (empty, partitioned, multi-directory, or a view), the statement
+    * falls back to Spark's own `insertInto` with the same alignment
+    * (review r16: the unconditional adopt broke the plain
+    * `CREATE TABLE t (...); INSERT INTO t VALUES ...` flow). Columns
+    * align to the target BY POSITION with a cast — SQL INSERT
+    * semantics — or by the explicit COLUMN LIST with unnamed target
+    * columns null-filled; arity mismatches fail loudly. `overwrite =
+    * true` (INSERT OVERWRITE) commits a FULL-REPLACE version instead:
+    * nothing carries (the DV sidecar's coordinates name the replaced
+    * files, so it is dropped with them), stats recompute for the new
+    * files, and history keeps the replaced version readable until
+    * prune. Returns the published version, or -1 for the plain-catalog
+    * fallback.
     */
-  private def runInsert(spark: SparkSession, tbl: String,
-      query: String, overwrite: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.col
+  private def runInsert(spark: SparkSession, tbl: String, query: String,
+      overwrite: Boolean = false,
+      cols: Option[Seq[String]] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.StructType
     val sc = graft.storage.SnapshotCommit
     val dv = graft.storage.DeletionVectors
     val stmt = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
-    dv.ensureSnapshot(spark, tbl) // adopt a plain table on first INSERT
-    sc.register(spark, tbl)
     val src = spark.sql(query)
     require(!src.isStreaming, s"$stmt $tbl cannot run a streaming query")
+    def alignTo(target: StructType): DataFrame = cols match {
+      case None =>
+        require(src.schema.length == target.length,
+          s"$stmt $tbl: query produces ${src.schema.length} columns, " +
+            s"table has ${target.length}")
+        src.toDF(target.fieldNames.toIndexedSeq: _*)
+          .select(target.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      case Some(cs) =>
+        require(cs.size == src.schema.length,
+          s"$stmt $tbl: column list names ${cs.size} columns, the " +
+            s"query produces ${src.schema.length}")
+        cs.foreach(c => require(
+          target.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$stmt target $tbl has no column $c"))
+        src.toDF(cs.toIndexedSeq: _*).select(target.fields.toSeq.map { f =>
+          cs.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
+    if (sc.currentVersion(spark, tbl).isEmpty && !canAdopt(spark, tbl)) {
+      // Plain-catalog fallback: Spark's own insert (loud on views and
+      // missing tables) — the versioned path needs files to adopt.
+      // Built through the DataFrame writer, never back through this
+      // parser (a spark.sql delegate would recurse on an injected
+      // session).
+      val aligned = alignTo(spark.table(tbl).schema)
+      val w = aligned.write
+      (if (overwrite) w.mode("overwrite") else w).insertInto(tbl)
+      return -1L
+    }
+    dv.ensureSnapshot(spark, tbl) // adopt a plain table on first INSERT
+    sc.register(spark, tbl)
     sc.commit(spark, tbl,
       operation = if (overwrite) "INSERT OVERWRITE" else "WRITE") { dir =>
       val stage = new org.apache.hadoop.fs.Path(dir)
       // Aligned INSIDE the closure: a rebase re-reads the then-current
       // target schema (a concurrent widening commit could change it).
-      val target = sc.readData(spark, tbl).schema
-      require(src.schema.length == target.length,
-        s"$stmt $tbl: query produces ${src.schema.length} columns, " +
-          s"table has ${target.length}")
-      val aligned = src.toDF(target.fieldNames.toIndexedSeq: _*)
-        .select(target.fields.toSeq.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+      val aligned = alignTo(sc.readData(spark, tbl).schema)
       aligned.write.mode("overwrite").parquet(dir)
       if (overwrite) {
         // Replace semantics: fresh content, fresh stats, progress
         // marker carried (maintenance/replace moves no stream progress).
         graft.storage.StatsSkipping.recomputeStats(spark, stage,
-          target.fieldNames.toSeq)
+          aligned.schema.fieldNames.toSeq)
         sc.currentLocation(spark, tbl).foreach(prev =>
           sc.carryBatchId(spark, prev, stage))
       } else sc.currentLocation(spark, tbl).foreach { prev =>

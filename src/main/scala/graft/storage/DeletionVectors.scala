@@ -475,11 +475,16 @@ object DeletionVectors {
       Seq(("_floor", -1L, cutoff),
           ("_hwm", -1L, math.max(cutoff, version(spark, table)))))
       .toDF("f", "p", "v")
-    // Timestamp sentinels of versions ABOVE the cutoff survive the
-    // fold: those versions stay readable, so their TIMESTAMP AS OF
-    // anchors must keep resolving (folded versions' stamps go with
-    // their history, like everything below the floor).
-    val keptTs = sidecar.filter(col("p") < 0 && col("v") > cutoff &&
+    // Timestamp sentinels of versions AT or above the cutoff survive
+    // the fold: those versions stay readable (the cutoff version IS the
+    // floor state), so their TIMESTAMP AS OF anchors must keep
+    // resolving. Keeping the cutoff's own anchor also keeps
+    // versionAtTimestamp's completeness check satisfiable after a
+    // FULL fold (cutoff == hwm restates an _hwm sentinel, which must
+    // stay paired with a stamp — review r16: `> cutoff` bricked every
+    // later TIMESTAMP AS OF on a fully-vacuumed table). Stamps below
+    // the cutoff go with their folded history.
+    val keptTs = sidecar.filter(col("p") < 0 && col("v") >= cutoff &&
       col("f").startsWith(TsPrefix))
     val newSidecar = untouchedEntries.unionByName(rebasedAffected)
       .unionByName(keptTs).unionByName(sentinels)

@@ -164,6 +164,20 @@ object StatsSkipping {
     finally out.close()
   }
 
+  /** Write a FRESH `_stats` sidecar for every parquet file in `stage`
+    * (footer metadata only, no data scan) — the replace-commit path
+    * (INSERT OVERWRITE): the previous sidecar describes files the
+    * version no longer contains, so it is recomputed, never carried. */
+  private[graft] def recomputeStats(spark: SparkSession, stage: Path,
+      cols: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = stage.getFileSystem(hconf)
+    val lines = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap(s => footerLines(hconf, s.getPath, cols))
+    writeSidecar(hconf, stage, lines)
+  }
+
   /** LIFECYCLE CARRY: propagate a `_stats` sidecar from the version at
     * `from` into a freshly staged successor at `stage` — called inside
     * the staging closures of every operation that would otherwise
@@ -185,20 +199,6 @@ object StatsSkipping {
     *
     * No-op (one existence probe) when `from` carries no sidecar.
     */
-  /** Write a FRESH `_stats` sidecar for every parquet file in `stage`
-    * (footer metadata only, no data scan) — the replace-commit path
-    * (INSERT OVERWRITE): the previous sidecar describes files the
-    * version no longer contains, so it is recomputed, never carried. */
-  private[graft] def recomputeStats(spark: SparkSession, stage: Path,
-      cols: Seq[String]): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = stage.getFileSystem(hconf)
-    val lines = fs.listStatus(stage).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .flatMap(s => footerLines(hconf, s.getPath, cols))
-    writeSidecar(hconf, stage, lines)
-  }
-
   private[graft] def refreshStats(spark: SparkSession, from: Path,
       stage: Path): Unit = {
     val old = loadStats(spark, from).getOrElse(return)
@@ -407,7 +407,10 @@ object StatsSkipping {
     // table (ADVICE r15: without this, sidecars built here were silently
     // ignored by StatsSkippingRule/MetadataAggRule unless the global
     // probeForeign conf was set). Bounded: one entry per explicit call.
-    indexedRoots.add(dir.toUri.getPath)
+    // FULLY-QUALIFIED (scheme + authority + path): a bare path would
+    // let an s3a://bucketA root authorize probes under the same path on
+    // every other filesystem/bucket (review r16).
+    indexedRoots.add(qualified(spark, dir))
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(hconf)
     def walk(d: Path): Seq[Path] = {
@@ -433,9 +436,17 @@ object StatsSkipping {
   }
 
   /** Roots explicitly indexed via [[indexLeafDirs]] in this JVM — the
-    * optimizer rules may probe under them wherever they live. */
+    * optimizer rules may probe under them wherever they live. Entries
+    * are FULLY-QUALIFIED URIs (see [[qualified]]). */
   private val indexedRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The path as a fully-qualified URI string (scheme + authority +
+    * path) under the session's Hadoop conf — the comparable form for
+    * cross-filesystem containment checks. */
+  private def qualified(spark: SparkSession, p: Path): String =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
 
   /** Path containment with a SEPARATOR BOUNDARY: `/wh-backup` must not
     * count as under `/wh` (ADVICE r15 — a bare startsWith did). */
@@ -467,10 +478,13 @@ object StatsSkipping {
         if (whRaw == null || whRaw.startsWith("/")) whRaw
         else new java.io.File(whRaw).getAbsolutePath
       val d = dir.toUri.getPath
-      d != null && ((wh != null && underRoot(d, wh)) || {
+      (d != null && wh != null && underRoot(d, wh)) || {
         import scala.jdk.CollectionConverters._
-        indexedRoots.asScala.exists(r => underRoot(d, r))
-      })
+        indexedRoots.size() > 0 && {
+          val dq = qualified(spark, dir)
+          indexedRoots.asScala.exists(r => underRoot(dq, r))
+        }
+      }
     }
 
   private[graft] def loadStats(spark: SparkSession,

@@ -321,8 +321,20 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     if (paths.isEmpty)
       return org.apache.spark.sql.graftbridge.Bridge
         .emptyStreaming(spark, schema)
-    org.apache.spark.sql.graftbridge.Bridge.asStreaming(
+    val scan = org.apache.spark.sql.graftbridge.Bridge.asStreaming(
       spark.read.schema(schema).parquet(paths: _*))
+    // The INITIAL snapshot is the table's live STATE, not raw files:
+    // a pre-existing DV delete must not stream its dead rows (Delta's
+    // readStream serves the masked snapshot — review r16). The mask
+    // wraps the ALREADY-streaming scan so its sidecar side stays a
+    // static relation (a stream-STATIC anti-join, the supported
+    // shape). Later batches are pure appends whose files carry no DV
+    // entries (the change-commit guard enforces it; under
+    // skipChangeCommits the raw-append approximation is the
+    // documented trade).
+    if (start.isEmpty)
+      graft.storage.DeletionVectors.mask(spark, table, scan)
+    else scan
   }
 
   override def commit(end: Offset): Unit = {

@@ -664,8 +664,16 @@ class ExtensionsSpec extends SparkSpec {
       assert(DeletionVectors.versionAtTimestamp(spark, tbl,
         tV2 + 1000) === 2)
       assert(DeletionVectors.versionAtTimestamp(spark, tbl,
-        tV2 - 1000) === 0, "folded v1's anchor goes with its history")
+        tV2 - 1000) === 1,
+        "the cutoff's anchor survives the fold — it IS the floor state")
       intercept[Exception](DeletionVectors.restore(spark, tbl, 0))
+      // A FULL fold (cutoff == hwm) must keep TIMESTAMP AS OF working:
+      // the restated _hwm stays paired with its _ts anchor.
+      DeletionVectors.clockMs = () => t0 + 20L * 3600 * 1000
+      GraftSqlParser.sql(spark, s"VACUUM $tbl RETAIN 9 HOURS")
+      assert(DeletionVectors.versionAtTimestamp(spark, tbl,
+        t0 + 20L * 3600 * 1000) === 2,
+        "a fully-vacuumed table still resolves current timestamps")
     } finally DeletionVectors.clockMs = prevClock
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
@@ -752,11 +760,42 @@ class ExtensionsSpec extends SparkSpec {
     // Positional alignment with cast; arity mismatch is loud.
     intercept[Exception](GraftSqlParser.sql(spark,
       s"INSERT INTO $tbl SELECT id FROM range(5)"))
+    // COLUMN LIST: named columns align, unnamed null-fill (Spark's
+    // semantics) — on the versioned surface this is still a commit.
+    GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl (id) VALUES (90001)")
+    assert(spark.table(tbl).filter(col("id") === 90001L &&
+      col("v").isNull).count() === 1)
+    // Parenthesized query body (Spark's grammar) is a query, not a
+    // column list.
+    GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl (SELECT 90002, 1)")
+    assert(spark.table(tbl).filter(col("id") === 90002L).count() === 1)
     intercept[Exception](GraftSqlParser.sql(spark,
-      s"INSERT INTO $tbl (id, v) SELECT id, id FROM range(5)"))
+      s"INSERT INTO $tbl (id, id) VALUES (1, 2)")) // repeated column
+    // PLAIN-CATALOG fallback: an empty CREATE TABLE target (nothing to
+    // adopt) takes Spark's own insert — the basic DDL+INSERT flow must
+    // keep working through the injected surface (review r16).
+    val plain = "ins_plain_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    graft.core.CatalogUtil.dropOrphanLocation(spark, plain)
+    spark.sql(s"CREATE TABLE $plain (id BIGINT, v BIGINT) USING parquet")
+    GraftSqlParser.sql(spark, s"INSERT INTO $plain VALUES (1, 2)")
+    assert(graft.storage.SnapshotCommit.currentVersion(spark, plain)
+      .isEmpty, "an EMPTY plain table delegates (nothing to adopt)")
+    // Once files exist the next INSERT adopts the table into the
+    // versioned surface (the Delta CONVERT shape) and appends.
+    GraftSqlParser.sql(spark, s"INSERT INTO $plain (v, id) SELECT 9, 5")
+    assert(graft.storage.SnapshotCommit.currentVersion(spark, plain)
+      .isDefined, "a file-bearing plain table adopts on INSERT")
+    graft.storage.SnapshotCommit.register(spark, plain)
+    assert(spark.table(plain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (5L, 9L)))
+    graft.storage.SnapshotCommit.destroy(spark, plain)
     // VALUES body; DV mask survives a later INSERT.
     GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (1000, 1)")
-    assert(spark.table(tbl).count() === 201)
+    assert(spark.table(tbl).count() === 203) // 200 + 2 col-list rows + 1
     GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 1000")
     GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (1001, 2)")
     val live = DeletionVectors.read(spark, tbl)
@@ -766,7 +805,7 @@ class ExtensionsSpec extends SparkSpec {
     // Time travel works on the CTAS'd table's delete axis.
     assert(GraftSqlParser.sql(spark,
       s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
-      .collect()(0).getLong(0) === 202L)
+      .collect()(0).getLong(0) === 204L)
     // INSERT OVERWRITE: a full-replace version under the same schema —
     // nothing carries (the DV goes with the files it described), stats
     // recompute, history keeps growing.

@@ -238,14 +238,16 @@ class GraftTableSourceSpec extends SparkSpec {
       m.contains("deletion-vector sidecar changed")),
       s"wanted the DV-change failure, got: ${causes(e)}")
     // skipChangeCommits from a fresh checkpoint: the initial snapshot
-    // streams (raw files — DV masking is the batch reader's job), and a
-    // later compaction (removes + re-adds files) is skipped silently
-    // while a subsequent append still streams.
+    // is the table's live STATE (the DV-deleted id=3 never streams —
+    // Delta's masked-snapshot semantics), and a later compaction
+    // (removes + re-adds files) is skipped silently while a subsequent
+    // append still streams.
     val ckpt2 = java.nio.file.Files
       .createTempDirectory("gts_ckpt_skip").toString
     seen.clear()
     drain(tbl, ckpt2, skipChangeCommits = true)(collect)
-    assert(seen.asScala.toSet === (0L until 10L).toSet)
+    assert(seen.asScala.toSet === (0L until 10L).toSet - 3L,
+      "the initial snapshot must mask pre-existing DV deletes")
     DeletionVectors.compact(spark, tbl) // folds the DV: a change commit
     SnapshotSink.append(spark, tbl, 99L,
       spark.range(100, 105).select(col("id"), (col("id") * 2).as("v")))
