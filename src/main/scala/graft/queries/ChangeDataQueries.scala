@@ -544,8 +544,56 @@ object ChangeDataQueries {
           s"commit_version FROM table_changes('$tbl', 1, 2)")
   }
 
+  /** u17 — INSERT OVERWRITE + RESTORE TO TIMESTAMP as one lifecycle:
+    * CTAS half the orders, OVERWRITE with the full set (a replace
+    * version — the half-load must vanish, not union), two DV deletes,
+    * then `RESTORE TABLE ... TO TIMESTAMP AS OF` an instant captured
+    * between them (the same `_ts` timeline as u14) rolls the second
+    * delete back. Gated frame = the restored live view; requires()
+    * prove the overwrite actually replaced (count) and that history
+    * grew (a version chain, not a destroy).
+    */
+  val u17OverwriteRestoreSql = withOracle(
+    "u17_overwrite_restore_sql",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_ovr_${graft.queries.StorageQueries.sfName(d)}"
+    val src = s"${tbl}_src"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    val total = s.table(src).count()
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $tbl AS SELECT * FROM $src WHERE k % 2 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"INSERT OVERWRITE $tbl SELECT * FROM $src")
+    require(s.table(tbl).count() == total,
+      s"$tbl: OVERWRITE must replace, not append")
+    graft.ext.GraftSqlParser.sql(s, s"DELETE FROM $tbl WHERE k % 7 = 0")
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    graft.ext.GraftSqlParser.sql(s, s"DELETE FROM $tbl WHERE k % 5 = 0")
+    val anchor = java.time.Instant.ofEpochMilli(mid)
+      .atZone(java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone", "UTC")))
+      .toLocalDateTime.toString.replace('T', ' ')
+    graft.ext.GraftSqlParser.sql(s,
+      s"RESTORE TABLE $tbl TO TIMESTAMP AS OF '$anchor'")
+    require(graft.ext.GraftSqlParser.sql(s, s"DESCRIBE HISTORY $tbl")
+      .count() >= 2, s"$tbl: the lifecycle must be a version chain")
+    graft.storage.DeletionVectors.read(s, tbl)
+      .select(col("k"), col("status"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
-      u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql)
+      u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
+      u17OverwriteRestoreSql)
 }

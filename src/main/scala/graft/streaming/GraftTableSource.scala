@@ -103,10 +103,17 @@ private[streaming] object GraftTableOffset {
   * only, e.g. OPTIMIZE compaction, exactly the Delta guidance).
   *
   * SCALE. Planning a batch costs one pointer listing + two manifest
-  * reads + one current-version listing — never a scan of table history.
-  * The batch itself is a parquet scan of exactly its files. At a
-  * million files the manifests are the FileStreamSource economics:
-  * O(files per version) metadata, not O(table).
+  * reads + one current-version listing — never a scan of table
+  * history. The batch itself is a parquet scan of exactly its files.
+  * Honest accounting: each manifest records the version's FULL
+  * basename listing (O(table file count) names — at a million files
+  * ~60 MB, the size class of a Delta checkpoint or a compacted
+  * FileStreamSource log), written once per OBSERVED version and
+  * GC'd below the committed anchor, so at most a handful exist at a
+  * time; a diff-chain encoding with periodic compaction (the
+  * FileStreamSourceLog design) would shrink the per-version write to
+  * O(appended files) and is the natural next step if per-batch
+  * versions at very high file counts ever dominate.
   */
 class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     table: String, skipChangeCommits: Boolean,
