@@ -442,10 +442,29 @@ class CrossProcessSpec extends SparkSpec {
     val ckpt = base.resolve("ckpt").toString
     val out = base.resolve("out").toString
     val barrier = base.resolve("barrier").toString
-    for (f <- 0 until nFiles) {
-      val rows = rowsFor(f).map(id => s"$id,p$id")
-      Files.writeString(data.resolve(f"file$f%02d.csv"),
-        "id,payload\n" + rows.mkString("\n") + "\n")
+    // graft-table mode streams a SNAPSHOT table instead of a CSV dir:
+    // each rowsFor(f) becomes one exactly-once SnapshotSink version
+    // (one file each), built here in the parent against the SHARED
+    // warehouse; the child receives "warehouse::table" as its source.
+    val dataArg = if (mode == "graft-table") {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val tbl = s"xproc_gts_src_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.storage.SnapshotCommit.destroy(spark, tbl)
+      for (f <- 0 until nFiles) {
+        import spark.implicits._
+        val batch = rowsFor(f).toDF("id")
+          .select(col("id"), concat(lit("p"), col("id")).as("payload"))
+          .coalesce(1)
+        assert(graft.streaming.SnapshotSink.append(spark, tbl, f.toLong, batch))
+      }
+      s"${spark.conf.get("spark.sql.warehouse.dir")}::$tbl"
+    } else {
+      for (f <- 0 until nFiles) {
+        val rows = rowsFor(f).map(id => s"$id,p$id")
+        Files.writeString(data.resolve(f"file$f%02d.csv"),
+          "id,payload\n" + rows.mkString("\n") + "\n")
+      }
+      data.toString
     }
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -455,7 +474,7 @@ class CrossProcessSpec extends SparkSpec {
           "-Xmx2g", "-Dspark.ui.enabled=false",
           "-Dspark.sql.session.timeZone=UTC",
           "-cp", cp, "graft.CrossProcessStreamer",
-          data.toString, ckpt, out, barrier, id, mode)): _*)
+          dataArg, ckpt, out, barrier, id, mode)): _*)
       pb.redirectErrorStream(true)
       pb.redirectOutput(Paths.get(barrier, s"out-$id").toFile)
       pb.start()
@@ -550,5 +569,22 @@ class CrossProcessSpec extends SparkSpec {
         mine ++ dupsOfPrev
       },
       (0L until (nFiles * fresh).toLong).toSet)
+  }
+
+  test("graft-table source across the SIGKILL restart: the restarted " +
+      "JVM resumes the chunked snapshot from the checkpoint manifests, " +
+      "exactly once") {
+    // The readStream.table crash-restart contract on REAL JVMs: the
+    // victim tails a SnapshotSink-built table (8 versions, one file
+    // each) with maxFilesPerTrigger=1 — the chunked-initial-snapshot
+    // path — and is SIGKILL'd mid-drain; the restarter must resume
+    // MID-DIFF from the checkpoint's composite offsets + the source's
+    // durable per-version manifests (the version directories retain
+    // only current/previous — history is unreachable without them) and
+    // drain the rest exactly once into the parquet sink's commit log.
+    val nFiles = 8; val rowsPerFile = 500
+    streamRestartCase("graft-table", nFiles,
+      f => (0 until rowsPerFile).map(i => (f * rowsPerFile + i).toLong),
+      (0L until (nFiles * rowsPerFile).toLong).toSet)
   }
 }

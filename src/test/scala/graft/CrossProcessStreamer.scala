@@ -36,7 +36,13 @@ import org.apache.spark.sql.types._
   * state was lost, a missing id means a batch was dropped. This is the
   * reference's bronze dedup (`scripts/silver/silver_products.py:119`)
   * under its Auto Loader crash-restart contract, on the provider a
-  * 100 TB deployment runs.
+  * 100 TB deployment runs. mode "graft-table" = the SNAPSHOT-CHAIN
+  * streaming source over a SHARED warehouse (dataDir is reinterpreted
+  * as "warehouse::table"): the victim tails a SnapshotSink-built table
+  * with maxFilesPerTrigger=1 (each version's file its own batch), is
+  * SIGKILL'd mid-stream, and the restarter must resume from the
+  * checkpoint's offsets + the source's durable per-version manifests —
+  * the readStream.table crash-restart contract, across real JVMs.
   */
 object CrossProcessStreamer {
   def main(args: Array[String]): Unit = {
@@ -45,6 +51,10 @@ object CrossProcessStreamer {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+    // graft-table mode shares the PARENT's warehouse (the snapshot
+    // chain lives there); dataDir is "warehouse::table".
+    if (mode == "graft-table")
+      builder.config("spark.sql.warehouse.dir", dataDir.split("::")(0))
     if (mode == "dedup-rocksdb")
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -77,10 +87,17 @@ object CrossProcessStreamer {
     val drag = org.apache.spark.sql.functions.udf { (id: Long) =>
       Thread.sleep(1); id
     }
-    val raw = spark.readStream.schema(schema).option("header", "true")
-      .option("maxFilesPerTrigger", "1")
-      .csv(dataDir)
-      .withColumn("id", drag(org.apache.spark.sql.functions.col("id")))
+    val raw =
+      if (mode == "graft-table")
+        spark.readStream.format("graft-table")
+          .option("table", dataDir.split("::")(1))
+          .option("maxFilesPerTrigger", "1")
+          .load()
+          .withColumn("id", drag(org.apache.spark.sql.functions.col("id")))
+      else spark.readStream.schema(schema).option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(dataDir)
+        .withColumn("id", drag(org.apache.spark.sql.functions.col("id")))
     val src = if (mode == "dedup-rocksdb") raw.dropDuplicates("id") else raw
     val q = src.writeStream
       .format("parquet")
