@@ -94,27 +94,52 @@ private[streaming] object GraftTableOffset {
   * a version that REMOVES a basename (UPDATE/MERGE rewrite, OPTIMIZE,
   * vacuum fold) or touches the `_dv` deletion-vector sidecar (DELETE,
   * RESTORE) is not an append — streaming past it would silently miss
-  * (or resurrect) rows. `.option("skipChangeCommits", "true")` opts
-  * into Delta's skip semantics: removals and DV changes are ignored and
-  * only appended basenames stream (the approximation is documented: a
-  * rewrite's OUTPUT files are indistinguishable from appends at the
-  * name level, so unlike Delta the rewritten rows DO stream — set the
-  * option only on targets whose non-append commits are maintenance-
-  * only, e.g. OPTIMIZE compaction, exactly the Delta guidance).
+  * (or resurrect) rows. Detection walks every version transition the
+  * source can OBSERVE: when an offset opens a span across several
+  * versions, each intermediate version whose directory still resolves
+  * is manifested at offset-creation time and the span is checked
+  * TRANSITION BY TRANSITION, not endpoint-to-endpoint (review r16: an
+  * endpoint-only diff missed a file appended at v+1 and rewritten at
+  * v+2 inside one catch-up span). The one unobservable case — a
+  * version BOTH appended and retracted entirely within a span whose
+  * intermediate directories were already pruned (stream down past the
+  * prune window, which retains two versions) — collapses into the
+  * surrounding gap transition; its removals/DV changes still trip the
+  * endpoint check, but an appended-then-removed basename inside such a
+  * gap is invisible (its rows are physically gone). That narrow
+  * divergence from Delta's log-complete detection is documented here
+  * and in MIGRATION.md.
   *
-  * SCALE. Planning a batch costs one pointer listing + two manifest
-  * reads + one current-version listing — never a scan of table
-  * history. The batch itself is a parquet scan of exactly its files.
-  * Honest accounting: each manifest records the version's FULL
-  * basename listing (O(table file count) names — at a million files
-  * ~60 MB, the size class of a Delta checkpoint or a compacted
-  * FileStreamSource log), written once per OBSERVED version and
-  * GC'd below the committed anchor, so at most a handful exist at a
-  * time; a diff-chain encoding with periodic compaction (the
-  * FileStreamSourceLog design) would shrink the per-version write to
-  * O(appended files) and is the natural next step if per-batch
-  * versions at very high file counts ever dominate.
+  * `.option("skipChangeCommits", "true")` opts into Delta's skip
+  * semantics, now Delta-EXACT on observable transitions: a change
+  * version's ADDED files are excluded from the stream along with its
+  * removals (a rewrite's output never re-streams — r16 streamed it as
+  * a pseudo-append). For an unobservable pruned gap that contains a
+  * change, the gap's net-added files DO stream as pseudo-appends (the
+  * r16 approximation, kept deliberately: skipping them would silently
+  * drop any genuine appends folded into the same gap — at-least-once
+  * beats data loss; a warning is logged and an idempotent sink
+  * collapses the duplicates).
+  *
+  * SCALE. Planning a batch costs one pointer listing + a bounded
+  * manifest-chain read + one current-version listing — never a scan of
+  * table history. The batch itself is a parquet scan of exactly its
+  * files. Manifests are DIFF-ENCODED (the FileStreamSourceLog design):
+  * a full base listing every [[GraftTableSource.MaxChain]] observed
+  * versions, `+name`/`-name` diffs against the previous observed
+  * version in between — so steady-state appends write O(appended
+  * files) bytes per version, not O(table file count), and [[commit]]
+  * garbage-collects strictly below the committed anchor's chain BASE
+  * (never orphaning a diff's parent). Legacy full-listing manifests
+  * (r16 checkpoints) still parse.
   */
+private[streaming] object GraftTableSource {
+  /** Diff-chain length bound: every MaxChain-th observed version writes
+    * a full base manifest (periodic compaction, the FileStreamSourceLog
+    * rule) so resolving a state reads at most MaxChain files. */
+  val MaxChain = 8
+}
+
 class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     table: String, skipChangeCommits: Boolean,
     maxFilesPerTrigger: Option[Int]) extends Source
@@ -166,17 +191,87 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
       .sorted.mkString(",")
   }
 
-  /** Record version `v`'s manifest if not already recorded. No-clobber:
-    * a concurrent recovery attempt writing the same version loses the
-    * rename benignly (version listings are immutable, both writers
-    * recorded the same content). */
+  /** A manifest file as stored: diff manifests carry the parent they
+    * diff against; base (and legacy r16 full-listing) manifests carry
+    * the complete name set. */
+  private case class RawManifest(dvFingerprint: String,
+      parent: Option[Long], entries: Seq[String])
+
+  private def manifestExists(v: Long): Boolean = {
+    val p = manifestPath(v)
+    fs(p).exists(p)
+  }
+
+  /** Observed-version numbers with a manifest on disk, ascending. */
+  private def manifestVersions(): Seq[Long] = {
+    val d = manifestDir
+    val f = fs(d)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted
+  }
+
+  private def readRaw(v: Long): RawManifest = {
+    val p = manifestPath(v)
+    val in = fs(p).open(p)
+    val lines =
+      try new String(in.readAllBytes(), "UTF-8").split("\n", -1).toSeq
+      finally in.close()
+    if (lines.head.startsWith("dv:")) {
+      val fp = lines.head.drop(3)
+      lines(1) match {
+        case "base" => RawManifest(fp, None, lines.drop(2).filter(_.nonEmpty))
+        case d if d.startsWith("diff:") =>
+          RawManifest(fp, Some(d.drop(5).toLong),
+            lines.drop(2).filter(_.nonEmpty))
+        case other => sys.error(
+          s"graft-table manifest v$v: unknown header '$other'")
+      }
+    } else // legacy r16 full listing: fingerprint line + names
+      RawManifest(lines.head, None, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Diff-chain depth of `v`'s manifest (0 = base/legacy). */
+  private def chainDepth(v: Long): Int = readRaw(v).parent match {
+    case None => 0
+    case Some(p) => 1 + chainDepth(p)
+  }
+
+  /** The base version `v`'s manifest chain resolves through — the GC
+    * floor that keeps every diff's parent alive. Missing manifests
+    * answer `v` itself (conservative: GC nothing extra). */
+  private def chainBase(v: Long): Long =
+    if (v < 0 || !manifestExists(v)) v
+    else readRaw(v).parent match {
+      case None => v
+      case Some(p) => chainBase(p)
+    }
+
+  /** Record version `v`'s manifest if not already recorded — a diff
+    * against the newest already-observed version when the chain is
+    * shorter than [[GraftTableSource.MaxChain]], else a fresh base.
+    * No-clobber: a concurrent recovery attempt writing the same version
+    * loses the rename benignly (version listings are immutable, both
+    * writers recorded the same content). */
   private def ensureManifest(v: Long, dir: Path): Unit = {
     val p = manifestPath(v)
     val f = fs(p)
     if (f.exists(p)) return
     f.mkdirs(manifestDir)
-    val names = SnapshotCommit.listData(spark, dir).map(_._1)
-    val body = (dvFingerprint(dir) +: names.sorted).mkString("\n")
+    val names = SnapshotCommit.listData(spark, dir).map(_._1).toSet
+    val fp = dvFingerprint(dir)
+    val parent = manifestVersions().filter(_ < v).maxOption
+      .filter(q => chainDepth(q) < GraftTableSource.MaxChain)
+    val body = parent match {
+      case Some(q) =>
+        val prev = readManifest(q)
+        val added = (names -- prev.names).toSeq.sorted.map("+" + _)
+        val removed = (prev.names -- names).toSeq.sorted.map("-" + _)
+        (s"dv:$fp" +: s"diff:$q" +: (added ++ removed)).mkString("\n")
+      case None =>
+        (s"dv:$fp" +: "base" +: names.toSeq.sorted).mkString("\n")
+    }
     val tmp = new Path(manifestDir, s".${v}-${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -186,11 +281,16 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
   /** The empty pre-stream state for the chunked initial snapshot. */
   private val EmptyState = VersionState("-", Set.empty)
 
+  /** Resolved states by version — manifests are immutable once written,
+    * so entries never go stale; [[commit]] drops GC'd versions. */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, VersionState]()
+
   private def readManifest(v: Long): VersionState = {
     if (v < 0) return EmptyState
-    val p = manifestPath(v)
-    val f = fs(p)
-    if (!f.exists(p)) {
+    val cached = stateCache.get(v)
+    if (cached != null) return cached
+    if (!manifestExists(v)) {
       // Not yet recorded (e.g. a WAL offset written by a crashed
       // instance whose manifest write raced the crash): recoverable
       // ONLY while the version directory still resolves.
@@ -200,11 +300,19 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
           "predates this source's metadata; restart the stream fresh"))
       ensureManifest(v, dir)
     }
-    val in = f.open(p)
-    val lines =
-      try new String(in.readAllBytes(), "UTF-8").split("\n", -1).toSeq
-      finally in.close()
-    VersionState(lines.head, lines.tail.filter(_.nonEmpty).toSet)
+    val raw = readRaw(v)
+    val state = raw.parent match {
+      case None => VersionState(raw.dvFingerprint, raw.entries.toSet)
+      case Some(q) =>
+        val base = readManifest(q)
+        val added = raw.entries.collect { case e if e.startsWith("+") =>
+          e.drop(1) }.toSet
+        val removed = raw.entries.collect { case e if e.startsWith("-") =>
+          e.drop(1) }.toSet
+        VersionState(raw.dvFingerprint, base.names ++ added -- removed)
+    }
+    stateCache.put(v, state)
+    state
   }
 
   /** The sorted basenames appended between anchor and target. */
@@ -235,6 +343,22 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     capped
   }
 
+  /** Manifest every resolvable version STRICTLY INSIDE (anchor, target)
+    * before an offset spanning them escapes — change detection and
+    * skipChangeCommits then see per-version transitions, and a WAL
+    * replay of the batch reads the SAME manifest set (manifests >=
+    * anchor are never GC'd while the span is open, and nothing writes
+    * intermediate manifests after the span closes — deterministic
+    * replay). Versions already pruned stay unobservable (see the
+    * class scaladoc's documented divergence). */
+  private def observeIntermediates(anchor: Long, target: Long): Unit =
+    if (anchor >= 0 && target - anchor > 1)
+      ((anchor + 1) until target).foreach { v =>
+        if (!manifestExists(v))
+          SnapshotCommit.resolveDir(spark, table, v)
+            .foreach(ensureManifest(v, _))
+      }
+
   /** Next offset from `from` under maxFilesPerTrigger: finish the open
     * span first, then open a span to the current version; None = no
     * progress possible (the stream idles on the unchanged offset). */
@@ -242,6 +366,7 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
       : Option[GraftTableOffset] = {
     val cur = servableCurrent()
     def openSpan(anchor: Long, target: Long): GraftTableOffset = {
+      observeIntermediates(anchor, target)
       val d = spanDiff(anchor, target)
       maxFilesPerTrigger match {
         case Some(m) if m < d.size => GraftTableOffset(anchor, target, m)
@@ -292,25 +417,72 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = GraftTableOffset.parse(end)
     val s = start.map(o => GraftTableOffset.parse(o))
-    val endT = readManifest(e.target)
-    val startT = s.map(o => readManifest(o.target))
-    // Change-commit detection at the VERSION level (targets): a
-    // basename removed, or a DV sidecar rewrite, is not an append.
-    val removed = startT.map(_.names -- endT.names).getOrElse(Set.empty)
-    val dvChanged = startT.exists(_.dvFingerprint != endT.dvFingerprint)
-    if (!skipChangeCommits) {
-      require(removed.isEmpty,
-        s"graft-table stream over $table: version v${e.target} removed " +
-          s"${removed.size} file(s) (UPDATE/MERGE/OPTIMIZE/VACUUM) — " +
-          "not an append; restart from a fresh checkpoint or set " +
-          "skipChangeCommits=true (Delta's semantics)")
-      require(!dvChanged,
-        s"graft-table stream over $table: the deletion-vector sidecar " +
-          s"changed by v${e.target} (DELETE/RESTORE) — not an append; " +
-          "restart fresh or set skipChangeCommits=true")
+    // The span's OBSERVED version chain: both endpoints plus every
+    // intermediate version with a manifest (written at offset-creation
+    // time by observeIntermediates — replay reads the same set). The
+    // chain derives from the END offset's OWN span (anchor -> target)
+    // when that span is open, so every chunk of a multi-batch span sees
+    // the same transitions and the same skip set (a start-relative
+    // chain would collapse to one element on the second chunk and leak
+    // a change commit's added files into it); a COLLAPSED end offset
+    // (anchor == target — the whole diff fit in one batch) has shed its
+    // anchor, so the chain starts at the START offset's target instead.
+    // Anchor -1 (chunked initial snapshot) has no history to check.
+    val from: Long =
+      if (e.anchor < e.target) e.anchor
+      else s.map(_.target).getOrElse(e.target)
+    val chain: Seq[Long] =
+      if (from < 0 || from >= e.target) Seq(e.target)
+      else (from +: ((from + 1) until e.target)
+        .filter(manifestExists) :+ e.target).distinct
+    // Change-commit detection transition by transition: a basename
+    // removed, or a DV sidecar rewrite, is not an append. Under
+    // skipChangeCommits the change transition's ADDED names are
+    // excluded from the stream too (Delta skips the whole commit) —
+    // except across an unobservable pruned gap, where the net-added
+    // files stream as pseudo-appends (see the class scaladoc).
+    var skipNames = Set.empty[String]
+    var appendAdds = Set.empty[String] // adds at NON-change transitions
+    chain.sliding(2).foreach {
+      case Seq(a, b) =>
+        val sa = readManifest(a)
+        val sb = readManifest(b)
+        val removed = sa.names -- sb.names
+        val dvChanged = sa.dvFingerprint != sb.dvFingerprint
+        if (!skipChangeCommits) {
+          require(removed.isEmpty,
+            s"graft-table stream over $table: v$a -> v$b removed " +
+              s"${removed.size} file(s) (UPDATE/MERGE/OPTIMIZE/VACUUM) " +
+              "— not an append; restart from a fresh checkpoint or set " +
+              "skipChangeCommits=true (Delta's semantics)")
+          require(!dvChanged,
+            s"graft-table stream over $table: the deletion-vector " +
+              s"sidecar changed between v$a and v$b (DELETE/RESTORE) — " +
+              "not an append; restart fresh or set skipChangeCommits=true")
+        } else if (removed.nonEmpty || dvChanged) {
+          if (b - a == 1) skipNames ++= (sb.names -- sa.names)
+          else System.err.println(
+            s"[graft-table] $table: change commit inside pruned gap " +
+              s"v$a..v$b under skipChangeCommits — its net-added files " +
+              "stream as pseudo-appends (at-least-once; see scaladoc)")
+        } else appendAdds ++= (sb.names -- sa.names)
+      case _ => ()
     }
-    val newNames = (consumed(e) -- s.map(consumed).getOrElse(Set.empty))
-      .toSeq.sorted
+    // A file appended by one version and removed again by a LATER
+    // skipped change commit in the same span never reaches the
+    // endpoint state the consumed-diff sees — but it is a genuine
+    // append Delta would stream (from the retained pre-change file).
+    // Serve those with the span's FINAL chunk (they are outside the
+    // chunk index, which counts endpoint-diff names only); the
+    // historical resolution below finds their bytes while the
+    // appending version's directory survives.
+    val spanClosed = e.anchor == e.target ||
+      e.idx >= spanDiff(e.anchor, e.target).size
+    val lostAppends: Set[String] =
+      if (!skipChangeCommits || !spanClosed) Set.empty
+      else appendAdds -- readManifest(e.target).names -- skipNames
+    val newNames = ((consumed(e) -- s.map(consumed).getOrElse(Set.empty))
+      ++ lostAppends).toSeq.sorted.filterNot(skipNames)
     if (newNames.isEmpty)
       return org.apache.spark.sql.graftbridge.Bridge
         .emptyStreaming(spark, schema)
@@ -324,7 +496,19 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
       s"graft-table stream over $table: file(s) ${missing.take(3)} of " +
         s"v${e.target} were rewritten before the stream read them — " +
         "restart fresh or set skipChangeCommits=true")
-    val paths = newNames.flatMap(phys.get).map(_.toString)
+    // Under skipChangeCommits a genuine append's file can be REWRITTEN
+    // AWAY by a later, skipped change commit in the same span — Delta
+    // still streams it from the retained pre-change file, and so does
+    // this source while the appending version's directory survives
+    // (pruned directories drop the rows, the documented retention
+    // trade; Delta after vacuum behaves the same way).
+    lazy val historical: Map[String, Path] =
+      chain.flatMap(v => SnapshotCommit.resolveDir(spark, table, v))
+        .distinct
+        .flatMap(d => SnapshotCommit.listData(spark, d)).toMap
+    val paths = newNames.flatMap(n =>
+      phys.get(n).orElse(if (missing.isEmpty) None else historical.get(n)))
+      .map(_.toString)
     if (paths.isEmpty)
       return org.apache.spark.sql.graftbridge.Bridge
         .emptyStreaming(spark, schema)
@@ -332,28 +516,37 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
       spark.read.schema(schema).parquet(paths: _*))
     // The INITIAL snapshot is the table's live STATE, not raw files:
     // a pre-existing DV delete must not stream its dead rows (Delta's
-    // readStream serves the masked snapshot — review r16). The mask
-    // wraps the ALREADY-streaming scan so its sidecar side stays a
-    // static relation (a stream-STATIC anti-join, the supported
-    // shape). Later batches are pure appends whose files carry no DV
-    // entries (the change-commit guard enforces it; under
-    // skipChangeCommits the raw-append approximation is the
-    // documented trade).
-    if (start.isEmpty)
+    // readStream serves the masked snapshot — review r16). EVERY chunk
+    // of the snapshot masks, not just the first (anchor -1 marks the
+    // chunked-snapshot span — review r16's chunked-batch hole: later
+    // chunks took the unmasked branch and resurrected deleted rows).
+    // The mask wraps the ALREADY-streaming scan so its sidecar side
+    // stays a static relation (a stream-STATIC anti-join, the
+    // supported shape). Later batches are pure appends whose files
+    // carry no DV entries (the change-commit guard enforces it; under
+    // skipChangeCommits the skipped-commit semantics cover it).
+    if (start.isEmpty || s.exists(_.anchor == -1L))
       graft.storage.DeletionVectors.mask(spark, table, scan)
     else scan
   }
 
   override def commit(end: Offset): Unit = {
-    // GC manifests strictly below the committed offset's ANCHOR — the
-    // anchor (and target) still seed the next diff.
-    val keepFrom = GraftTableOffset.parse(end).anchor
+    // GC manifests strictly below the committed offset's anchor-chain
+    // BASE — the anchor (and target) still seed the next diff, and a
+    // diff manifest's parents must survive with it (manifests at or
+    // above the anchor only ever chain through the anchor, because
+    // parents are the newest manifest existing at write time and the
+    // anchor's manifest exists from the moment its offset escaped).
+    val anchor = GraftTableOffset.parse(end).anchor
+    val keepFrom = chainBase(anchor)
     val d = manifestDir
     val f = fs(d)
     if (f.exists(d)) f.listStatus(d).foreach { st =>
       val n = st.getPath.getName
-      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong < keepFrom)
+      if (n.forall(_.isDigit) && n.nonEmpty && n.toLong < keepFrom) {
         f.delete(st.getPath, false)
+        stateCache.remove(n.toLong)
+      }
     }
   }
 

@@ -253,11 +253,204 @@ class GraftTableSourceSpec extends SparkSpec {
       spark.range(100, 105).select(col("id"), (col("id") * 2).as("v")))
     seen.clear()
     drain(tbl, ckpt2, skipChangeCommits = true)(collect)
-    // The compaction's rewritten files stream too (the documented
-    // approximation: name-level diffing cannot tell a rewrite's output
-    // from an append) — but nothing fails, and the append arrives.
-    assert((100L until 105L).toSet.subsetOf(seen.asScala.toSet))
+    // Delta-exact whole-commit skip (r17): the compaction's rewritten
+    // files do NOT re-stream — only the genuine append arrives.
+    assert(seen.asScala.toSet === (100L until 105L).toSet,
+      s"skipChangeCommits must skip the change commit's added files " +
+        s"too (Delta semantics), got ${seen.asScala.toSet}")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("a CHUNKED initial snapshot masks pre-existing DV deletes in " +
+      "EVERY chunk, not just the first (r17 corruption fix)") {
+    val tbl = "gts_chunkmask_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    // 6 files x 10 rows; the delete hits every file (id % 10 == 0), so
+    // any unmasked chunk would resurrect at least one dead row.
+    SnapshotSink.append(spark, tbl, 0L,
+      spark.range(0, 60).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(6))
+    DeletionVectors.delete(spark, tbl, col("id") % 10 === 0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_ckpt_chunkmask").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger()
+    val q = spark.readStream.format("graft-table")
+      .option("table", tbl)
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("id").collect().map(_.getLong(0))
+        if (rows.nonEmpty) batches.incrementAndGet()
+        rows.foreach(seen.add)
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 3,
+      s"6 files at 2/trigger must chunk, got ${batches.get()} batches")
+    assert(seen.asScala.toSet ===
+      (0L until 60L).filterNot(_ % 10 == 0).toSet,
+      "every chunk of the initial snapshot must serve the DV-masked " +
+        s"state; got ${seen.asScala.toSet.toSeq.sorted}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("an INTERMEDIATE change commit inside a catch-up span fails " +
+      "loudly (default) and skips exactly (skipChangeCommits) — " +
+      "endpoint-only diffing missed it (r17)") {
+    val tbl = "gts_midchange_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_ckpt_mid").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def collect(b: DataFrame, id: Long): Unit =
+      b.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+    SnapshotSink.append(spark, tbl, 0L,
+      spark.range(0, 20).select(col("id"), col("id").as("v")))
+    drain(tbl, ckpt)(collect)
+    // While the stream is down: an append (v2) then an UPDATE (v3)
+    // whose touched-file rewrite removes ONLY v2's file and adds its
+    // rewrite — the v1 -> v3 ENDPOINT diff therefore looks like a pure
+    // append of the rewrite output (no removed basenames vs v1, no DV
+    // change), the exact hole the transition walk closes.
+    SnapshotCommit.register(spark, tbl)
+    graft.ext.GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl SELECT id, id AS v FROM range(20, 30)")
+    graft.ext.GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET v = v + 1000 WHERE id >= 20")
+    seen.clear()
+    val e = intercept[Exception] { drain(tbl, ckpt)(collect) }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("removed")),
+      s"the intermediate rewrite must fail the default stream, " +
+        s"got: ${causes(e)}")
+    // skipChangeCommits from the same checkpoint: the v2 append streams
+    // its PRE-update rows from the retained v2 directory (Delta serves
+    // the appended file, not the skipped rewrite), the rewrite's output
+    // is skipped, and a later plain append still arrives.
+    seen.clear()
+    drain(tbl, ckpt, skipChangeCommits = true)(collect)
+    assert(seen.asScala.toSet === (20L until 30L).toSet,
+      s"the skipped span must serve exactly the genuine append, got " +
+        s"${seen.asScala.toSet}")
+    SnapshotCommit.register(spark, tbl)
+    graft.ext.GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl SELECT id, id AS v FROM range(100, 105)")
+    seen.clear()
+    drain(tbl, ckpt, skipChangeCommits = true)(collect)
+    assert(seen.asScala.toSet === (100L until 105L).toSet)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("manifests are diff-encoded: steady-state appends write " +
+      "O(appended files) bytes, with a periodic full base (r17)") {
+    val tbl = "gts_diffchain_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_ckpt_chain").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def collect(b: DataFrame, id: Long): Unit =
+      b.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+    // A 40-file base, then 12 single-file appends each drained: the
+    // per-version manifest must record the DIFF (one +name line), not
+    // the 40+ basename listing.
+    SnapshotSink.append(spark, tbl, 0L,
+      spark.range(0, 400).select(col("id"), col("id").as("v"))
+        .repartition(40))
+    drain(tbl, ckpt)(collect)
+    assert(seen.asScala.size === 400)
+    for (k <- 1 to 12) {
+      SnapshotSink.append(spark, tbl, k.toLong,
+        spark.range(400L + k * 10, 410L + k * 10)
+          .select(col("id"), col("id").as("v")).coalesce(1))
+      seen.clear()
+      drain(tbl, ckpt)(collect)
+      assert(seen.asScala.toSet ===
+        (400L + k * 10 until 410L + k * 10).toSet,
+        s"append $k must stream exactly once")
+    }
+    val mdir = new java.io.File(ckpt, "sources/0/graft-versions")
+    val manifests = mdir.listFiles()
+      .filter(f => f.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(manifests.nonEmpty)
+    val sizes = manifests.map(f => f.getName.toLong -> f.length()).toMap
+    val diffs = sizes.values.filter(_ < 300)
+    val bases = sizes.values.filter(_ >= 1000)
+    assert(diffs.nonEmpty,
+      s"single-file appends must write small diff manifests, got $sizes")
+    assert(bases.nonEmpty,
+      s"the chain must keep a full base for GC-safe resolution, " +
+        s"got $sizes")
+    assert(sizes.values.count(_ >= 1000) <= 3,
+      s"steady-state appends must NOT all write full listings " +
+        s"(O(file-count) manifests was the r16 watch-item): $sizes")
+    // The chain still replays: an idle restart emits nothing and the
+    // next append streams exactly once through the diff chain.
+    seen.clear()
+    drain(tbl, ckpt)(collect)
+    assert(seen.isEmpty)
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("a filtered stream prunes its batch files through the stats " +
+      "sidecar (r17: per-file skipping inside a micro-batch)") {
+    import graft.storage.StatsSkipping
+    val tbl = "gts_statsprune_tbl"
+    SnapshotCommit.destroy(spark, tbl)
+    // 32 range-clustered files with a stats sidecar: a 3%-window filter
+    // must scan a file subset, not the table.
+    StatsSkipping.commitWithStats(spark, tbl, "id") { dir =>
+      spark.range(0, 320000)
+        .select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(32, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    StatsSkipping.installRule(spark)
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      })
+    def measuredDrain(ckpt: String, filtered: Boolean): (Long, Long) = {
+      Thread.sleep(100); bytes.set(0L)
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val base = spark.readStream.format("graft-table")
+        .option("table", tbl).load()
+      val q = (if (filtered)
+          base.filter(col("id").between(10000L, 19999L)) else base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          n.addAndGet(b.count()); () }
+        .start()
+      q.awaitTermination()
+      Thread.sleep(200) // drain the async listener bus
+      (bytes.get(), n.get())
+    }
+    val (fullIo, fullRows) = measuredDrain(java.nio.file.Files
+      .createTempDirectory("gts_sp_full").toString, filtered = false)
+    val (prunedIo, prunedRows) = measuredDrain(java.nio.file.Files
+      .createTempDirectory("gts_sp_pruned").toString, filtered = true)
+    assert(fullRows === 320000L)
+    assert(prunedRows === 10000L, "the filter is a filter, not a skip")
+    info(f"filtered stream IO: $prunedIo vs full $fullIo " +
+      f"(${prunedIo.toDouble / fullIo}%.2fx)")
+    assert(prunedIo < fullIo / 4,
+      s"a 1/32-window filtered micro-batch must prune through the " +
+        s"stats sidecar: $prunedIo bytes vs $fullIo unfiltered")
     SnapshotCommit.destroy(spark, tbl)
   }
 }
