@@ -189,6 +189,14 @@ object GraftSqlParser {
   private val SetPropsRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+SET\\s+TBLPROPERTIES" +
       "\\s*\\((.*)\\)\\s*").r
+  // ALTER ... ADD COLUMN(S) — schema evolution on the versioned
+  // surface: a metadata-only commit (every file carries) plus a ledger
+  // entry in the root `_properties` sidecar; time travel below the
+  // alter keeps serving the old schema. Plain catalog tables delegate
+  // to Spark's own AlterTableAddColumnsCommand.
+  private val AddColsRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?" +
+      "\\s*\\((.+)\\)\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*".r
   // Delta's actual retention form: fold delete versions whose commit
@@ -375,6 +383,13 @@ object GraftSqlParser {
           cat.alterTable(meta.copy(properties = meta.properties ++ props))
         }
         Seq("table" -> tbl, "properties_set" -> props.size.toString)
+      }))
+    case AddColsRe(tbl, colsDdl) =>
+      Some(GraftMaintenanceCommand(s"ADD COLUMNS $tbl", { spark =>
+        val v = runAddColumns(spark, tbl, colsDdl)
+        Seq("table" -> tbl, "operation" -> "ADD COLUMNS",
+          (if (v >= 0) "version" -> v.toString
+           else "mode" -> "delegated (plain catalog table)"))
       }))
     case VacuumHoursRe(tbl, h) =>
       Some(GraftMaintenanceCommand(s"VACUUM $tbl (hours)", { spark =>
@@ -1104,7 +1119,11 @@ object GraftSqlParser {
         if (!touched(n))
           sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
       }
-      dv.carrySidecarDropping(spark, tgt, touched, stage)
+      // MERGE consumes a change version but records no images: the
+      // feed fails LOUDLY on a range covering it instead of silently
+      // omitting the merge's changes (changesBetween's _op dispatch).
+      dv.stampVersion(spark, tgt, stage, op = "MERGE", added = Nil,
+        dropped = touched)
       graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
       sc.carryBatchId(spark, cur, stage)
     }
@@ -1262,7 +1281,9 @@ object GraftSqlParser {
           if (!touched(n))
             sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
         }
-        dv.carrySidecarDropping(spark, tgt, touched, stage)
+        // Same loud-feed contract as the general form above.
+        dv.stampVersion(spark, tgt, stage, op = "MERGE", added = Nil,
+          dropped = touched)
         graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
         sc.carryBatchId(spark, cur, stage)
       }
@@ -1334,13 +1355,110 @@ object GraftSqlParser {
         if (!touched(n))
           sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
       }
-      dv.carrySidecarDropping(spark, tbl, touched, stage)
+      val v = dv.stampVersion(spark, tbl, stage, op = "UPDATE",
+        added = Nil, dropped = touched)
+      // Record the pre/post images (Delta's _change_data): bounded to
+      // the statement's MATCHED rows, derived in ONE scan of the
+      // still-live old files (each matched row explodes into its pre
+      // and post image — a union would read the touched files twice).
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      def image(tag: String, applySets: Boolean) = struct(
+        (rawSchema.fields.toSeq.map { f =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) if applySets =>
+              expr(e).cast(f.dataType).as(f.name)
+            case _ => col(f.name).cast(f.dataType).as(f.name)
+          }
+        } :+ lit(tag).as("change_type")): _*)
+      dv.recordImages(spark, tbl, v, touchedLive.filter(pred)
+        .select(explode(array(image("update_preimage", false),
+          image("update_postimage", true))).as("_img"))
+        .select(col("_img.*"))
+        .withColumn("commit_version", lit(v)))
       graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
       sc.carryBatchId(spark, cur, stage)
     }
     dv.realign(spark, tbl)
     sc.register(spark, tbl)
       .getOrElse(sys.error(s"UPDATE of $tbl left no published version"))
+  }
+
+  /** Execute `ALTER TABLE t ADD COLUMNS (...)` — schema evolution on
+    * the versioned surface (the most common ALTER after SET
+    * TBLPROPERTIES). The widened column set is METADATA: one commit
+    * carries every data file by name (no data IO — pre-widening files
+    * null-fill the new columns on read, standard parquet evolution),
+    * stamps the change axis (`_op:ALTER` — table_changes skips it, it
+    * moves no rows), and records the widened DDL in the schema ledger
+    * (`graft.schema.v<version>` in the root `_properties` sidecar; the
+    * first ALTER also records `v0` = the original schema, so `VERSION
+    * AS OF` below the alter serves the OLD column set — Delta's
+    * time-travel schema semantics). Narrowing/renaming is rejected:
+    * only additive evolution keeps every historical file readable.
+    * A plain (non-versioned) catalog table delegates to Spark's own
+    * AlterTableAddColumnsCommand; returns the published version, or -1
+    * for the delegated path.
+    */
+  private def runAddColumns(spark: SparkSession, tbl: String,
+      colsDdl: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    val newCols = StructType.fromDDL(colsDdl)
+    require(newCols.nonEmpty, s"ADD COLUMNS $tbl: no columns parsed " +
+      s"from ($colsDdl)")
+    if (sc.currentVersion(spark, tbl).isEmpty) {
+      // Plain catalog table: Spark's own ALTER (native parquet schema
+      // evolution). Through the command, never spark.sql — an injected
+      // session would recurse into this parser.
+      org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+        newCols.fields.toSeq).run(spark)
+      return -1L
+    }
+    sc.register(spark, tbl)
+    val old = sc.readData(spark, tbl).schema
+    newCols.fieldNames.foreach(c => require(
+      !old.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"ADD COLUMNS $tbl: column $c already exists"))
+    val widened = StructType((old.fields ++ newCols.fields).toSeq)
+    var stamped = -1L
+    sc.commit(spark, tbl, operation = "ADD COLUMNS") { dir =>
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      val cur = sc.currentLocation(spark, tbl).getOrElse(
+        sys.error(s"ADD COLUMNS target $tbl has no published version"))
+      sc.carryData(spark, cur, stage)
+      graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
+      sc.carryBatchId(spark, cur, stage)
+      stamped = dv.stampVersion(spark, tbl, stage, op = "ALTER",
+        added = Nil)
+    }
+    val ledger = sc.schemaVersions(spark, tbl)
+    sc.setProperties(spark, tbl,
+      Map(s"${sc.SchemaPropPrefix}$stamped" -> widened.toDDL) ++
+        (if (ledger.isEmpty)
+          Map(s"${sc.SchemaPropPrefix}0" -> old.toDDL)
+        else Map.empty))
+    dv.realign(spark, tbl)
+    // The commit's own registration re-declared the catalog BEFORE the
+    // ledger existed (footers still say the old columns) — re-declare
+    // explicitly now; other sessions pick the ledger up through
+    // pointAt's moved-location repair on their next register.
+    if (spark.sessionState.catalog.getTempView(tbl).isEmpty &&
+        spark.catalog.tableExists(tbl)) {
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+      spark.sessionState.catalog.alterTableDataSchema(id, widened)
+      spark.sql(s"REFRESH TABLE $tbl")
+    } else if (spark.sessionState.catalog.getTempView(tbl).isDefined) {
+      // Manifest-mode registration: the view the commit re-created
+      // predates the ledger — rebuild it under the widened schema.
+      val paths = sc.dataFiles(spark, tbl).map(_._2.toString)
+      if (paths.nonEmpty)
+        spark.read.schema(widened).parquet(paths: _*)
+          .createOrReplaceTempView(tbl)
+    }
+    sc.register(spark, tbl)
+    stamped
   }
 
   /** Execute `CREATE [OR REPLACE] TABLE t AS <query>` as a snapshot
@@ -1382,6 +1500,10 @@ object GraftSqlParser {
         sc.carryBatchId(spark, prev, new org.apache.hadoop.fs.Path(stage)))
     }
     graft.storage.DeletionVectors.realign(spark, tbl) // replace drops _dv
+    if (replace) { // the change axis and schema ledger reset with it
+      graft.storage.DeletionVectors.pruneImages(spark, tbl, Long.MaxValue)
+      sc.removeProperties(spark, tbl, _.startsWith(sc.SchemaPropPrefix))
+    }
     sc.register(spark, tbl)
       .getOrElse(sys.error(s"CTAS of $tbl left no published version"))
   }
@@ -1494,15 +1616,28 @@ object GraftSqlParser {
       if (overwrite) {
         // Replace semantics: fresh content, fresh stats, progress
         // marker carried (maintenance/replace moves no stream progress).
+        // The change axis RESETS with the dropped sidecar (documented
+        // divergence: Delta's CDF spans a REPLACE; here the feed
+        // restarts at the replaced state), so recorded images go too.
         graft.storage.StatsSkipping.recomputeStats(spark, stage,
           aligned.schema.fieldNames.toSeq)
         sc.currentLocation(spark, tbl).foreach(prev =>
           sc.carryBatchId(spark, prev, stage))
-      } else sc.currentLocation(spark, tbl).foreach { prev =>
-        sc.carryData(spark, prev, stage)
-        sc.carryDvDir(spark, prev, stage)
-        graft.storage.StatsSkipping.refreshStats(spark, prev, stage)
-        sc.carryBatchId(spark, prev, stage)
+        dv.pruneImages(spark, tbl, Long.MaxValue)
+        sc.removeProperties(spark, tbl,
+          _.startsWith(sc.SchemaPropPrefix)) // fresh content, fresh schema
+      } else {
+        // The fresh files are exactly what is in the stage BEFORE the
+        // carry; the version stamp's _add: sentinels name them so
+        // table_changes can serve this insert.
+        val appended = sc.listData(spark, stage).map(_._1)
+        sc.currentLocation(spark, tbl).foreach { prev =>
+          sc.carryData(spark, prev, stage)
+          graft.storage.StatsSkipping.refreshStats(spark, prev, stage)
+          sc.carryBatchId(spark, prev, stage)
+        }
+        dv.stampVersion(spark, tbl, stage, op = "WRITE",
+          added = appended)
       }
     }
     dv.realign(spark, tbl)

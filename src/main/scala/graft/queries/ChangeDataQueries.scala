@@ -509,23 +509,31 @@ object ChangeDataQueries {
   }
 
   /** u16 — Delta's CDC TVF as SQL: `table_changes(t, v1, v2)` serves
-    * the row-level change feed between two versions — here the rows
-    * REMOVED in (v1, v2] with first-delete semantics (a re-deleted
-    * coordinate reports the version that first killed it), each tagged
-    * change_type/commit_version. Same engine-version diff truth as u9
-    * (which asks it of readAt EXCEPT readAt); this is the typeable
-    * vocabulary, one scan + a broadcast of the bounded sidecar instead
-    * of a per-version diff loop.
+    * the FULL row-level change feed between two versions (r17:
+    * previously delete-only): rows REMOVED (first-delete semantics — a
+    * re-deleted coordinate reports the version that first killed it,
+    * so the %35 overlap re-deleted at v3 stays attributed to v1 and
+    * OUTSIDE the (1,3] range) and rows INSERTED (served from the files
+    * the insert's `_add:` sentinels name, AS INSERTED), each tagged
+    * change_type/commit_version. One bounded sidecar pass dispatches
+    * the arms; each arm is one scan — never a per-version diff loop.
+    * The inserted keys (k*70+1) can never hit the delete predicates,
+    * keeping the two arms algebraically disjoint for the oracle.
     */
   val u16TableChangesSql = withOracle(
     "u16_table_changes_sql",
     """SELECT o_orderkey, o_orderstatus,
       |       CAST(o_totalprice AS DOUBLE) AS total,
-      |       'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      |       'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version
       |FROM orders
-      |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0""".stripMargin) {
+      |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+      |UNION ALL
+      |SELECT o_orderkey * 70 + 1, 'I', CAST(1.5 AS DOUBLE),
+      |       'insert', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) {
     (s, d) =>
       val tbl = s"orders_cdc_${graft.queries.StorageQueries.sfName(d)}"
+      val src = s"${tbl}_ins_src"
       s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
       graft.storage.SnapshotCommit.destroy(s, tbl)
       graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
@@ -536,12 +544,19 @@ object ChangeDataQueries {
           .write.parquet(dir)
       }
       graft.storage.DeletionVectors
-        .delete(s, tbl, col("o_orderkey") % 7 === 0)
+        .delete(s, tbl, col("o_orderkey") % 7 === 0) // v1
+      Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select((col("o_orderkey") * 70 + 1).as("o_orderkey"),
+          lit("I").as("o_orderstatus"),
+          lit(1.5).cast("double").as("total"))
+        .createOrReplaceTempView(src)
+      graft.ext.GraftSqlParser.sql(s,
+        s"INSERT INTO $tbl SELECT * FROM $src") // v2
       graft.storage.DeletionVectors
-        .delete(s, tbl, col("o_orderkey") % 5 === 0)
+        .delete(s, tbl, col("o_orderkey") % 5 === 0) // v3
       graft.ext.GraftSqlParser.sql(s,
         s"SELECT o_orderkey, o_orderstatus, total, change_type, " +
-          s"commit_version FROM table_changes('$tbl', 1, 2)")
+          s"commit_version FROM table_changes('$tbl', 1, 3)")
   }
 
   /** u17 — INSERT OVERWRITE + RESTORE TO TIMESTAMP as one lifecycle:
@@ -591,9 +606,92 @@ object ChangeDataQueries {
       .select(col("k"), col("status"), col("total"))
   }
 
+  /** u18 — ALTER TABLE ADD COLUMNS on the versioned surface (r17):
+    * CTAS -> widen with a `note STRING` column (a metadata-only commit
+    * + schema-ledger entry) -> INSERT rows that fill it. The live view
+    * serves the widened schema with the pre-alter files null-filled;
+    * `VERSION AS OF 0` still serves the ORIGINAL column set (require,
+    * not oracle — DuckDB sees only the final frame). The oracle
+    * rebuilds both populations relationally.
+    */
+  val u18AddColumnSql = withOracle(
+    "u18_add_column_sql",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total,
+      |       CAST(NULL AS VARCHAR) AS note
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE),
+      |       'late'
+      |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_addcol_${graft.queries.StorageQueries.sfName(d)}"
+    val src = s"${tbl}_src"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $tbl AS SELECT * FROM $src WHERE k % 2 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+    graft.ext.GraftSqlParser.sql(s,
+      s"INSERT INTO $tbl SELECT k, status, total, 'late' AS note " +
+        s"FROM $src WHERE k % 2 <> 0")
+    // Time travel below the alter: the ORIGINAL schema.
+    val v0 = graft.ext.GraftSqlParser.sql(s,
+      s"SELECT * FROM $tbl VERSION AS OF 0")
+    require(!v0.columns.contains("note"),
+      s"$tbl: VERSION AS OF 0 must serve the pre-alter schema, got " +
+        v0.columns.mkString(","))
+    val live = graft.storage.DeletionVectors.read(s, tbl)
+    require(live.columns.contains("note"),
+      s"$tbl: the live view must serve the widened schema")
+    live.select(col("k"), col("status"), col("total"), col("note"))
+  }
+
+  /** u20 — UPDATE pre/post images in the change feed (r17): a
+    * touched-file UPDATE records its matched rows' images at DML time
+    * (Delta's `enableChangeDataFeed` `_change_data`, one extra bounded
+    * scan of the touched files), and `table_changes` serves them as
+    * `update_preimage` / `update_postimage` rows. The oracle rebuilds
+    * both images relationally from the source table.
+    */
+  val u20UpdateImagesSql = withOracle(
+    "u20_update_images_sql",
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS total,
+      |       'update_preimage' AS change_type,
+      |       CAST(1 AS BIGINT) AS commit_version
+      |FROM orders WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) + 100, 'update_postimage',
+      |       CAST(1 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_cdfupd_${graft.queries.StorageQueries.sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    graft.storage.SnapshotCommit.commit(s, tbl) { dir =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"))
+        .write.parquet(dir)
+    }
+    graft.ext.GraftSqlParser.sql(s,
+      s"UPDATE $tbl SET total = total + 100 WHERE o_orderkey % 9 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"SELECT o_orderkey, o_orderstatus, total, change_type, " +
+        s"commit_version FROM table_changes('$tbl', 0, 1)")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
       u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
-      u17OverwriteRestoreSql)
+      u17OverwriteRestoreSql, u18AddColumnSql, u20UpdateImagesSql)
 }

@@ -76,6 +76,48 @@ object DeletionVectors {
     * sidecar that survives). */
   private[graft] val TsPrefix = "_ts:"
 
+  /** Sentinel prefix recording a file APPENDED by a versioned write:
+    * `(_add:<basename>, -1, v)` rides next to the `_hwm` stamp of an
+    * INSERT INTO / COPY INTO commit — synthetic coordinates match no
+    * data row, carries/restore keep them (p < 0), vacuum remaps them to
+    * the rewritten basenames above its cutoff — so [[changesBetween]]
+    * can serve the inserted rows (`change_type = 'insert'`) by reading
+    * exactly the files the version appended. */
+  private[graft] val AddPrefix = "_add:"
+
+  /** Sentinel prefix recording WHICH OPERATION committed a change
+    * version: `(_op:<OP>, -1, v)`. [[changesBetween]] dispatches on it
+    * — DELETE versions feed the delete arm, WRITE/COPY versions the
+    * insert arm, UPDATE versions the recorded pre/post images, and an
+    * operation the feed does not record (MERGE) FAILS the query loudly
+    * instead of silently answering less than Delta's TVF would.
+    * Versions with no `_op` row are pre-r17 deletes. */
+  private[graft] val OpPrefix = "_op:"
+
+  /** Sentinel prefix marking a change version whose DELETE rows were
+    * later rewritten away: `(_lost:<v>, -1, v)`. A touched-file rewrite
+    * (UPDATE/MERGE) physically removes the dead rows of the files it
+    * rewrites and drops their sidecar coordinates — the versions those
+    * coordinates were stamped with can then no longer serve their
+    * delete feed, so [[changesBetween]] fails LOUDLY on a range
+    * covering a marked version instead of silently under-reporting
+    * (Delta's CDF survives rewrites because it stores change files;
+    * this engine stores coordinates, so it marks what it lost). */
+  private[graft] val LostPrefix = "_lost:"
+
+  /** Root-level directory holding recorded row images for UPDATE
+    * versions: `<table root>/_changes/v<version>/` parquet, columns =
+    * table schema + change_type + commit_version (Delta's
+    * `_change_data` shape). Outside the version directories, so prune
+    * never touches it; vacuum drops folded versions' images; destroy
+    * removes the root wholesale. */
+  private[graft] val ChangesDirName = "_changes"
+
+  private[graft] def changesDir(spark: SparkSession, table: String,
+      v: Long): Path =
+    new Path(new Path(SnapshotCommit.rootDir(spark, table),
+      ChangesDirName), s"v$v")
+
   /** Coordinates key on BASENAME: hard-link carries preserve it across
     * snapshot versions, while the full path changes with each version
     * directory. Basenames are unique within a table (Spark part files
@@ -200,7 +242,8 @@ object DeletionVectors {
       // that other delete's rows, silently changing what the returned
       // anchor means. Synthetic coordinates (p = -1) match no data row.
       val stamp = spark.createDataFrame(
-          Seq(("_hwm", -1L, v), (s"$TsPrefix${clockMs()}", -1L, v)))
+          Seq(("_hwm", -1L, v), (s"$TsPrefix${clockMs()}", -1L, v),
+            (s"${OpPrefix}DELETE", -1L, v)))
         .toDF("f", "p", "v")
       val newSidecar = (sidecarDf(spark, table) match {
         case Some(sc) => sc.unionByName(coords)
@@ -227,10 +270,21 @@ object DeletionVectors {
   /** Time travel: the table as of delete version `v` — subtract only
     * vectors stamped <= v (version 0 = before any delete). Immutable
     * data files + append-only sidecar make every version readable
-    * without snapshot copies.
+    * without snapshot copies. On a schema-evolved table the historical
+    * version serves the schema EFFECTIVE AT v (the ledger's newest
+    * entry at or below it — Delta's time-travel schema semantics);
+    * columns only ever widen, so the old schema is a prefix projection.
     */
-  def readAt(spark: SparkSession, table: String, v: Long): DataFrame =
-    maskAt(spark, table, SnapshotCommit.readData(spark, table), v)
+  def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
+    val masked = maskAt(spark, table, SnapshotCommit.readData(spark, table), v)
+    val ledger = SnapshotCommit.schemaVersions(spark, table)
+    if (ledger.isEmpty) masked
+    else {
+      val effective = ledger.filter(_._1 <= v).lastOption
+        .getOrElse(ledger.head)._2
+      masked.select(effective.fieldNames.toSeq.map(col): _*)
+    }
+  }
 
   /** Apply the table's LIVE deletion vector to an externally-built scan
     * of (a subset of) its data files — the hook that keeps alternative
@@ -283,6 +337,78 @@ object DeletionVectors {
     * post-commit alignment [[delete]]/[[restore]]/[[vacuum]] do. */
   private[graft] def realign(spark: SparkSession, table: String): Unit =
     registerDv(spark, table)
+
+  /** Stamp a staged commit with the NEXT change version: writes the
+    * staged `_dv` sidecar = current sidecar (minus the data entries of
+    * `dropped` basenames, keeping sentinels — the
+    * [[carrySidecarDropping]] algebra) plus this version's sentinel
+    * rows: `_hwm` (consumes the number), `_ts:` (the TIMESTAMP AS OF /
+    * RETAIN anchor), `_op:<op>` (what committed it — the
+    * [[changesBetween]] dispatch key) and one `_add:<basename>` per
+    * appended file. Called INSIDE a SnapshotCommit write closure —
+    * everything re-derives per attempt, so a lost-claim rebase stamps
+    * against the winner's sidecar. Returns the stamped version. */
+  private[graft] def stampVersion(spark: SparkSession, table: String,
+      stage: Path, op: String, added: Seq[String],
+      dropped: Set[String] = Set.empty): Long = {
+    val v = version(spark, table) + 1
+    val sc0 = sidecarDf(spark, table)
+    // Delete versions whose coordinates live in the dropped files can
+    // no longer serve their feed — mark them (see [[LostPrefix]]).
+    val lost: Seq[Long] = sc0 match {
+      case Some(sc) if dropped.nonEmpty =>
+        sc.filter(col("p") >= 0 && col("f").isin(dropped.toSeq: _*))
+          .select(col("v")).distinct().collect()
+          .map(_.getLong(0)).toSeq
+      case _ => Nil
+    }
+    val sentinels = Seq(("_hwm", -1L, v),
+        (s"$TsPrefix${clockMs()}", -1L, v), (s"$OpPrefix$op", -1L, v)) ++
+      added.sorted.map(n => (s"$AddPrefix$n", -1L, v)) ++
+      lost.map(lv => (s"$LostPrefix$lv", -1L, lv))
+    val sentinelDf = spark.createDataFrame(sentinels).toDF("f", "p", "v")
+    val newSidecar = sc0 match {
+      case Some(sc) =>
+        val kept =
+          if (dropped.isEmpty) sc
+          else sc.filter(col("p") === -1L ||
+            !col("f").isin(dropped.toSeq: _*))
+        kept.unionByName(sentinelDf)
+      case None => sentinelDf
+    }
+    newSidecar.write.parquet(new Path(stage, "_dv").toString)
+    v
+  }
+
+  /** Record an UPDATE version's row images (Delta's `_change_data`):
+    * `rows` must already carry change_type/commit_version. One bounded
+    * write — images are proportional to the statement's matched rows,
+    * never the table. Written BEFORE the commit publishes; a crashed
+    * commit leaves an orphan directory no stamped version references
+    * (harmless, reclaimed when a later attempt reuses the number or by
+    * vacuum). */
+  private[graft] def recordImages(spark: SparkSession, table: String,
+      v: Long, rows: DataFrame): Unit = {
+    val dir = changesDir(spark, table, v)
+    rows.write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Drop every recorded image at or below `cutoff` (vacuum) or all of
+    * them (compact / full-replace, cutoff = Long.MaxValue). */
+  private[graft] def pruneImages(spark: SparkSession, table: String,
+      cutoff: Long): Unit = {
+    val root = new Path(SnapshotCommit.rootDir(spark, table),
+      ChangesDirName)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.length > 1 && n.drop(1).toLong <= cutoff)
+        f.delete(st.getPath, true)
+    }
+    if (f.listStatus(root).isEmpty) f.delete(root, false)
+  }
 
   private def maskAt(spark: SparkSession, table: String, base: DataFrame,
       v: Long): DataFrame = {
@@ -484,8 +610,29 @@ object DeletionVectors {
     // stay paired with a stamp — review r16: `> cutoff` bricked every
     // later TIMESTAMP AS OF on a fully-vacuumed table). Stamps below
     // the cutoff go with their folded history.
-    val keptTs = sidecar.filter(col("p") < 0 && col("v") >= cutoff &&
-      col("f").startsWith(TsPrefix))
+    // _op:/_add: sentinels of surviving versions ride along with the
+    // timestamps (the change feed above the floor must keep answering);
+    // an _add: whose file the fold just rewrote is REMAPPED to the
+    // rewritten basename, and one whose file was folded away entirely
+    // is dropped with it (its insert rows are physically gone — the
+    // feed fails loudly on that span, like Delta after vacuum).
+    val keptSent = sidecar.filter(col("p") < 0 && col("v") >= cutoff &&
+        (col("f").startsWith(TsPrefix) || col("f").startsWith(OpPrefix) ||
+          col("f").startsWith(AddPrefix) ||
+          col("f").startsWith(LostPrefix)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .flatMap {
+        case (f, p, v) if f.startsWith(AddPrefix) =>
+          val n = f.substring(AddPrefix.length)
+          if (!affected.contains(n)) Some((f, p, v)) // untouched file
+          else newNameOf.get(n).map(nn => (s"$AddPrefix$nn", p, v))
+        case other => Some(other)
+      }.toSeq
+    val keptTs =
+      if (keptSent.isEmpty)
+        spark.createDataFrame(Seq(("_x", -1L, 0L))).toDF("f", "p", "v")
+          .limit(0)
+      else spark.createDataFrame(keptSent).toDF("f", "p", "v")
     val newSidecar = untouchedEntries.unionByName(rebasedAffected)
       .unionByName(keptTs).unionByName(sentinels)
 
@@ -522,6 +669,7 @@ object DeletionVectors {
       folded.unpersist()
       sfs.delete(stagingPath, true)
     }
+    pruneImages(spark, table, cutoff) // folded UPDATE images go too
     registerDv(spark, table)
     spark.sql(s"REFRESH TABLE $table")
   }
@@ -604,37 +752,137 @@ object DeletionVectors {
     cutoff
   }
 
-  /** Delta's `table_changes(t, v1, v2)` on the delete-version axis: the
-    * rows REMOVED in versions (v1, v2], each tagged
-    * `change_type = 'delete'` and `commit_version = <the version that
-    * first deleted it>`. One scan + a broadcast of the bounded sidecar
-    * — never a per-version diff loop: a coordinate's FIRST delete
-    * version decides membership (re-deleting an already-dead row adds a
-    * later stamp that must not re-emit it; [[delete]] matches on the
-    * raw scan, so re-deletes do occur). DV versions only remove rows,
-    * so the feed's insert/update arms are empty by construction — u7
-    * covers that vocabulary relationally.
+  /** Delta's `table_changes(t, v1, v2)`: the row-level change feed of
+    * versions (v1, v2] on the change-version axis, each row tagged
+    * `change_type` / `commit_version`. Arms, dispatched per version on
+    * the `_op:` sentinel:
+    *
+    *  - DELETE versions (and every pre-r17 unstamped version): the rows
+    *    REMOVED, `change_type = 'delete'`, first-delete semantics (a
+    *    re-deleted coordinate reports the version that first killed
+    *    it). One scan + a broadcast of the bounded sidecar — never a
+    *    per-version diff loop.
+    *  - WRITE/COPY versions (INSERT INTO, COPY INTO): the appended
+    *    files' rows, `change_type = 'insert'`, served from the files
+    *    the `_add:` sentinels name (the rows AS INSERTED — a later
+    *    delete shows separately, exactly Delta).
+    *  - UPDATE versions: the recorded pre/post images
+    *    (`update_preimage` / `update_postimage`) from the root-level
+    *    `_changes` store.
+    *
+    * LOUD on everything it cannot answer, like Delta's TVF: a range
+    * reaching beyond the latest change version, below a vacuum's
+    * `_floor`, across a version whose operation the feed does not
+    * record (MERGE), or whose inserted files a later rewrite/vacuum
+    * physically replaced — each errors instead of silently returning a
+    * partial feed (review r16: the delete-only feed answered less than
+    * the name promised; the r16 ADVICE: out-of-range answered empty).
     */
   def changesBetween(spark: SparkSession, table: String, fromV: Long,
       toV: Long): DataFrame = {
     require(fromV <= toV,
       s"table_changes($table, $fromV, $toV): empty/negative range")
+    val hwm = version(spark, table)
+    require(toV <= hwm,
+      s"table_changes($table, $fromV, $toV): version $toV is beyond " +
+        s"the table's latest change version $hwm — Delta errors on " +
+        "out-of-range versions rather than serving a partial feed")
+    val schema = SnapshotCommit.readData(spark, table).schema
+    val cols = schema.fieldNames.toSeq
+    def shaped(df: DataFrame): DataFrame =
+      df.select(cols.map(col) :+ col("change_type") :+
+        col("commit_version"): _*)
     val base = withCoords(SnapshotCommit.readData(spark, table))
+    val empty = shaped(base.drop("_dv_file", "_dv_pos").limit(0)
+      .withColumn("change_type", lit(""))
+      .withColumn("commit_version", lit(0L)))
     sidecarDf(spark, table) match {
-      case None => base.drop("_dv_file", "_dv_pos").limit(0)
-        .withColumn("change_type", lit(""))
-        .withColumn("commit_version", lit(0L))
+      case None => empty
       case Some(sc) =>
+        val floor = sc.filter(col("f") === "_floor")
+          .agg(coalesce(max(col("v")), lit(0L))).head().getLong(0)
+        require(fromV >= floor,
+          s"table_changes($table, $fromV, $toV): vacuum folded " +
+            s"versions <= $floor into the data files — the change " +
+            "feed below the floor is no longer reconstructible")
+        // Per-version operation markers in range (bounded collect —
+        // sentinels only). Unmarked versions are pre-r17 deletes.
+        val sentinels = sc.filter(col("p") < 0 && col("v") > fromV &&
+            col("v") <= toV)
+          .select(col("f"), col("v")).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        val ops: Map[Long, String] = sentinels.collect {
+          case (f, v) if f.startsWith(OpPrefix) =>
+            v -> f.substring(OpPrefix.length)
+        }.toMap
+        val unfed = ops.filter { case (_, op) =>
+          op != "DELETE" && op != "WRITE" && op != "COPY" &&
+            op != "UPDATE" && op != "ALTER" } // ALTER moves no rows
+        require(unfed.isEmpty,
+          s"table_changes($table, $fromV, $toV): version(s) " +
+            s"${unfed.toSeq.sortBy(_._1).map { case (v, o) =>
+              s"v$v ($o)" }.mkString(", ")} committed by an operation " +
+            "the change feed does not record — narrow the range around " +
+            "them")
+        val lostVs = sentinels.collect {
+          case (f, v) if f.startsWith(LostPrefix) => v }.distinct.sorted
+        require(lostVs.isEmpty,
+          s"table_changes($table, $fromV, $toV): the delete rows of " +
+            s"version(s) ${lostVs.map("v" + _).mkString(", ")} were " +
+            "rewritten away by a later UPDATE/MERGE — that span of the " +
+            "feed is physically gone; narrow the range")
+        // DELETE arm: first-delete semantics over the data entries.
         val firstDel = sc.filter(col("p") >= 0)
           .groupBy(col("f").as("_dv_f"), col("p").as("_dv_p"))
           .agg(min(col("v")).as("commit_version"))
           .filter(col("commit_version") > fromV &&
             col("commit_version") <= toV)
-        base.join(broadcast(firstDel),
+        val delArm = shaped(base.join(broadcast(firstDel),
             col("_dv_file") === col("_dv_f") &&
               col("_dv_pos") === col("_dv_p"))
           .drop("_dv_file", "_dv_pos", "_dv_f", "_dv_p")
-          .withColumn("change_type", lit("delete"))
+          .withColumn("change_type", lit("delete")))
+        // INSERT arm: the files the in-range _add: sentinels name, one
+        // bounded scan per version (rows AS INSERTED — the raw files,
+        // not the DV-masked view).
+        val addRows: Seq[(String, Long)] = sentinels.collect {
+          case (f, v) if f.startsWith(AddPrefix) =>
+            f.substring(AddPrefix.length) -> v
+        }.toSeq
+        val insArms: Seq[DataFrame] = if (addRows.isEmpty) Nil else {
+          val phys = SnapshotCommit.dataFiles(spark, table).toMap
+          val gone = addRows.collect {
+            case (n, v) if !phys.contains(n) => s"$n (v$v)" }
+          require(gone.isEmpty,
+            s"table_changes($table, $fromV, $toV): inserted file(s) " +
+              s"${gone.take(3).mkString(", ")} were rewritten or " +
+              "vacuumed after their insert — that span of the feed is " +
+              "physically gone; narrow the range")
+          addRows.groupBy(_._2).toSeq.map { case (v, rs) =>
+            shaped(spark.read.schema(schema)
+              .parquet(rs.map(r => phys(r._1).toString): _*)
+              .withColumn("change_type", lit("insert"))
+              .withColumn("commit_version", lit(v)))
+          }
+        }
+        // UPDATE arm: recorded images. Read under an explicit schema so
+        // images written before a later widening still align.
+        val imgSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.toSeq :+
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType) :+
+            org.apache.spark.sql.types.StructField("commit_version",
+              org.apache.spark.sql.types.LongType))
+        val updArms: Seq[DataFrame] = ops.collect {
+          case (v, "UPDATE") =>
+            val d = changesDir(spark, table, v)
+            require(fs(spark, d).exists(d),
+              s"table_changes($table, $fromV, $toV): v$v is an UPDATE " +
+                "but its recorded images are missing — the feed cannot " +
+                "answer this range")
+            shaped(spark.read.schema(imgSchema).parquet(d.toString))
+        }.toSeq
+        (delArm +: (insArms ++ updArms)).reduce(_.unionByName(_))
     }
   }
 
@@ -656,6 +904,7 @@ object DeletionVectors {
         SnapshotCommit.carryBatchId(spark, cur, new Path(dir))
       }
     }
+    pruneImages(spark, table, Long.MaxValue) // history folded away
     spark.sql(s"DROP TABLE IF EXISTS ${dvName(table)}")
   }
 }

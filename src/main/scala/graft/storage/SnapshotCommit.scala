@@ -303,7 +303,14 @@ object SnapshotCommit {
     if (manifestMode(spark) && currentLocation(spark, table).isDefined) {
       val paths = dataFiles(spark, table).map(_._2.toString)
       require(paths.nonEmpty, s"$table resolves to no data files")
-      spark.read.parquet(paths: _*)
+      // An evolved table reads under its ledger schema — files written
+      // before a widening lack the new columns and null-fill (the link
+      // mode equivalent is the catalog re-declare in pointAt).
+      schemaVersions(spark, table).lastOption match {
+        case Some((_, widened)) =>
+          spark.read.schema(widened).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
     } else spark.table(table) // incl. not-yet-adopted tables in manifest mode
 
   /** Cross-process claim arbitration, pluggable per store semantics —
@@ -645,8 +652,13 @@ object SnapshotCommit {
         // resolved physical file set instead; spark.table(name) works
         // unchanged downstream.
         val paths = listData(spark, d).map(_._2.toString)
-        (if (paths.nonEmpty) spark.read.parquet(paths: _*)
-         else spark.emptyDataFrame).createOrReplaceTempView(table)
+        (if (paths.nonEmpty) schemaVersions(spark, table).lastOption match {
+          // An evolved table's view reads under the ledger schema —
+          // footers of pre-widening files would hide the new columns.
+          case Some((_, widened)) =>
+            spark.read.schema(widened).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        } else spark.emptyDataFrame).createOrReplaceTempView(table)
       } else pointAt(spark, table, d)
       v
     }
@@ -838,7 +850,12 @@ object SnapshotCommit {
             // Fall back to recreating the entry with the SAME metadata
             // (properties, incarnation UUID — the table's identity
             // continues; this is a re-declare, not a destroy/rebuild).
-            val actual = spark.read.parquet(loc.toString).schema
+            // An evolved table's authoritative schema is its ledger —
+            // the new version directory still holds pre-widening files
+            // whose footers would re-declare the OLD columns.
+            val actual = schemaVersions(spark, table).lastOption
+              .map(_._2)
+              .getOrElse(spark.read.parquet(loc.toString).schema)
             if (cat.schema != actual) {
               val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
               val sc = spark.sessionState.catalog
@@ -1024,6 +1041,71 @@ object SnapshotCommit {
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
+
+  /** Remove every sidecar property whose key matches `pred` — the
+    * inverse surface setProperties lacks (needed by full-replace
+    * commits, whose fresh content invalidates the schema-evolution
+    * ledger). Same lock + atomic overwrite-rename as setProperties. */
+  private[graft] def removeProperties(spark: SparkSession, table: String,
+      pred: String => Boolean): Unit = {
+    val root = rootDir(spark, table)
+    val lock = tableLocks.computeIfAbsent(root.toString, _ => new Object)
+    lock.synchronized {
+      val current = properties(spark, table)
+      val kept = current.filterNot { case (k, _) => pred(k) }
+      if (kept.size == current.size) return
+      val p = propsPath(spark, table)
+      val fs = fsOf(spark, p)
+      val merged = new java.util.Properties()
+      kept.foreach { case (k, v) => merged.setProperty(k, v) }
+      val tmp = new Path(root,
+        s"._properties.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try merged.store(out, null) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Schema-evolution ledger key prefix: `graft.schema.v<changeVersion>`
+    * = the table's column DDL effective FROM that change version
+    * (`v0` = the pre-evolution schema, recorded by the first ALTER).
+    * The ledger lives in the `_properties` sidecar — root-level, so it
+    * survives prune/vacuum, clones copy it, and destroy removes it. */
+  private[graft] val SchemaPropPrefix = "graft.schema.v"
+
+  /** The schema-evolution ledger, ascending by change version; empty
+    * for never-altered tables (the overwhelmingly common case — one
+    * existence probe). Parsed entries are cached on the `_properties`
+    * file's (mtime, length) so steady-state reads pay one
+    * getFileStatus, not a parse. */
+  private[graft] def schemaVersions(spark: SparkSession,
+      table: String): Seq[(Long, org.apache.spark.sql.types.StructType)] = {
+    val p = propsPath(spark, table)
+    val fs = fsOf(spark, p)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    schemaLedgerCache.get(p.toString) match {
+      case (m, l, parsed) if m == st.getModificationTime &&
+          l == st.getLen => parsed
+      case _ =>
+        val parsed = properties(spark, table).collect {
+          case (k, ddl) if k.startsWith(SchemaPropPrefix) &&
+              k.drop(SchemaPropPrefix.length).forall(_.isDigit) =>
+            k.drop(SchemaPropPrefix.length).toLong ->
+              org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        }.toSeq.sortBy(_._1)
+        if (schemaLedgerCache.size > 256) schemaLedgerCache.clear()
+        schemaLedgerCache.put(p.toString,
+          (st.getModificationTime, st.getLen, parsed))
+        parsed
+    }
+  }
+
+  private val schemaLedgerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Seq[(Long, org.apache.spark.sql.types.StructType)])]()
 
   /** The table's sidecar properties, empty if none recorded. */
   def properties(spark: SparkSession, table: String): Map[String, String] = {

@@ -177,18 +177,29 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     * data-file basenames. */
   private case class VersionState(dvFingerprint: String, names: Set[String])
 
-  /** One tiny fingerprint of the version's `_dv` sidecar: sorted
-    * name:length pairs. Carries preserve names AND bytes, so an append
-    * keeps the fingerprint; any DELETE/RESTORE/VACUUM rewrites the
-    * sidecar files and changes it. */
+  /** One tiny fingerprint of the version's deletion-vector STATE: an
+    * order-independent hash over the sidecar's DATA entries (p >= 0 —
+    * the rows that actually mask data). Content-based, not file-based
+    * (r17): a versioned INSERT re-stamps the sidecar with sentinel
+    * rows, which rewrites its part files without touching any data
+    * entry — a name:length fingerprint would flag every INSERT INTO as
+    * a change commit. DELETE adds entries, RESTORE drops them, VACUUM
+    * rebases their coordinates — all change the content hash. One
+    * bounded aggregate per OBSERVED version (the sidecar is broadcast-
+    * small by contract). */
   private def dvFingerprint(dir: Path): String = {
     val dv = new Path(dir, "_dv")
     val f = fs(dv)
     if (!f.exists(dv)) "-"
-    else f.listStatus(dv).toSeq.filter(_.isFile)
-      .filterNot(_.getPath.getName.startsWith("."))
-      .map(s => s"${s.getPath.getName}:${s.getLen}")
-      .sorted.mkString(",")
+    else {
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val r = spark.read.parquet(dv.toString).filter(col("p") >= 0)
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(concat_ws(':', f, p, v)))").as("h"))
+        .head()
+      if (r.getLong(0) == 0L) "-" // no data entries = no masking state
+      else s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
   }
 
   /** A manifest file as stored: diff manifests carry the parent they
@@ -258,6 +269,18 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     val p = manifestPath(v)
     val f = fs(p)
     if (f.exists(p)) return
+    // Schema pinned at stream start: a widening ALTER observed mid-
+    // stream fails loudly (Delta requires a restart too) — silently
+    // reading new-schema files under the pinned schema would drop the
+    // added columns forever. One cheap ledger probe per NEW version.
+    SnapshotCommit.schemaVersions(spark, table).lastOption.foreach {
+      case (_, widened) =>
+        require(widened.fieldNames.sameElements(schema.fieldNames),
+          s"graft-table stream over $table: the table's schema evolved " +
+            s"(${widened.fieldNames.mkString(",")} vs the stream's " +
+            s"pinned ${schema.fieldNames.mkString(",")}) — restart the " +
+            "stream to pick up the new schema (Delta's semantics)")
+    }
     f.mkdirs(manifestDir)
     val names = SnapshotCommit.listData(spark, dir).map(_._1).toSet
     val fp = dvFingerprint(dir)

@@ -661,6 +661,16 @@ class ExtensionsSpec extends SparkSpec {
       assert(out("vacuumed_through_version") === "1")
       // Live view unchanged; v1's state is now the floor; v2 anchor kept.
       assert(DeletionVectors.read(spark, tbl).count() === 77L)
+      // The change feed errors below the floor and still answers above
+      // it (r17: out-of-range/folded ranges fail loudly, never partial).
+      val eFloor = intercept[Exception](GraftSqlParser.sql(spark,
+        s"SELECT * FROM table_changes('$tbl', 0, 2)").collect())
+      assert(eFloor.getMessage.contains("folded"), eFloor.getMessage)
+      assert(GraftSqlParser.sql(spark,
+        s"SELECT count(*) AS n FROM table_changes('$tbl', 1, 2)")
+        .collect()(0).getLong(0) === 13L,
+        "v2's delete rows (%7, minus the %70 overlap already dead) " +
+          "survive the fold above the floor")
       assert(DeletionVectors.versionAtTimestamp(spark, tbl,
         tV2 + 1000) === 2)
       assert(DeletionVectors.versionAtTimestamp(spark, tbl,
@@ -720,6 +730,162 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftSqlParser.sql(spark,
       s"SELECT 'table_changes(''x'', 1, 2)' AS s").collect()(0)
       .getString(0) === "table_changes('x', 1, 2)")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("ALTER TABLE ADD COLUMNS (r17): metadata-only widening, ledger-" +
+      "backed time travel, null-filled old files, delegate for plain " +
+      "tables, loud on duplicates") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "addcol_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 20)")
+    val filesBefore = SnapshotCommit.dataFiles(spark, tbl)
+      .map(_._1).toSet
+    GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD COLUMNS (note STRING, score DOUBLE)")
+    // Metadata-only: every data file carried by name.
+    assert(SnapshotCommit.dataFiles(spark, tbl).map(_._1).toSet ===
+      filesBefore, "ADD COLUMNS must not rewrite data files")
+    // Old rows null-fill; the catalog serves the widened schema.
+    val live = spark.table(tbl)
+    assert(live.columns.toSeq === Seq("id", "v", "note", "score"))
+    assert(live.filter(col("note").isNull).count() === 20)
+    // Writes fill the new columns; old files stay null.
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, id * 10, 'late', CAST(id AS DOUBLE) " +
+      "FROM range(20, 25)")
+    SnapshotCommit.register(spark, tbl)
+    assert(spark.table(tbl).filter(col("note") === "late").count() === 5)
+    assert(spark.table(tbl).count() === 25)
+    // Time travel BELOW the alter serves the original schema.
+    val v0 = GraftSqlParser.sql(spark, s"SELECT * FROM $tbl VERSION AS OF 0")
+    assert(v0.columns.toSeq === Seq("id", "v"))
+    val v1 = GraftSqlParser.sql(spark, s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("id", "v", "note", "score"),
+      "at the alter version the widened schema is live")
+    // DML still composes on the widened table.
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 3")
+    assert(DeletionVectors.read(spark, tbl).count() === 24)
+    // Duplicate column: loud.
+    val dup = intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD COLUMNS (v INT)"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    // Plain catalog tables delegate to Spark's own ALTER.
+    val plain = "addcol_plain_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    graft.core.CatalogUtil.dropOrphanLocation(spark, plain)
+    spark.sql(s"CREATE TABLE $plain (a INT) USING parquet")
+    spark.sql(s"INSERT INTO $plain VALUES (1)")
+    GraftSqlParser.sql(spark, s"ALTER TABLE $plain ADD COLUMNS (b STRING)")
+    assert(spark.table(plain).columns.toSeq === Seq("a", "b"))
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("table_changes FULL feed (r17): an INSERT/DELETE/UPDATE " +
+      "lifecycle serves insert rows, delete rows and update images " +
+      "with correct commit_versions; loud on MERGE versions, " +
+      "out-of-range, and rewritten-away spans") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "tcf_full_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 20)")
+    // v1: INSERT (the _add: sentinels name its files).
+    // One slice -> ONE inserted file: the deleted rows' coordinates
+    // and the later-merged key deterministically share it.
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(20, 30, 1, 1)")
+    // v2: DELETE two of the INSERTED rows (dead coords live only in
+    // the insert's files, so the later UPDATE of a CTAS row drops no
+    // delete history).
+    GraftSqlParser.sql(spark,
+      s"DELETE FROM $tbl WHERE id = 21 OR id = 22")
+    // v3: UPDATE one CTAS row — pre/post images recorded.
+    GraftSqlParser.sql(spark, s"UPDATE $tbl SET v = 777 WHERE id = 7")
+    val feed = GraftSqlParser.sql(spark,
+      s"SELECT id, v, change_type, commit_version " +
+        s"FROM table_changes('$tbl', 0, 3)").collect()
+    val byType = feed.groupBy(_.getString(2))
+    val ins = byType.getOrElse("insert", Array.empty)
+    assert(ins.length === 10, s"10 inserted rows, got ${ins.length}")
+    assert(ins.forall(_.getLong(3) === 1L), "insert commit_version = 1")
+    assert(ins.map(_.getLong(0)).toSet === (20L until 30L).toSet,
+      "rows AS INSERTED — including the ones deleted later")
+    assert(ins.forall(r => r.getLong(1) === r.getLong(0) * 10))
+    val dels = byType.getOrElse("delete", Array.empty)
+    assert(dels.map(_.getLong(0)).toSet === Set(21L, 22L))
+    assert(dels.forall(_.getLong(3) === 2L))
+    val pre = byType.getOrElse("update_preimage", Array.empty)
+    val post = byType.getOrElse("update_postimage", Array.empty)
+    assert(pre.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((7L, 70L)), "preimage = the pre-update row")
+    assert(post.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((7L, 777L)), "postimage = the post-update row")
+    assert((pre ++ post).forall(_.getLong(3) === 3L))
+    // A sub-range excludes the versions outside it.
+    val sub = GraftSqlParser.sql(spark,
+      s"SELECT change_type, count(*) AS n " +
+        s"FROM table_changes('$tbl', 1, 3) GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sub === Map("delete" -> 2L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L))
+    // Time travel is unaffected by the stamps (sentinels mask nothing).
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
+      .collect()(0).getLong(0) === 30L)
+    // LOUD: beyond the latest change version.
+    val e1 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', 0, 99)").collect())
+    assert(e1.getMessage.contains("beyond"), e1.getMessage)
+    // LOUD: a MERGE consumes v4 but records no images.
+    spark.range(3, 4).select(col("id"),
+      lit(-1L).as("v")).createOrReplaceTempView("tcf_full_src")
+    GraftSqlParser.sql(spark, s"MERGE INTO $tbl USING tcf_full_src " +
+      s"ON $tbl.id = tcf_full_src.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val e2 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', 3, 4)").collect())
+    assert(e2.getMessage.contains("does not record"), e2.getMessage)
+    // The earlier range still answers (the merge touched only a CTAS
+    // file that carried no delete coordinates or _add sentinel).
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM table_changes('$tbl', 1, 3)")
+      .collect()(0).getLong(0) === 4L)
+    // LOUD: a MERGE that rewrites the INSERTED file (which holds the
+    // deleted rows' coordinates) makes both the insert span (file
+    // gone) and the delete span (coords dropped, marked _lost:) fail
+    // instead of under-reporting.
+    spark.range(25, 26).select(col("id"),
+      lit(-2L).as("v")).createOrReplaceTempView("tcf_full_src2")
+    GraftSqlParser.sql(spark, s"MERGE INTO $tbl USING tcf_full_src2 " +
+      s"ON $tbl.id = tcf_full_src2.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val e3 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', 0, 1)").collect())
+    assert(e3.getMessage.contains("rewritten"), e3.getMessage)
+    val e4 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', 1, 2)").collect())
+    assert(e4.getMessage.contains("rewritten away by a later"),
+      e4.getMessage)
+    // The UPDATE images still answer on their own span.
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM table_changes('$tbl', 2, 3)")
+      .collect()(0).getLong(0) === 2L)
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }

@@ -401,6 +401,68 @@ class GraftTableSourceSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("a widening ALTER observed mid-stream fails loudly; a versioned " +
+      "INSERT INTO streams as a plain append (r17)") {
+    val tbl = "gts_alter_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_ckpt_alter").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def collect(b: DataFrame, id: Long): Unit =
+      b.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+    graft.ext.GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 2 AS BIGINT) AS v FROM range(0, 10)")
+    drain(tbl, ckpt)(collect)
+    assert(seen.asScala.toSet === (0L until 10L).toSet)
+    // An INSERT INTO commit (which re-stamps the DV sidecar with
+    // sentinel rows) is an APPEND to the stream — the content-based
+    // DV fingerprint must not flag it as a change commit.
+    graft.ext.GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, CAST(id * 2 AS BIGINT) AS v FROM range(10, 15)")
+    seen.clear()
+    drain(tbl, ckpt)(collect)
+    assert(seen.asScala.toSet === (10L until 15L).toSet,
+      "a versioned INSERT INTO must stream as a plain append")
+    // A widening ALTER while a source instance is LIVE (its schema was
+    // pinned at start): the next advance fails loudly instead of
+    // silently dropping the new column from every future batch.
+    val liveSrc = new graft.streaming.GraftTableSource(spark.sqlContext,
+      java.nio.file.Files.createTempDirectory("gts_alter_meta").toString,
+      tbl, skipChangeCommits = false, maxFilesPerTrigger = None)
+    assert(liveSrc.getOffset.isDefined, "pre-alter advance works")
+    graft.ext.GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+    graft.ext.GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, CAST(id * 2 AS BIGINT) AS v, 'x' FROM range(15, 18)")
+    val e = intercept[Exception] { liveSrc.getOffset }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("evolved")),
+      s"wanted the schema-evolution failure, got: ${causes(e)}")
+    // A RESTART re-pins the widened schema and serves the new files —
+    // Delta's "restart the stream to pick up the new schema".
+    seen.clear()
+    val wide = new java.util.concurrent.atomic.AtomicInteger()
+    val q = spark.readStream.format("graft-table").option("table", tbl)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (b.columns.contains("note")) wide.incrementAndGet()
+        collect(b, 0L)
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.asScala.toSet === (15L until 18L).toSet,
+      s"the restarted stream serves the post-alter append, got " +
+        s"${seen.asScala.toSet}")
+    assert(wide.get() > 0, "the restarted stream carries the new column")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("a filtered stream prunes its batch files through the stats " +
       "sidecar (r17: per-file skipping inside a micro-batch)") {
     import graft.storage.StatsSkipping
