@@ -234,6 +234,15 @@ object GraftSqlParser {
   private val InsertOverwriteRe =
     (s"(?is)\\s*INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?$Ident" +
       "\\s+((?:SELECT|VALUES|TABLE|FROM|WITH)\\b.*)").r
+  // COPY INTO — Databricks' idempotent batch ingest: load a path's
+  // files into a versioned table as an append commit, SKIPPING files a
+  // previous COPY already loaded (the `_copy:` sidecar ledger);
+  // `COPY_OPTIONS ('force' = 'true')` reloads regardless.
+  private val CopyIntoRe =
+    (s"(?is)\\s*COPY\\s+INTO\\s+$Ident\\s+FROM\\s+'([^']+)'" +
+      "\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+)" +
+      "(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*").r
   private val CloneRe =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident\\s*".r
   // MERGE — the three canonical Delta forms on a single same-named key:
@@ -383,6 +392,22 @@ object GraftSqlParser {
           cat.alterTable(meta.copy(properties = meta.properties ++ props))
         }
         Seq("table" -> tbl, "properties_set" -> props.size.toString)
+      }))
+    case CopyIntoRe(tbl, path, fmt, fmtOpts, copyOpts) =>
+      def pairs(txt: String): Map[String, String] =
+        if (txt == null || txt.trim.isEmpty) Map.empty
+        else splitTop(txt, ",").map {
+          case PropPairRe(k, v) => k -> v
+          case other => sys.error(
+            s"COPY INTO options entry not understood: '${other.trim}'")
+        }.toMap
+      Some(GraftMaintenanceCommand(s"COPY INTO $tbl", { spark =>
+        val (v, files, rows) = runCopyInto(spark, tbl, path,
+          fmt.toUpperCase, pairs(fmtOpts), pairs(copyOpts))
+        Seq("table" -> tbl, "operation" -> "COPY INTO",
+          "files_loaded" -> files.toString,
+          "rows_loaded" -> rows.toString,
+          "version" -> (if (v >= 0) v.toString else "unchanged"))
       }))
     case AddColsRe(tbl, colsDdl) =>
       Some(GraftMaintenanceCommand(s"ADD COLUMNS $tbl", { spark =>
@@ -1643,6 +1668,88 @@ object GraftSqlParser {
     dv.realign(spark, tbl)
     sc.register(spark, tbl)
       .getOrElse(sys.error(s"$stmt $tbl left no published version"))
+  }
+
+  /** Execute `COPY INTO t FROM '<path>' FILEFORMAT = CSV|JSON|PARQUET`
+    * — Databricks' idempotent batch-ingest statement. The source
+    * directory's data files (recursive, underscore/dot entries
+    * skipped) are diffed against the table's `_copy:` ledger; only
+    * NEVER-LOADED files read (CSV/JSON under the target's schema —
+    * COPY aligns by name/position to an existing table, Databricks'
+    * contract; parquet by name with cast) and commit as one append
+    * version (`_op:COPY`, so table_changes serves the load as inserts).
+    * Re-running the statement is a NO-OP (zero files, no commit) — the
+    * exactly-once discipline the streaming sink's `_batchid` gives
+    * micro-batches, generalized to ad-hoc loads. `COPY_OPTIONS
+    * ('force'='true')` reloads everything. Returns (version or -1 when
+    * nothing loaded, files loaded, rows loaded).
+    */
+  private def runCopyInto(spark: SparkSession, tbl: String, path: String,
+      fmt: String, fmtOpts: Map[String, String],
+      copyOpts: Map[String, String]): (Long, Long, Long) = {
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    require(sc.currentVersion(spark, tbl).isDefined ||
+      spark.catalog.tableExists(tbl),
+      s"COPY INTO $tbl: target table does not exist (COPY INTO loads " +
+        "into an existing table — CREATE TABLE ... AS first)")
+    dv.ensureSnapshot(spark, tbl)
+    sc.register(spark, tbl)
+    val force = copyOpts.exists { case (k, v2) =>
+      k.equalsIgnoreCase("force") && v2.equalsIgnoreCase("true") }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"COPY INTO $tbl: source path $path " +
+      "does not exist")
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toUri.getPath)
+      }
+    val all = (if (fs.getFileStatus(root).isDirectory) walk(root)
+      else Seq(root.toUri.getPath)).sorted
+    val loaded = if (force) Set.empty[String]
+      else dv.copiedSources(spark, tbl)
+    val fresh = all.filterNot(loaded)
+    if (fresh.isEmpty) return (-1L, 0L, 0L)
+    val target = sc.readData(spark, tbl).schema
+    val reader = spark.read.options(fmtOpts)
+    val src = fmt match {
+      case "CSV" => reader.schema(target).csv(fresh: _*)
+      case "JSON" => reader.schema(target).json(fresh: _*)
+      case "PARQUET" =>
+        val raw = reader.parquet(fresh: _*)
+        target.fieldNames.foreach(c => require(
+          raw.columns.exists(_.equalsIgnoreCase(c)),
+          s"COPY INTO $tbl: source parquet has no column $c"))
+        raw.select(target.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(f.dataType).as(f.name)): _*)
+      case other => sys.error(
+        s"COPY INTO $tbl: FILEFORMAT $other not supported " +
+          "(CSV, JSON, PARQUET)")
+    }
+    var rows = 0L
+    sc.commit(spark, tbl, operation = "COPY INTO") { dir =>
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      src.write.mode("overwrite").parquet(dir)
+      val appended = sc.listData(spark, stage).map(_._1)
+      rows = spark.read.parquet(
+        appended.map(n => new org.apache.hadoop.fs.Path(stage, n)
+          .toString): _*).count()
+      sc.currentLocation(spark, tbl).foreach { prev =>
+        sc.carryData(spark, prev, stage)
+        graft.storage.StatsSkipping.refreshStats(spark, prev, stage)
+        sc.carryBatchId(spark, prev, stage)
+      }
+      dv.stampVersion(spark, tbl, stage, op = "COPY",
+        added = appended, copied = fresh)
+    }
+    dv.realign(spark, tbl)
+    sc.register(spark, tbl)
+    (dv.version(spark, tbl), fresh.size.toLong, rows)
   }
 
   /** Parse a SQL timestamp string ('yyyy-MM-dd[ HH:mm:ss[.SSS]]') to

@@ -653,6 +653,104 @@ object ChangeDataQueries {
     live.select(col("k"), col("status"), col("total"), col("note"))
   }
 
+  /** u19 — COPY INTO (r17): Databricks' idempotent batch ingest. The
+    * odd orders export to CSV, a CTAS seeds the evens, COPY INTO loads
+    * the CSVs as one append version, and a SECOND identical COPY loads
+    * ZERO files (the `_copy:` ledger — exactly-once for ad-hoc loads,
+    * the `_batchid` discipline generalized). Gated frame = the live
+    * view (all orders); requires() pin the idempotence.
+    */
+  val u19CopyIntoSql = withOracle(
+    "u19_copy_into_sql",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders""".stripMargin) { (s, d) =>
+    val tbl = s"orders_copy_${graft.queries.StorageQueries.sfName(d)}"
+    val src = s"${tbl}_src"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    val csvDir = s.conf.get("spark.sql.warehouse.dir") +
+      s"/_graft_scratch/${tbl}_csv"
+    s.table(src).filter(col("k") % 2 =!= 0)
+      .coalesce(4).write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $tbl AS SELECT * FROM $src WHERE k % 2 = 0")
+    def copy(): Map[String, String] = graft.ext.GraftSqlParser.sql(s,
+      s"COPY INTO $tbl FROM '$csvDir' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val first = copy()
+    require(first("files_loaded").toLong > 0,
+      s"$tbl: first COPY INTO must load the exported files, got $first")
+    val second = copy()
+    require(second("files_loaded").toLong == 0,
+      s"$tbl: re-running COPY INTO must be a no-op, got $second")
+    graft.storage.DeletionVectors.read(s, tbl)
+      .select(col("k"), col("status"), col("total"))
+  }
+
+  /** st24 — the SQL WRITE surface and the STREAMING READ surface
+    * compose (r17): a `graft-table` stream tails a table whose appends
+    * land through INSERT INTO — versioned commits that RE-STAMP the
+    * deletion-vector sidecar with change-feed sentinels — and each
+    * micro-batch MERGEs into a downstream table. The content-based DV
+    * fingerprint must read those stamps as APPENDS (a file-level
+    * fingerprint flagged every INSERT as a change commit); the second
+    * drain is a checkpoint RESTART serving exactly the inserted files.
+    */
+  val st24StreamInsertInto = withOracle(
+    "st24_stream_insert_into",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders""".stripMargin) { (s, d) =>
+    val bronze = s"orders_sii_bronze_${graft.queries.StorageQueries.sfName(d)}"
+    val silver = s"orders_sii_silver_${graft.queries.StorageQueries.sfName(d)}"
+    val src = s"${bronze}_src"
+    Seq(bronze, silver).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      graft.storage.SnapshotCommit.destroy(s, t)
+      graft.core.CatalogUtil.dropOrphanLocation(s, t)
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st24_ckpt").toString
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-table")
+        .option("table", bronze).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          new graft.pipeline.Pipeline()
+            .register(graft.pipeline.Dataset(silver, Nil, (_, _) => b,
+              materialize = graft.pipeline.Materialize.Incremental(
+                Seq("k"))))
+            .run(s)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $bronze AS SELECT * FROM $src WHERE k % 2 = 0")
+    drain()
+    graft.ext.GraftSqlParser.sql(s,
+      s"INSERT INTO $bronze SELECT * FROM $src WHERE k % 2 <> 0")
+    drain()
+    s.table(silver)
+  }
+
   /** u20 — UPDATE pre/post images in the change feed (r17): a
     * touched-file UPDATE records its matched rows' images at DML time
     * (Delta's `enableChangeDataFeed` `_change_data`, one extra bounded
@@ -693,5 +791,6 @@ object ChangeDataQueries {
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
       u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
-      u17OverwriteRestoreSql, u18AddColumnSql, u20UpdateImagesSql)
+      u17OverwriteRestoreSql, u18AddColumnSql, u19CopyIntoSql,
+      u20UpdateImagesSql, st24StreamInsertInto)
 }

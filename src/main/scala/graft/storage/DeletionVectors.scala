@@ -94,6 +94,13 @@ object DeletionVectors {
     * Versions with no `_op` row are pre-r17 deletes. */
   private[graft] val OpPrefix = "_op:"
 
+  /** Sentinel prefix recording a SOURCE file ingested by `COPY INTO`:
+    * `(_copy:<source path>, -1, v)` — the load-idempotence ledger
+    * (Databricks' COPY INTO skips already-loaded files by name). Kept
+    * by vacuum REGARDLESS of version: folding history must never
+    * re-open re-ingestion. */
+  private[graft] val CopyPrefix = "_copy:"
+
   /** Sentinel prefix marking a change version whose DELETE rows were
     * later rewritten away: `(_lost:<v>, -1, v)`. A touched-file rewrite
     * (UPDATE/MERGE) physically removes the dead rows of the files it
@@ -350,7 +357,8 @@ object DeletionVectors {
     * against the winner's sidecar. Returns the stamped version. */
   private[graft] def stampVersion(spark: SparkSession, table: String,
       stage: Path, op: String, added: Seq[String],
-      dropped: Set[String] = Set.empty): Long = {
+      dropped: Set[String] = Set.empty,
+      copied: Seq[String] = Nil): Long = {
     val v = version(spark, table) + 1
     val sc0 = sidecarDf(spark, table)
     // Delete versions whose coordinates live in the dropped files can
@@ -365,6 +373,7 @@ object DeletionVectors {
     val sentinels = Seq(("_hwm", -1L, v),
         (s"$TsPrefix${clockMs()}", -1L, v), (s"$OpPrefix$op", -1L, v)) ++
       added.sorted.map(n => (s"$AddPrefix$n", -1L, v)) ++
+      copied.sorted.map(p => (s"$CopyPrefix$p", -1L, v)) ++
       lost.map(lv => (s"$LostPrefix$lv", -1L, lv))
     val sentinelDf = spark.createDataFrame(sentinels).toDF("f", "p", "v")
     val newSidecar = sc0 match {
@@ -379,6 +388,18 @@ object DeletionVectors {
     newSidecar.write.parquet(new Path(stage, "_dv").toString)
     v
   }
+
+  /** The COPY INTO idempotence ledger: every source path a previous
+    * COPY loaded (bounded — one sentinel per ingested file). */
+  private[graft] def copiedSources(spark: SparkSession,
+      table: String): Set[String] =
+    sidecarDf(spark, table) match {
+      case None => Set.empty
+      case Some(sc) => sc
+        .filter(col("p") < 0 && col("f").startsWith(CopyPrefix))
+        .select(col("f")).collect()
+        .map(_.getString(0).substring(CopyPrefix.length)).toSet
+    }
 
   /** Record an UPDATE version's row images (Delta's `_change_data`):
     * `rows` must already carry change_type/commit_version. One bounded
@@ -616,10 +637,14 @@ object DeletionVectors {
     // rewritten basename, and one whose file was folded away entirely
     // is dropped with it (its insert rows are physically gone — the
     // feed fails loudly on that span, like Delta after vacuum).
-    val keptSent = sidecar.filter(col("p") < 0 && col("v") >= cutoff &&
-        (col("f").startsWith(TsPrefix) || col("f").startsWith(OpPrefix) ||
-          col("f").startsWith(AddPrefix) ||
-          col("f").startsWith(LostPrefix)))
+    val keptSent = sidecar.filter(col("p") < 0 &&
+        ((col("v") >= cutoff &&
+          (col("f").startsWith(TsPrefix) || col("f").startsWith(OpPrefix) ||
+            col("f").startsWith(AddPrefix) ||
+            col("f").startsWith(LostPrefix))) ||
+          // The COPY INTO idempotence ledger survives every fold —
+          // losing it would re-ingest already-loaded files.
+          col("f").startsWith(CopyPrefix)))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .flatMap {
         case (f, p, v) if f.startsWith(AddPrefix) =>

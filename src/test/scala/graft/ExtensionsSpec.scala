@@ -734,6 +734,46 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("MERGE with a NON-DETERMINISTIC source evaluates it once: the " +
+      "probe, dup-check and rewrite see the same keys — no lost rows " +
+      "(r17 ADVICE pin)") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    val tbl = "merge_nd_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    // Stats present so sourceKeyRange RUNS (the advice's hazard: its
+    // extra evaluation of an unpinned source could derive bounds that
+    // miss the keys the later probe/rewrite see, silently dropping the
+    // displaced target rows from the carried files).
+    StatsSkipping.commitWithStats(spark, tbl, "id") { dir =>
+      spark.range(0, 1000).select(col("id"), (col("id") * 10).as("v"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.parquet(dir)
+    }
+    for (round <- 1 to 3) {
+      spark.range(0, 1000).filter(rand() < 0.3)
+        .select(col("id"), lit(-1L).as("v"))
+        .createOrReplaceTempView("merge_nd_src")
+      GraftSqlParser.sql(spark,
+        s"MERGE INTO $tbl USING merge_nd_src " +
+          s"ON $tbl.id = merge_nd_src.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      SnapshotCommit.register(spark, tbl)
+      val rows = DeletionVectors.read(spark, tbl)
+        .select("id").collect().map(_.getLong(0))
+      assert(rows.length === 1000,
+        s"round $round: a key probed under one sample but absent from " +
+          s"the rewrite's sample drops its row — got ${rows.length}/1000")
+      assert(rows.toSet === (0L until 1000L).toSet,
+        s"round $round: key set must be stable")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("ALTER TABLE ADD COLUMNS (r17): metadata-only widening, ledger-" +
       "backed time travel, null-filled old files, delegate for plain " +
       "tables, loud on duplicates") {
