@@ -1074,36 +1074,45 @@ object GraftSqlParser {
             .otherwise(idx)
         idx
       }
-      // Matched pairs through the clause cascade.
-      val matchedOut: org.apache.spark.sql.DataFrame = if (matched.isEmpty)
-        touchedLive.limit(0)
-      else {
-        val t = touchedLive.alias(tA)
-        val s = srcDf.alias(sA)
-        val keyCond = keys.map(k =>
-          col(s"$tA.$k") === col(s"$sA.$k")).reduce(_ && _)
-        val withIdx = t.join(s, keyCond, "inner")
-          .withColumn(IdxCol, clauseIndex(matched.map(_.cond)))
-        val deleteIdx = matched.zipWithIndex.collect {
-          case (MatchedClause(_, DeleteRow), i) => i + 1 }
-        val survivors =
-          if (deleteIdx.isEmpty) withIdx
-          else withIdx.filter(!col(IdxCol).isin(deleteIdx.map(Int.box): _*))
-        survivors.select(rawSchema.fields.toSeq.map { f =>
-          var v: Column = col(s"$tA.${f.name}")
-          for ((cl, i) <- matched.zipWithIndex) cl.action match {
-            case UpdateAll =>
-              v = when(col(IdxCol) === i + 1,
-                col(s"$sA.${f.name}").cast(f.dataType)).otherwise(v)
-            case UpdateSet(sets) =>
-              sets.find(_._1.equalsIgnoreCase(f.name)).foreach {
-                case (_, e) => v = when(col(IdxCol) === i + 1,
-                  expr(e).cast(f.dataType)).otherwise(v)
-              }
-            case DeleteRow => ()
-          }
-          v.as(f.name)
-        }: _*)
+      // Matched pairs through the clause cascade — the joined frame and
+      // delete-clause indices are hoisted so the change-data-feed arm
+      // below can derive its images from the SAME construction.
+      val deleteIdx = matched.zipWithIndex.collect {
+        case (MatchedClause(_, DeleteRow), i) => i + 1 }
+      // The post-cascade value of column `f` for a matched pair.
+      def cascadeCol(f: org.apache.spark.sql.types.StructField): Column = {
+        var v: Column = col(s"$tA.${f.name}").cast(f.dataType)
+        for ((cl, i) <- matched.zipWithIndex) cl.action match {
+          case UpdateAll =>
+            v = when(col(IdxCol) === i + 1,
+              col(s"$sA.${f.name}").cast(f.dataType)).otherwise(v)
+          case UpdateSet(sets) =>
+            sets.find(_._1.equalsIgnoreCase(f.name)).foreach {
+              case (_, e) => v = when(col(IdxCol) === i + 1,
+                expr(e).cast(f.dataType)).otherwise(v)
+            }
+          case DeleteRow => ()
+        }
+        v.as(f.name)
+      }
+      val withIdxOpt: Option[org.apache.spark.sql.DataFrame] =
+        if (matched.isEmpty) None
+        else {
+          val t = touchedLive.alias(tA)
+          val s = srcDf.alias(sA)
+          val keyCond = keys.map(k =>
+            col(s"$tA.$k") === col(s"$sA.$k")).reduce(_ && _)
+          Some(t.join(s, keyCond, "inner")
+            .withColumn(IdxCol, clauseIndex(matched.map(_.cond))))
+        }
+      val matchedOut: org.apache.spark.sql.DataFrame = withIdxOpt match {
+        case None => touchedLive.limit(0)
+        case Some(withIdx) =>
+          val survivors =
+            if (deleteIdx.isEmpty) withIdx
+            else withIdx.filter(
+              !col(IdxCol).isin(deleteIdx.map(Int.box): _*))
+          survivors.select(rawSchema.fields.toSeq.map(cascadeCol): _*)
       }
       // Unmatched target rows of touched files rewrite unchanged.
       val keptTarget = touchedLive.join(srcKeys, keys, "left_anti")
@@ -1144,11 +1153,40 @@ object GraftSqlParser {
         if (!touched(n))
           sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
       }
-      // MERGE consumes a change version but records no images: the
-      // feed fails LOUDLY on a range covering it instead of silently
-      // omitting the merge's changes (changesBetween's _op dispatch).
-      dv.stampVersion(spark, tgt, stage, op = "MERGE", added = Nil,
-        dropped = touched)
+      // MERGE consumes a change version; with delta.enableChangeDataFeed
+      // its row images record at DML time (Delta's _change_data), and
+      // WITHOUT the property the feed fails LOUDLY on a range covering
+      // it instead of silently omitting the merge's changes
+      // (changesBetween's _op dispatch).
+      val v = dv.stampVersion(spark, tgt, stage, op = "MERGE",
+        added = Nil, dropped = touched)
+      if (dv.cdfEnabled(spark, tgt)) {
+        import org.apache.spark.sql.functions.{array, explode, struct}
+        val matchedImgs = withIdxOpt.map { withIdx =>
+          val changed = withIdx.filter(col(IdxCol) > 0)
+          val isDel =
+            if (deleteIdx.isEmpty) lit(false)
+            else col(IdxCol).isin(deleteIdx.map(Int.box): _*)
+          val pre = struct((rawSchema.fields.toSeq.map(f =>
+            col(s"$tA.${f.name}").cast(f.dataType).as(f.name)) :+
+            when(isDel, lit("delete"))
+              .otherwise(lit("update_preimage")).as("change_type")): _*)
+          val post = struct((rawSchema.fields.toSeq.map(cascadeCol) :+
+            lit("update_postimage").as("change_type")): _*)
+          // A delete emits its pre-image only; an update both images —
+          // one pass over the matched pairs.
+          changed.select(explode(when(isDel, array(pre))
+            .otherwise(array(pre, post))).as("_img"))
+            .select(col("_img.*"))
+        }
+        val insertImgs =
+          if (notMatched.isEmpty) None
+          else Some(insertOut.withColumn("change_type", lit("insert")))
+        (matchedImgs.toSeq ++ insertImgs.toSeq)
+          .reduceOption(_.unionByName(_))
+          .foreach(img => dv.recordImages(spark, tgt, v,
+            img.withColumn("commit_version", lit(v))))
+      }
       graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
       sc.carryBatchId(spark, cur, stage)
     }
@@ -1291,14 +1329,15 @@ object GraftSqlParser {
           if (touchedPhys.isEmpty) sc.readData(spark, tgt).limit(0)
           else dv.mask(spark, tgt, spark.read.schema(rawSchema)
             .parquet(touchedPhys: _*))
+        // def, not val: the DELETE form's source may legitimately carry
+        // only the key column, and this select must not analyze there.
+        def aligned = srcDf.select(rawSchema.fieldNames.toSeq.map(col): _*)
         val merged =
           if (delete)
             touchedLive.join(srcKeys, Seq(key), "left_anti")
-          else {
-            val aligned = srcDf.select(rawSchema.fieldNames.toSeq.map(col): _*)
+          else
             touchedLive.join(srcKeys, Seq(key), "left_anti")
               .unionByName(aligned)
-          }
         merged.write.parquet(dir)
         // Phase 3 — carry the untouched files by name (no data IO) plus
         // the DV / stats / stream-progress sidecars.
@@ -1306,9 +1345,35 @@ object GraftSqlParser {
           if (!touched(n))
             sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
         }
-        // Same loud-feed contract as the general form above.
-        dv.stampVersion(spark, tgt, stage, op = "MERGE", added = Nil,
-          dropped = touched)
+        // Same feed contract as the general form above: images with
+        // delta.enableChangeDataFeed, loud failure without.
+        val v = dv.stampVersion(spark, tgt, stage, op = "MERGE",
+          added = Nil, dropped = touched)
+        if (dv.cdfEnabled(spark, tgt)) {
+          import org.apache.spark.sql.functions.lit
+          val img =
+            if (delete)
+              // MATCHED DELETE: the removed rows' pre-images.
+              touchedLive.join(srcKeys, Seq(key), "left_semi")
+                .withColumn("change_type", lit("delete"))
+            else {
+              // Upsert: every live matched key lives in the touched
+              // subset by construction, so its distinct keys split the
+              // source into updates (pre from the target, post from the
+              // source) and inserts.
+              val liveKeys = touchedLive.select(col(key)).distinct()
+              touchedLive.join(srcKeys, Seq(key), "left_semi")
+                .withColumn("change_type", lit("update_preimage"))
+                .unionByName(aligned
+                  .join(liveKeys, Seq(key), "left_semi")
+                  .withColumn("change_type", lit("update_postimage")))
+                .unionByName(aligned
+                  .join(liveKeys, Seq(key), "left_anti")
+                  .withColumn("change_type", lit("insert")))
+            }
+          dv.recordImages(spark, tgt, v,
+            img.withColumn("commit_version", lit(v)))
+        }
         graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
         sc.carryBatchId(spark, cur, stage)
       }
@@ -1382,24 +1447,28 @@ object GraftSqlParser {
       }
       val v = dv.stampVersion(spark, tbl, stage, op = "UPDATE",
         added = Nil, dropped = touched)
-      // Record the pre/post images (Delta's _change_data): bounded to
-      // the statement's MATCHED rows, derived in ONE scan of the
-      // still-live old files (each matched row explodes into its pre
-      // and post image — a union would read the touched files twice).
-      import org.apache.spark.sql.functions.{array, explode, lit, struct}
-      def image(tag: String, applySets: Boolean) = struct(
-        (rawSchema.fields.toSeq.map { f =>
-          sets.find(_._1.equalsIgnoreCase(f.name)) match {
-            case Some((_, e)) if applySets =>
-              expr(e).cast(f.dataType).as(f.name)
-            case _ => col(f.name).cast(f.dataType).as(f.name)
-          }
-        } :+ lit(tag).as("change_type")): _*)
-      dv.recordImages(spark, tbl, v, touchedLive.filter(pred)
-        .select(explode(array(image("update_preimage", false),
-          image("update_postimage", true))).as("_img"))
-        .select(col("_img.*"))
-        .withColumn("commit_version", lit(v)))
+      // Record the pre/post images (Delta's _change_data) when the
+      // table opted in via delta.enableChangeDataFeed — Delta's gate,
+      // and the recording's extra bounded scan of the touched files is
+      // paid only by tables that asked for a feed. Derived in ONE scan
+      // (each matched row explodes into its pre and post image — a
+      // union would read the touched files twice).
+      if (dv.cdfEnabled(spark, tbl)) {
+        import org.apache.spark.sql.functions.{array, explode, lit, struct}
+        def image(tag: String, applySets: Boolean) = struct(
+          (rawSchema.fields.toSeq.map { f =>
+            sets.find(_._1.equalsIgnoreCase(f.name)) match {
+              case Some((_, e)) if applySets =>
+                expr(e).cast(f.dataType).as(f.name)
+              case _ => col(f.name).cast(f.dataType).as(f.name)
+            }
+          } :+ lit(tag).as("change_type")): _*)
+        dv.recordImages(spark, tbl, v, touchedLive.filter(pred)
+          .select(explode(array(image("update_preimage", false),
+            image("update_postimage", true))).as("_img"))
+          .select(col("_img.*"))
+          .withColumn("commit_version", lit(v)))
+      }
       graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
       sc.carryBatchId(spark, cur, stage)
     }

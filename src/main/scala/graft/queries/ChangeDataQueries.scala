@@ -780,6 +780,9 @@ object ChangeDataQueries {
           col("o_totalprice").cast("double").as("total"))
         .write.parquet(dir)
     }
+    // Delta's gate, honored: images record only on opted-in tables.
+    graft.ext.GraftSqlParser.sql(s, s"ALTER TABLE $tbl SET " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
     graft.ext.GraftSqlParser.sql(s,
       s"UPDATE $tbl SET total = total + 100 WHERE o_orderkey % 9 = 0")
     graft.ext.GraftSqlParser.sql(s,

@@ -389,6 +389,20 @@ object DeletionVectors {
     v
   }
 
+  /** Is the change-data-feed's IMAGE RECORDING enabled for this table —
+    * Delta's `delta.enableChangeDataFeed` table property, same gate:
+    * UPDATE/MERGE record their row images at DML time only when set
+    * (the recording costs one extra bounded scan per statement), and
+    * `table_changes` over an unrecorded UPDATE/MERGE version fails
+    * loudly naming the property. DELETE (sidecar coordinates) and
+    * INSERT/COPY (`_add:` sentinels) feed for free, property or not. */
+  private[graft] def cdfEnabled(spark: SparkSession,
+      table: String): Boolean = {
+    val p = SnapshotCommit.properties(spark, table)
+    Seq("delta.enableChangeDataFeed", "graft.enableChangeDataFeed")
+      .exists(k => p.get(k).exists(_.equalsIgnoreCase("true")))
+  }
+
   /** The COPY INTO idempotence ledger: every source path a previous
     * COPY loaded (bounded — one sentinel per ingested file). */
   private[graft] def copiedSources(spark: SparkSession,
@@ -842,7 +856,8 @@ object DeletionVectors {
         }.toMap
         val unfed = ops.filter { case (_, op) =>
           op != "DELETE" && op != "WRITE" && op != "COPY" &&
-            op != "UPDATE" && op != "ALTER" } // ALTER moves no rows
+            op != "UPDATE" && op != "MERGE" &&
+            op != "ALTER" } // ALTER moves no rows
         require(unfed.isEmpty,
           s"table_changes($table, $fromV, $toV): version(s) " +
             s"${unfed.toSeq.sortBy(_._1).map { case (v, o) =>
@@ -899,12 +914,15 @@ object DeletionVectors {
             org.apache.spark.sql.types.StructField("commit_version",
               org.apache.spark.sql.types.LongType))
         val updArms: Seq[DataFrame] = ops.collect {
-          case (v, "UPDATE") =>
+          case (v, op @ ("UPDATE" | "MERGE")) =>
             val d = changesDir(spark, table, v)
             require(fs(spark, d).exists(d),
-              s"table_changes($table, $fromV, $toV): v$v is an UPDATE " +
-                "but its recorded images are missing — the feed cannot " +
-                "answer this range")
+              s"table_changes($table, $fromV, $toV): v$v is " +
+                s"a${if (op == "UPDATE") "n" else ""} $op committed " +
+                "WITHOUT change-data-feed images — set ALTER TABLE " +
+                s"$table SET TBLPROPERTIES ('delta." +
+                "enableChangeDataFeed' = 'true') before the DML, or " +
+                "narrow the range around it")
             shaped(spark.read.schema(imgSchema).parquet(d.toString))
         }.toSeq
         (delArm +: (insArms ++ updArms)).reduce(_.unionByName(_))

@@ -853,7 +853,10 @@ class ExtensionsSpec extends SparkSpec {
     // delete history).
     GraftSqlParser.sql(spark,
       s"DELETE FROM $tbl WHERE id = 21 OR id = 22")
-    // v3: UPDATE one CTAS row — pre/post images recorded.
+    // v3: UPDATE one CTAS row — pre/post images recorded (the table
+    // opts into image recording first, Delta's enableChangeDataFeed).
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")
     GraftSqlParser.sql(spark, s"UPDATE $tbl SET v = 777 WHERE id = 7")
     val feed = GraftSqlParser.sql(spark,
       s"SELECT id, v, change_type, commit_version " +
@@ -890,7 +893,9 @@ class ExtensionsSpec extends SparkSpec {
     val e1 = intercept[Exception](GraftSqlParser.sql(spark,
       s"SELECT * FROM table_changes('$tbl', 0, 99)").collect())
     assert(e1.getMessage.contains("beyond"), e1.getMessage)
-    // LOUD: a MERGE consumes v4 but records no images.
+    // LOUD: with the property OFF, a MERGE consumes v4 unrecorded.
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'false')")
     spark.range(3, 4).select(col("id"),
       lit(-1L).as("v")).createOrReplaceTempView("tcf_full_src")
     GraftSqlParser.sql(spark, s"MERGE INTO $tbl USING tcf_full_src " +
@@ -899,12 +904,41 @@ class ExtensionsSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT *")
     val e2 = intercept[Exception](GraftSqlParser.sql(spark,
       s"SELECT * FROM table_changes('$tbl', 3, 4)").collect())
-    assert(e2.getMessage.contains("does not record"), e2.getMessage)
+    assert(e2.getMessage.contains("WITHOUT change-data-feed"),
+      e2.getMessage)
     // The earlier range still answers (the merge touched only a CTAS
     // file that carried no delete coordinates or _add sentinel).
     assert(GraftSqlParser.sql(spark,
       s"SELECT count(*) AS n FROM table_changes('$tbl', 1, 3)")
       .collect()(0).getLong(0) === 4L)
+    // With the property back ON, a MERGE records full images: an
+    // update pair for the matched key, an insert row for the new one.
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")
+    spark.createDataFrame(Seq((4L, -4L), (900L, -9L))).toDF("id", "v")
+      .createOrReplaceTempView("tcf_full_src3")
+    GraftSqlParser.sql(spark, s"MERGE INTO $tbl USING tcf_full_src3 " +
+      s"ON $tbl.id = tcf_full_src3.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val mergeFeed = GraftSqlParser.sql(spark,
+      s"SELECT id, v, change_type FROM table_changes('$tbl', 4, 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(mergeFeed === Set((4L, 40L, "update_preimage"),
+      (4L, -4L, "update_postimage"), (900L, -9L, "insert")),
+      s"merge images must serve update pair + insert, got $mergeFeed")
+    // A MATCHED-DELETE merge records the removed rows' pre-images.
+    spark.range(5, 6).select(col("id"))
+      .createOrReplaceTempView("tcf_full_src4")
+    GraftSqlParser.sql(spark, s"MERGE INTO $tbl USING tcf_full_src4 " +
+      s"ON $tbl.id = tcf_full_src4.id WHEN MATCHED THEN DELETE")
+    val delFeed = GraftSqlParser.sql(spark,
+      s"SELECT id, v, change_type FROM table_changes('$tbl', 5, 6)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(delFeed === Set((5L, 50L, "delete")),
+      s"a matched-delete merge feeds its pre-images, got $delFeed")
     // LOUD: a MERGE that rewrites the INSERTED file (which holds the
     // deleted rows' coordinates) makes both the insert span (file
     // gone) and the delete span (coords dropped, marked _lost:) fail

@@ -1606,16 +1606,15 @@ class StorageSpec extends SparkSpec {
     val ioN = statements(tblN).map(s =>
       measured(GraftSqlParser.sql(spark, s)))
     // Expected bands: DELETE ~0.06x (pure probe — a DV mark moves no
-    // data); MERGE ~0.55x (the touched-file rewrite read is legitimate
-    // and identical on both tables, so it floors the ratio at this
-    // 32-file toy scale); UPDATE ~0.65x — r17 adds ONE more touched-
-    // file scan to record the CDC pre/post images (Delta's
-    // enableChangeDataFeed pays the same at DML time), a touched-
-    // proportional cost on both tables that pushes the toy-scale ratio
-    // up while staying file-proportional at 100 TB. Thresholds leave
+    // data); UPDATE/MERGE ~0.55x (the touched-file rewrite read is
+    // legitimate and identical on both tables, so it floors the ratio
+    // at this 32-file toy scale). These tables do NOT set
+    // delta.enableChangeDataFeed, so no CDC image recording rides on
+    // the statements — the default DML path stays lean (r17: image
+    // recording is property-gated, Delta's rule). Thresholds leave
     // ~15% headroom for the async task-metrics meter's smear under a
     // parallel suite run.
-    Seq("DELETE" -> 0.3, "UPDATE" -> 0.8, "MERGE" -> 0.7)
+    Seq("DELETE" -> 0.3, "UPDATE" -> 0.7, "MERGE" -> 0.7)
       .zip(ioS.zip(ioN)).foreach { case ((op, bound), (s, n)) =>
         info(f"$op statement IO: $s bytes with stats sidecar vs $n " +
           f"without (${s.toDouble / n}%.2fx)")
