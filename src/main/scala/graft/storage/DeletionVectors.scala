@@ -359,33 +359,32 @@ object DeletionVectors {
       stage: Path, op: String, added: Seq[String],
       dropped: Set[String] = Set.empty,
       copied: Seq[String] = Nil): Long = {
-    val v = version(spark, table) + 1
-    val sc0 = sidecarDf(spark, table)
+    // ONE bounded collect of the sidecar (it is broadcast-small by
+    // contract), everything else driver-side, ONE local-relation write:
+    // a DML statement pays two tiny jobs for its stamp, not four — the
+    // difference is real in per-micro-batch MERGE loops (st22's shape).
+    val rows: Seq[(String, Long, Long)] = sidecarDf(spark, table) match {
+      case Some(sc) => sc.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      case None => Nil
+    }
+    val v = rows.map(_._3).maxOption.getOrElse(0L) + 1
     // Delete versions whose coordinates live in the dropped files can
     // no longer serve their feed — mark them (see [[LostPrefix]]).
-    val lost: Seq[Long] = sc0 match {
-      case Some(sc) if dropped.nonEmpty =>
-        sc.filter(col("p") >= 0 && col("f").isin(dropped.toSeq: _*))
-          .select(col("v")).distinct().collect()
-          .map(_.getLong(0)).toSeq
-      case _ => Nil
-    }
+    val lost: Seq[Long] =
+      if (dropped.isEmpty) Nil
+      else rows.collect { case (f, p, lv) if p >= 0 && dropped(f) => lv }
+        .distinct
+    val kept =
+      if (dropped.isEmpty) rows
+      else rows.filter { case (f, p, _) => p == -1L || !dropped(f) }
     val sentinels = Seq(("_hwm", -1L, v),
         (s"$TsPrefix${clockMs()}", -1L, v), (s"$OpPrefix$op", -1L, v)) ++
       added.sorted.map(n => (s"$AddPrefix$n", -1L, v)) ++
       copied.sorted.map(p => (s"$CopyPrefix$p", -1L, v)) ++
       lost.map(lv => (s"$LostPrefix$lv", -1L, lv))
-    val sentinelDf = spark.createDataFrame(sentinels).toDF("f", "p", "v")
-    val newSidecar = sc0 match {
-      case Some(sc) =>
-        val kept =
-          if (dropped.isEmpty) sc
-          else sc.filter(col("p") === -1L ||
-            !col("f").isin(dropped.toSeq: _*))
-        kept.unionByName(sentinelDf)
-      case None => sentinelDf
-    }
-    newSidecar.write.parquet(new Path(stage, "_dv").toString)
+    spark.createDataFrame(kept ++ sentinels).toDF("f", "p", "v")
+      .coalesce(1).write.parquet(new Path(stage, "_dv").toString)
     v
   }
 
