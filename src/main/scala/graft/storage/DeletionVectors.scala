@@ -494,10 +494,22 @@ object DeletionVectors {
         // instead of re-issuing one (version-number reuse would
         // retroactively change what an already-returned readAt anchor
         // means).
-        val filtered = sidecarDf(spark, table)
-          .map(_.filter(col("v") <= v || col("p") < 0))
+        val sc = sidecarDf(spark, table)
           .getOrElse(sys.error(s"$table sidecar vanished during restore"))
-        filtered.write.parquet(s"$dir/_dv")
+        val filtered = sc.filter(col("v") <= v || col("p") < 0)
+        // The versions whose delete entries this rollback DROPS can no
+        // longer serve their change feed — mark them (r17, the same
+        // honesty contract as a touched-file rewrite's _lost: markers;
+        // without it a table_changes range over a restored-away delete
+        // version silently returns zero rows instead of erroring).
+        val rolled = sc.filter(col("v") > v && col("p") >= 0)
+          .select(col("v")).distinct().collect().map(_.getLong(0)).toSeq
+        val lostMarks =
+          if (rolled.isEmpty) filtered
+          else filtered.unionByName(spark.createDataFrame(
+            rolled.map(lv => (s"$LostPrefix$lv", -1L, lv)))
+            .toDF("f", "p", "v"))
+        lostMarks.write.parquet(s"$dir/_dv")
         val cur = SnapshotCommit.currentLocation(spark, table).get
         linkDataFiles(spark, cur, new Path(dir))
         StatsSkipping.refreshStats(spark, cur, new Path(dir))
@@ -868,8 +880,8 @@ object DeletionVectors {
         require(lostVs.isEmpty,
           s"table_changes($table, $fromV, $toV): the delete rows of " +
             s"version(s) ${lostVs.map("v" + _).mkString(", ")} were " +
-            "rewritten away by a later UPDATE/MERGE — that span of the " +
-            "feed is physically gone; narrow the range")
+            "rewritten away by a later UPDATE/MERGE or rolled back by " +
+            "RESTORE — that span of the feed is gone; narrow the range")
         // DELETE arm: first-delete semantics over the data entries.
         val firstDel = sc.filter(col("p") >= 0)
           .groupBy(col("f").as("_dv_f"), col("p").as("_dv_p"))

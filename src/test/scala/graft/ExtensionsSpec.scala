@@ -730,6 +730,100 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftSqlParser.sql(spark,
       s"SELECT 'table_changes(''x'', 1, 2)' AS s").collect()(0)
       .getString(0) === "table_changes('x', 1, 2)")
+    // RESTORE rolls v2's delete entries away — its span of the feed
+    // must fail loudly (r17), never silently answer zero rows; the
+    // surviving v1 span still answers.
+    DeletionVectors.restore(spark, tbl, 1)
+    val eRestored = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', 1, 2)").collect())
+    assert(eRestored.getMessage.contains("rolled back"),
+      eRestored.getMessage)
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM table_changes('$tbl', 0, 1)")
+      .collect()(0).getLong(0) === 15L)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("change-feed MODEL test (r17): a seeded random INSERT/DELETE/" +
+      "UPDATE sequence replays exactly from table_changes over every " +
+      "range, and the live view matches the model") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "tcf_model_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 30)")
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true')")
+    val rnd = new scala.util.Random(42)
+    // Model: id -> live value; inserted ids use fresh >=1000 blocks so
+    // UPDATEs (restricted to the CTAS id range) never rewrite a file an
+    // _add: sentinel names, and DELETEs (restricted to inserted ids)
+    // never put coordinates where an UPDATE's rewrite would drop them —
+    // the op mix keeps every feed range answerable, which is what lets
+    // the model assert equality instead of refusal.
+    val live = scala.collection.mutable.Map[Long, Long]()
+    (0L until 30L).foreach(id => live(id) = id * 10)
+    var nextId = 1000L
+    // (commit_version, change_type, id, value)
+    val expected = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, Long)]()
+    val steps = 9
+    for (step <- 1 to steps) {
+      val undeletedInserts = live.keys.filter(_ >= 1000L).toSeq.sorted
+      rnd.nextInt(3) match {
+        case 0 => // INSERT a fresh block
+          val n = 2 + rnd.nextInt(3)
+          val ids = (nextId until nextId + n).toSeq
+          nextId += n + 10
+          ids.foreach { id =>
+            live(id) = id * 7
+            expected += ((step.toLong, "insert", id, id * 7))
+          }
+          GraftSqlParser.sql(spark, s"INSERT INTO $tbl SELECT id, " +
+            s"CAST(id * 7 AS BIGINT) AS v FROM range(${ids.head}, " +
+            s"${ids.last + 1})")
+        case 1 if undeletedInserts.nonEmpty => // DELETE some inserted ids
+          val picks = rnd.shuffle(undeletedInserts)
+            .take(1 + rnd.nextInt(2))
+          picks.foreach { id =>
+            expected += ((step.toLong, "delete", id, live(id)))
+            live.remove(id)
+          }
+          GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id IN " +
+            s"(${picks.mkString(",")})")
+        case _ => // UPDATE a CTAS-range slice
+          val m = 2 + rnd.nextInt(4)
+          val delta = 1000L * step
+          val hit = live.keys.filter(id => id < 30 && id % m == 0)
+            .toSeq.sorted
+          hit.foreach { id =>
+            expected += ((step.toLong, "update_preimage", id, live(id)))
+            live(id) = live(id) + delta
+            expected += ((step.toLong, "update_postimage", id, live(id)))
+          }
+          GraftSqlParser.sql(spark, s"UPDATE $tbl SET v = v + $delta " +
+            s"WHERE id < 30 AND id % $m = 0")
+      }
+    }
+    def feed(a: Long, b: Long): Set[(Long, String, Long, Long)] =
+      GraftSqlParser.sql(spark, s"SELECT id, v, change_type, " +
+        s"commit_version FROM table_changes('$tbl', $a, $b)")
+        .collect().map(r => (r.getLong(3), r.getString(2),
+          r.getLong(0), r.getLong(1))).toSet
+    for ((a, b) <- Seq((0L, steps.toLong), (0L, 4L), (3L, 7L),
+        (steps - 1L, steps.toLong))) {
+      val want = expected.filter(e => e._1 > a && e._1 <= b).toSet
+      assert(feed(a, b) === want,
+        s"range ($a, $b]: feed must equal the model")
+    }
+    val liveRows = DeletionVectors.read(spark, tbl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(liveRows === live.toMap, "the live view must match the model")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
   }
