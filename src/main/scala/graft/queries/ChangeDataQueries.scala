@@ -790,10 +790,92 @@ object ChangeDataQueries {
         s"commit_version FROM table_changes('$tbl', 0, 1)")
   }
 
+  /** st25 — STREAMING change-data-feed (r17): `readChangeFeed=true` on
+    * the graft-table source streams the row-level feed per change
+    * version — Delta's streaming CDC, the shape a downstream
+    * incremental consumer (the reference's silver tables) actually
+    * reads. Two drains across a checkpoint restart: the first replays
+    * history from version 0 (INSERT then DELETE), the second serves
+    * exactly the UPDATE span committed while the stream was down, with
+    * images recorded under `delta.enableChangeDataFeed`. Each batch
+    * appends exactly-once into an accumulator table; the gated frame is
+    * the accumulated feed.
+    */
+  val st25ChangeFeedStream = withOracle(
+    "st25_change_feed_stream",
+    """SELECT o_orderkey * 70 + 1 AS o_orderkey, 'I' AS o_orderstatus,
+      |       CAST(1.5 AS DOUBLE) AS total,
+      |       'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey * 70 + 1, 'I', CAST(1.5 AS DOUBLE),
+      |       'delete', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE),
+      |       'update_preimage', CAST(3 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 9 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) + 100,
+      |       'update_postimage', CAST(3 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_cdcs_${graft.queries.StorageQueries.sfName(d)}"
+    val out = s"${tbl}_feed"
+    val src = s"${tbl}_src"
+    Seq(tbl, out).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS ${t}__dv")
+      graft.storage.SnapshotCommit.destroy(s, t)
+      graft.core.CatalogUtil.dropOrphanLocation(s, t)
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st25_ckpt").toString
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $tbl AS SELECT * FROM $src")
+    graft.ext.GraftSqlParser.sql(s, s"ALTER TABLE $tbl SET " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-table")
+        .option("table", tbl)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.SnapshotSink.append(s, out, id,
+            org.apache.spark.sql.graftbridge.Bridge.rebatch(b))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // v1: INSERT a disjoint key block; v2: DELETE all of it (coords
+    // stay on the insert's files, so the later UPDATE of base rows
+    // drops no delete history); drain replays (0, 2].
+    graft.ext.GraftSqlParser.sql(s, s"INSERT INTO $tbl " +
+      s"SELECT o_orderkey * 70 + 1, 'I', CAST(1.5 AS DOUBLE) " +
+      s"FROM $src WHERE o_orderkey % 3 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"DELETE FROM $tbl WHERE o_orderstatus = 'I'")
+    drain()
+    // v3 lands while the stream is down; the restart serves its span.
+    graft.ext.GraftSqlParser.sql(s, s"UPDATE $tbl SET total = " +
+      s"total + 100 WHERE o_orderkey % 9 = 0 AND o_orderstatus <> 'I'")
+    drain()
+    graft.storage.SnapshotCommit.register(s, out)
+    graft.storage.SnapshotCommit.readData(s, out)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
       u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
       u17OverwriteRestoreSql, u18AddColumnSql, u19CopyIntoSql,
-      u20UpdateImagesSql, st24StreamInsertInto)
+      u20UpdateImagesSql, st24StreamInsertInto, st25ChangeFeedStream)
 }

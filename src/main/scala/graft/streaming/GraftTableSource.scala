@@ -121,6 +121,18 @@ private[streaming] object GraftTableOffset {
   * beats data loss; a warning is logged and an idempotent sink
   * collapses the duplicates).
   *
+  * CHANGE-FEED MODE (`.option("readChangeFeed", "true")` — Delta's
+  * streaming CDC): offsets track CHANGE-axis versions instead of file
+  * positions, and each micro-batch is the row-level change feed of a
+  * version span, served by the same [[graft.storage.DeletionVectors
+  * .changesBetween]] machinery as the batch TVF — schema = table
+  * columns + change_type + commit_version, loud-failure contract
+  * included (an unanswerable span fails the stream, never
+  * under-reports). `.option("startingVersion", n)` replays history
+  * from version n; without it the stream serves only changes committed
+  * AFTER it first advances (Delta's default). UPDATE/MERGE spans
+  * require `delta.enableChangeDataFeed` on the table, like Delta.
+  *
   * SCALE. Planning a batch costs one pointer listing + a bounded
   * manifest-chain read + one current-version listing — never a scan of
   * table history. The batch itself is a parquet scan of exactly its
@@ -142,7 +154,9 @@ private[streaming] object GraftTableSource {
 
 class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     table: String, skipChangeCommits: Boolean,
-    maxFilesPerTrigger: Option[Int]) extends Source
+    maxFilesPerTrigger: Option[Int],
+    changeFeed: Boolean = false,
+    startingVersion: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -152,18 +166,29 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     * trigger fired are not served by this run — the cap is the version
     * current at prepare time (matching Delta's available-now snapshot
     * semantics; without this Spark falls back to single-batch execution
-    * whose restart-with-uncommitted-batch behavior is weaker). */
+    * whose restart-with-uncommitted-batch behavior is weaker). In
+    * change-feed mode the cap lives on the CHANGE axis instead. */
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = SnapshotCommit.register(spark, table)
+    availableNowCap =
+      if (changeFeed) Some(graft.storage.DeletionVectors
+        .version(spark, table))
+      else SnapshotCommit.register(spark, table)
 
   // Schema pinned at stream start (Delta pins it per stream too;
-  // widening commits require a stream restart).
+  // widening commits require a stream restart). Change-feed mode
+  // serves the table columns plus Delta's CDC tags.
   override val schema: StructType = {
     SnapshotCommit.register(spark, table).getOrElse(sys.error(
       s"graft-table stream over $table: table has no published version"))
-    SnapshotCommit.readData(spark, table).schema
+    val base = SnapshotCommit.readData(spark, table).schema
+    if (!changeFeed) base
+    else StructType(base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("commit_version",
+        org.apache.spark.sql.types.LongType))
   }
 
   private def fs(p: Path) =
@@ -414,11 +439,23 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     }
   }
 
+  /** Change-feed position: the newest served CHANGE version (the
+    * DV-axis number [[graft.storage.DeletionVectors.version]] hands
+    * out), capped under Trigger.AvailableNow. */
+  private def changeFeedCurrent(): Long = {
+    val cur = graft.storage.DeletionVectors.version(spark, table)
+    availableNowCap.map(math.min(cur, _)).getOrElse(cur)
+  }
+
   // The V1 non-admission entry point (unreached when MicroBatchExecution
   // takes the SupportsAdmissionControl path above it): the full current
   // version, unchunked.
   override def getOffset: Option[Offset] =
-    servableCurrent().map(v => GraftTableOffset(v, v, 0L))
+    if (changeFeed) {
+      val v = changeFeedCurrent()
+      if (v == 0L && startingVersion.isEmpty) None
+      else Some(GraftTableOffset(v, v, 0L))
+    } else servableCurrent().map(v => GraftTableOffset(v, v, 0L))
 
   /** Admission-control entry point (the AvailableNow mixin extends
     * SupportsAdmissionControl; MicroBatchExecution prefers this when
@@ -431,13 +468,39 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val from = Option(start).map(GraftTableOffset.parse)
-    advance(from) match {
+    if (changeFeed) {
+      val cur = changeFeedCurrent()
+      val pos = from.map(_.target)
+      if (pos.exists(_ >= cur) || (cur == 0L && startingVersion.isEmpty
+          && pos.isEmpty)) start // nothing new: the stream idles
+      else GraftTableOffset(cur, cur, 0L)
+    } else advance(from) match {
       case Some(next) => next
       case None => start // unchanged: the stream idles
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    // CHANGE-FEED mode: a micro-batch is the table's row-level change
+    // feed over a change-version span — served by the SAME machinery
+    // as the batch TVF (changesBetween), so its loud-failure contract
+    // rides along: a range the feed cannot answer (unrecorded
+    // UPDATE/MERGE, vacuum-folded span, rewritten-away inserts) FAILS
+    // the stream instead of under-reporting. The first batch starts at
+    // `startingVersion` (history replay) or at the position current
+    // when the stream first advanced (only future changes — Delta's
+    // default); the complex feed plan executes as a batch and re-roots
+    // on its RDD (Bridge.rebatchStreaming).
+    if (changeFeed) {
+      val hi = GraftTableOffset.parse(end).target
+      val lo = start.map(o => GraftTableOffset.parse(o).target)
+        .orElse(startingVersion).getOrElse(hi)
+      if (lo >= hi)
+        return org.apache.spark.sql.graftbridge.Bridge
+          .emptyStreaming(spark, schema)
+      return org.apache.spark.sql.graftbridge.Bridge.rebatchStreaming(
+        graft.storage.DeletionVectors.changesBetween(spark, table, lo, hi))
+    }
     val e = GraftTableOffset.parse(end)
     val s = start.map(o => GraftTableOffset.parse(o))
     // The span's OBSERVED version chain: both endpoints plus every
@@ -554,6 +617,7 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
   }
 
   override def commit(end: Offset): Unit = {
+    if (changeFeed) return // no manifests on the change axis
     // GC manifests strictly below the committed offset's anchor-chain
     // BASE — the anchor (and target) still seed the next diff, and a
     // diff manifest's parents must survive with it (manifests at or
@@ -610,6 +674,10 @@ class GraftTableSourceProvider extends StreamSourceProvider
     parameters.getOrElse("table", sys.error(
       "graft-table needs .option(\"table\", <snapshot table>)"))
 
+  private def changeFeedOf(parameters: Map[String, String]): Boolean =
+    Seq("readChangeFeed", "readChangeData").exists(k =>
+      parameters.get(k).exists(_.equalsIgnoreCase("true")))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -617,20 +685,40 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     SnapshotCommit.register(spark, table).getOrElse(sys.error(
       s"graft-table stream over $table: table has no published version"))
-    (shortName(),
-      schema.getOrElse(SnapshotCommit.readData(spark, table).schema))
+    val base = SnapshotCommit.readData(spark, table).schema
+    val inferred =
+      if (!changeFeedOf(parameters)) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("commit_version",
+          org.apache.spark.sql.types.LongType))
+    (shortName(), schema.getOrElse(inferred))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val cdc = changeFeedOf(parameters)
+    if (cdc) require(
+      !parameters.contains("maxFilesPerTrigger") &&
+        !parameters.contains("skipChangeCommits"),
+      "graft-table readChangeFeed streams change versions, not files — " +
+        "maxFilesPerTrigger/skipChangeCommits do not apply")
     new GraftTableSource(sqlContext, metadataPath, tableOf(parameters),
       parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
       parameters.get("maxFilesPerTrigger").map { v =>
         val n = v.toInt
         require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
         n
+      },
+      changeFeed = cdc,
+      startingVersion = parameters.get("startingVersion").map { v =>
+        val n = v.toLong
+        require(n >= 0, s"startingVersion must be >= 0, got $n")
+        n
       })
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

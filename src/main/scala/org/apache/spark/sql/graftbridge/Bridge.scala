@@ -49,6 +49,27 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, node)
   }
 
+  /** A batch frame re-rooted on its computed RDD as a STREAMING plan —
+    * what a v1 Source's getBatch must return when the batch derives
+    * from a COMPLEX plan (joins/unions over several relations, e.g. a
+    * change-feed batch): transforming every LogicalRelation to
+    * isStreaming (asStreaming) would turn an internal join into a
+    * stream-stream join, so the plan executes as a batch here and only
+    * the RESULT carries the streaming flag. The execution is eager per
+    * micro-batch — acceptable for bounded change feeds; WAL replay
+    * re-executes the same derivation. */
+  def rebatchStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val node = LogicalRDD.fromDataset(df.queryExecution.toRdd,
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]],
+      isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, node)
+  }
+
   /** An empty STREAMING frame of the given schema (a micro-batch with
     * no new files still needs a well-typed plan). */
   def emptyStreaming(spark: org.apache.spark.sql.SparkSession,

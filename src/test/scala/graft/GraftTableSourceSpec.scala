@@ -463,6 +463,94 @@ class GraftTableSourceSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("readChangeFeed streams the row-level change feed per version " +
+      "across restarts; default start serves only future changes; " +
+      "unanswerable spans fail the stream (r17)") {
+    val tbl = "gts_cdc_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    graft.ext.GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 20)")
+    graft.ext.GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, String, Long)]()
+    def drainCdc(ckpt: String, startingVersion: Option[Long]): Unit = {
+      val r0 = spark.readStream.format("graft-table")
+        .option("table", tbl).option("readChangeFeed", "true")
+      val q = startingVersion.map(v =>
+          r0.option("startingVersion", v.toString)).getOrElse(r0)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1),
+            r.getString(2), r.getLong(3))))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // v1: DELETE two rows; v2: INSERT a block — then the stream (with
+    // startingVersion=0) replays both in its first batch.
+    graft.ext.GraftSqlParser.sql(spark,
+      s"DELETE FROM $tbl WHERE id = 3 OR id = 4")
+    graft.ext.GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(20, 23)")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gts_cdc_ckpt").toString
+    drainCdc(ckpt, Some(0L))
+    assert(seen.asScala.toSet === Set(
+      (3L, 30L, "delete", 1L), (4L, 40L, "delete", 1L),
+      (20L, 200L, "insert", 2L), (21L, 210L, "insert", 2L),
+      (22L, 220L, "insert", 2L)),
+      s"history replay from v0, got ${seen.asScala.toSet}")
+    // While down: an UPDATE (v3) — the restart serves exactly its span.
+    graft.ext.GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET v = 777 WHERE id = 7")
+    seen.clear()
+    drainCdc(ckpt, Some(0L))
+    assert(seen.asScala.toSet === Set(
+      (7L, 70L, "update_preimage", 3L), (7L, 777L, "update_postimage", 3L)),
+      s"the restart serves only the new span, got ${seen.asScala.toSet}")
+    // Idle restart: nothing.
+    seen.clear()
+    drainCdc(ckpt, Some(0L))
+    assert(seen.isEmpty)
+    // DEFAULT start (no startingVersion): a fresh checkpoint serves
+    // only changes committed AFTER the stream first advanced.
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("gts_cdc_ckpt2").toString
+    seen.clear()
+    drainCdc(ckpt2, None)
+    assert(seen.isEmpty, s"default start must skip history, got " +
+      s"${seen.asScala.toSet}")
+    graft.ext.GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 9")
+    seen.clear()
+    drainCdc(ckpt2, None)
+    assert(seen.asScala.toSet === Set((9L, 90L, "delete", 4L)),
+      s"only the post-start change streams, got ${seen.asScala.toSet}")
+    // An unanswerable span fails the stream loudly: flip the property
+    // off, MERGE (v5 unrecorded), stream again.
+    graft.ext.GraftSqlParser.sql(spark, s"ALTER TABLE $tbl SET " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'false')")
+    spark.range(11, 12).select(col("id"), lit(-1L).as("v"))
+      .createOrReplaceTempView("gts_cdc_src")
+    graft.ext.GraftSqlParser.sql(spark, s"MERGE INTO $tbl " +
+      s"USING gts_cdc_src ON $tbl.id = gts_cdc_src.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val e = intercept[Exception] { drainCdc(ckpt2, None) }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null &&
+      m.contains("WITHOUT change-data-feed")),
+      s"wanted the unrecorded-span failure, got: ${causes(e)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("a filtered stream prunes its batch files through the stats " +
       "sidecar (r17: per-file skipping inside a micro-batch)") {
     import graft.storage.StatsSkipping
