@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   RESTORE TABLE t TO VERSION AS OF v  -> DeletionVectors.restore
   *   VACUUM t RETAIN v VERSIONS          -> DeletionVectors.vacuum
   *   CREATE TABLE d SHALLOW CLONE s      -> SnapshotCommit.clone
+  *   CONVERT TO DELTA t [NO STATISTICS]  -> in-place migration: v1 =
+  *                                          current files carried,
+  *                                          stats from footers
   *   DESCRIBE HISTORY t                  -> per-version audit rows
   *                                          (constant-time, from the
   *                                          commit-time _meta sidecar)
@@ -245,6 +248,19 @@ object GraftSqlParser {
       "(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*").r
   private val CloneRe =
     s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident\\s*".r
+  // CONVERT TO DELTA — Databricks' in-place migration statement: an
+  // existing plain parquet table becomes a versioned table METADATA-
+  // ONLY (version 1 = its current files carried by name; per-file
+  // min/max stats from the parquet footers, no data scan — skipping,
+  // time travel and DESCRIBE HISTORY work from birth). `NO STATISTICS`
+  // skips the footer pass, Delta's grammar. Converting an
+  // already-versioned table is a NO-OP (Delta's rule). Partitioned /
+  // multi-directory tables fail loudly: partition values live in
+  // directory names a flat carry would lose.
+  private val ConvertRe =
+    (s"(?is)\\s*CONVERT\\s+TO\\s+DELTA\\s+$Ident" +
+      "(\\s+NO\\s+STATISTICS)?\\s*").r
+  private val ConvertAnyRe = "(?is)\\s*CONVERT\\s+TO\\s+DELTA\\b.*".r
   // MERGE — the three canonical Delta forms on a single same-named key:
   //   upsert   (MATCHED UPDATE SET * / NOT MATCHED INSERT *)
   //   full sync (upsert + NOT MATCHED BY SOURCE DELETE)
@@ -443,6 +459,19 @@ object GraftSqlParser {
         Seq("table" -> dst, "cloned_from" -> src,
           "location" -> loc.toString)
       }))
+    case ConvertRe(tbl, noStats) =>
+      Some(GraftMaintenanceCommand(s"CONVERT $tbl", { spark =>
+        val (v, files, mode) = runConvert(spark, tbl,
+          withStats = noStats == null)
+        Seq("table" -> tbl, "operation" -> "CONVERT TO DELTA",
+          "version" -> v.toString, "files" -> files.toString,
+          "statistics" -> mode)
+      }))
+    case ConvertAnyRe() => sys.error(
+      "CONVERT TO DELTA takes a single-part table identifier " +
+        "(optionally followed by NO STATISTICS): the parquet.`/path` " +
+        "and PARTITIONED BY forms are not supported — register the " +
+        "directory as an unpartitioned table first")
     case CtasRe(orReplace, tbl, query) =>
       Some(GraftMaintenanceCommand(s"CTAS $tbl", { spark =>
         val v = runCtas(spark, tbl, query, replace = orReplace != null)
@@ -1633,6 +1662,76 @@ object GraftSqlParser {
         }
       }.getOrElse(false)
 
+  /** Execute `CONVERT TO DELTA t [NO STATISTICS]` — the in-place
+    * migration statement, metadata-only: version 1 = the table's
+    * current files carried by name (hard link / manifest ref, zero
+    * data IO), the catalog repointed at the published version, and —
+    * unless NO STATISTICS — a per-file min/max `_stats` sidecar built
+    * from the parquet FOOTERS on every column (one footer read per
+    * file, the cost Delta's own CONVERT pays; never a data scan), so
+    * default-path skipping, metadata-only aggregates, time travel and
+    * DESCRIBE HISTORY all work from the first post-convert second.
+    * Converting an already-versioned table is a NO-OP returning the
+    * current version (Delta's rule — CONVERT is idempotent).
+    * Partitioned or multi-directory tables fail loudly: hive
+    * partition VALUES live in directory names, which a flat file
+    * carry would silently lose (the [[graft.storage.DeletionVectors
+    * .ensureSnapshot]] contract, surfaced at statement level).
+    * Returns (published version, files carried, stats mode).
+    */
+  private def runConvert(spark: SparkSession, tbl: String,
+      withStats: Boolean): (Long, Long, String) = {
+    val sc = graft.storage.SnapshotCommit
+    sc.register(spark, tbl) match {
+      case Some(v) => (v, 0L, "no-op (already a versioned table)")
+      case None =>
+        require(spark.sessionState.catalog.getTempView(tbl).isEmpty,
+          s"CONVERT TO DELTA $tbl: cannot convert a temp view")
+        require(spark.catalog.tableExists(tbl),
+          s"CONVERT TO DELTA $tbl: table not found")
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        require(meta.tableType !=
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+          s"CONVERT TO DELTA $tbl: cannot convert a view")
+        require(meta.partitionColumnNames.isEmpty,
+          s"CONVERT TO DELTA $tbl: hive-partitioned tables are not " +
+            s"supported (partition columns " +
+            s"${meta.partitionColumnNames.mkString(", ")} live in " +
+            "directory names a flat file carry would lose)")
+        val files0 = spark.table(tbl).inputFiles
+        require(files0.nonEmpty,
+          s"CONVERT TO DELTA $tbl: table has no files")
+        require(files0.map(f => new org.apache.hadoop.fs.Path(f)
+            .getParent.toUri.getPath).distinct.sizeIs == 1,
+          s"CONVERT TO DELTA $tbl: files span multiple directories " +
+            "(partitioned or bucketed-by-path layout); conversion " +
+            "carries a single flat directory")
+        val nFiles = files0.length.toLong
+        // Re-derived per attempt: commit may re-invoke after a lost
+        // optimistic claim, and the list must reflect the then-current
+        // catalog state.
+        def carryAll(stage: String): Unit = {
+          val to = new org.apache.hadoop.fs.Path(stage)
+          spark.table(tbl).inputFiles.foreach { f =>
+            val src = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(f).toUri.getPath)
+            sc.carry(spark, src, new org.apache.hadoop.fs.Path(to,
+              src.getName))
+          }
+        }
+        if (withStats)
+          graft.storage.StatsSkipping.commitWithStats(spark, tbl,
+            spark.table(tbl).schema.fieldNames.toSeq,
+            operation = "CONVERT")(carryAll)
+        else sc.commit(spark, tbl, operation = "CONVERT")(carryAll)
+        (sc.register(spark, tbl).getOrElse(sys.error(
+          s"CONVERT TO DELTA $tbl left no published version")),
+          nFiles,
+          if (withStats) "footer-derived" else "none (NO STATISTICS)")
+    }
+  }
+
   /** Execute `INSERT INTO t <query>` as an APPEND commit: the query's
     * rows write as new files, every previous file carries by name (hard
     * link / manifest ref — no data IO), and the `_dv`/`_stats`/
@@ -1888,18 +1987,45 @@ object GraftSqlParser {
       import org.apache.spark.sql.catalyst.expressions.Literal
       tvf.functionArgs match {
         case Seq(Literal(t, org.apache.spark.sql.types.StringType),
-            Literal(v1, _), Literal(v2, _))
-          if scala.util.Try(v1.toString.toLong).isSuccess &&
-            scala.util.Try(v2.toString.toLong).isSuccess =>
-          graft.storage.DeletionVectors
-            .changesBetween(spark, t.toString, v1.toString.toLong,
-              v2.toString.toLong)
-            .queryExecution.analyzed
+            Literal(v1, _), Literal(v2, _)) =>
+          val tbl = t.toString
+          (changeBound(spark, tbl, v1.toString, isStart = true),
+            changeBound(spark, tbl, v2.toString, isStart = false)) match {
+            case (Some(from), Some(to)) =>
+              graft.storage.DeletionVectors
+                .changesBetween(spark, tbl, from, to)
+                .queryExecution.analyzed
+            case _ => sys.error(
+              "table_changes bounds must each be a version number or " +
+                s"a timestamp string; got: ('${v1}', '${v2}')")
+          }
         case _ => sys.error(
-          "table_changes takes (table-name string, from-version, " +
-            s"to-version) literals; got: ${tvf.functionArgs}")
+          "table_changes takes (table-name string, from, to) literals " +
+            "— each bound a version number or a timestamp string; " +
+            s"got: ${tvf.functionArgs}")
       }
   }
+
+  /** One `table_changes` bound: a digit string is a version number;
+    * anything else must parse as a session-zone timestamp and resolves
+    * on the change axis — the START bound to the latest version
+    * strictly before it ([[graft.storage.DeletionVectors
+    * .changeStartAtTimestamp]]'s exclusive-from contract, so versions
+    * committed AT the instant are served), the END bound to the latest
+    * version at-or-before it (Delta's rule). None = not a bound (the
+    * caller's loud-error path); resolution failures on a VALID
+    * timestamp (partial timeline, pre-creation, beyond-latest)
+    * propagate loudly.
+    */
+  private def changeBound(spark: SparkSession, tbl: String, s: String,
+      isStart: Boolean): Option[Long] =
+    if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong)
+    else scala.util.Try(parseTsMs(spark, s)).toOption.map { ms =>
+      if (isStart) graft.storage.DeletionVectors
+        .changeStartAtTimestamp(spark, tbl, ms)
+      else graft.storage.DeletionVectors
+        .versionAtTimestamp(spark, tbl, ms)
+    }
 
   /** Run a statement on a LIVE session (whose parser was fixed at
     * build): maintenance statements execute through the same grammar
@@ -1929,7 +2055,8 @@ object GraftSqlParser {
         val TsRe = (s"(?is)\\b(FROM|JOIN)\\s+$Ident\\s+TIMESTAMP\\s+AS" +
           "\\s+OF\\s+'([^']+)'").r
         val TvfRe = ("(?is)\\btable_changes\\s*\\(\\s*'" +
-          "([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)").r
+          "([A-Za-z_][A-Za-z0-9_]*)'\\s*,\\s*" +
+          "(\\d+|'[^']+')\\s*,\\s*(\\d+|'[^']+')\\s*\\)").r
         def verbatim(m: scala.util.matching.Regex.Match) =
           scala.util.matching.Regex.quoteReplacement(m.matched)
         var cur = text
@@ -1958,10 +2085,18 @@ object GraftSqlParser {
         cur = TvfRe.replaceAllIn(cur, m =>
           if (inQuotedOrComment(cur, m.start)) verbatim(m)
           else {
-            val (tbl, v1, v2) = (m.group(1), m.group(2), m.group(3))
+            val (tbl, a1, a2) = (m.group(1), m.group(2), m.group(3))
+            def bound(a: String, isStart: Boolean): Long =
+              changeBound(spark, tbl,
+                a.stripPrefix("'").stripSuffix("'"), isStart)
+                .getOrElse(sys.error(
+                  s"table_changes('$tbl', ...): bound $a is neither a " +
+                    "version number nor a parseable timestamp"))
+            val (v1, v2) =
+              (bound(a1, isStart = true), bound(a2, isStart = false))
             val view = s"${tbl}_changes_${v1}_$v2"
             graft.storage.DeletionVectors
-              .changesBetween(spark, tbl, v1.toLong, v2.toLong)
+              .changesBetween(spark, tbl, v1, v2)
               .createOrReplaceTempView(view)
             view
           })

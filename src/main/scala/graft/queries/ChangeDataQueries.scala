@@ -872,10 +872,52 @@ object ChangeDataQueries {
     graft.storage.SnapshotCommit.readData(s, out)
   }
 
+  /** u21 — `CONVERT TO DELTA` (r17): Databricks' in-place migration
+    * statement. A PLAIN parquet catalog table (the pre-migration
+    * state every Delta user starts from) converts METADATA-ONLY:
+    * version 1 = its files carried by name, per-file stats from the
+    * parquet footers — and the whole versioned surface comes free on
+    * the spot: DESCRIBE HISTORY serves the CONVERT, a DV DELETE works
+    * as row-level DML, `VERSION AS OF 0` still sees every
+    * pre-conversion row, and a re-run is a no-op (Delta's idempotence
+    * rule). The gated frame is the post-DELETE live view.
+    */
+  val u21ConvertSql = withOracle(
+    "u21_convert_sql",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 6 <> 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_convert_${graft.queries.StorageQueries.sfName(d)}"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    graft.ext.GraftSqlParser.sql(s, s"CONVERT TO DELTA $tbl")
+    // Idempotent: a second CONVERT is a no-op, not a second version.
+    graft.ext.GraftSqlParser.sql(s, s"CONVERT TO DELTA $tbl")
+    require(graft.storage.SnapshotCommit.register(s, tbl)
+      .contains(1L), s"$tbl: re-CONVERT must be a no-op at version 1")
+    val total = Tables.orders(s, d).count()
+    graft.ext.GraftSqlParser.sql(s, s"DELETE FROM $tbl WHERE k % 6 = 0")
+    require(graft.ext.GraftSqlParser.sql(s,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
+      .collect()(0).getLong(0) == total,
+      s"$tbl: VERSION AS OF 0 must see every pre-conversion row")
+    require(graft.ext.GraftSqlParser.sql(s, s"DESCRIBE HISTORY $tbl")
+      .count() >= 1, s"$tbl: CONVERT missing from history")
+    graft.storage.DeletionVectors.read(s, tbl)
+      .select(col("k"), col("status"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
       u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
       u17OverwriteRestoreSql, u18AddColumnSql, u19CopyIntoSql,
-      u20UpdateImagesSql, st24StreamInsertInto, st25ChangeFeedStream)
+      u20UpdateImagesSql, st24StreamInsertInto, st25ChangeFeedStream,
+      u21ConvertSql)
 }

@@ -787,6 +787,28 @@ object DeletionVectors {
       tsMs: Long): DataFrame =
     readAt(spark, table, versionAtTimestamp(spark, table, tsMs))
 
+  /** Delta's timestamp-form CDC START bound: the feed from wall-clock
+    * `tsMs` serves every change version committed AT OR AFTER it, and
+    * [[changesBetween]]'s `fromV` is EXCLUSIVE — so this returns the
+    * latest change version committed strictly BEFORE `tsMs` (0 when
+    * the first stamped version is already at/after it). Validation
+    * rides on [[versionAtTimestamp]] (pre-creation anchors and partial
+    * timelines error loudly); a start timestamp past the LATEST change
+    * commit errors like Delta's "timestamp after the latest commit"
+    * instead of serving a silently-empty feed.
+    */
+  def changeStartAtTimestamp(spark: SparkSession, table: String,
+      tsMs: Long): Long = {
+    val from = versionAtTimestamp(spark, table, tsMs - 1)
+    val latest = tsAnchors(spark, table).map(_._2).maxOption
+    require(latest.exists(_ >= tsMs) || from < version(spark, table),
+      s"table_changes($table): start timestamp $tsMs is after the " +
+        "latest change commit" +
+        latest.map(l => s" ($l)").getOrElse("") +
+        " — Delta errors rather than serving an empty feed")
+    from
+  }
+
   /** `VACUUM t RETAIN n HOURS` (Delta's actual retention form): fold
     * every delete version whose commit timestamp is older than
     * `now - hours` — cutoff = the newest version outside the retention

@@ -129,9 +129,14 @@ private[streaming] object GraftTableOffset {
   * columns + change_type + commit_version, loud-failure contract
   * included (an unanswerable span fails the stream, never
   * under-reports). `.option("startingVersion", n)` replays history
-  * from version n; without it the stream serves only changes committed
-  * AFTER it first advances (Delta's default). UPDATE/MERGE spans
-  * require `delta.enableChangeDataFeed` on the table, like Delta.
+  * from version n INCLUSIVE (Delta's contract);
+  * `.option("startingTimestamp", ts)` replays every change committed
+  * at or after the instant (resolved on the `_ts:` timeline at first
+  * use, loud when the timestamp is past the latest change commit or
+  * the timeline is partial); without either the stream serves only
+  * changes committed AFTER it first advances (Delta's default).
+  * UPDATE/MERGE spans require `delta.enableChangeDataFeed` on the
+  * table, like Delta.
   *
   * SCALE. Planning a batch costs one pointer listing + a bounded
   * manifest-chain read + one current-version listing — never a scan of
@@ -156,7 +161,8 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     table: String, skipChangeCommits: Boolean,
     maxFilesPerTrigger: Option[Int],
     changeFeed: Boolean = false,
-    startingVersion: Option[Long] = None) extends Source
+    startingVersion: Option[Long] = None,
+    startingTimestamp: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -447,13 +453,32 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     availableNowCap.map(math.min(cur, _)).getOrElse(cur)
   }
 
+  /** The EXCLUSIVE-from change position of a change-feed stream's
+    * first batch. `startingVersion` is INCLUSIVE like Delta's
+    * (startingVersion=n serves version n's changes, so the exclusive
+    * bound is n-1, clamped at 0 — the pre-change state);
+    * `startingTimestamp` resolves through [[graft.storage
+    * .DeletionVectors.changeStartAtTimestamp]] (serve every change
+    * committed at or after the instant; loud past-the-latest-commit
+    * and partial-timeline failures). Lazy: resolved only when a FIRST
+    * batch actually needs it — a restart resumes from its checkpointed
+    * offset and must not re-resolve a timestamp whose history a vacuum
+    * has since folded. */
+  private lazy val startFrom: Option[Long] =
+    startingVersion.map(v => math.max(v - 1L, 0L)).orElse(
+      startingTimestamp.map(ms => graft.storage.DeletionVectors
+        .changeStartAtTimestamp(spark, table, ms)))
+
+  private def startSpecified: Boolean =
+    startingVersion.isDefined || startingTimestamp.isDefined
+
   // The V1 non-admission entry point (unreached when MicroBatchExecution
   // takes the SupportsAdmissionControl path above it): the full current
   // version, unchunked.
   override def getOffset: Option[Offset] =
     if (changeFeed) {
       val v = changeFeedCurrent()
-      if (v == 0L && startingVersion.isEmpty) None
+      if (v == 0L && !startSpecified) None
       else Some(GraftTableOffset(v, v, 0L))
     } else servableCurrent().map(v => GraftTableOffset(v, v, 0L))
 
@@ -471,7 +496,7 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     if (changeFeed) {
       val cur = changeFeedCurrent()
       val pos = from.map(_.target)
-      if (pos.exists(_ >= cur) || (cur == 0L && startingVersion.isEmpty
+      if (pos.exists(_ >= cur) || (cur == 0L && !startSpecified
           && pos.isEmpty)) start // nothing new: the stream idles
       else GraftTableOffset(cur, cur, 0L)
     } else advance(from) match {
@@ -494,7 +519,7 @@ class GraftTableSource(sqlContext: SQLContext, metadataPath: String,
     if (changeFeed) {
       val hi = GraftTableOffset.parse(end).target
       val lo = start.map(o => GraftTableOffset.parse(o).target)
-        .orElse(startingVersion).getOrElse(hi)
+        .orElse(startFrom).getOrElse(hi)
       if (lo >= hi)
         return org.apache.spark.sql.graftbridge.Bridge
           .emptyStreaming(spark, schema)
@@ -705,6 +730,14 @@ class GraftTableSourceProvider extends StreamSourceProvider
         !parameters.contains("skipChangeCommits"),
       "graft-table readChangeFeed streams change versions, not files — " +
         "maxFilesPerTrigger/skipChangeCommits do not apply")
+    if (!cdc) require(
+      !parameters.contains("startingVersion") &&
+        !parameters.contains("startingTimestamp"),
+      "graft-table startingVersion/startingTimestamp apply to the " +
+        "change axis — set .option(\"readChangeFeed\", \"true\")")
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-table: give startingVersion OR startingTimestamp, not both")
     new GraftTableSource(sqlContext, metadataPath, tableOf(parameters),
       parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
       parameters.get("maxFilesPerTrigger").map { v =>
@@ -717,7 +750,10 @@ class GraftTableSourceProvider extends StreamSourceProvider
         val n = v.toLong
         require(n >= 0, s"startingVersion must be >= 0, got $n")
         n
-      })
+      },
+      startingTimestamp = parameters.get("startingTimestamp").map(ts =>
+        graft.ext.GraftSqlParser.parseTsMs(
+          sqlContext.sparkSession, ts)))
   }
 
   override def createSink(sqlContext: SQLContext,

@@ -1058,6 +1058,62 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("table_changes TIMESTAMP bounds (r17): a start instant serves " +
+      "commits at-or-after it, an end instant at-or-before; a start " +
+      "past the latest change commit is loud") {
+    import graft.ext.GraftSqlParser
+    import graft.storage.SnapshotCommit
+    val tbl = "tc_ts_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    def fmt(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone", "UTC")))
+      .toLocalDateTime.toString.replace('T', ' ')
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 20)")
+    Thread.sleep(5)
+    // v1: DELETE; mid anchor; v2: INSERT — each commit strictly
+    // separated on the `_ts:` timeline.
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 3")
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl " +
+      "SELECT id, CAST(0 AS BIGINT) FROM range(100, 103)")
+    Thread.sleep(5)
+    val end = System.currentTimeMillis()
+    // (mid, end] on the timeline = exactly v2's inserts.
+    val lateFeed = GraftSqlParser.sql(spark,
+      s"SELECT change_type, commit_version FROM " +
+        s"table_changes('$tbl', '${fmt(mid)}', '${fmt(end)}')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(lateFeed === Set(("insert", 2L)),
+      s"start-instant bound must serve only v2, got $lateFeed")
+    // Mixed forms: version start, timestamp end = (0, v1].
+    val earlyFeed = GraftSqlParser.sql(spark,
+      s"SELECT change_type, commit_version FROM " +
+        s"table_changes('$tbl', 0, '${fmt(mid)}')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(earlyFeed === Set(("delete", 1L)),
+      s"end-instant bound must cut at v1, got $earlyFeed")
+    // A start past the latest change commit: loud, Delta's rule.
+    val future = fmt(System.currentTimeMillis() + 60000)
+    val e = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', '$future', '$future')")
+      .collect())
+    assert(e.getMessage.contains("after the latest change commit"),
+      e.getMessage)
+    // Garbage bound: loud, names the problem.
+    val g = intercept[Exception](GraftSqlParser.sql(spark,
+      s"SELECT * FROM table_changes('$tbl', 'not a time', 1)"))
+    assert(g.getMessage.contains("neither a version number nor a " +
+      "parseable timestamp"), g.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("CTAS + INSERT INTO commit through the snapshot protocol: " +
       "versioned, stats-skipping and DV-safe out of the box") {
     import org.apache.spark.sql.functions._
@@ -1158,5 +1214,89 @@ class ExtensionsSpec extends SparkSpec {
         < ovFiles, "INSERT OVERWRITE must recompute per-file stats")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
+  }
+
+  test("CONVERT TO DELTA (r17): metadata-only migration — files carry " +
+      "by name with footer stats, idempotent re-run, loud rejections") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit, StatsSkipping}
+    val tbl = "convert_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    // A plain parquet catalog table with several files and disjoint
+    // per-file id ranges (repartitionByRange keeps ranges contiguous).
+    spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(8, col("id"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    val origNames = spark.table(tbl).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(SnapshotCommit.register(spark, tbl).isEmpty,
+      "precondition: not yet versioned")
+    val out = GraftSqlParser.sql(spark, s"CONVERT TO DELTA $tbl")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("version") === "1" && out("files") === "8")
+    // Metadata-only: the SAME basenames, carried — no rewrite.
+    val carried = SnapshotCommit.dataFiles(spark, tbl).map(_._1).toSet
+    assert(carried === origNames,
+      s"conversion must carry files by name: $carried vs $origNames")
+    // Footer stats landed: a range probe plans a strict file subset.
+    assert(StatsSkipping.survivingFiles(spark, tbl, "id", 10L, 20L).size
+      < 8, "CONVERT must record per-file footer stats")
+    // Idempotent (Delta's rule): same version, no second commit.
+    val again = GraftSqlParser.sql(spark, s"CONVERT TO DELTA $tbl")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(again("version") === "1" &&
+      again("statistics").contains("no-op"))
+    // The versioned surface works immediately: DV DELETE + time travel
+    // (the LIVE view is DeletionVectors.read — u12's convention).
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id < 100")
+    assert(DeletionVectors.read(spark, tbl).count() === 900)
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
+      .collect()(0).getLong(0) === 1000L)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    // NO STATISTICS: versioned but statless — every file survives a
+    // range probe (conservative contract).
+    val tbl2 = "convert_nostats_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl2}__dv")
+    SnapshotCommit.destroy(spark, tbl2)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl2)
+    spark.range(0, 100).select(col("id"))
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl2)
+    GraftSqlParser.sql(spark, s"CONVERT TO DELTA $tbl2 NO STATISTICS")
+    assert(SnapshotCommit.register(spark, tbl2).contains(1L))
+    assert(StatsSkipping.survivingFiles(spark, tbl2, "id", 1L, 2L).size
+      === 4, "NO STATISTICS must skip the footer pass")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl2}__dv")
+    SnapshotCommit.destroy(spark, tbl2)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl2)
+    // Loud rejections: a missing table, a partitioned table, the
+    // unsupported parquet.`path` form, a temp view.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      "CONVERT TO DELTA convert_missing_tbl"))
+    val ptbl = "convert_part_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $ptbl")
+    graft.core.CatalogUtil.dropOrphanLocation(spark, ptbl)
+    spark.range(0, 10).select(col("id"), (col("id") % 2).as("p"))
+      .write.mode("overwrite").format("parquet").partitionBy("p")
+      .saveAsTable(ptbl)
+    val pe = intercept[Exception](GraftSqlParser.sql(spark,
+      s"CONVERT TO DELTA $ptbl"))
+    assert(pe.getMessage.contains("partition"),
+      s"partitioned rejection must say why: ${pe.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $ptbl")
+    val fe = intercept[Exception](GraftSqlParser.sql(spark,
+      "CONVERT TO DELTA parquet.`/tmp/nowhere`"))
+    assert(fe.getMessage.contains("single-part"),
+      s"path-form rejection must explain: ${fe.getMessage}")
+    spark.range(3).createOrReplaceTempView("convert_view")
+    intercept[Exception](GraftSqlParser.sql(spark,
+      "CONVERT TO DELTA convert_view"))
+    spark.catalog.dropTempView("convert_view")
   }
 }

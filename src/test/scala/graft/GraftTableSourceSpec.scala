@@ -551,6 +551,80 @@ class GraftTableSourceSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("readChangeFeed start bounds (r17): startingVersion is " +
+      "INCLUSIVE (Delta's contract), startingTimestamp replays from " +
+      "an instant, and misapplied options are loud") {
+    val tbl = "gts_cdc_start_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    graft.ext.GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 10)")
+    graft.ext.GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 1")
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    graft.ext.GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 2")
+    def drain(opts: Map[String, String]): Set[(Long, String, Long)] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, String, Long)]()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("gts_cdc_start_ckpt").toString
+      val q = opts.foldLeft(spark.readStream.format("graft-table")
+          .option("table", tbl).option("readChangeFeed", "true")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(
+            (r.getLong(0), r.getString(2), r.getLong(3))))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      seen.asScala.toSet
+    }
+    // startingVersion=2 serves version 2's changes INCLUSIVE — the
+    // r17 pre-fix exclusive reading would silently drop them.
+    assert(drain(Map("startingVersion" -> "2")) ===
+      Set((2L, "delete", 2L)))
+    // startingVersion=1: the full history.
+    assert(drain(Map("startingVersion" -> "1")) ===
+      Set((1L, "delete", 1L), (2L, "delete", 2L)))
+    // startingTimestamp between the commits: only the later one.
+    def fmt(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone", "UTC")))
+      .toLocalDateTime.toString.replace('T', ' ')
+    assert(drain(Map("startingTimestamp" -> fmt(mid))) ===
+      Set((2L, "delete", 2L)))
+    // Misapplied options fail at stream construction: both bounds at
+    // once, and either bound without readChangeFeed.
+    intercept[Exception](drain(Map("startingVersion" -> "1",
+      "startingTimestamp" -> fmt(mid))))
+    intercept[Exception] {
+      spark.readStream.format("graft-table").option("table", tbl)
+        .option("startingVersion", "1").load()
+        .writeStream.option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("gts_cdc_start_bad").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+        .awaitTermination()
+    }
+    // A start timestamp past the latest change commit fails the
+    // stream loudly (Delta's rule) instead of serving silence.
+    val e = intercept[Exception](drain(Map("startingTimestamp" ->
+      fmt(System.currentTimeMillis() + 60000))))
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null &&
+      m.contains("after the latest change commit")),
+      s"wanted the past-latest failure, got: ${causes(e)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("a filtered stream prunes its batch files through the stats " +
       "sidecar (r17: per-file skipping inside a micro-batch)") {
     import graft.storage.StatsSkipping
