@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   CONVERT TO DELTA t [NO STATISTICS]  -> in-place migration: v1 =
   *                                          current files carried,
   *                                          stats from footers
+  *   ALTER TABLE t ADD CONSTRAINT n      -> Delta CHECK constraint:
+  *     CHECK (expr)                         history validated at ADD,
+  *   ALTER TABLE t DROP CONSTRAINT          enforced on every
+  *     [IF EXISTS] n                        versioned write
   *   DESCRIBE HISTORY t                  -> per-version audit rows
   *                                          (constant-time, from the
   *                                          commit-time _meta sidecar)
@@ -200,6 +204,16 @@ object GraftSqlParser {
   private val AddColsRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?" +
       "\\s*\\((.+)\\)\\s*").r
+  // ALTER ... ADD/DROP CONSTRAINT — Delta's CHECK constraints:
+  // `delta.constraints.<name>` properties in the root `_properties`
+  // sidecar, validated against EXISTING data at ADD time and enforced
+  // on every versioned write (INSERT/OVERWRITE/COPY/UPDATE/MERGE).
+  private val AddConstraintRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+CONSTRAINT\\s+" +
+      s"$Ident\\s+CHECK\\s*\\((.+)\\)\\s*").r
+  private val DropConstraintRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+CONSTRAINT\\s+" +
+      s"(IF\\s+EXISTS\\s+)?$Ident\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*".r
   // Delta's actual retention form: fold delete versions whose commit
@@ -431,6 +445,49 @@ object GraftSqlParser {
         Seq("table" -> tbl, "operation" -> "ADD COLUMNS",
           (if (v >= 0) "version" -> v.toString
            else "mode" -> "delegated (plain catalog table)"))
+      }))
+    case AddConstraintRe(tbl, name, cond) =>
+      Some(GraftMaintenanceCommand(s"ADD CONSTRAINT $tbl", { spark =>
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val key = ConstraintPropPrefix + name.toLowerCase
+        require(!graft.storage.SnapshotCommit.properties(spark, tbl)
+          .contains(key),
+          s"ALTER TABLE $tbl ADD CONSTRAINT: constraint $name " +
+            "already exists (DROP CONSTRAINT first)")
+        // Delta validates HISTORY first: an existing live row that
+        // violates the check fails the ALTER — a constraint must never
+        // be born broken. NULL results pass (SQL's CHECK rule:
+        // violated only when the predicate is FALSE).
+        val live =
+          if (graft.storage.SnapshotCommit.currentVersion(spark, tbl)
+              .isDefined)
+            graft.storage.DeletionVectors.read(spark, tbl)
+          else {
+            require(spark.catalog.tableExists(tbl),
+              s"ALTER TABLE $tbl ADD CONSTRAINT: table not found")
+            spark.table(tbl)
+          }
+        val bad = live.filter(not(coalesce(expr(cond).cast("boolean"),
+          lit(true)))).limit(1).collect()
+        require(bad.isEmpty,
+          s"ALTER TABLE $tbl ADD CONSTRAINT $name: an existing row " +
+            s"violates CHECK ($cond): ${bad.mkString}")
+        graft.storage.SnapshotCommit.setProperties(spark, tbl,
+          Map(key -> cond))
+        Seq("table" -> tbl, "constraint" -> name, "check" -> cond)
+      }))
+    case DropConstraintRe(tbl, ifExists, name) =>
+      Some(GraftMaintenanceCommand(s"DROP CONSTRAINT $tbl", { spark =>
+        val key = ConstraintPropPrefix + name.toLowerCase
+        val had = graft.storage.SnapshotCommit.properties(spark, tbl)
+          .contains(key)
+        require(had || ifExists != null,
+          s"ALTER TABLE $tbl DROP CONSTRAINT: no constraint named " +
+            s"$name (use IF EXISTS)")
+        graft.storage.SnapshotCommit.removeProperties(spark, tbl,
+          _ == key)
+        Seq("table" -> tbl, "constraint" -> name,
+          "dropped" -> had.toString)
       }))
     case VacuumHoursRe(tbl, h) =>
       Some(GraftMaintenanceCommand(s"VACUUM $tbl (hours)", { spark =>
@@ -1176,8 +1233,10 @@ object GraftSqlParser {
           v.as(f.name)
         }: _*)
       }
-      matchedOut.unionByName(keptTarget).unionByName(insertOut)
-        .write.parquet(dir)
+      val mergeOut = matchedOut.unionByName(keptTarget)
+        .unionByName(insertOut)
+      enforceConstraints(spark, tgt, mergeOut, "MERGE INTO")
+      mergeOut.write.parquet(dir)
       allFiles.foreach { case (n, p) =>
         if (!touched(n))
           sc.carry(spark, p, new org.apache.hadoop.fs.Path(stage, n))
@@ -1307,6 +1366,7 @@ object GraftSqlParser {
       if (sync) {
         val aligned = srcDf.select(
           dv.read(spark, tgt).columns.toSeq.map(col): _*)
+        enforceConstraints(spark, tgt, aligned, "MERGE INTO")
         aligned.write.parquet(dir)
         // Full rewrite: no files carried, so no sidecar entries can
         // survive (the source is the whole state) — but stats columns
@@ -1367,6 +1427,7 @@ object GraftSqlParser {
           else
             touchedLive.join(srcKeys, Seq(key), "left_anti")
               .unionByName(aligned)
+        enforceConstraints(spark, tgt, merged, "MERGE INTO")
         merged.write.parquet(dir)
         // Phase 3 — carry the untouched files by name (no data IO) plus
         // the DV / stats / stream-progress sidecars.
@@ -1469,6 +1530,7 @@ object GraftSqlParser {
           case None => col(f.name)
         }
       }: _*)
+      enforceConstraints(spark, tbl, updated, "UPDATE")
       updated.write.parquet(dir)
       allFiles.foreach { case (n, p) =>
         if (!touched(n))
@@ -1623,9 +1685,14 @@ object GraftSqlParser {
         sc.carryBatchId(spark, prev, new org.apache.hadoop.fs.Path(stage)))
     }
     graft.storage.DeletionVectors.realign(spark, tbl) // replace drops _dv
-    if (replace) { // the change axis and schema ledger reset with it
+    if (replace) { // the change axis, schema ledger and constraints
+      // reset with it (REPLACE is a new table definition — Delta
+      // drops CHECK constraints there, unlike INSERT OVERWRITE which
+      // keeps and enforces them)
       graft.storage.DeletionVectors.pruneImages(spark, tbl, Long.MaxValue)
-      sc.removeProperties(spark, tbl, _.startsWith(sc.SchemaPropPrefix))
+      sc.removeProperties(spark, tbl, k =>
+        k.startsWith(sc.SchemaPropPrefix) ||
+          k.startsWith(ConstraintPropPrefix))
     }
     sc.register(spark, tbl)
       .getOrElse(sys.error(s"CTAS of $tbl left no published version"))
@@ -1643,6 +1710,43 @@ object GraftSqlParser {
         (if (v >= 0) "version" -> v.toString
          else "mode" -> "delegated (plain catalog table)"))
     })
+  }
+
+  /** Delta's CHECK-constraint property namespace (the literal key
+    * format Delta records: `delta.constraints.<name>` = expr). */
+  private[graft] val ConstraintPropPrefix = "delta.constraints."
+
+  /** The table's recorded CHECK constraints, name -> expression. One
+    * sidecar-file read; tables without a `_properties` sidecar pay a
+    * single existence probe. */
+  private def constraintsOf(spark: SparkSession,
+      tbl: String): Map[String, String] =
+    graft.storage.SnapshotCommit.properties(spark, tbl).collect {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+        k.drop(ConstraintPropPrefix.length) -> v
+    }
+
+  /** Enforce every CHECK constraint on the rows a statement is about
+    * to commit — Delta's write-time invariant, surfaced before the
+    * staged write so a violation aborts the whole commit and publishes
+    * nothing. NULL predicate results PASS (SQL's CHECK rule: violated
+    * only when FALSE). Cost: zero for tables with no constraints (one
+    * property probe); with constraints, one extra pass over the NEW /
+    * rewritten rows per constraint — write-proportional, never
+    * table-proportional.
+    */
+  private def enforceConstraints(spark: SparkSession, tbl: String,
+      rows: DataFrame, stmt: String): Unit = {
+    val cs = constraintsOf(spark, tbl)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    cs.foreach { case (name, cond) =>
+      val bad = rows.filter(not(coalesce(expr(cond).cast("boolean"),
+        lit(true)))).limit(1).collect()
+      if (bad.nonEmpty) sys.error(
+        s"$stmt $tbl: CHECK constraint $name ($cond) violated by " +
+          s"row ${bad.mkString} — nothing was committed")
+    }
   }
 
   /** Can `tbl` be adopted into the versioned surface — an existing,
@@ -1805,6 +1909,7 @@ object GraftSqlParser {
       // Aligned INSIDE the closure: a rebase re-reads the then-current
       // target schema (a concurrent widening commit could change it).
       val aligned = alignTo(sc.readData(spark, tbl).schema)
+      enforceConstraints(spark, tbl, aligned, stmt)
       aligned.write.mode("overwrite").parquet(dir)
       if (overwrite) {
         // Replace semantics: fresh content, fresh stats, progress
@@ -1902,6 +2007,7 @@ object GraftSqlParser {
     var rows = 0L
     sc.commit(spark, tbl, operation = "COPY INTO") { dir =>
       val stage = new org.apache.hadoop.fs.Path(dir)
+      enforceConstraints(spark, tbl, src, "COPY INTO")
       src.write.mode("overwrite").parquet(dir)
       val appended = sc.listData(spark, stage).map(_._1)
       rows = spark.read.parquet(

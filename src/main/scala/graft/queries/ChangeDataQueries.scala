@@ -913,11 +913,70 @@ object ChangeDataQueries {
       .select(col("k"), col("status"), col("total"))
   }
 
+  /** u22 — Delta CHECK constraints (r17): `ALTER TABLE ADD CONSTRAINT
+    * ... CHECK (expr)` validates EXISTING rows at ADD time and is then
+    * enforced on every versioned write. The entry proves the whole
+    * contract: the constraint lands on a clean table, a violating
+    * INSERT aborts COMMITTING NOTHING (the require proves the live
+    * state is unchanged after the failure), a passing INSERT commits,
+    * DROP CONSTRAINT lifts the gate and the once-violating rows load.
+    * The gated frame is the final live view — which the oracle can
+    * only match if the violating insert really left no partial state.
+    */
+  val u22CheckConstraintSql = withOracle(
+    "u22_check_constraint_sql",
+    """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 2000000000, CAST(o_totalprice AS DOUBLE) + 1
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 3000000000, -1.0
+      |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_check_${graft.queries.StorageQueries.sfName(d)}"
+    val src = s"${tbl}_src"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $tbl AS SELECT * FROM $src")
+    graft.ext.GraftSqlParser.sql(s, s"ALTER TABLE $tbl " +
+      "ADD CONSTRAINT total_positive CHECK (total > 0)")
+    val clean = graft.storage.DeletionVectors.read(s, tbl).count()
+    // A violating INSERT must abort committing NOTHING — the valid
+    // rows in the same statement must not land either.
+    def names(t: Throwable): Boolean = t != null &&
+      ((t.getMessage != null && t.getMessage.contains("total_positive"))
+        || names(t.getCause))
+    val failed =
+      try { graft.ext.GraftSqlParser.sql(s, s"INSERT INTO $tbl " +
+        s"SELECT k + 3000000000, -1.0 FROM $src WHERE k % 10 = 0 " +
+        s"UNION ALL SELECT k + 4000000000, 5.0 FROM $src"); false }
+      catch { case e: Exception if names(e) => true }
+    require(failed, s"$tbl: violating INSERT must fail loudly")
+    require(graft.storage.DeletionVectors.read(s, tbl).count() == clean,
+      s"$tbl: the aborted INSERT must commit nothing")
+    // A passing write commits under the gate.
+    graft.ext.GraftSqlParser.sql(s, s"INSERT INTO $tbl " +
+      s"SELECT k + 2000000000, total + 1 FROM $src WHERE k % 4 = 0")
+    // DROP lifts the gate; the once-violating rows now load.
+    graft.ext.GraftSqlParser.sql(s,
+      s"ALTER TABLE $tbl DROP CONSTRAINT total_positive")
+    graft.ext.GraftSqlParser.sql(s, s"INSERT INTO $tbl " +
+      s"SELECT k + 3000000000, -1.0 FROM $src WHERE k % 10 = 0")
+    graft.storage.DeletionVectors.read(s, tbl)
+      .select(col("k"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
       u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
       u17OverwriteRestoreSql, u18AddColumnSql, u19CopyIntoSql,
       u20UpdateImagesSql, st24StreamInsertInto, st25ChangeFeedStream,
-      u21ConvertSql)
+      u21ConvertSql, u22CheckConstraintSql)
 }

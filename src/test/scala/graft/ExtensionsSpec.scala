@@ -1216,6 +1216,80 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("CHECK constraints (r17): history validated at ADD, every " +
+      "versioned write enforced, NULLs pass, DROP lifts the gate") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "check_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(1, 21)")
+    // ADD validates history: a constraint the existing rows violate
+    // must fail and record nothing.
+    val eh = intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD CONSTRAINT v_small CHECK (v < 100)"))
+    assert(eh.getMessage.contains("existing row violates"),
+      eh.getMessage)
+    assert(SnapshotCommit.properties(spark, tbl)
+      .get("delta.constraints.v_small").isEmpty)
+    GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(SnapshotCommit.properties(spark, tbl)
+      .get("delta.constraints.v_pos").contains("v > 0"))
+    // Duplicate name: loud.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD CONSTRAINT v_pos CHECK (v > 1)"))
+    // INSERT: a violating statement aborts committing nothing.
+    val before = DeletionVectors.read(spark, tbl).count()
+    val e1 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl VALUES (100, 5), (101, -1)"))
+    assert(e1.getMessage.contains("v_pos"), e1.getMessage)
+    assert(DeletionVectors.read(spark, tbl).count() === before,
+      "aborted INSERT must publish nothing")
+    // NULL passes (SQL CHECK rule) and a clean insert commits.
+    GraftSqlParser.sql(spark,
+      s"INSERT INTO $tbl (id) VALUES (200)")
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (201, 7)")
+    // UPDATE: assignments that would break the check abort.
+    val e2 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"UPDATE $tbl SET v = -5 WHERE id = 3"))
+    assert(e2.getMessage.contains("v_pos"), e2.getMessage)
+    assert(DeletionVectors.read(spark, tbl)
+      .filter(col("id") === 3 && col("v") === 30L).count() === 1,
+      "aborted UPDATE must leave the row untouched")
+    // MERGE: a violating inserted/updated row aborts the merge.
+    spark.range(3, 4).select(col("id"), lit(-9L).as("v"))
+      .createOrReplaceTempView("check_src")
+    val e3 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"MERGE INTO $tbl USING check_src ON $tbl.id = check_src.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(e3.getMessage.contains("v_pos"), e3.getMessage)
+    // COPY INTO: staged files that violate abort before any load.
+    val copyDir = java.nio.file.Files
+      .createTempDirectory("check_copy").toString
+    spark.range(300, 303).select(col("id"), lit(-1L).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(copyDir)
+    val e4 = intercept[Exception](GraftSqlParser.sql(spark,
+      s"COPY INTO $tbl FROM '$copyDir' FILEFORMAT = PARQUET"))
+    assert(e4.getMessage.contains("v_pos"), e4.getMessage)
+    // DROP lifts the gate; IF EXISTS tolerates absence.
+    GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP CONSTRAINT v_pos")
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP CONSTRAINT v_pos"))
+    GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP CONSTRAINT IF EXISTS v_pos")
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (101, -1)")
+    assert(DeletionVectors.read(spark, tbl)
+      .filter(col("v") === -1L).count() === 1)
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("CONVERT TO DELTA (r17): metadata-only migration — files carry " +
       "by name with footer stats, idempotent re-run, loud rejections") {
     import org.apache.spark.sql.functions._
