@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   CONVERT TO DELTA t [NO STATISTICS]  -> in-place migration: v1 =
   *                                          current files carried,
   *                                          stats from footers
+  *   ALTER TABLE t DROP COLUMN(S) ...    -> logical removal via the
+  *                                          schema ledger (files keep
+  *                                          the bytes; time travel
+  *                                          below still serves them)
   *   ALTER TABLE t ADD CONSTRAINT n      -> Delta CHECK constraint:
   *     CHECK (expr)                         history validated at ADD,
   *   ALTER TABLE t DROP CONSTRAINT          enforced on every
@@ -204,6 +208,13 @@ object GraftSqlParser {
   private val AddColsRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?" +
       "\\s*\\((.+)\\)\\s*").r
+  // ALTER ... DROP COLUMN(S) — logical removal through the schema
+  // ledger: a metadata-only commit; the files keep the column's bytes
+  // (Delta's drop is logical too) and time travel below the alter
+  // still serves it.
+  private val DropColsRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+COLUMNS?" +
+      "\\s*\\(?\\s*([A-Za-z_][A-Za-z0-9_,\\s`]*?)\\s*\\)?\\s*").r
   // ALTER ... ADD/DROP CONSTRAINT — Delta's CHECK constraints:
   // `delta.constraints.<name>` properties in the root `_properties`
   // sidecar, validated against EXISTING data at ADD time and enforced
@@ -445,6 +456,15 @@ object GraftSqlParser {
         Seq("table" -> tbl, "operation" -> "ADD COLUMNS",
           (if (v >= 0) "version" -> v.toString
            else "mode" -> "delegated (plain catalog table)"))
+      }))
+    case DropColsRe(tbl, colsTxt) =>
+      val cols = colsTxt.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      Some(GraftMaintenanceCommand(s"DROP COLUMNS $tbl", { spark =>
+        val v = runDropColumns(spark, tbl, cols)
+        Seq("table" -> tbl, "operation" -> "DROP COLUMNS",
+          "columns" -> cols.mkString(","), "version" -> v.toString)
       }))
     case AddConstraintRe(tbl, name, cond) =>
       Some(GraftMaintenanceCommand(s"ADD CONSTRAINT $tbl", { spark =>
@@ -1640,6 +1660,91 @@ object GraftSqlParser {
       val paths = sc.dataFiles(spark, tbl).map(_._2.toString)
       if (paths.nonEmpty)
         spark.read.schema(widened).parquet(paths: _*)
+          .createOrReplaceTempView(tbl)
+    }
+    sc.register(spark, tbl)
+    stamped
+  }
+
+  /** Execute `ALTER TABLE t DROP COLUMN(S) ...` — LOGICAL removal
+    * through the schema ledger, Delta's drop-column shape: one
+    * metadata-only commit carries every data file by name (the files
+    * keep the column's bytes — no rewrite, which is the whole point at
+    * 100 TB), stamps the change axis (`_op:ALTER`, moves no rows), and
+    * records the narrowed DDL in the ledger. Live reads project the
+    * narrowed column set; `VERSION AS OF` below the alter still serves
+    * the dropped column FROM the carried files (readDataAs reads the
+    * effective historical schema by name). Guards: the column must
+    * exist, at least one column must remain, and a column referenced
+    * by a CHECK constraint cannot be dropped (Delta's rule — drop the
+    * constraint first). Versioned tables only: a plain catalog parquet
+    * table cannot serve a narrowed projection without the ledger, so
+    * the statement requires the snapshot surface (CONVERT first).
+    */
+  private def runDropColumns(spark: SparkSession, tbl: String,
+      cols: Seq[String]): Long = {
+    import org.apache.spark.sql.types.StructType
+    val sc = graft.storage.SnapshotCommit
+    val dv = graft.storage.DeletionVectors
+    require(cols.nonEmpty, s"DROP COLUMNS $tbl: no columns named")
+    require(sc.currentVersion(spark, tbl).isDefined,
+      s"ALTER TABLE $tbl DROP COLUMN: not a versioned table — " +
+        "CONVERT TO DELTA first (a plain parquet table cannot serve " +
+        "a logically-narrowed schema)")
+    sc.register(spark, tbl)
+    val old = sc.readData(spark, tbl).schema
+    cols.foreach(c => require(
+      old.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"DROP COLUMNS $tbl: no column $c"))
+    val dropped = cols.map(_.toLowerCase).toSet
+    val narrowed = StructType(old.fields.toSeq.filterNot(f =>
+      dropped(f.name.toLowerCase)))
+    require(narrowed.nonEmpty,
+      s"DROP COLUMNS $tbl: cannot drop every column")
+    constraintsOf(spark, tbl).foreach { case (name, cond) =>
+      val lc = cond.toLowerCase
+      cols.foreach(c => require(
+        !lc.matches(s"(?s).*\\b${java.util.regex.Pattern
+          .quote(c.toLowerCase)}\\b.*"),
+        s"DROP COLUMNS $tbl: column $c is referenced by CHECK " +
+          s"constraint $name ($cond) — DROP CONSTRAINT first"))
+    }
+    var stamped = -1L
+    sc.commit(spark, tbl, operation = "DROP COLUMNS") { dir =>
+      val stage = new org.apache.hadoop.fs.Path(dir)
+      val cur = sc.currentLocation(spark, tbl).getOrElse(
+        sys.error(s"DROP COLUMNS target $tbl has no published version"))
+      sc.carryData(spark, cur, stage)
+      graft.storage.StatsSkipping.refreshStats(spark, cur, stage)
+      sc.carryBatchId(spark, cur, stage)
+      stamped = dv.stampVersion(spark, tbl, stage, op = "ALTER",
+        added = Nil)
+    }
+    val ledger = sc.schemaVersions(spark, tbl)
+    sc.setProperties(spark, tbl,
+      Map(s"${sc.SchemaPropPrefix}$stamped" -> narrowed.toDDL) ++
+        (if (ledger.isEmpty)
+          Map(s"${sc.SchemaPropPrefix}0" -> old.toDDL)
+        else Map.empty))
+    dv.realign(spark, tbl)
+    // Re-declare under the narrowed schema (the commit's registration
+    // predates the ledger entry) — the ADD COLUMNS pattern, except
+    // alterTableDataSchema REFUSES dropped columns, so narrow via the
+    // drop+recreate re-declare pointAt's narrowing arm uses (same
+    // metadata and location — the table's identity continues).
+    if (spark.sessionState.catalog.getTempView(tbl).isEmpty &&
+        spark.catalog.tableExists(tbl)) {
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+      val cat = spark.sessionState.catalog.getTableMetadata(id)
+      spark.sessionState.catalog.dropTable(id,
+        ignoreIfNotExists = true, purge = false)
+      spark.sessionState.catalog.createTable(
+        cat.copy(schema = narrowed), ignoreIfExists = true)
+      spark.sql(s"REFRESH TABLE $tbl")
+    } else if (spark.sessionState.catalog.getTempView(tbl).isDefined) {
+      val paths = sc.dataFiles(spark, tbl).map(_._2.toString)
+      if (paths.nonEmpty)
+        spark.read.schema(narrowed).parquet(paths: _*)
           .createOrReplaceTempView(tbl)
     }
     sc.register(spark, tbl)

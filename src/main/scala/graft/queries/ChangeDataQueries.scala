@@ -972,11 +972,56 @@ object ChangeDataQueries {
       .select(col("k"), col("total"))
   }
 
+  /** u23 — `ALTER TABLE DROP COLUMN` (r17): logical removal through
+    * the schema ledger, metadata-only (the files keep the bytes — at
+    * 100 TB the whole point is that no rewrite happens). The lifecycle:
+    * CTAS three columns, DV-DELETE a slice, DROP one column, INSERT
+    * under the narrowed shape — and the requires() prove the
+    * time-travel contract: `VERSION AS OF 0` (below the drop) still
+    * serves the dropped column's VALUES from the carried files, while
+    * the live view is the two-column shape the oracle gates.
+    */
+  val u23DropColumnSql = withOracle(
+    "u23_drop_column_sql",
+    """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 2000000000, CAST(1.0 AS DOUBLE)
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (s, d) =>
+    val tbl = s"orders_dropcol_${graft.queries.StorageQueries.sfName(d)}"
+    val src = s"${tbl}_src"
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    graft.storage.SnapshotCommit.destroy(s, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(s, tbl)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+      .createOrReplaceTempView(src)
+    graft.ext.GraftSqlParser.sql(s,
+      s"CREATE TABLE $tbl AS SELECT * FROM $src")
+    graft.ext.GraftSqlParser.sql(s, s"DELETE FROM $tbl WHERE k % 7 = 0")
+    graft.ext.GraftSqlParser.sql(s,
+      s"ALTER TABLE $tbl DROP COLUMN status")
+    graft.ext.GraftSqlParser.sql(s, s"INSERT INTO $tbl " +
+      s"SELECT k + 2000000000, CAST(1.0 AS DOUBLE) FROM $src " +
+      "WHERE k % 3 = 0")
+    // Below the drop, the column and its VALUES still serve.
+    val hist = graft.ext.GraftSqlParser.sql(s,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0 " +
+        "WHERE status IS NOT NULL")
+      .collect()(0).getLong(0)
+    require(hist == Tables.orders(s, d).count(),
+      s"$tbl: VERSION AS OF 0 must serve the dropped column's values")
+    graft.storage.DeletionVectors.read(s, tbl)
+      .select(col("k"), col("total"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(u6Scd2, u7ChangeFeed, u9VersionDiff, u10MergeSql,
       u11MergeConditional, u12DmlSql, u13VersionAsOfSql,
       u14TimestampAsOfSql, u15CtasInsertSql, u16TableChangesSql,
       u17OverwriteRestoreSql, u18AddColumnSql, u19CopyIntoSql,
       u20UpdateImagesSql, st24StreamInsertInto, st25ChangeFeedStream,
-      u21ConvertSql, u22CheckConstraintSql)
+      u21ConvertSql, u22CheckConstraintSql, u23DropColumnSql)
 }

@@ -279,17 +279,21 @@ object DeletionVectors {
     * data files + append-only sidecar make every version readable
     * without snapshot copies. On a schema-evolved table the historical
     * version serves the schema EFFECTIVE AT v (the ledger's newest
-    * entry at or below it — Delta's time-travel schema semantics);
-    * columns only ever widen, so the old schema is a prefix projection.
+    * entry at or below it — Delta's time-travel schema semantics),
+    * read DIRECTLY under that schema: a column added since the anchor
+    * is absent, a column dropped since still reads from the files that
+    * carry its bytes (r17 — the live-schema projection the pre-drop
+    * code used cannot resurrect a dropped column).
     */
   def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
-    val masked = maskAt(spark, table, SnapshotCommit.readData(spark, table), v)
     val ledger = SnapshotCommit.schemaVersions(spark, table)
-    if (ledger.isEmpty) masked
+    if (ledger.isEmpty)
+      maskAt(spark, table, SnapshotCommit.readData(spark, table), v)
     else {
       val effective = ledger.filter(_._1 <= v).lastOption
         .getOrElse(ledger.head)._2
-      masked.select(effective.fieldNames.toSeq.map(col): _*)
+      maskAt(spark, table,
+        SnapshotCommit.readDataAs(spark, table, effective), v)
     }
   }
 

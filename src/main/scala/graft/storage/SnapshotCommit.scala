@@ -313,6 +313,24 @@ object SnapshotCommit {
       }
     } else spark.table(table) // incl. not-yet-adopted tables in manifest mode
 
+  /** The current version's data files read under an EXPLICIT schema —
+    * the historical-schema read path (time travel on an evolved
+    * table): parquet matches columns BY NAME, so a schema from any
+    * ledger entry serves — columns added since null-fill in old files,
+    * columns dropped since still read from the files that carry their
+    * bytes (drop is logical-only; the physical data stays until a
+    * rewrite). Works in both carry modes (the file list resolves
+    * manifest refs). */
+  private[graft] def readDataAs(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val paths = dataFiles(spark, table).map(_._2.toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
   /** Cross-process claim arbitration, pluggable per store semantics —
     * see [[CommitLock]]. Default: no-clobber rename (atomic on local/
     * HDFS/ABFS). Deployments on rename-less stores install a

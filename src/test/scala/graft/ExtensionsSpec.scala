@@ -1290,6 +1290,61 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("DROP COLUMN (r17): logical removal — live narrowed, files " +
+      "carried by name, time travel serves the dropped values, guards " +
+      "are loud") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "dropcol_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS SELECT id, " +
+      "CAST(id * 10 AS BIGINT) AS v, CAST(id AS STRING) AS s " +
+      "FROM range(0, 50)")
+    val filesBefore = SnapshotCommit.dataFiles(spark, tbl).map(_._1).toSet
+    // A constraint on the column blocks the drop until released.
+    GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    val ec = intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP COLUMN v"))
+    assert(ec.getMessage.contains("v_pos"), ec.getMessage)
+    GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP CONSTRAINT v_pos")
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl DROP COLUMN s")
+    // Live: narrowed, same files (metadata-only — no rewrite).
+    assert(spark.table(tbl).columns.toSeq === Seq("id", "v"))
+    assert(SnapshotCommit.dataFiles(spark, tbl).map(_._1).toSet ===
+      filesBefore, "DROP COLUMN must carry every file by name")
+    // Time travel below the drop serves the dropped VALUES.
+    val old = GraftSqlParser.sql(spark,
+      s"SELECT s FROM $tbl VERSION AS OF 0 WHERE id = 7")
+      .collect()(0).getString(0)
+    assert(old === "7", "the dropped column's bytes must still serve")
+    // Writes align to the narrowed shape; a DV delete still works.
+    GraftSqlParser.sql(spark, s"INSERT INTO $tbl VALUES (100, 1000)")
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 100")
+    assert(DeletionVectors.read(spark, tbl)
+      .filter(col("id") === 100).count() === 0)
+    // Guards: unknown column, dropping everything, plain tables.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP COLUMN nope"))
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl DROP COLUMNS (id, v)"))
+    val plain = "dropcol_plain_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    graft.core.CatalogUtil.dropOrphanLocation(spark, plain)
+    spark.range(3).write.mode("overwrite").format("parquet")
+      .saveAsTable(plain)
+    val ep = intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $plain DROP COLUMN id"))
+    assert(ep.getMessage.contains("CONVERT"), ep.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("CONVERT TO DELTA (r17): metadata-only migration — files carry " +
       "by name with footer stats, idempotent re-run, loud rejections") {
     import org.apache.spark.sql.functions._
