@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *   OPTIMIZE t ZORDER BY (a, b)         -> Optimize.zorder
   *   RESTORE TABLE t TO VERSION AS OF v  -> DeletionVectors.restore
   *   VACUUM t RETAIN v VERSIONS          -> DeletionVectors.vacuum
+  *   VACUUM t RETAIN n VERSIONS|HOURS
+  *     DRY RUN                           -> report, touch nothing
+  *   ALTER TABLE t CLUSTER BY (...)|NONE -> liquid-clustering decl:
+  *                                          plain OPTIMIZE re-clusters
   *   CREATE TABLE d SHALLOW CLONE s      -> SnapshotCommit.clone
   *   CONVERT TO DELTA t [NO STATISTICS]  -> in-place migration: v1 =
   *                                          current files carried,
@@ -231,6 +235,19 @@ object GraftSqlParser {
   // timestamp (the sidecar's `_ts:` sentinels) is older than n hours.
   private val VacuumHoursRe =
     s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*".r
+  // Delta's `VACUUM ... DRY RUN`: report what a vacuum would touch,
+  // touch nothing.
+  private val VacuumDryRe =
+    (s"(?is)\\s*VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s+" +
+      "(VERSIONS|HOURS)\\s+DRY\\s+RUN\\s*").r
+  // Databricks' liquid-clustering declaration: record the clustering
+  // columns (Delta's `clusteringColumns` vocabulary) so a later plain
+  // `OPTIMIZE t` re-clusters instead of merely compacting.
+  private val AlterClusterByRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+CLUSTER\\s+BY" +
+      "\\s*\\(([^)]+)\\)\\s*").r
+  private val AlterClusterNoneRe =
+    s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+CLUSTER\\s+BY\\s+NONE\\s*".r
   // CTAS through the commit protocol: every created table is versioned
   // (time travel, DESCRIBE HISTORY, stats skipping) out of the box.
   // Multipart names never match (the '.' breaks the ident) and delegate.
@@ -370,9 +387,24 @@ object GraftSqlParser {
       }))
     case OptimizeRe(tbl) =>
       Some(GraftMaintenanceCommand(s"OPTIMIZE $tbl", { spark =>
-        val (before, after) = graft.storage.Optimize.compact(spark, tbl)
-        Seq("table" -> tbl, "files_before" -> before.toString,
-          "files_after" -> after.toString)
+        // A table that declared clustering columns (ALTER TABLE ...
+        // CLUSTER BY — Databricks liquid clustering) re-clusters on
+        // plain OPTIMIZE, Databricks' behavior; everything else
+        // bin-packs.
+        val clusterCols = graft.storage.SnapshotCommit
+          .properties(spark, tbl).get(ClusteringColsProp)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+        clusterCols match {
+          case Some(cs) =>
+            graft.storage.Optimize.zorder(spark, tbl, cs)
+            Seq("table" -> tbl, "clustered_by" -> cs.mkString(","))
+          case None =>
+            val (before, after) =
+              graft.storage.Optimize.compact(spark, tbl)
+            Seq("table" -> tbl, "files_before" -> before.toString,
+              "files_after" -> after.toString)
+        }
       }))
     case RestoreRe(tbl, v) =>
       Some(GraftMaintenanceCommand(s"RESTORE $tbl", { spark =>
@@ -508,6 +540,44 @@ object GraftSqlParser {
           _ == key)
         Seq("table" -> tbl, "constraint" -> name,
           "dropped" -> had.toString)
+      }))
+    case VacuumDryRe(tbl, n, unit) =>
+      Some(GraftMaintenanceCommand(s"VACUUM $tbl DRY RUN", { spark =>
+        val dv = graft.storage.DeletionVectors
+        val cutoff =
+          if (unit.equalsIgnoreCase("HOURS"))
+            dv.vacuumHoursCutoff(spark, tbl, n.toLong)
+          else math.max(dv.version(spark, tbl) - n.toLong, 0L)
+        val would = if (cutoff > 0)
+          dv.vacuumDryRun(spark, tbl, cutoff) else Seq.empty
+        Seq("table" -> tbl,
+          "would_vacuum_through_version" -> cutoff.toString,
+          "files_to_rewrite" -> would.size.toString) ++
+          would.map(f => "file" -> f)
+      }))
+    case AlterClusterNoneRe(tbl) =>
+      Some(GraftMaintenanceCommand(s"CLUSTER BY NONE $tbl", { spark =>
+        graft.storage.SnapshotCommit.removeProperties(spark, tbl,
+          _ == ClusteringColsProp)
+        Seq("table" -> tbl, "clustering" -> "none")
+      }))
+    case AlterClusterByRe(tbl, colsTxt) =>
+      val cs = colsTxt.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      require(cs.nonEmpty && cs.size <= 4,
+        s"CLUSTER BY $tbl: 1-4 clustering columns (got ${cs.size}) — " +
+          "the Z-order interleave caps at 4 keys, Databricks' limit")
+      Some(GraftMaintenanceCommand(s"CLUSTER BY $tbl", { spark =>
+        // Columns must exist NOW — a typo'd key silently disabling
+        // every future OPTIMIZE would be a trap.
+        val schema = graft.storage.SnapshotCommit.readData(spark, tbl)
+          .schema.fieldNames
+        cs.foreach(c => require(schema.exists(_.equalsIgnoreCase(c)),
+          s"CLUSTER BY $tbl: no column $c"))
+        graft.storage.SnapshotCommit.setProperties(spark, tbl,
+          Map(ClusteringColsProp -> cs.mkString(",")))
+        Seq("table" -> tbl, "clustering_columns" -> cs.mkString(","))
       }))
     case VacuumHoursRe(tbl, h) =>
       Some(GraftMaintenanceCommand(s"VACUUM $tbl (hours)", { spark =>
@@ -1820,6 +1890,11 @@ object GraftSqlParser {
   /** Delta's CHECK-constraint property namespace (the literal key
     * format Delta records: `delta.constraints.<name>` = expr). */
   private[graft] val ConstraintPropPrefix = "delta.constraints."
+
+  /** The liquid-clustering declaration (Delta's `clusteringColumns`
+    * vocabulary): comma-separated columns a plain OPTIMIZE
+    * re-clusters by. */
+  private[graft] val ClusteringColsProp = "clusteringColumns"
 
   /** The table's recorded CHECK constraints, name -> expression. One
     * sidecar-file read; tables without a `_properties` sidecar pay a

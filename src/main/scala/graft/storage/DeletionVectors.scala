@@ -563,6 +563,21 @@ object DeletionVectors {
     * though the kept/rebased entries deliberately keep those states
     * readable.
     */
+  /** `VACUUM ... DRY RUN`: the files a vacuum at `cutoff` WOULD
+    * rewrite (the ones holding delete coordinates stamped at or below
+    * it), computed from the same sidecar filter the real vacuum uses —
+    * no data IO, nothing touched. Delta's DRY RUN lists up to 1000
+    * paths; same bound here. */
+  def vacuumDryRun(spark: SparkSession, table: String,
+      cutoff: Long): Seq[String] =
+    sidecarDf(spark, table) match {
+      case None => Seq.empty
+      case Some(sidecar) => sidecar
+        .filter(col("v") <= cutoff && col("p") >= 0)
+        .select(col("f")).distinct().limit(1000)
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
+
   def vacuum(spark: SparkSession, table: String, cutoff: Long): Unit = {
     val sidecar = sidecarDf(spark, table).getOrElse(return)
     // Renamed keys (same reason as readAt): the survivor anti-join below
@@ -821,11 +836,18 @@ object DeletionVectors {
     * Returns the cutoff folded (0 = nothing old enough). */
   def vacuumRetainHours(spark: SparkSession, table: String,
       hours: Long): Long = {
-    val horizon = clockMs() - hours * 3600L * 1000L
-    val cutoff = tsAnchors(spark, table)
-      .filter(_._2 <= horizon).map(_._1).maxOption.getOrElse(0L)
+    val cutoff = vacuumHoursCutoff(spark, table, hours)
     if (cutoff > 0) vacuum(spark, table, cutoff)
     cutoff
+  }
+
+  /** The cutoff a `RETAIN n HOURS` retention resolves to RIGHT NOW —
+    * shared by the real vacuum and its DRY RUN. */
+  def vacuumHoursCutoff(spark: SparkSession, table: String,
+      hours: Long): Long = {
+    val horizon = clockMs() - hours * 3600L * 1000L
+    tsAnchors(spark, table)
+      .filter(_._2 <= horizon).map(_._1).maxOption.getOrElse(0L)
   }
 
   /** Delta's `table_changes(t, v1, v2)`: the row-level change feed of

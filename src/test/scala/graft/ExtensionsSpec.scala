@@ -1290,6 +1290,63 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("ALTER TABLE CLUSTER BY + VACUUM DRY RUN (r17): a clustering " +
+      "declaration makes plain OPTIMIZE re-cluster; DRY RUN reports " +
+      "and touches nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{SnapshotCommit, StatsSkipping}
+    val tbl = "cluster_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS SELECT " +
+      "CAST(id % 97 AS BIGINT) AS a, CAST(id % 89 AS BIGINT) AS b, " +
+      "id AS v FROM range(0, 20000)")
+    // Unknown clustering column: loud, nothing recorded.
+    intercept[Exception](GraftSqlParser.sql(spark,
+      s"ALTER TABLE $tbl CLUSTER BY (nope)"))
+    assert(SnapshotCommit.properties(spark, tbl)
+      .get("clusteringColumns").isEmpty)
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl CLUSTER BY (a, b)")
+    // Plain OPTIMIZE now Z-orders on the declared keys: a range probe
+    // on EACH key prunes to a strict file subset afterwards.
+    val out = GraftSqlParser.sql(spark, s"OPTIMIZE $tbl")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("clustered_by") === "a,b", s"got $out")
+    val n = SnapshotCommit.dataFiles(spark, tbl).size
+    if (n > 1) {
+      assert(StatsSkipping.survivingFiles(spark, tbl, "a", 5L, 10L).size
+        < n, "OPTIMIZE on a clustered table must Z-order key a")
+      assert(StatsSkipping.survivingFiles(spark, tbl, "b", 5L, 10L).size
+        < n, "OPTIMIZE on a clustered table must Z-order key b")
+    }
+    // CLUSTER BY NONE reverts OPTIMIZE to bin-packing.
+    GraftSqlParser.sql(spark, s"ALTER TABLE $tbl CLUSTER BY NONE")
+    val out2 = GraftSqlParser.sql(spark, s"OPTIMIZE $tbl")
+      .collect().map(_.getString(0)).toSet
+    assert(out2.contains("files_before"), s"got $out2")
+    // VACUUM DRY RUN: reports the files a fold would rewrite, touches
+    // nothing — the delete history must stay fully separable.
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE v < 50")
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE v >= 19950")
+    val dry = GraftSqlParser.sql(spark,
+      s"VACUUM $tbl RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val dmap = dry.toMap
+    assert(dmap("would_vacuum_through_version") === "1")
+    assert(dry.count(_._1 == "file") ===
+      dmap("files_to_rewrite").toInt)
+    assert(dmap("files_to_rewrite").toInt > 0)
+    // Nothing happened: version 1's delete still separable.
+    assert(GraftSqlParser.sql(spark,
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) === 19950L,
+      "DRY RUN must not fold anything")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("DROP COLUMN (r17): logical removal — live narrowed, files " +
       "carried by name, time travel serves the dropped values, guards " +
       "are loud") {
