@@ -577,6 +577,15 @@ object GraftSqlParser {
           s"CLUSTER BY $tbl: no column $c"))
         graft.storage.SnapshotCommit.setProperties(spark, tbl,
           Map(ClusteringColsProp -> cs.mkString(",")))
+        // Keep SHOW TBLPROPERTIES in step (the SetPropsRe discipline).
+        if (spark.sessionState.catalog.getTempView(tbl).isEmpty &&
+            spark.catalog.tableExists(tbl)) {
+          val cat = spark.sessionState.catalog
+          val meta = cat.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          cat.alterTable(meta.copy(properties = meta.properties +
+            (ClusteringColsProp -> cs.mkString(","))))
+        }
         Seq("table" -> tbl, "clustering_columns" -> cs.mkString(","))
       }))
     case VacuumHoursRe(tbl, h) =>
@@ -1805,11 +1814,24 @@ object GraftSqlParser {
     if (spark.sessionState.catalog.getTempView(tbl).isEmpty &&
         spark.catalog.tableExists(tbl)) {
       val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
-      val cat = spark.sessionState.catalog.getTableMetadata(id)
+      val cat0 = spark.sessionState.catalog.getTableMetadata(id)
+      // The entry must be EXTERNAL before the drop: dropping a MANAGED
+      // table DELETES its location — which by now is the live version
+      // directory (a saveAsTable-then-CONVERT table stays MANAGED
+      // through pointAt's ALTER SET LOCATION). Every snapshot table's
+      // data lifecycle belongs to the commit protocol, not the
+      // catalog, so EXTERNAL is also simply the truthful type.
+      val cat = cat0.copy(schema = narrowed,
+        tableType =
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+      if (cat0.tableType !=
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        spark.sessionState.catalog.alterTable(
+          cat0.copy(tableType = org.apache.spark.sql.catalyst.catalog
+            .CatalogTableType.EXTERNAL))
       spark.sessionState.catalog.dropTable(id,
         ignoreIfNotExists = true, purge = false)
-      spark.sessionState.catalog.createTable(
-        cat.copy(schema = narrowed), ignoreIfExists = true)
+      spark.sessionState.catalog.createTable(cat, ignoreIfExists = true)
       spark.sql(s"REFRESH TABLE $tbl")
     } else if (spark.sessionState.catalog.getTempView(tbl).isDefined) {
       val paths = sc.dataFiles(spark, tbl).map(_._2.toString)
@@ -2077,6 +2099,9 @@ object GraftSqlParser {
       // parser (a spark.sql delegate would recurse on an injected
       // session).
       val aligned = alignTo(spark.table(tbl).schema)
+      // Constraints declared before first adoption (the documented
+      // pre-adoption properties path) still gate the delegated insert.
+      enforceConstraints(spark, tbl, aligned, stmt)
       val w = aligned.write
       (if (overwrite) w.mode("overwrite") else w).insertInto(tbl)
       return -1L

@@ -1400,6 +1400,23 @@ class ExtensionsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $plain")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
     SnapshotCommit.destroy(spark, tbl)
+    // A saveAsTable-then-CONVERT table stays MANAGED in the catalog —
+    // the narrowing re-declare must not let the managed drop delete
+    // the live version directory (review r17).
+    val mtbl = "dropcol_managed_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${mtbl}__dv")
+    SnapshotCommit.destroy(spark, mtbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, mtbl)
+    spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+      .write.mode("overwrite").format("parquet").saveAsTable(mtbl)
+    GraftSqlParser.sql(spark, s"CONVERT TO DELTA $mtbl")
+    GraftSqlParser.sql(spark, s"ALTER TABLE $mtbl DROP COLUMN v")
+    assert(spark.table(mtbl).columns.toSeq === Seq("id"))
+    assert(spark.table(mtbl).count() === 10,
+      "the managed->narrowed re-declare must not delete the data")
+    spark.sql(s"DROP TABLE IF EXISTS ${mtbl}__dv")
+    SnapshotCommit.destroy(spark, mtbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, mtbl)
   }
 
   test("CONVERT TO DELTA (r17): metadata-only migration — files carry " +
