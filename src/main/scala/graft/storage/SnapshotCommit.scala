@@ -1339,29 +1339,6 @@ object SnapshotCommit {
         spark.sparkContext.hadoopConfiguration)
   }
 
-  /** Carry the previous version's `_dv` deletion-vector sidecar into
-    * staged `to`, whole. PHYSICAL copy in manifest mode (a `.graftref`
-    * inside `_dv` would be read as parquet by the `__dv` registration,
-    * and prune's reference counting never walks `_dv` — the clone()
-    * adjudication); link mode links as usual. An append/maintenance
-    * version must never resurrect rows a DV delete masked. */
-  private[graft] def carryDvDir(spark: SparkSession, from: Path,
-      to: Path): Unit = {
-    val dv = new Path(from, "_dv")
-    val fs = fsOf(spark, dv)
-    if (fs.exists(dv))
-      fs.listStatus(dv).toSeq.filter(_.isFile).map(_.getPath)
-        .filterNot(_.getName.startsWith("."))
-        .foreach { p =>
-          val dst = new Path(new Path(to, "_dv"), p.getName)
-          if (manifestMode(spark))
-            org.apache.hadoop.fs.FileUtil.copy(fs, p,
-              fsOf(spark, dst), dst, false,
-              spark.sparkContext.hadoopConfiguration)
-          else carry(spark, p, dst)
-        }
-  }
-
   /** Carry an unchanged file into a staged snapshot WITHOUT disturbing
     * the live version. Link mode: hard link on a local filesystem (a
     * directory entry, no IO), copy elsewhere; never a rename — the

@@ -91,18 +91,19 @@ object SnapshotSink {
         val stageP = new Path(stage)
         val fs =
           stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // 2. Carry the previous version's files AND its sidecars,
-        //    resolved INSIDE the closure (the rebase contract). The
-        //    deletion-vector directory must carry PHYSICALLY in
-        //    manifest mode (a .graftref inside _dv would be read as
-        //    parquet by the __dv registration, and prune's reference
-        //    counting never walks _dv — the clone() adjudication; link
-        //    mode links as usual): an append must never resurrect rows
-        //    a DV delete masked. The skipping sidecar refreshes
-        //    (carried files reuse rows, new files get footer stats).
+        // The batch's fresh basenames, captured BEFORE the carry — the
+        // change-axis stamp below names them so table_changes (and the
+        // streaming change feed) serve this micro-batch as inserts,
+        // exactly what Delta's CDF does for streaming writes.
+        val appended = SnapshotCommit.listData(spark, stageP).map(_._1)
+        // 2. Carry the previous version's files, resolved INSIDE the
+        //    closure (the rebase contract); the deletion-vector
+        //    sidecar re-stamps fresh below (every delete coordinate
+        //    kept — an append must never resurrect rows a DV delete
+        //    masked), and the skipping sidecar refreshes (carried
+        //    files reuse rows, new files get footer stats).
         SnapshotCommit.currentLocation(spark, table).foreach { prev =>
           SnapshotCommit.carryData(spark, prev, stageP)
-          SnapshotCommit.carryDvDir(spark, prev, stageP)
           graft.storage.StatsSkipping.refreshStats(spark, prev, stageP)
         }
         // An EMPTY FIRST batch can leave a version with zero data
@@ -117,11 +118,22 @@ object SnapshotSink {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               batch.schema)
             .repartition(1).write.mode("append").parquet(stage)
+        // Stamp the CHANGE AXIS (r17): one version per micro-batch,
+        // `_add:` sentinels naming the batch's files — the same stamp
+        // INSERT INTO writes, so the CDC surface answers for streaming
+        // appends instead of failing loudly on an unknown operation.
+        // Every existing delete coordinate is kept (stampVersion's
+        // contract), replacing the previous physical _dv carry.
+        graft.storage.DeletionVectors.stampVersion(spark, table,
+          stageP, op = "WRITE", added = appended)
         // 3. The progress marker, atomic WITH the rows it covers.
         val out = fs.create(new Path(stageP, BatchIdFile), false)
         try out.write(batchId.toString.getBytes("UTF-8"))
         finally out.close()
       }
+      // Re-point the <table>__dv registration at the published
+      // version's freshly-stamped sidecar (the DML realign contract).
+      graft.storage.DeletionVectors.realign(spark, table)
       true
     } catch { case _: AlreadyCommitted => false }
   }

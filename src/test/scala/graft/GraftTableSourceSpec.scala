@@ -551,6 +551,43 @@ class GraftTableSourceSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("streaming-sink appends stamp the change axis (r17): " +
+      "table_changes serves each micro-batch as inserts, composing " +
+      "with later DML") {
+    import graft.streaming.SnapshotSink
+    val tbl = "sink_cdc_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    assert(SnapshotSink.append(spark, tbl, 0L,
+      spark.range(0, 3).toDF("id")))
+    assert(SnapshotSink.append(spark, tbl, 1L,
+      spark.range(3, 5).toDF("id")))
+    SnapshotCommit.register(spark, tbl)
+    val feed = graft.ext.GraftSqlParser.sql(spark,
+      s"SELECT id, change_type, commit_version " +
+        s"FROM table_changes('$tbl', 0, 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(feed === Set((0L, "insert", 1L), (1L, "insert", 1L),
+      (2L, "insert", 1L), (3L, "insert", 2L), (4L, "insert", 2L)),
+      s"sink batches must serve as per-version inserts, got $feed")
+    // A replayed batch id commits nothing — and so feeds nothing.
+    assert(!SnapshotSink.append(spark, tbl, 1L,
+      spark.range(90, 95).toDF("id")))
+    assert(graft.storage.DeletionVectors.version(spark, tbl) === 2L)
+    // Later DML composes on the same axis.
+    graft.ext.GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id = 4")
+    val del = graft.ext.GraftSqlParser.sql(spark,
+      s"SELECT id, change_type, commit_version " +
+        s"FROM table_changes('$tbl', 2, 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(del === Set((4L, "delete", 3L)), s"got $del")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("readChangeFeed start bounds (r17): startingVersion is " +
       "INCLUSIVE (Delta's contract), startingTimestamp replays from " +
       "an instant, and misapplied options are loud") {
