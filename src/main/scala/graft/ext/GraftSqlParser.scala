@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *     DRY RUN                           -> report, touch nothing
   *   ALTER TABLE t CLUSTER BY (...)|NONE -> liquid-clustering decl:
   *                                          plain OPTIMIZE re-clusters
+  *   REORG TABLE t APPLY (PURGE)         -> materialize DV deletes
+  *                                          into rewritten files
   *   CREATE TABLE d SHALLOW CLONE s      -> SnapshotCommit.clone
   *   CONVERT TO DELTA t [NO STATISTICS]  -> in-place migration: v1 =
   *                                          current files carried,
@@ -190,6 +192,13 @@ object GraftSqlParser {
   private val Ident = "`?([A-Za-z_][A-Za-z0-9_]*)`?"
   private val OptimizeRe =
     s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*".r
+  // Delta's `REORG TABLE t APPLY (PURGE)`: materialize pending DV
+  // deletes into rewritten files (the statement Databricks documents
+  // for purging deletion vectors before e.g. a vacuum of sensitive
+  // rows).
+  private val ReorgRe =
+    (s"(?is)\\s*REORG\\s+TABLE\\s+$Ident\\s+APPLY" +
+      "\\s*\\(\\s*PURGE\\s*\\)\\s*").r
   private val ZorderRe =
     s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*".r
   private val RestoreRe =
@@ -384,6 +393,14 @@ object GraftSqlParser {
       Some(GraftMaintenanceCommand(s"OPTIMIZE $tbl ZORDER", { spark =>
         graft.storage.Optimize.zorder(spark, tbl, cs)
         Seq("table" -> tbl, "zordered_by" -> cs.mkString(","))
+      }))
+    case ReorgRe(tbl) =>
+      Some(GraftMaintenanceCommand(s"REORG $tbl", { spark =>
+        val dv = graft.storage.DeletionVectors
+        val pending = dv.version(spark, tbl)
+        dv.compact(spark, tbl)
+        Seq("table" -> tbl, "operation" -> "REORG APPLY (PURGE)",
+          "purged_through_version" -> pending.toString)
       }))
     case OptimizeRe(tbl) =>
       Some(GraftMaintenanceCommand(s"OPTIMIZE $tbl", { spark =>

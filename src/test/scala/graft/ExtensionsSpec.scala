@@ -1347,6 +1347,32 @@ class ExtensionsSpec extends SparkSpec {
     SnapshotCommit.destroy(spark, tbl)
   }
 
+  test("REORG TABLE APPLY (PURGE) (r17): pending DV deletes " +
+      "materialize into rewritten files, values unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.GraftSqlParser
+    import graft.storage.{DeletionVectors, SnapshotCommit}
+    val tbl = "reorg_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+    graft.core.CatalogUtil.dropOrphanLocation(spark, tbl)
+    GraftSqlParser.sql(spark, s"CREATE TABLE $tbl AS " +
+      "SELECT id, CAST(id * 2 AS BIGINT) AS v FROM range(0, 100)")
+    GraftSqlParser.sql(spark, s"DELETE FROM $tbl WHERE id < 10")
+    assert(DeletionVectors.version(spark, tbl) === 1L)
+    val out = GraftSqlParser.sql(spark,
+      s"REORG TABLE $tbl APPLY (PURGE)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("purged_through_version") === "1")
+    // The deletes are now PHYSICAL: no live sidecar entries remain,
+    // and the visible rows are unchanged.
+    assert(DeletionVectors.read(spark, tbl).count() === 90)
+    assert(spark.table(tbl).count() === 90,
+      "after PURGE the raw files themselves exclude the deleted rows")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__dv")
+    SnapshotCommit.destroy(spark, tbl)
+  }
+
   test("DROP COLUMN (r17): logical removal — live narrowed, files " +
       "carried by name, time travel serves the dropped values, guards " +
       "are loud") {
