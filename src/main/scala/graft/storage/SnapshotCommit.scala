@@ -1144,6 +1144,13 @@ object SnapshotCommit {
   def destroy(spark: SparkSession, table: String): Unit = {
     spark.catalog.dropTempView(table) // manifest-mode registration
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // The DV sidecar registration dies with the root (r17): a rebuild
+    // recreates the SAME version-dir paths, and a surviving `__dv`
+    // catalog entry — aligned by location string — would serve the old
+    // run's file listing from the relation cache (FILE_NOT_EXIST on
+    // the recreated _dv; surfaced by bench's min-of-3 reruns once the
+    // streaming sink started stamping sidecars on every table).
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__dv")
     val root = rootDir(spark, table)
     resolvedSets.remove(root.toString) // rebuilt tables restart at v1
     StatsSkipping.invalidate(root) // rebuilt v<N> paths re-probe sidecars
