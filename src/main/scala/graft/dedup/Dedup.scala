@@ -46,7 +46,11 @@ object Dedup {
     */
   private def shingled(df: DataFrame, textCol: Column, idCol: Column,
       n: Int): DataFrame =
-    df.select(idCol.as("doc_id"), shingleSetN(textCol, n).as("shingles"))
+    // widen: the shingle kernel is the classic bytes-say-one-task /
+    // compute-wants-every-core stage (Parallelism scaladoc) — a no-op
+    // whenever the scan already fills the cluster.
+    graft.core.Parallelism.widen(df)
+      .select(idCol.as("doc_id"), shingleSetN(textCol, n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** Jaccard from intersection count and set sizes — the exact arithmetic
@@ -357,8 +361,11 @@ object Dedup {
       textCol: Column, idCol: Column, n: Int = 13): DataFrame = {
     val evalSh = eval.select(explode(shingleSetN(textCol, n)).as("sh"))
       .distinct()
-    val trainSh = train.select(idCol.as("doc_id"),
-      explode(shingleSetN(textCol, n)).as("sh"))
+    // widen: the 13-gram kernel + broadcast probe is pure per-row CPU;
+    // no-op when the train scan already fills the cluster.
+    val trainSh = graft.core.Parallelism.widen(train)
+      .select(idCol.as("doc_id"),
+        explode(shingleSetN(textCol, n)).as("sh"))
     val hits = trainSh.join(broadcast(evalSh), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_ngrams"))

@@ -108,9 +108,12 @@ object OlistMaterialized {
     * v3: multi-key CLUSTER BY switched to the Z-order layout. v4:
     * 4-key z-codes flip the sign bit (monotone signed ordering). v5:
     * silver tables commit through SnapshotCommit's versioned pointer
-    * directories instead of managed `<warehouse>/<name>` dirs.
+    * directories instead of managed `<warehouse>/<name>` dirs. v6:
+    * size-derived file fan-out on batch materialization writes
+    * ([[graft.storage.OptimizedWrite]]) — committed silver/gold file
+    * counts change, so a warm warehouse must rebuild.
     */
-  private val LayoutVersion = "v5"
+  private val LayoutVersion = "v6"
 
   def ensure(s: SparkSession, dir: String): Names = synchronized {
     val n = Names(sfx(dir))

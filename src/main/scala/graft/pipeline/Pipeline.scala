@@ -170,6 +170,28 @@ class Pipeline {
       .sortWithinPartitions(cols.map(df.col): _*)
     else graft.storage.ZOrder.layout(df, cols.take(4))
 
+  /** The clustered layout PLUS size-derived file fan-out — the batch
+    * materialization write shape (Databricks "optimized writes"): the
+    * partition count comes from [[graft.storage.OptimizedWrite]]'s
+    * input-bytes rule (target file = bytes/(2x parallelism) clamped to
+    * [256 KiB, 128 MiB]), so a production-scale refresh lands ~128 MiB
+    * files while a small table still fans out wide enough that every
+    * DOWNSTREAM scan (and this write's own encode) uses the cluster —
+    * committed-table file count is the read-side parallelism floor for
+    * single-row-group files, which byte-based AQE coalescing cannot see
+    * (guide §2.2/§6). Streaming micro-batch appends keep [[clustered]]
+    * (their batches are already bounded; an extra exchange per batch
+    * would only add latency).
+    */
+  private def clusteredSized(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = graft.storage.OptimizedWrite.targetPartitions(df)
+    if (cols.isEmpty) df.repartition(n)
+    else if (cols.size == 1)
+      df.repartitionByRange(n, cols.map(df.col): _*)
+        .sortWithinPartitions(cols.map(df.col): _*)
+    else graft.storage.ZOrder.layout(df, cols.take(4), Some(n))
+  }
+
   /** Drop expectations are plan-level filters applied in flight (batch
     * and streaming alike). Warn/fail need an aggregate over the full
     * frame, so WHERE they run depends on the materialization — see
@@ -405,7 +427,7 @@ class Pipeline {
           spark.table(name)
         case Materialize.Table =>
           dropOrphanLocation(spark, name)
-          clustered(df, d.clusterBy)
+          clusteredSized(df, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
           routeQuarantine()
           deleteDir(spark, validateDir)
@@ -414,7 +436,7 @@ class Pipeline {
           require(!df.isStreaming,
             s"materialized view $name cannot refresh from a streaming build")
           dropOrphanLocation(spark, name)
-          clustered(df, d.clusterBy)
+          clusteredSized(df, d.clusterBy)
             .write.mode("overwrite").format("parquet").saveAsTable(name)
           routeQuarantine()
           deleteDir(spark, validateDir)
@@ -442,7 +464,7 @@ class Pipeline {
             // crashed, never-published first load) before restaging.
             sc.destroy(spark, name)
             sc.commit(spark, name) { dir =>  // first load: plain WRITE
-              clustered(df, d.clusterBy)
+              clusteredSized(df, d.clusterBy)
                 .write.mode("overwrite").parquet(dir)
             }
           } else {
@@ -506,7 +528,13 @@ class Pipeline {
                     .parquet(touched.toSeq.sorted: _*)
                 val merged = batch.unionByName(
                   touchedRows.join(batchKeys, keys, "left_anti"))
-                // 1. rewrite = touched rows + batch only (reads old files).
+                // 1. rewrite = touched rows + batch only (reads old
+                //    files). NOT clusteredSized: the rewrite's true
+                //    volume is touched+batch, which the leaf-bytes rule
+                //    overestimates (it sees the whole probe scan), and
+                //    an extra round-robin exchange per merge is pure
+                //    per-commit latency — incremental writes keep the
+                //    plan's own partitioning; OPTIMIZE re-sizes files.
                 clustered(merged, d.clusterBy)
                   .write.mode("overwrite").parquet(dir)
                 // 2. carry untouched files by link; prefix avoids part-

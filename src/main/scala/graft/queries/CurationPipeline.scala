@@ -170,9 +170,23 @@ object CurationPipeline {
         split(lower(col("text")), "\\s+"), TextAnalysis3.gateWeights))
       .filter(col("sn").getItem(1) >= 1 && col("sn").getItem(0) >= 0)
       .drop("sn")
-    val reps = Dedup.exactGroups(filtered, col("text"), col("doc_id"))
-      .filter(!col("is_dup")).select(col("doc_id"))
-    val unique = filtered.join(reps, "doc_id")
+    // Exact dedup as a WINDOW over the content sha rather than
+    // d1's groupBy+join-back (r17): same survivor set (min doc_id per
+    // sha group), but ONE exchange instead of two AND — decisive here —
+    // the exchange becomes the SHARED prefix every downstream consumer
+    // of `unique` re-enters via ReuseExchange, so the gate chain above
+    // it (langId, quality, classifier — the pipeline's per-row CPU) is
+    // evaluated once per refresh instead of once per consumer branch
+    // (measured: 5 evaluations before the rewrite). Same shape as the
+    // catalog's w1 window dedup; the sha window carries no order and
+    // only a min, so per-group state is O(1) streaming at any scale.
+    val shaW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_sha"))
+    val unique = filtered
+      .withColumn("_sha", sha2(col("text"), 256))
+      .withColumn("_rep", min(col("doc_id")).over(shaW))
+      .filter(col("doc_id") === col("_rep"))
+      .drop("_sha", "_rep")
     val keep = Dedup.decontaminate(unique, heldout,
         col("text"), col("doc_id"), n = 13)
       .filter(!col("is_contaminated")).select(col("doc_id"))

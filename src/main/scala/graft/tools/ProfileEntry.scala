@@ -68,7 +68,12 @@ object ProfileEntry {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         jobs.synchronized {
           stageToJob.get(e.stageInfo.stageId).flatMap(jobs.get).foreach {
-            j => j.stages += e.stageInfo.name.take(60)
+            j =>
+              val scopes = e.stageInfo.rddInfos
+                .flatMap(_.scope).map(_.name).distinct.mkString(">")
+              j.stages +=
+                s"[${e.stageInfo.stageId}/${e.stageInfo.numTasks}t " +
+                  s"${scopes.take(120)}]"
           }
         }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
@@ -101,12 +106,7 @@ object ProfileEntry {
     jobs.values.toSeq.sortBy(_.start).foreach { j =>
       if (prevEnd > 0 && j.start > prevEnd) gaps += (j.start - prevEnd)
       prevEnd = math.max(prevEnd, if (j.end > 0) j.end else j.start)
-      val lbl =
-        if (j.desc.startsWith("exec "))
-          j.desc + ": " + execDesc.getOrElse(j.desc.drop(5), "") + " | " +
-            j.stages.headOption.getOrElse("")
-        else if (j.desc != "?") j.desc
-        else j.stages.mkString(" | ")
+      val lbl = j.stages.mkString(" ")
       println(f"${j.id}%6d ${j.end - j.start}%8d ${j.tasks}%6d ${j.taskMs}%8d ${j.shuffleWr / 1e6}%7.1f  ${lbl.take(140)}")
     }
     val totalWall = jobs.values.map(j => j.end - j.start).sum
