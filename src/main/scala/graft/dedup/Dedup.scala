@@ -492,7 +492,19 @@ object Dedup {
     * doc — (doc_id, cluster_rep, cluster_size); singletons (docs in no
     * pair) are not emitted, mirroring the pair relation's domain.
     */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+  /** @param localThreshold edge count at or below which the graph is
+    *   solved by a SINGLE-TASK union-find instead of the Pregel loop —
+    *   the same 2M-edges-per-partition width rule the distributed
+    *   path's partitioner uses: a graph that collapses to one partition
+    *   anyway gains nothing from ~log(diameter) global rounds of
+    *   scheduler latency (measured ~80 ms/round of pure per-job cost at
+    *   bench scale), while one in-memory union-find over <= 2M edges is
+    *   milliseconds and computes the IDENTICAL fixpoint (min vertex id
+    *   per component — union-by-min keeps every root the component's
+    *   minimum). The task runs on an executor over the same symmetrized
+    *   RDD, not a driver collect. Tests pass 0 to force the loop. */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 30,
+      localThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -504,6 +516,37 @@ object Dedup {
         Iterator((a, b), (b, a))
       }.persist(lvl)
     val m = symRaw.count()
+    if (m <= 2L * localThreshold) {
+      // Small-graph fast path: one executor task unions the edge list.
+      val labels = symRaw.coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
+        def add(x: Long): Unit =
+          if (!parent.containsKey(x)) parent.put(x, x)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) {
+            val n: Long = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min: the root is always its component's minimum.
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long)]
+        parent.keySet.forEach(v => out += ((v.longValue, find(v))))
+        out.iterator
+      }.persist(lvl)
+      labels.count() // materialize before the edge blocks are dropped
+      symRaw.unpersist(true)
+      lastIterations = 1
+      return clusterFrame(spark, labels)
+    }
     // Partition width follows the EDGE volume: ~2M edges (tens of MB)
     // per partition keeps tasks substantial at 100 TB scale while a
     // bench-scale graph collapses to a handful of partitions instead
@@ -581,6 +624,13 @@ object Dedup {
     // small — one (vertex, label) pair per clustered doc — and the
     // ContextCleaner reclaims it when the result frame is dropped.
     edges.unpersist(true)
+    clusterFrame(spark, labels)
+  }
+
+  /** (vertex, label) RDD -> the operator's output frame: one row per
+    * clustered doc with its component rep and size. */
+  private def clusterFrame(spark: org.apache.spark.sql.SparkSession,
+      labels: org.apache.spark.rdd.RDD[(Long, Long)]): DataFrame = {
     val labelDf = spark.createDataFrame(
       labels.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
       org.apache.spark.sql.types.StructType(Seq(

@@ -40,6 +40,12 @@ object OptimizedWrite {
   private val MinFileBytes = 256L << 10
   private val MaxFileBytes = 128L << 20
 
+  /** Session override for the derived target-file size (bytes): the
+    * deployment knob for clusters whose core count or storage profile
+    * makes the derived band wrong (and the test seam for pinning
+    * multi-file layouts on tiny fixtures). Unset = the adaptive rule. */
+  val TargetFileBytesKey = "spark.graft.write.targetFileBytes"
+
   /** Sum of the frame's leaf-relation size estimates, bytes. */
   def leafBytes(df: DataFrame): Long = {
     val total = df.queryExecution.optimizedPlan.collectLeaves()
@@ -51,8 +57,10 @@ object OptimizedWrite {
   def targetPartitions(df: DataFrame): Int = {
     val bytes = leafBytes(df)
     val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val target = math.min(MaxFileBytes,
-      math.max(MinFileBytes, bytes / (2L * p)))
+    val target = df.sparkSession.conf.getOption(TargetFileBytesKey)
+      .map(v => math.max(1L, v.toLong))
+      .getOrElse(math.min(MaxFileBytes,
+        math.max(MinFileBytes, bytes / (2L * p))))
     val n = math.ceil(bytes.toDouble / target.toDouble)
     math.max(1, math.min(n, 1 << 20).toInt)
   }

@@ -229,13 +229,38 @@ class DedupSpec extends SparkSpec {
     // O(log diameter) claim the 100 TB design rests on.
     val path = spark.range(0, 400)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val out = Dedup.duplicateClusters(path)
+    // localThreshold = 0 forces the distributed loop: a 400-edge graph
+    // would otherwise take the single-task union-find fast path and
+    // this pin would stop exercising the doubling step.
+    val out = Dedup.duplicateClusters(path, localThreshold = 0L)
+    assert(Dedup.lastIterations > 1,
+      "distributed loop not taken — threshold override broken?")
     assert(Dedup.lastIterations <= 14,
       s"path graph took ${Dedup.lastIterations} rounds — doubling broken?")
     val rows = out.collect()
     assert(rows.length === 401)
     assert(rows.forall(_.getLong(1) == 0L), "single component, rep = 0")
     assert(rows.forall(_.getLong(2) == 401L))
+  }
+
+  test("union-find fast path matches the distributed loop exactly") {
+    import spark.implicits._
+    // Deterministic pseudo-random graph with chains, cliques and
+    // singleton pairs; compare the full output frames row-for-row.
+    val edges = (0 until 3000).map { i =>
+      val a = (i * 2654435761L) % 997
+      val b = (a + i % 7 + 1) % 997
+      (a, b)
+    }.toDF("doc_a", "doc_b")
+    val fast = Dedup.duplicateClusters(edges)
+    assert(Dedup.lastIterations === 1, "fast path not taken")
+    val fastRows = fast.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val loop = Dedup.duplicateClusters(edges, localThreshold = 0L)
+    assert(Dedup.lastIterations > 1, "distributed loop not taken")
+    val loopRows = loop.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fastRows === loopRows)
   }
 
   test("bloomDecontaminate flags a superset of the exact sweep, zero misses") {

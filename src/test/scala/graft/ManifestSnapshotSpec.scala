@@ -34,9 +34,11 @@ class ManifestSnapshotSpec extends SparkSpec {
       clusterBy = cluster))
 
   test("incremental merge carries unchanged files as pure metadata refs") {
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    // Target-file override pins the size-derived fan-out
+    // (OptimizedWrite) to several files at test size.
+    val coalesceKey = graft.storage.OptimizedWrite.TargetFileBytesKey
     val saved = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(coalesceKey, "200")
     try withManifestMode {
       val tbl = "man_inc_tbl"
       SnapshotCommit.destroy(spark, tbl)

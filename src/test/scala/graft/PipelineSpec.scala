@@ -182,11 +182,11 @@ class PipelineSpec extends SparkSpec {
     // The Delta MERGE commit shape: the rewrite touches only files
     // holding a matched key; every other file moves into the new
     // snapshot as a metadata rename — write IO scales with the batch,
-    // not the table. Coalescing is pinned off so the range-clustered
-    // first load actually lands in several files at test size.
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    // not the table. The target-file override pins the size-derived
+    // fan-out (OptimizedWrite) to several files at test size.
+    val coalesceKey = graft.storage.OptimizedWrite.TargetFileBytesKey
     val saved = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(coalesceKey, "200")
     try {
       val tbl = "graft_incr_filelevel"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
