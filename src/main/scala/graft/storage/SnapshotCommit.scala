@@ -805,6 +805,36 @@ object SnapshotCommit {
     * location differs. Also used for sidecar tables that live INSIDE a
     * snapshot (DeletionVectors' `_dv` — whose READ path calls this per
     * query, which is why the aligned fast path below matters). */
+  /** The Catalyst schema one data file's footer declares, via the
+    * serialized Spark schema key Spark's own inference consults first —
+    * a single footer read instead of a full DataSource inference pass
+    * (~30-40 ms saved on EVERY commit: pointAt's drift probe runs each
+    * time the location moves). `asNullable` for parity with inference,
+    * which force-nullables file-based schemas — without it a
+    * non-nullable writer schema would read as drift on every commit and
+    * trigger a re-declare loop. None (→ caller falls back to full
+    * inference) when the dir has no parquet file, the footer carries no
+    * Spark schema, or anything throws. */
+  private def footerSparkSchema(spark: SparkSession,
+      loc: Path): Option[org.apache.spark.sql.types.StructType] =
+    scala.util.Try {
+      val fs = fsOf(spark, loc)
+      fs.listStatus(loc).find(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet")).flatMap { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata"))
+          .flatMap(j => scala.util.Try(
+            org.apache.spark.sql.graftbridge.Bridge.asNullable(
+              org.apache.spark.sql.types.DataType.fromJson(j)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]))
+            .toOption)
+        finally r.close()
+      }
+    }.toOption.flatten
+
   def pointAt(spark: SparkSession, table: String, loc: Path): Unit = {
     // Bounded retry: the repair arm's metadata lookup can find the table
     // GONE (a concurrent destroy/DROP raced the CREATE IF NOT EXISTS —
@@ -873,6 +903,7 @@ object SnapshotCommit {
             // whose footers would re-declare the OLD columns.
             val actual = schemaVersions(spark, table).lastOption
               .map(_._2)
+              .orElse(footerSparkSchema(spark, loc))
               .getOrElse(spark.read.parquet(loc.toString).schema)
             if (cat.schema != actual) {
               val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
@@ -900,9 +931,20 @@ object SnapshotCommit {
                       s"(retrying via the repair loop): $e")
                 }
             }
-            scala.util.Try(
-                spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'"))
-              .failed.foreach { e =>
+            // Direct catalog alter, not spark.sql("ALTER TABLE ... SET
+            // LOCATION"): the SQL spelling re-parses and re-analyzes a
+            // DDL per COMMIT (~40 ms each — this runs on every version
+            // publish), and the command's only effects are the alterTable
+            // below plus the cache refresh the aligned branch performs
+            // anyway (stats cleared for parity with the command).
+            scala.util.Try {
+              val id2 = org.apache.spark.sql.catalyst.TableIdentifier(table)
+              val sc2 = spark.sessionState.catalog
+              val cur2 = sc2.getTableMetadata(id2)
+              sc2.alterTable(cur2.copy(
+                storage = cur2.storage.copy(locationUri = Some(loc.toUri)),
+                stats = None))
+            }.failed.foreach { e =>
                 // The re-declare drop/create race can momentarily
                 // remove the table under this ALTER — loop back to the
                 // CREATE arm instead of escaping a read path.
@@ -911,7 +953,16 @@ object SnapshotCommit {
                     s"race (retrying): $e")
               }
             if (catalogAligned(spark, table, loc)) {
-              spark.sql(s"REFRESH TABLE $table")
+              // SessionCatalog.refreshTable, not the full REFRESH TABLE
+              // command: it invalidates exactly the session relation
+              // cache the freshness probe (registrationFresh #2)
+              // guards. The command's extra CacheManager pass protects
+              // df.persist()ed results, which the registration contract
+              // explicitly leaves to the caller (fast path returns with
+              // no refresh at all), and costs a plan resolution per
+              // COMMIT.
+              spark.sessionState.catalog.refreshTable(
+                org.apache.spark.sql.catalyst.TableIdentifier(table))
               return
             }
             // Not aligned after the tolerant repair (a racing repair
@@ -932,8 +983,10 @@ object SnapshotCommit {
             // entry, so the aligned fast path above skips this branch
             // ONLY when nothing stale can exist — turning the per-read
             // REFRESH tax on steady-state DV reads into a metadata-only
-            // probe while keeping the rendezvous protection.
-            spark.sql(s"REFRESH TABLE $table")
+            // probe while keeping the rendezvous protection. (Relation-
+            // cache invalidation only — see the aligned branch above.)
+            spark.sessionState.catalog.refreshTable(
+              org.apache.spark.sql.catalyst.TableIdentifier(table))
             return
           }
       }

@@ -70,6 +70,12 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, node)
   }
 
+  /** Force-nullable view of a schema (Spark's private[spark]
+    * StructType.asNullable) — parity with file-based schema inference,
+    * which nullables every field. */
+  def asNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = st.asNullable
+
   /** An empty STREAMING frame of the given schema (a micro-batch with
     * no new files still needs a well-typed plan). */
   def emptyStreaming(spark: org.apache.spark.sql.SparkSession,
