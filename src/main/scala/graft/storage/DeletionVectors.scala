@@ -201,6 +201,60 @@ object DeletionVectors {
       }
     }
 
+  /** The current sidecar rows ((f, p, v)), read DRIVER-SIDE — no
+    * catalog registration, no Spark job. The sidecar is broadcast-small
+    * by contract (every consumer collect()ed it already), so routing
+    * its read through the scheduler cost a full job round-trip per DML
+    * statement; the per-micro-batch commit loops (st21/st22's shape)
+    * pay that on every append. None when the current version carries no
+    * `_dv` directory — the same condition under which [[sidecarDf]]
+    * drops the catalog table. */
+  private def sidecarRowsLocal(spark: SparkSession,
+      table: String): Option[Seq[(String, Long, Long)]] =
+    dvDir(spark, table).filter(d => fs(spark, d).exists(d)).map { d =>
+      val f = fs(spark, d)
+      f.listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .flatMap { st =>
+          val rdr = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            st.getPath)
+            .withConf(spark.sparkContext.hadoopConfiguration).build()
+          try Iterator.continually(rdr.read()).takeWhile(_ != null)
+            .map(g => (g.getString("f", 0),
+              g.getLong("p", 0), g.getLong("v", 0)))
+            .toList
+          finally rdr.close()
+        }
+    }
+
+  /** Driver-side counterpart of the stamp's sidecar write: one parquet
+    * file under `dir`, schema-compatible with the Spark-written
+    * sidecars every read path (including [[sidecarDf]] joins) consumes.
+    */
+  private def writeSidecarRows(spark: SparkSession, dir: Path,
+      rows: Seq[(String, Long, Long)]): Unit = {
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional binary f (UTF8); " +
+        "optional int64 p; optional int64 v; }")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    fs(spark, dir).mkdirs(dir)
+    val file = new Path(dir, "part-00000-graft-dv.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, hconf))
+      .withConf(hconf).withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { case (fb, p, v) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add("f", fb); g.add("p", p); g.add("v", v)
+      w.write(g)
+    } finally w.close()
+  }
+
   /** The current sidecar frame ((f, p, v) rows), empty if none. */
   private def sidecarDf(spark: SparkSession, table: String): Option[DataFrame] = {
     registerDv(spark, table)
@@ -217,10 +271,8 @@ object DeletionVectors {
     * NEVER-USED number (a 1-row aggregate over the bounded sidecar).
     */
   def version(spark: SparkSession, table: String): Long =
-    sidecarDf(spark, table) match {
-      case None => 0L
-      case Some(sc) => sc.agg(coalesce(max(col("v")), lit(0L))).head().getLong(0)
-    }
+    sidecarRowsLocal(spark, table)
+      .map(_.map(_._3).maxOption.getOrElse(0L)).getOrElse(0L)
 
   /** Mark rows matching `pred` deleted: one atomic snapshot commit whose
     * data files are links of the current version (byte-identical, same
@@ -363,15 +415,13 @@ object DeletionVectors {
       stage: Path, op: String, added: Seq[String],
       dropped: Set[String] = Set.empty,
       copied: Seq[String] = Nil): Long = {
-    // ONE bounded collect of the sidecar (it is broadcast-small by
-    // contract), everything else driver-side, ONE local-relation write:
-    // a DML statement pays two tiny jobs for its stamp, not four — the
-    // difference is real in per-micro-batch MERGE loops (st22's shape).
-    val rows: Seq[(String, Long, Long)] = sidecarDf(spark, table) match {
-      case Some(sc) => sc.collect().toSeq
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      case None => Nil
-    }
+    // FULLY driver-side (r17): the sidecar is broadcast-small by
+    // contract, so both the read and the stamp's write bypass the
+    // scheduler outright — a DML statement pays ZERO jobs for its
+    // stamp (was two; the difference is real in per-micro-batch
+    // commit loops — st21/st22's shape).
+    val rows: Seq[(String, Long, Long)] =
+      sidecarRowsLocal(spark, table).getOrElse(Nil)
     val v = rows.map(_._3).maxOption.getOrElse(0L) + 1
     // Delete versions whose coordinates live in the dropped files can
     // no longer serve their feed — mark them (see [[LostPrefix]]).
@@ -387,8 +437,7 @@ object DeletionVectors {
       added.sorted.map(n => (s"$AddPrefix$n", -1L, v)) ++
       copied.sorted.map(p => (s"$CopyPrefix$p", -1L, v)) ++
       lost.map(lv => (s"$LostPrefix$lv", -1L, lv))
-    spark.createDataFrame(kept ++ sentinels).toDF("f", "p", "v")
-      .coalesce(1).write.parquet(new Path(stage, "_dv").toString)
+    writeSidecarRows(spark, new Path(stage, "_dv"), kept ++ sentinels)
     v
   }
 
@@ -410,13 +459,9 @@ object DeletionVectors {
     * COPY loaded (bounded — one sentinel per ingested file). */
   private[graft] def copiedSources(spark: SparkSession,
       table: String): Set[String] =
-    sidecarDf(spark, table) match {
-      case None => Set.empty
-      case Some(sc) => sc
-        .filter(col("p") < 0 && col("f").startsWith(CopyPrefix))
-        .select(col("f")).collect()
-        .map(_.getString(0).substring(CopyPrefix.length)).toSet
-    }
+    sidecarRowsLocal(spark, table).getOrElse(Nil)
+      .collect { case (f, p, _) if p < 0 && f.startsWith(CopyPrefix) =>
+        f.substring(CopyPrefix.length) }.toSet
 
   /** Record an UPDATE version's row images (Delta's `_change_data`):
     * `rows` must already carry change_type/commit_version. One bounded
