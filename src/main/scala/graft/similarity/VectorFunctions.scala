@@ -177,7 +177,13 @@ object VectorFunctions {
       embCol: String, threshold: Double,
       blocks: Int = 8): org.apache.spark.sql.DataFrame = {
     require(blocks >= 1, "blocks must be >= 1")
-    val base = v.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    // widen: with a broadcast-size build side the block join never
+    // shuffles its streamed side, so an unsplittable small scan would
+    // run EVERY pair's dot product in one task (measured: 1.9 s
+    // single-task on d5) — the O(n^2/blocks) compute is exactly the
+    // bytes-say-one-task case Parallelism.widen repairs; no-op at scale.
+    val base = graft.core.Parallelism.widen(v)
+      .select(col(idCol).as("vid"), col(embCol).as("emb"))
       .withColumn("nrm", normN(col("emb")))
       .withColumn("blk", pmod(hash(col("vid")), lit(blocks)))
     // Route each vector to every block-pair group it can meet a partner
