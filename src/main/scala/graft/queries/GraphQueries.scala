@@ -88,6 +88,95 @@ object GraphQueries {
     (nodes, nn, edgesDeg)
   }
 
+  /** Small-graph fast path for the pr1/pr2 rounds (r17): when the
+    * SOURCE scans cannot fill the cluster (the Parallelism.widen
+    * condition — the same splits-vs-parallelism test, decided from leaf
+    * bytes without executing anything), the ~Rounds x 3-join Pregel
+    * unrolling is pure scheduler latency: the distinct pair set is
+    * still computed DISTRIBUTED (data-proportional), then one executor
+    * task runs the fixed-point iteration over arrays. Bit-identical by
+    * construction — every step is BIGINT arithmetic (div-then-exact-sum
+    * per edge, damping in integer ops), so iteration order cannot
+    * perturb a single bit, which is the same property that lets the
+    * DuckDB oracle hash-match the distributed form. `seedK = None` is
+    * pr1 (uniform teleport over n); `Some(pred)` is pr2 (teleport over
+    * the seed set only). Production scale takes the distributed branch
+    * untouched.
+    */
+  private def localRanks(pairs: DataFrame,
+      seeded: Boolean): org.apache.spark.rdd.RDD[(Long, Boolean, Long)] =
+    pairs.select(col("c"), col("sp")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .coalesce(1).mapPartitions { it =>
+        val src = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val dst = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (c, sp) =>
+          src += c; dst += sp // edge c -> sp
+          src += sp; dst += c // edge sp -> c
+        }
+        val deg = new java.util.HashMap[java.lang.Long, Long]
+        var i = 0
+        while (i < src.length) {
+          deg.merge(src(i), 1L, (a, b) => a + b); i += 1
+        }
+        val nodes = new Array[Long](deg.size)
+        var j = 0
+        val itK = deg.keySet.iterator
+        while (itK.hasNext) { nodes(j) = itK.next(); j += 1 }
+        def isSeed(v: Long) = v < SupplierBase && v % 10 == 1
+        val denom =
+          if (seeded) nodes.count(isSeed).toLong else nodes.length.toLong
+        val pr = new java.util.HashMap[java.lang.Long, Long]
+        nodes.foreach { v =>
+          pr.put(v,
+            if (!seeded) Scale / denom
+            else if (isSeed(v)) Scale / denom else 0L)
+        }
+        for (_ <- 1 to Rounds) {
+          val inflow = new java.util.HashMap[java.lang.Long, Long]
+          var e = 0
+          while (e < src.length) {
+            val s0 = src(e)
+            inflow.merge(dst(e), pr.get(s0) / deg.get(s0), (a, b) => a + b)
+            e += 1
+          }
+          nodes.foreach { v =>
+            val tele =
+              if (!seeded) Teleport / denom
+              else if (isSeed(v)) Teleport / denom else 0L
+            val in = Option(inflow.get(v)).map(_.longValue).getOrElse(0L)
+            pr.put(v, tele + (85L * in) / 100L)
+          }
+        }
+        nodes.iterator.map(v => (v, isSeed(v), pr.get(v).longValue))
+      }
+
+  /** The widen condition on the graph's source scans: true when the
+    * Pregel unrolling would run on a cluster the inputs cannot fill. */
+  private def graphIsSmall(s: org.apache.spark.sql.SparkSession,
+      d: String): Boolean = {
+    // Test seam: lets the equality pin force the distributed rounds on
+    // a small fixture (the gate scales all take the local branch).
+    if (s.conf.getOption("spark.graft.graph.disableLocal")
+        .exists(_.equalsIgnoreCase("true"))) return false
+    val bytes = graft.storage.OptimizedWrite.leafBytes(
+      Tables.orders(s, d)) +
+      graft.storage.OptimizedWrite.leafBytes(Tables.lineitem(s, d))
+    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val maxPart = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    bytes / maxPart < p
+  }
+
+  private def pairsFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + SupplierBase).as("sp"))
+      .distinct()
+
   val pr1PageRank = withOracle(
     "pr1_pagerank",
     s"""WITH pairs AS (
@@ -123,6 +212,16 @@ object GraphQueries {
        |       FROM nodes CROSS JOIN nn LEFT JOIN i3 i ON i.dst = node)
        |SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM p3""".stripMargin) {
     (s, d) =>
+      if (graphIsSmall(s, d)) {
+        val rows = localRanks(pairsFrame(s, d), seeded = false)
+          .map { case (n, _, p) => org.apache.spark.sql.Row(n, p) }
+        s.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("pr_scaled",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      } else {
       val (nodes, nn, edgesDeg) = coPurchaseGraph(s, d)
       var pr: DataFrame = nodes.crossJoin(nn)
         .select(col("node"), expr(s"$Scale div n").as("pr"))
@@ -140,6 +239,7 @@ object GraphQueries {
               + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
       }
       pr.select(col("node"), col("pr").as("pr_scaled"))
+      }
   }
 
   // ---- pr2: personalized PageRank ----
@@ -199,6 +299,18 @@ object GraphQueries {
        |       FROM nodes CROSS JOIN ns LEFT JOIN i3 i ON i.dst = node)
        |SELECT node, is_seed, CAST(pr AS BIGINT) AS ppr_scaled
        |FROM p3""".stripMargin) { (s, d) =>
+    if (graphIsSmall(s, d)) {
+      val rows = localRanks(pairsFrame(s, d), seeded = true)
+        .map { case (n, sd, p) => org.apache.spark.sql.Row(n, sd, p) }
+      s.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("is_seed",
+            org.apache.spark.sql.types.BooleanType, nullable = false),
+          org.apache.spark.sql.types.StructField("ppr_scaled",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else {
     val (nodes0, _, edgesDeg) = coPurchaseGraph(s, d)
     val nodes = nodes0.select(col("node"),
       (col("node") < SupplierBase && col("node") % 10 === 1).as("is_seed"))
@@ -221,6 +333,7 @@ object GraphQueries {
             + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
     }
     pr.select(col("node"), col("is_seed"), col("pr").as("ppr_scaled"))
+    }
   }
 
   // ---- pr3: triangle counting (degree-oriented) ----

@@ -711,4 +711,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"re-rank of 20 rows must not shuffle:\n$plan")
   }
+
+  test("pr1/pr2 local fast path matches the distributed rounds exactly") {
+    // The gate scales all take the single-task fixed-point branch, so
+    // this pin is what keeps the two branches answer-identical: every
+    // step is BIGINT arithmetic, so the full row sets must be EQUAL,
+    // not merely close.
+    val key = "spark.graft.graph.disableLocal"
+    def rows(name: String) = Catalog.queries(name)(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    for (name <- Seq("pr1_pagerank", "pr2_personalized_pagerank")) {
+      val fast = rows(name)
+      spark.conf.set(key, "true")
+      val loop = try rows(name) finally spark.conf.unset(key)
+      assert(fast === loop, s"$name: fast path diverged from the rounds")
+      assert(fast.nonEmpty)
+    }
+  }
 }
