@@ -15,8 +15,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-JVM memo of INFERRED SCHEMAS, keyed by (path, length, mtime):
+    * every bare `spark.read.parquet` runs a footer-reading schema-
+    * inference JOB before the query proper — ~30-80 ms of scheduler
+    * round-trip per table load, paid again by every one of the ~230
+    * catalog entries (profiled as the `mapPartitions>parallelize` job
+    * leading every entry). The first load of a generation infers; later
+    * loads pass the schema explicitly, which skips inference entirely.
+    * Metadata only — never rows — and the (length, mtime) key drops the
+    * memo the moment the file is regenerated, so staleness is
+    * impossible. The same memo Spark itself keeps per-session for
+    * catalog tables; these are bare-path reads, which have none.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spark.read.schema(memoSchema(spark, path)).parquet(path)
+  }
+
+  private def memoSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    schemaMemo.computeIfAbsent(
+      (path, st.getLen, st.getModificationTime),
+      _ => spark.read.parquet(path).schema)
+  }
 
   /** Normalizes `events.ts` to session-zoned TimestampType whatever the
     * parquet physical type is. Generators have shipped it as TIMESTAMP(NANOS)
@@ -32,7 +59,11 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    // Same schema memo as load(): the inference here runs UNDER the
+    // nanosAsLong conf just set, so the memoized schema is the one this
+    // reader requires (ts as LongType for NANOS generations).
+    val path = s"$sfDir/events.parquet"
+    normalizeTs(spark.read.schema(memoSchema(spark, path)).parquet(path))
   }
 
   /** Normalize the generator's `ts` column to session-tz TIMESTAMP —
